@@ -1,0 +1,67 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "total_wall_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "window_dedup",
+    "topk_per_group",
+    "theta_join",
+    "scd1_merge",
+    "scd2_merge",
+    "events_hourly",
+    "sessionize",
+    "hash_jk",
+    "cdc_split",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_stats",
+    "quality_score",
+    "cosine_topk",
+    "embedding_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import QUERIES
+
+    spark = get_spark("bench")
+    # warm the JVM/session so the first query doesn't pay session startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

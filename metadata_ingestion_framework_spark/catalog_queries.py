@@ -1,0 +1,1199 @@
+"""Query catalog: every SURVEY.md §2 operator as a (spark, sf_dir) query
+plus its DuckDB oracle SQL — the driver's correctness surface.
+
+Conventions that make cross-engine value-hashing deterministic:
+- money/measure sums go through DECIMAL(18,4) (exact, order-independent
+  addition) and are cast back to double in BOTH engines;
+- every window/top-k has a total order (unique-key tiebreak);
+- ratios are rounded to 6 decimals after exact-integer inputs;
+- all aggregate/computed columns carry identical aliases on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.functions.hashing import (
+    hash_it,
+    hash_it_complete,
+)
+from metadata_ingestion_framework_spark.functions.pii import (
+    anonymize_free_text,
+    decrypt_it,
+    encrypt_it,
+    mask_it,
+)
+from metadata_ingestion_framework_spark.functions.text import (
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_count,
+    word_token_count,
+)
+from metadata_ingestion_framework_spark.functions.timestamps import clean_iso_timestamp
+from metadata_ingestion_framework_spark.functions.transforms import drop_it, serialize_rows
+from metadata_ingestion_framework_spark.operators.cdc import (
+    enrich_with_shard,
+    split_cdc_envelope,
+)
+from metadata_ingestion_framework_spark.operators.dedup import (
+    dedup_exact,
+    dedup_window,
+    minhash_lsh_duplicates,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from metadata_ingestion_framework_spark.operators.joins import build_inner_join_condition
+from metadata_ingestion_framework_spark.operators.merge import (
+    scd1_merge,
+    scd2_merge,
+    scd4_merge,
+)
+from metadata_ingestion_framework_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from metadata_ingestion_framework_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _fix_nanos(df)
+
+
+def _fix_nanos(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf);
+    convert to microsecond timestamps with exact integer division — a
+    double-precision divide would corrupt epochs beyond 2^53 ns."""
+    for name_, dtype in df.dtypes:
+        if name_ == "ts" and dtype == "bigint":
+            df = df.withColumn(name_, F.timestamp_micros(F.expr(f"{name_} div 1000")))
+    return df
+
+
+def _dec_sum(col, alias: str):
+    """Exact (order-independent) sum: DECIMAL(18,4) accumulate -> double."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def _dec_sum_expr(expr, alias: str):
+    return F.sum(expr.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / windows / sorts (SURVEY §2.5, §2.8, §2.9)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped groupBy: the canonical agg benchmark head."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            _dec_sum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Flagship join+agg (Q5 shape): 6-way star join, dims broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dec_sum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def q_offset_ranges(spark, sf_dir):
+    """A1 shape: per-group min/max range agg (Kafka offset bookkeeping)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min("event_id").alias("startOffset"),
+        F.max("event_id").alias("endOffset"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_OFFSET_RANGES = """
+SELECT event_type, MIN(event_id) AS startOffset, MAX(event_id) AS endOffset, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_distinct(spark, sf_dir):
+    """A4: distinct over a projection."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+def q_window_dedup(spark, sf_dir):
+    """A5: keep first row per key by ASC order (reference tie semantics)."""
+    orders = t(spark, sf_dir, "orders")
+    return dedup_window(orders, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+
+
+ORACLE_WINDOW_DEDUP = """
+SELECT * FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+"""
+
+
+def q_rank_latest(spark, sf_dir):
+    """A6: rank()=1 over desc order — latest run per batch shape."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc())
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rnk")
+    )
+
+
+ORACLE_RANK_LATEST = """
+SELECT o_custkey, o_orderkey, o_orderdate, RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC) AS rnk
+FROM orders
+QUALIFY rnk = 1
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    """§2.9: global top-k with total order (TakeOrderedAndProject)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders per market segment (window top-k pattern)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT c_mktsegment, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+FROM orders JOIN customer ON o_custkey = c_custkey
+QUALIFY rn <= 3
+"""
+
+
+def q_running_sum(spark, sf_dir):
+    """Analytic window: per-customer running order total (rows frame)."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+ORACLE_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def q_lead_lag(spark, sf_dir):
+    """lead/lag analytics: inter-event gap per user in exact microseconds."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+ORACLE_LEAD_LAG = """
+SELECT user_id, event_id,
+  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+FROM events
+"""
+
+
+def q_cube(spark, sf_dir):
+    """Grouping-sets surface: CUBE over two dims."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dec_sum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_rollup(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        _dec_sum("o_totalprice", "sum_price"), F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS qty_open,
+  CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_count_distinct(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_COUNT_DISTINCT = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins / set ops (SURVEY §2.4, §2.6)
+# ---------------------------------------------------------------------------
+
+def q_theta_join(spark, sf_dir):
+    """J1: theta-key condition builder driving a real join."""
+    orders = t(spark, sf_dir, "orders").alias("updates")
+    cust = t(spark, sf_dir, "customer").alias("target")
+    cond = build_inner_join_condition(
+        ["o_custkey = c_custkey"],
+        extra_join_condition="updates.o_totalprice > target.c_acctbal",
+    )
+    return (
+        orders.join(cust, cond)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("o_totalprice", "sum_price"))
+    )
+
+
+ORACLE_THETA_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey AND o_totalprice > c_acctbal
+GROUP BY c_mktsegment
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_cross_join(spark, sf_dir):
+    """J8: crossJoin (facts x operationMetrics shape)."""
+    r = t(spark, sf_dir, "region")
+    return (
+        r.select(F.col("r_name").alias("ra"))
+        .crossJoin(r.select(F.col("r_name").alias("rb")))
+    )
+
+
+ORACLE_CROSS_JOIN = "SELECT a.r_name AS ra, b.r_name AS rb FROM region a CROSS JOIN region b"
+
+
+def q_union_by_name(spark, sf_dir):
+    """U2: unionByName across different column orders."""
+    s = t(spark, sf_dir, "supplier")
+    s1 = s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    s2 = s.select("s_acctbal", "s_nationkey", "s_name", "s_suppkey")
+    return s1.unionByName(s2)
+
+
+ORACLE_UNION_BY_NAME = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+UNION ALL
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+def q_struct_multiplex(spark, sf_dir):
+    """U3: struct-wrapped two-stream multiplex + demux (DeltaWritter:38-39)."""
+    s = t(spark, sf_dir, "supplier")
+    doubled = s.withColumn("s_acctbal", F.col("s_acctbal") * 2)
+    muxed = s.select(
+        F.struct(*s.columns).alias("inputStream"),
+        F.lit(None).cast(doubled.select(F.struct(*doubled.columns).alias("x")).schema["x"].dataType).alias("rawDf"),
+    ).union(
+        doubled.select(
+            F.lit(None).cast(s.select(F.struct(*s.columns).alias("x")).schema["x"].dataType).alias("inputStream"),
+            F.struct(*doubled.columns).alias("rawDf"),
+        )
+    )
+    return muxed.filter(F.col("rawDf").isNotNull()).select("rawDf.*")
+
+
+ORACLE_STRUCT_MULTIPLEX = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal * 2 AS s_acctbal FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Row-level transforms & PII (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_hash_jk(spark, sf_dir):
+    """T1: whole-row sha2 join key."""
+    cust = t(spark, sf_dir, "customer")
+    return hash_it(cust, "hashed_jk", 256, "c_custkey", "c_name", "c_mktsegment").select(
+        "c_custkey", "hashed_jk"
+    )
+
+
+ORACLE_HASH_JK = """
+SELECT c_custkey,
+  sha256(concat(COALESCE(CAST(c_custkey AS VARCHAR),'n/a'),
+                COALESCE(c_name,'n/a'), COALESCE(c_mktsegment,'n/a'))) AS hashed_jk
+FROM customer
+"""
+
+
+def q_hash_complete(spark, sf_dir):
+    """T2: per-column sha2 anonymization."""
+    cust = t(spark, sf_dir, "customer")
+    return hash_it_complete(cust, 256, "c_name", "c_mktsegment").select(
+        "c_custkey", "c_name_hash", "c_mktsegment_hash"
+    )
+
+
+ORACLE_HASH_COMPLETE = """
+SELECT c_custkey, sha256(c_name) AS c_name_hash, sha256(c_mktsegment) AS c_mktsegment_hash
+FROM customer
+"""
+
+
+def q_mask(spark, sf_dir):
+    """T5: regex masking."""
+    cust = t(spark, sf_dir, "customer")
+    return mask_it(cust, "[0-9]", "*", True, "c_name").select("c_custkey", "c_name")
+
+
+ORACLE_MASK = """
+SELECT c_custkey, regexp_replace(c_name, '[0-9]', '*', 'g') AS c_name FROM customer
+"""
+
+
+def q_anonymize_pii(spark, sf_dir):
+    """T8: per-match PII hashing in free text (pandas UDF path)."""
+    cust = t(spark, sf_dir, "customer")
+    synth = cust.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" ssn 123-45-6789 mail "),
+            F.regexp_replace("c_name", "#", "_"), F.lit("@example.com"),
+        ).alias("note"),
+    )
+    return anonymize_free_text(synth, "note")
+
+
+ORACLE_ANONYMIZE_PII = """
+SELECT c_custkey,
+  c_name || ' ssn ' || sha256('123-45-6789') || ' mail '
+         || sha256(replace(c_name, '#', '_') || '@example.com') AS note
+FROM customer
+"""
+
+
+def q_encrypt_roundtrip(spark, sf_dir):
+    """T6: AES encrypt/decrypt round trip (encrypt∘decrypt = id)."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    enc = encrypt_it(cust, "c_name", key="parity-check-key")
+    return decrypt_it(enc, "c_name", key="parity-check-key")
+
+
+ORACLE_ENCRYPT_ROUNDTRIP = "SELECT c_custkey, c_name FROM customer"
+
+
+def q_drop_columns(spark, sf_dir):
+    """T7: metadata-driven omitted columns."""
+    orders = t(spark, sf_dir, "orders")
+    return drop_it(orders, "o_orderpriority", "o_orderstatus", "not_a_column")
+
+
+ORACLE_DROP_COLUMNS = "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders"
+
+
+def q_epoch_roundtrip(spark, sf_dir):
+    """T10: epoch <-> timestamp conversion (exact microseconds)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("epoch_us"),
+        F.timestamp_micros(F.unix_micros("ts")).alias("ts_roundtrip"),
+    )
+
+
+ORACLE_EPOCH_ROUNDTRIP = """
+SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS epoch_us, make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_roundtrip FROM events
+"""
+
+
+def q_translate_clean(spark, sf_dir):
+    """T14: ISO-timestamp string cleanup via translate."""
+    ev = t(spark, sf_dir, "events")
+    iso = ev.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso")
+    )
+    return clean_iso_timestamp(iso, "ts_iso", "ts_clean")
+
+
+ORACLE_TRANSLATE_CLEAN = """
+SELECT event_id, replace(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S'), 'T', ' ') AS ts_clean FROM events
+"""
+
+
+def q_serialize_rows(spark, sf_dir):
+    """T17: concat_ws row serialization (error-log shape)."""
+    n = t(spark, sf_dir, "nation")
+    return serialize_rows(n.select("n_nationkey", "n_name", "n_regionkey"))
+
+
+ORACLE_SERIALIZE_ROWS = """
+SELECT concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)) AS row_data
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC + SCD merges (SURVEY §2.7) — the flagship compound operators
+# ---------------------------------------------------------------------------
+
+def _cdc_envelope(spark, sf_dir) -> DataFrame:
+    """Deterministic Debezium-shaped envelope synthesized from orders."""
+    orders = t(spark, sf_dir, "orders")
+    op = (
+        F.when(F.col("o_orderstatus") == "O", "c")
+        .when(F.col("o_orderstatus") == "F", "u")
+        .otherwise("d")
+    )
+    payload = F.struct("o_orderkey", "o_totalprice")
+    source = F.struct(
+        F.concat(F.lit("db_"), (F.col("o_custkey") % 4).cast("string")).alias("db"),
+        (F.col("o_custkey") % 2).alias("server_id"),
+    )
+    return orders.select(
+        F.struct(op.alias("op"), payload.alias("before"), payload.alias("after"), source.alias("source")).alias("value")
+    )
+
+
+def q_cdc_split(spark, sf_dir):
+    """T13+U1: envelope split into upserts ∪ deletes with SCD flags."""
+    return split_cdc_envelope(_cdc_envelope(spark, sf_dir))
+
+
+ORACLE_CDC_SPLIT = """
+SELECT o_orderkey, o_totalprice,
+  'db_' || CAST(o_custkey % 4 AS VARCHAR) AS src_db,
+  o_custkey % 2 AS src_server_id,
+  CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'F' THEN 'u' ELSE 'd' END AS cdc_op,
+  o_orderstatus IN ('O','F') AS row_active,
+  o_orderstatus NOT IN ('O','F') AS deleted_flag
+FROM orders
+"""
+
+
+def q_shard_enrich(spark, sf_dir):
+    """J2: CDC x broadcast shard-mapping dim."""
+    cdc = split_cdc_envelope(_cdc_envelope(spark, sf_dir))
+    spark_range = spark.range(4).select(
+        F.concat(F.lit("db_"), F.col("id").cast("string")).alias("db")
+    )
+    mapping = spark_range.crossJoin(spark.range(2).select(F.col("id").alias("server_id"))).select(
+        "db", "server_id", F.concat(F.col("db"), F.lit("_s"), F.col("server_id")).alias("shard_name")
+    )
+    return enrich_with_shard(cdc, mapping).select(
+        "o_orderkey", "src_db", "src_server_id", "shard_name", "cdc_op"
+    )
+
+
+ORACLE_SHARD_ENRICH = """
+SELECT o_orderkey,
+  'db_' || CAST(o_custkey % 4 AS VARCHAR) AS src_db,
+  o_custkey % 2 AS src_server_id,
+  'db_' || CAST(o_custkey % 4 AS VARCHAR) || '_s' || CAST(o_custkey % 2 AS VARCHAR) AS shard_name,
+  CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'F' THEN 'u' ELSE 'd' END AS cdc_op
+FROM orders
+"""
+
+
+_SCD_UPDATES_SQL = """
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+         'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+"""
+_SCD_INSERTS_SQL = """
+  SELECT c_custkey + 2000000 AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+def _scd_updates(spark, sf_dir) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    upd = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+    )
+    new = cust.filter(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 2000000
+    )
+    return upd.unionByName(new)
+
+
+def q_scd1_merge(spark, sf_dir):
+    """J5/J6: SCD1 upsert — post-merge state of the customer table."""
+    cust = t(spark, sf_dir, "customer")
+    return scd1_merge(cust, _scd_updates(spark, sf_dir), ["c_custkey"])
+
+
+ORACLE_SCD1_MERGE = f"""
+WITH updates AS ({_SCD_UPDATES_SQL} UNION ALL {_SCD_INSERTS_SQL})
+SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+       COALESCE(u.c_name, t.c_name) AS c_name,
+       COALESCE(u.c_nationkey, t.c_nationkey) AS c_nationkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+       COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+"""
+
+
+def q_scd1_merge_pruned(spark, sf_dir):
+    """Same SCD1 semantics through the manual-DPP (partition-split) path —
+    results must be identical to the unpruned merge (J9 invariant)."""
+    cust = t(spark, sf_dir, "customer")
+    updates = _scd_updates(spark, sf_dir).filter(F.col("c_nationkey") < 10)
+    return scd1_merge(cust, updates, ["c_custkey"], partition_col="c_nationkey")
+
+
+ORACLE_SCD1_MERGE_PRUNED = f"""
+WITH updates AS (
+  SELECT * FROM ({_SCD_UPDATES_SQL} UNION ALL {_SCD_INSERTS_SQL}) WHERE c_nationkey < 10
+)
+SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+       COALESCE(u.c_name, t.c_name) AS c_name,
+       COALESCE(u.c_nationkey, t.c_nationkey) AS c_nationkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+       COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+"""
+
+
+def _scd2_frames(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    target = (
+        cust.withColumn("current_flag", F.lit(True))
+        .withColumn("expiry_at", F.lit(None).cast("timestamp"))
+        .withColumn("deleted_flag", F.lit(False))
+        .withColumn("updated_at", F.lit("2020-01-01").cast("timestamp"))
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("current_flag", F.lit(True))
+        .withColumn("expiry_at", F.lit(None).cast("timestamp"))
+        .withColumn("deleted_flag", F.lit(False))
+        .withColumn("updated_at", F.lit("2021-06-01").cast("timestamp"))
+    )
+    return target, updates
+
+
+def q_scd2_merge(spark, sf_dir):
+    """SCD2: expired old versions + inserted new current versions."""
+    target, updates = _scd2_frames(spark, sf_dir)
+    return scd2_merge(
+        target,
+        updates,
+        ["c_custkey"],
+        match_condition="target.current_flag = true AND target.c_acctbal <> updates.c_acctbal",
+        updated_at_col="updated_at",
+    )
+
+
+ORACLE_SCD2_MERGE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       FALSE AS current_flag, TIMESTAMP '2021-06-01' AS expiry_at,
+       FALSE AS deleted_flag, TIMESTAMP '2020-01-01' AS updated_at
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+       TRUE AS current_flag, CAST(NULL AS TIMESTAMP) AS expiry_at,
+       FALSE AS deleted_flag, TIMESTAMP '2021-06-01' AS updated_at
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       TRUE AS current_flag, CAST(NULL AS TIMESTAMP) AS expiry_at,
+       FALSE AS deleted_flag, TIMESTAMP '2020-01-01' AS updated_at
+FROM customer WHERE c_custkey % 10 <> 0
+"""
+
+
+def q_scd4_history(spark, sf_dir):
+    """SCD4: captured pre-image history rows."""
+    target, updates = _scd2_frames(spark, sf_dir)
+    updates = updates.withColumn("row_active", F.lit(True))
+    target = target.withColumn("row_active", F.lit(True))
+    _, history = scd4_merge(target, None, updates, ["c_custkey"], updated_at_col="updated_at")
+    return history
+
+
+ORACLE_SCD4_HISTORY = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       TRUE AS current_flag, CAST(NULL AS TIMESTAMP) AS expiry_at,
+       FALSE AS deleted_flag, TIMESTAMP '2020-01-01' AS updated_at,
+       TRUE AS row_active, TIMESTAMP '2021-06-01' AS history_created_at
+FROM customer WHERE c_custkey % 10 = 0
+"""
+
+# ---------------------------------------------------------------------------
+# Event-time analytics (streaming-shaped, batch-checked)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1h event-time window agg (epoch-aligned -> date_trunc)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("value", "sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumulative sum)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = ev.withColumn("session_id", F.sum(new_sess).over(cum))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+), sess AS (
+  SELECT user_id,
+    SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+_STREAM_COUNTER = {"n": 0}
+
+
+def q_stream_events_agg(spark, sf_dir):
+    """Structured Streaming path: file stream -> complete-mode agg -> memory.
+
+    Same semantics as q_events_hourly but executed through readStream +
+    processAllAvailable (the reference's test-mode switch).
+    """
+    # FileStreamSource wants a directory; expose the single parquet file
+    # through a symlink dir (testdata is read-only).
+    import hashlib
+    import os
+
+    src = f"{sf_dir}/events.parquet"
+    d = f"/tmp/mifs_spark/stream_src/{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = _fix_nanos(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(d)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    _STREAM_COUNTER["n"] += 1
+    name = f"mifs_stream_agg_{_STREAM_COUNTER['n']}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+ORACLE_STREAM_EVENTS_AGG = ORACLE_EVENTS_HOURLY
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star: corpus curation)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        word_token_count(c).alias("n_word_tokens"),
+        F.length(c).alias("n_chars_calc"),
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_word_tokens,
+  length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", detect_language(F.col("text")).alias("pred_lang"))
+
+
+def _lang_hits_sql(lang_words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in lang_words)
+    return f"len(list_filter(regexp_extract_all(lower(text), '\\S+'), w -> list_contains([{arr}], w)))"
+
+
+def _oracle_lang_id() -> str:
+    from metadata_ingestion_framework_spark.functions.text import LANG_MARKERS
+
+    hits = {lang: _lang_hits_sql(words) for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    greatest = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN h_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    inner = ", ".join(f"{sql} AS h_{lang}" for lang, sql in hits.items())
+    return f"SELECT doc_id, lang, {case} AS pred_lang FROM (SELECT doc_id, lang, {inner} FROM documents)"
+
+
+ORACLE_LANG_ID = _oracle_lang_id()
+
+
+def q_quality_score(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+ORACLE_QUALITY_SCORE = r"""
+WITH stats AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS n_punct,
+    CAST(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 1
+         ELSE len(regexp_extract_all(lower(text), '\S+')) END AS DOUBLE) AS n_toks,
+    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+  FROM documents
+)
+SELECT doc_id,
+  ROUND((n_alpha / n_chars + (1 - n_punct / n_chars) +
+    CASE WHEN n_nonspace / n_toks BETWEEN 3 AND 12 THEN 1.0
+         WHEN n_nonspace / n_toks < 3 THEN (n_nonspace / n_toks) / 3.0
+         ELSE 12.0 / (n_nonspace / n_toks) END) / 3.0, 6) AS quality
+FROM stats
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (north-star)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["text"], "doc_id").select("doc_id", "lang", "source")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (xxhash64-based -> rows-only oracle)."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_duplicates(docs, "text", "doc_id", jaccard_threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only oracle)."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash_duplicates(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard within (lang, source) blocks."""
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", ["lang", "source"], threshold=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH sh AS (
+  SELECT doc_id, lang, source,
+    list_distinct([
+      array_to_string(toks[i:i+2], ' ')
+      FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+    ]) AS grams
+  FROM (
+    SELECT doc_id, lang, source,
+      list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS toks
+    FROM documents
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1
+              ELSE len(list_distinct(a.grams || b.grams)) END), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      (CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1
+            ELSE len(list_distinct(a.grams || b.grams)) END) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north-star)
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 for the first 5 vectors as queries."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) /
+      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))), 6) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed approximate top-k (rows-only oracle)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=64, k=10, n_planes=6)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label blocks."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, "label", threshold=0.8)
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (north-star; deterministic fake decode -> rows-only)
+# ---------------------------------------------------------------------------
+
+def q_media_features(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return extract_features(media)
+
+
+def q_media_frames(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").limit(50)
+    media = synthesize_media(docs, "doc_id", "text")
+    return sample_frames(media, every_ms=60_000)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "offset_ranges": q_offset_ranges,
+    "distinct_segments": q_distinct,
+    "window_dedup": q_window_dedup,
+    "rank_latest": q_rank_latest,
+    "top_orders": q_top_orders,
+    "topk_per_group": q_topk_per_group,
+    "running_sum": q_running_sum,
+    "lead_lag": q_lead_lag,
+    "cube_qty": q_cube,
+    "rollup_price": q_rollup,
+    "pivot_status": q_pivot,
+    "count_distinct": q_count_distinct,
+    "theta_join": q_theta_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "cross_join": q_cross_join,
+    "union_by_name": q_union_by_name,
+    "struct_multiplex": q_struct_multiplex,
+    "hash_jk": q_hash_jk,
+    "hash_complete": q_hash_complete,
+    "mask_digits": q_mask,
+    "anonymize_pii": q_anonymize_pii,
+    "encrypt_roundtrip": q_encrypt_roundtrip,
+    "drop_columns": q_drop_columns,
+    "epoch_roundtrip": q_epoch_roundtrip,
+    "translate_clean": q_translate_clean,
+    "serialize_rows": q_serialize_rows,
+    "cdc_split": q_cdc_split,
+    "shard_enrich": q_shard_enrich,
+    "scd1_merge": q_scd1_merge,
+    "scd1_merge_pruned": q_scd1_merge_pruned,
+    "scd2_merge": q_scd2_merge,
+    "scd4_history": q_scd4_history,
+    "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "stream_events_agg": q_stream_events_agg,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "lsh_topk": q_lsh_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "offset_ranges": ORACLE_OFFSET_RANGES,
+    "distinct_segments": ORACLE_DISTINCT,
+    "window_dedup": ORACLE_WINDOW_DEDUP,
+    "rank_latest": ORACLE_RANK_LATEST,
+    "top_orders": ORACLE_TOP_ORDERS,
+    "topk_per_group": ORACLE_TOPK_PER_GROUP,
+    "running_sum": ORACLE_RUNNING_SUM,
+    "lead_lag": ORACLE_LEAD_LAG,
+    "cube_qty": ORACLE_CUBE,
+    "rollup_price": ORACLE_ROLLUP,
+    "pivot_status": ORACLE_PIVOT,
+    "count_distinct": ORACLE_COUNT_DISTINCT,
+    "theta_join": ORACLE_THETA_JOIN,
+    "semi_join": ORACLE_SEMI_JOIN,
+    "anti_join": ORACLE_ANTI_JOIN,
+    "cross_join": ORACLE_CROSS_JOIN,
+    "union_by_name": ORACLE_UNION_BY_NAME,
+    "struct_multiplex": ORACLE_STRUCT_MULTIPLEX,
+    "hash_jk": ORACLE_HASH_JK,
+    "hash_complete": ORACLE_HASH_COMPLETE,
+    "mask_digits": ORACLE_MASK,
+    "anonymize_pii": ORACLE_ANONYMIZE_PII,
+    "encrypt_roundtrip": ORACLE_ENCRYPT_ROUNDTRIP,
+    "drop_columns": ORACLE_DROP_COLUMNS,
+    "epoch_roundtrip": ORACLE_EPOCH_ROUNDTRIP,
+    "translate_clean": ORACLE_TRANSLATE_CLEAN,
+    "serialize_rows": ORACLE_SERIALIZE_ROWS,
+    "cdc_split": ORACLE_CDC_SPLIT,
+    "shard_enrich": ORACLE_SHARD_ENRICH,
+    "scd1_merge": ORACLE_SCD1_MERGE,
+    "scd1_merge_pruned": ORACLE_SCD1_MERGE_PRUNED,
+    "scd2_merge": ORACLE_SCD2_MERGE,
+    "scd4_history": ORACLE_SCD4_HISTORY,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "sessionize": ORACLE_SESSIONIZE,
+    "stream_events_agg": ORACLE_STREAM_EVENTS_AGG,
+    "text_stats": ORACLE_TEXT_STATS,
+    "lang_id": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    # rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash,
+    # lsh_topk, media_features, media_frames
+}

@@ -1,0 +1,51 @@
+"""Scalar / row-level function library (SURVEY.md §2.3).
+
+Every function is a pure DataFrame -> DataFrame (or Column -> Column)
+transformation built from ``pyspark.sql.functions`` so it stays inside
+whole-stage codegen; Python UDFs appear only where semantics force them
+(free-text per-match hashing) and then as Arrow-batched pandas UDFs.
+"""
+
+from metadata_ingestion_framework_spark.functions.hashing import (
+    hash_it,
+    hash_it_complete,
+    hash_numerical_it,
+)
+from metadata_ingestion_framework_spark.functions.pii import (
+    anonymize_free_text,
+    decrypt_it,
+    encrypt_it,
+    hash_it_partial,
+    identify_columns,
+    mask_it,
+)
+from metadata_ingestion_framework_spark.functions.timestamps import (
+    clean_iso_timestamp,
+    epoch_millis_to_timestamp,
+)
+from metadata_ingestion_framework_spark.functions.transforms import (
+    add_flag_columns,
+    drop_it,
+    has_column,
+    reorder_columns,
+    serialize_rows,
+)
+
+__all__ = [
+    "hash_it",
+    "hash_it_complete",
+    "hash_numerical_it",
+    "hash_it_partial",
+    "anonymize_free_text",
+    "mask_it",
+    "encrypt_it",
+    "decrypt_it",
+    "identify_columns",
+    "epoch_millis_to_timestamp",
+    "clean_iso_timestamp",
+    "drop_it",
+    "has_column",
+    "reorder_columns",
+    "add_flag_columns",
+    "serialize_rows",
+]

@@ -1,0 +1,122 @@
+"""Text analysis for corpus curation (BASELINE.json north-star extensions).
+
+Language-ID, quality scoring, token counting, fingerprinting — each a pure
+Catalyst expression pipeline (regexp/split/aggregate), no Python in the hot
+path, so a 100 TB documents table processes at scan speed with zero
+shuffles (all are per-row map operations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (public common-words lists). The
+# detector scores each language by marker-word hits over whitespace tokens —
+# an n-gram-free heuristic that is deterministic and SQL-expressible, which
+# is what makes it oracle-checkable. Swap in fasttext/cld3 via pandas_udf for
+# production quality; the plumbing (one map stage) is identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(col))
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: count word chunks + digits + punctuation runs.
+
+    A deterministic regex tokenizer in the GPT-2 pre-tokenizer spirit:
+    letter runs, digit runs, and single punctuation marks each count as one
+    token. Real BPE drops in as a pandas_udf over the same column.
+    """
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def detect_language(col: Column, languages: list[str] | None = None) -> Column:
+    """Heuristic language ID: argmax of per-language marker-word hit counts.
+
+    Ties and zero-hit rows resolve to 'und'. Deterministic: greater-than
+    comparison in a fixed language order.
+    """
+    langs = languages or list(LANG_MARKERS)
+    toks = _tokens(col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(*LANG_MARKERS[lang])))  # noqa: B023
+        for lang in langs
+    }
+    best_lang: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score from cheap surface statistics.
+
+    mean of three ratios: (1) alpha-char ratio, (2) 1 - punctuation ratio,
+    (3) mean-word-length band score (1 inside [3,12], decaying outside).
+    All length/regexp arithmetic — codegen'd, oracle-expressible.
+    """
+    n_chars = F.length(col)
+    safe_chars = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars).cast("double")
+    alpha_ratio = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")) / safe_chars
+    punct_ratio = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}]", "")) / safe_chars
+    n_toks = token_count(col)
+    safe_toks = F.when(n_toks == 0, F.lit(1)).otherwise(n_toks).cast("double")
+    mean_word_len = F.length(F.regexp_replace(col, r"\s", "")) / safe_toks
+    band = (
+        F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0))
+        .when(mean_word_len < 3, mean_word_len / 3.0)
+        .otherwise(12.0 / mean_word_len)
+    )
+    return F.round((alpha_ratio + (1 - punct_ratio) + band) / 3.0, 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized content fingerprint: md5 of lowercased alnum-only text.
+
+    Whitespace/punct/case-insensitive exact-dup key (the 'fingerprint
+    method' of locale-insensitive dedup). 128-bit -> collision-safe as a
+    shuffle key at corpus scale.
+    """
+    return F.md5(F.regexp_replace(F.lower(col), r"[^a-z0-9]", ""))
+
+
+def rolling_hash_fingerprint(col: Column, window: int = 16, keep_every: int = 8) -> Column:
+    """Winnowing-style selective fingerprint: min xxhash64 of char n-grams
+    sampled every ``keep_every`` positions — robust to small edits.
+
+    Pure higher-order functions (sequence/transform/array_min).
+    """
+    s = F.lower(F.regexp_replace(col, r"\s+", " "))
+    n = F.greatest(F.length(s) - (window - 1), F.lit(0))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(keep_every))
+    grams = F.transform(starts, lambda i: F.xxhash64(F.substring(s, 1, window * 100).substr(i, F.lit(window))))
+    return F.array_min(grams)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column set in one map stage."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_word_tokens", word_token_count(c))
+        .withColumn("pred_lang", detect_language(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

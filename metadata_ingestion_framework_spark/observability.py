@@ -1,0 +1,120 @@
+"""Observability tables (reference parity: Task.scala:52-142, LocalCreate:38-80).
+
+Three append tables: ``pipeline_status`` (per-task state + offsets),
+``pipeline_fact`` (row-count facts, mergeSchema on), ``pipeline_error_logs``
+(failed rows serialized + stacktrace). The reference writes status via raw
+SQL INSERT string interpolation (Task.scala:57) — we use DataFrame appends
+(parameterized, injection-free; SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATUS_SCHEMA = (
+    "pipeline_id string, task_name string, status string, topic string, "
+    "partition int, startOffset long, endOffset long, batch_id long, "
+    "run_id string, message string, last_update timestamp"
+)
+FACT_SCHEMA = (
+    "pipeline_id string, task_name string, metric string, value long, "
+    "batch_id long, last_update timestamp"
+)
+ERROR_SCHEMA = (
+    "pipeline_id string, task_name string, row_data string, error string, "
+    "batch_id long, last_update timestamp"
+)
+
+
+@dataclass
+class ObservabilityStore:
+    """Parquet-backed status/fact/error sinks under one root path."""
+
+    spark: SparkSession
+    root: str
+
+    def _append(self, df: DataFrame, name: str, merge_schema: bool = False) -> None:
+        writer = df.write.mode("append")
+        if merge_schema:
+            writer = writer.option("mergeSchema", "true")
+        writer.parquet(f"{self.root}/{name}")
+
+    def _read(self, name: str, schema: str) -> DataFrame:
+        try:
+            return self.spark.read.parquet(f"{self.root}/{name}")
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    # -- status (Task.scala:52-64) --------------------------------------
+    def write_status(
+        self,
+        pipeline_id: str,
+        task_name: str,
+        status: str,
+        offset_ranges: DataFrame | None = None,
+        batch_id: int = -1,
+        run_id: str = "",
+        message: str = "",
+    ) -> None:
+        base = self.spark.createDataFrame(
+            [(pipeline_id, task_name, status, batch_id, run_id, message)],
+            "pipeline_id string, task_name string, status string, batch_id long, run_id string, message string",
+        )
+        if offset_ranges is not None:
+            row = base.crossJoin(offset_ranges)
+        else:
+            row = (
+                base.withColumn("topic", F.lit(None).cast("string"))
+                .withColumn("partition", F.lit(None).cast("int"))
+                .withColumn("startOffset", F.lit(None).cast("long"))
+                .withColumn("endOffset", F.lit(None).cast("long"))
+            )
+        self._append(row.withColumn("last_update", F.current_timestamp()), "pipeline_status")
+
+    def read_status(self) -> DataFrame:
+        return self._read("pipeline_status", STATUS_SCHEMA)
+
+    # -- facts (Task.scala:76,96 — mergeSchema append) --------------------
+    def write_fact(
+        self, pipeline_id: str, task_name: str, metric: str, value: int, batch_id: int = -1
+    ) -> None:
+        df = self.spark.createDataFrame(
+            [(pipeline_id, task_name, metric, value, batch_id)],
+            "pipeline_id string, task_name string, metric string, value long, batch_id long",
+        ).withColumn("last_update", F.current_timestamp())
+        self._append(df, "pipeline_fact", merge_schema=True)
+
+    def read_facts(self) -> DataFrame:
+        return self._read("pipeline_fact", FACT_SCHEMA)
+
+    # -- error rows (Task.scala:90-142) -----------------------------------
+    def write_errors(
+        self, pipeline_id: str, task_name: str, failed: DataFrame, exc: BaseException, batch_id: int = -1
+    ) -> None:
+        err = "".join(traceback.format_exception(type(exc), exc, exc.__traceback__))[:8000]
+        rows = failed.select(
+            F.concat_ws("|", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in failed.columns]).alias("row_data")
+        )
+        out = (
+            rows.withColumn("pipeline_id", F.lit(pipeline_id))
+            .withColumn("task_name", F.lit(task_name))
+            .withColumn("error", F.lit(err))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("last_update", F.current_timestamp())
+        )
+        self._append(out, "pipeline_error_logs")
+
+    def read_errors(self) -> DataFrame:
+        return self._read("pipeline_error_logs", ERROR_SCHEMA)
+
+
+def timed(fn, *args, **kwargs) -> tuple[object, float]:
+    """Run fn, return (result, wall seconds) — bench helper."""
+    t0 = time.perf_counter()
+    out = fn(*args, **kwargs)
+    return out, time.perf_counter() - t0

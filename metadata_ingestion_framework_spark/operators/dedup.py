@@ -1,0 +1,254 @@
+"""Deduplication family.
+
+``dedup_window`` is the reference's pre-merge dedup (Utility.scala:406-413).
+The rest are the training-data-pipeline dedup operators (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding near-dup) — first-class extensions for
+100 TB corpus curation (BASELINE.json north star).
+
+Design for scale: every operator is expressed as DataFrame transforms whose
+shuffles are on bounded keys (hash buckets / LSH bands), never an O(n^2)
+cross join. Candidate generation goes through band/bucket equi-joins;
+verification only touches candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_window(df: DataFrame, keys: list[str], order_by: list[str], desc: bool = False) -> DataFrame:
+    """Keep one row per key: first by ``order_by`` (ASCENDING by default).
+
+    Parity: Utility.scala:406-413 — the reference orders ascending (earliest
+    updated_at wins); replicated exactly, with an opt-in ``desc`` for the
+    usual latest-wins behavior (SURVEY.md §7.3b).
+    """
+    cols = [F.col(c).desc() if desc else F.col(c).asc() for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup by content hash: keep the min-id row per distinct content.
+
+    One shuffle on a 256-bit content hash (uniform — no skew); the winner per
+    group is an arg-min, i.e. a partial-aggregatable min, not a window sort.
+    """
+    key = F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]), 256)
+    keyed = df.withColumn("__ck", key)
+    winners = keyed.groupBy("__ck").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["__ck", id_col], "inner").drop("__ck")
+
+
+def _shingles(col, n: int = 3):
+    """Word n-gram shingles as a distinct array (lowercased)."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    # transform over index range -> n-gram strings
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document, fully JVM-side.
+
+    Each of the ``num_hashes`` permutations is simulated with a seeded
+    ``xxhash64(shingle, seed)``; the signature element is the min over the
+    shingle set (`F.array_min` over `F.transform`) — no UDF, no shuffle.
+    """
+    # Materialize shingles once, then hash them ONCE per shingle (base hash)
+    # and derive the 64 "permutations" arithmetically (xorshift-style mix of
+    # base hash and seed) — 64x cheaper than re-hashing strings per slot and
+    # the expression tree stays small (the alternative inlines the shingle
+    # expression into every slot).
+    shingled = df.select(id_col, _shingles(F.col(text_col), shingle_n).alias("__sh"))
+    hashed = shingled.select(
+        id_col, F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        # permutation i = xxhash64 of (base_hash, i): re-mixing two longs is
+        # cheap JVM-side and safe under ANSI mode (no overflowing arithmetic).
+        lambda seed: F.array_min(F.transform("__h", lambda h: F.xxhash64(h, seed))),
+    )
+    return hashed.select(id_col, sig.alias("minhash_sig"))
+
+
+def minhash_lsh_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Pipeline: signatures -> split into ``bands`` bands -> explode (doc, band,
+    band_hash) -> self-equi-join on (band, band_hash) for candidates ->
+    verify with estimated Jaccard = fraction of equal signature slots.
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+
+    Scale: the only shuffles are groupBy/join on (band, band_hash) — bounded
+    keys, uniform by construction. Candidate verification is array
+    comparison on already-joined rows. No O(n^2) anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        id_col,
+        "minhash_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws("_", F.transform(
+                            F.slice("minhash_sig", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "minhash_sig", "bb.band", "bb.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.minhash_sig").alias("sig_a"),
+            F.col("b.minhash_sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.withColumn("jaccard_est", jac)
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document, JVM-side.
+
+    Each word token votes +1/-1 on each bit via its xxhash64; the fingerprint
+    takes the sign of the per-bit sum. Expressed with aggregate/transform
+    higher-order functions — no Python.
+    """
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != "")
+    # per-bit vote sum: for each bit i, sum over words of (hash>>i & 1 ? 1 : -1).
+    # The bit loop unrolls in Python (bits is a constant) because shift
+    # amounts must be literals; the word loop stays a JVM-side aggregate.
+    votes = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(
+                    F.shiftright(F.xxhash64(w), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)).cast("long")
+                for i in range(bits)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
+    # Materialize votes once so the 64-way fp fold references a column, not
+    # 64 copies of the aggregate expression tree.
+    with_votes = df.select(id_col, votes.alias("__votes"))
+    v = F.col("__votes")
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        # sign bit: 1<<63 doesn't fit a signed long literal; use its negative.
+        bit_val = F.lit(1 << i) if i < bits - 1 else F.lit(-(1 << i))
+        fp = fp.bitwiseOR(F.when(F.element_at(v, i + 1) > 0, bit_val).otherwise(F.lit(0)).cast("long"))
+    return with_votes.select(id_col, fp.alias("simhash"))
+
+
+def simhash_duplicates(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with SimHash + block-permutation candidate generation.
+
+    Split the 64-bit fingerprint into ``blocks`` 16-bit blocks; by pigeonhole
+    any pair within ``max_hamming <= blocks-1`` shares at least one exact
+    block -> equi-join per block, then verify true Hamming distance via
+    bit_count(xor). Shuffle key = (block_idx, block_value): bounded, uniform.
+    """
+    width = 64 // blocks
+    fps = simhash(df, text_col, id_col)
+    blocked = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("blk_val"),
+                )
+                for i in range(blocks)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.blk_val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.blk_val") == F.col("b.blk_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within blocking keys.
+
+    Pairs are generated only within ``block_cols`` groups (at 100 TB you
+    block on LSH buckets — see minhash_lsh_duplicates; this exact variant is
+    the verifier / small-block path). Jaccard = |A ∩ B| / |A ∪ B| over
+    distinct word n-grams, computed with array_intersect/array_union.
+    """
+    shingled = df.select(id_col, *block_cols, _shingles(F.col(text_col), shingle_n).alias("sh"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter / F.when(union == 0, F.lit(1)).otherwise(union)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

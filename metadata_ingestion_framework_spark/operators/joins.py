@@ -1,0 +1,106 @@
+"""Join-condition builders (reference parity: Utility.scala:258-348).
+
+The reference builds SQL-string conditions; we build ``Column`` expressions
+so Catalyst sees a structured predicate (enables pushdown / DPP) and no
+string-injection surgery is needed (SURVEY.md §7.4 records the reference's
+`.replaceAll("and","")` bug — building Columns avoids that class of bug).
+"""
+
+from __future__ import annotations
+
+import operator as _op
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Theta operators the reference recognizes (Utility.scala:264-276).
+# Order matters: match '<=' before '<'.
+_THETA_OPS = [
+    ("<=", _op.le),
+    (">=", _op.ge),
+    ("!=", _op.ne),
+    ("<", _op.lt),
+    (">", _op.gt),
+    ("=", _op.eq),
+]
+
+
+def _parse_key(key: str) -> tuple[str, str, str]:
+    """'a < b' -> (a, '<', b); bare 'id' -> (id, '=', id)."""
+    key = key.strip()
+    for sym, _ in _THETA_OPS:
+        if sym in key:
+            left, right = key.split(sym, 1)
+            return left.strip(), sym, right.strip()
+    return key, "=", key
+
+
+def build_inner_join_condition(
+    join_keys: Iterable[str],
+    update_alias: str = "updates",
+    target_alias: str = "target",
+    extra_join_condition: str | None = None,
+) -> Column:
+    """AND-fold theta-join keys into one Column predicate.
+
+    Keys are either bare column names (equi) or ``"a <op> b"`` with
+    op in {< <= = >= > !=}; an optional free-form SQL fragment is AND-ed on.
+    Parity: Utility.scala:258-281 (`buildInnerJoinCondition`).
+    """
+    conds: list[Column] = []
+    for key in join_keys:
+        left, sym, right = _parse_key(key)
+        fn = dict(_THETA_OPS)[sym]
+        conds.append(fn(F.col(f"{update_alias}.{left}"), F.col(f"{target_alias}.{right}")))
+    if extra_join_condition:
+        conds.append(F.expr(extra_join_condition))
+    if not conds:
+        raise ValueError("at least one join key required")
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def build_partition_pruning_filter(
+    updates: DataFrame, partition_col: str, target_alias: str = "target", max_values: int = 10000
+) -> Column | None:
+    """Manual dynamic partition pruning for MERGE (Utility.scala:339-348).
+
+    Collect the distinct partition values present in the update batch and
+    return ``target.<col> IN (...)`` so the merge only touches affected
+    target partitions. This is the reference's flagship optimization: merge
+    conditions without partition literals scan the whole target otherwise.
+
+    Scale posture: the collect is bounded — it is a distinct over the
+    *partition* column of the (already deduped) update micro-batch, i.e. at
+    most a few thousand values; ``max_values`` guards against a mis-declared
+    partition column exploding the IN-list (returns None -> no pruning,
+    correct but unpruned, rather than an OOM driver).
+    """
+    if partition_col not in updates.columns:
+        return None
+    vals = [
+        r[0]
+        for r in updates.select(partition_col).distinct().limit(max_values + 1).collect()
+    ]
+    if not vals or len(vals) > max_values:
+        return None
+    return F.col(f"{target_alias}.{partition_col}").isin(vals)
+
+
+def build_merge_key_projections(
+    join_keys: Iterable[str], all_columns: list[str]
+) -> tuple[list[str], list[str]]:
+    """The SCD2 staged-merge select-lists (Utility.scala:283-323).
+
+    Returns (null_keyed, real_keyed) select-expression lists: rows projected
+    with ``NULL as mergekey_i`` deliberately fail the merge match so they are
+    inserted as fresh current versions — the classic Delta SCD2 recipe.
+    """
+    keys = [_parse_key(k)[0] for k in join_keys]
+    null_keyed = [f"CAST(NULL AS STRING) AS mergekey_{i}" for i in range(len(keys))]
+    real_keyed = [f"CAST({k} AS STRING) AS mergekey_{i}" for i, k in enumerate(keys)]
+    rest = [c for c in all_columns]
+    return null_keyed + rest, real_keyed + rest

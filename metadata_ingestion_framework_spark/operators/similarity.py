@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (BASELINE.json): brute-force cosine top-k as the exact
+baseline, LSH (random hyperplane) bucketing and IVF (coarse-quantizer
+assignment) as the scale paths.
+
+Scale posture: brute force is O(Q*N) — fine when Q (queries) is small and
+broadcast; the LSH/IVF variants turn the all-pairs shuffle into bounded
+equi-joins on bucket keys, which is the only shape that survives 100 TB.
+All dot products run JVM-side via ``F.zip_with``/``F.aggregate`` in double
+precision (sequential left-fold -> deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every corpus row.
+
+    Returns (query_id, vec_id, score, rank), rank 1..k per query, ties broken
+    by corpus id for determinism. The corpus side never shuffles — scoring is
+    map-side against the broadcast queries; only the per-query top-k
+    aggregation shuffles on query_id (Q keys).
+    """
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python, driver-side)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = sum(x * x for x in v) ** 0.5 or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection LSH bucket id (random hyperplane / SRP-LSH)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH bucket equi-join then exact rerank.
+
+    Both sides hash to 2^n_planes buckets; candidates are corpus rows sharing
+    the query's bucket. At 100 TB: the corpus is bucketed once (write-time
+    partition column), each query probes one bucket — a partition-pruned scan
+    instead of a full pass. Recall tuning: lower n_planes or multi-probe.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    q = queries.select(
+        query_id_col, F.col(vec_col).alias("__qvec")
+    ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    ``centroids`` is a small driver-side list (k-means output; at scale,
+    train with Spark ML KMeans and pass ``model.clusterCenters()``). The
+    assignment is a map-only argmin over a broadcast-sized constant array.
+    """
+    best_id = F.lit(-1)
+    best_score = F.lit(float("-inf"))
+    v = F.col(vec_col)
+    for i, cent in enumerate(centroids):
+        s = dot(v, F.array(*[F.lit(float(x)) for x in cent]))
+        better = s > best_score
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_score = F.when(better, s).otherwise(best_score)
+    return corpus.withColumn("__ivf_cell", best_id)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocking keys (e.g. LSH bucket
+    or label). Returns (id_a, id_b, cos_sim) with id_a < id_b above threshold.
+    """
+    a, b = df.alias("a"), df.alias("b")
+    return (
+        a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

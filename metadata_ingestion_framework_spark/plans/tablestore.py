@@ -1,0 +1,100 @@
+"""Versioned parquet table store — the engine's Delta-table stand-in.
+
+The reference lands every durable dataset in Delta (SURVEY.md §1.1); this
+environment has no delta-spark, and a plain ``mode("overwrite")`` parquet
+write cannot rewrite a path that the plan is simultaneously reading (the
+self-overwrite hazard every join-based MERGE hits). The store gives each
+table snapshot isolation the same way Delta does — immutable version
+directories plus an atomically-replaced pointer:
+
+    <root>/<table>/v=000001/…parquet
+    <root>/<table>/_CURRENT   (text file: "1")
+
+Readers resolve ``_CURRENT`` at plan-build time and scan an immutable dir;
+writers write ``v=N+1`` fully, then swap the pointer (rename = atomic on a
+POSIX fs; on object stores use a conditional put). Old versions allow time
+travel and are pruned with ``vacuum``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedParquetStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- pointers ---------------------------------------------------------
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._dir(table), "_CURRENT")
+
+    def current_version(self, table: str) -> int | None:
+        try:
+            with open(self._pointer(table)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def exists(self, table: str) -> bool:
+        return self.current_version(table) is not None
+
+    def _version_path(self, table: str, version: int) -> str:
+        return os.path.join(self._dir(table), f"v={version:06d}")
+
+    # -- IO -----------------------------------------------------------------
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table} does not exist in {self.root}")
+        return self.spark.read.parquet(self._version_path(table, v))
+
+    def write(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Write a new immutable version and atomically repoint _CURRENT."""
+        cur = self.current_version(table)
+        nxt = (cur or 0) + 1
+        path = self._version_path(table, nxt)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        tmp = self._pointer(table) + ".tmp"
+        os.makedirs(self._dir(table), exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._pointer(table))  # atomic pointer swap
+        return nxt
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> int:
+        """Append = read current ∪ new, written as a fresh version.
+
+        For pure-append workloads prefer ``write`` into partition subdirs;
+        this keeps snapshot semantics simple for the merge path.
+        """
+        if self.exists(table):
+            df = self.read(table).unionByName(df, allowMissingColumns=True)
+        return self.write(df, table, partition_by)
+
+    def vacuum(self, table: str, keep_last: int = 2) -> None:
+        """Drop version dirs older than the last ``keep_last``."""
+        cur = self.current_version(table)
+        if cur is None:
+            return
+        for name in os.listdir(self._dir(table)):
+            if name.startswith("v="):
+                v = int(name.split("=")[1])
+                if v <= cur - keep_last:
+                    shutil.rmtree(os.path.join(self._dir(table), name), ignore_errors=True)
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._dir(table), ignore_errors=True)

@@ -1,0 +1,19 @@
+"""Sources (SURVEY.md §2.1) — batch and streaming readers."""
+
+from metadata_ingestion_framework_spark.sources.readers import (
+    read_csv,
+    read_delta_stream,
+    read_jdbc,
+    read_kafka_cdc_stream,
+    read_parquet,
+    read_parquet_stream,
+)
+
+__all__ = [
+    "read_jdbc",
+    "read_parquet",
+    "read_csv",
+    "read_parquet_stream",
+    "read_delta_stream",
+    "read_kafka_cdc_stream",
+]

@@ -1,0 +1,123 @@
+"""Paginated HTTP JSON source (reference parity: HttpReader.scala:25-61).
+
+The reference fetches a REST page, ``spark.read.json``-s it, explodes the
+``data`` array, projects nested attributes, and follows ``links.next`` until
+exhausted, appending each page to CSV.
+
+Design: pagination is inherently sequential per cursor, so the fetch loop
+runs on the driver (bounded: pages, not rows, and each page lands as a
+distributed DataFrame immediately). For 100 TB-scale APIs you'd shard on a
+keyset (one cursor per shard) and run one fetch loop per partition with
+``mapInPandas`` — ``fetch_pages_partitioned`` sketches that path.
+
+Network access may be absent in this container; the fetcher is injectable so
+tests pass a fake ``fetch_fn`` (and the default import of ``urllib`` is
+lazy).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _default_fetch(url: str, api_key: str | None) -> str:
+    from urllib.request import Request, urlopen
+
+    req = Request(url)
+    if api_key:
+        req.add_header("Authorization", f"Bearer {api_key}")
+    with urlopen(req, timeout=30) as resp:  # noqa: S310 - caller-supplied endpoint
+        return resp.read().decode("utf-8")
+
+
+def json_page_to_df(
+    spark: SparkSession,
+    payload: str,
+    data_field: str = "data",
+    attr_field: str = "attributes",
+) -> DataFrame:
+    """One JSON API page -> flat DataFrame.
+
+    Explode the ``data`` array and flatten ``attributes`` — the reference's
+    projection at HttpReader.scala:31-38 (explodedData.attributes.email etc.).
+    """
+    page = spark.read.json(spark.sparkContext.parallelize([payload]))
+    if data_field not in page.columns:
+        return page
+    exploded = page.select(F.explode(F.col(data_field)).alias("d"))
+    fields = exploded.select("d.*")
+    if attr_field in fields.columns:
+        flat_cols = [c for c in fields.columns if c != attr_field]
+        fields = fields.select(*flat_cols, f"{attr_field}.*")
+    return fields
+
+
+def fetch_paginated_json(
+    spark: SparkSession,
+    url: str,
+    api_key: str | None = None,
+    fetch_fn: Callable[[str, str | None], str] | None = None,
+    data_field: str = "data",
+    attr_field: str = "attributes",
+    next_link_path: tuple[str, ...] = ("links", "next"),
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """Follow ``links.next`` pagination, returning one unioned DataFrame.
+
+    Parity: HttpReader.scala:25-61 (recursive page walk). The reference
+    appends each page to CSV; we return the DataFrame and let the caller pick
+    the sink (sinks/writers.py).
+    """
+    fetch = fetch_fn or _default_fetch
+    dfs: list[DataFrame] = []
+    seen = 0
+    next_url: str | None = url
+    while next_url and seen < max_pages:
+        payload = fetch(next_url, api_key)
+        dfs.append(json_page_to_df(spark, payload, data_field, attr_field))
+        doc = json.loads(payload)
+        for k in next_link_path:
+            doc = doc.get(k) if isinstance(doc, dict) else None
+            if doc is None:
+                break
+        next_url = doc if isinstance(doc, str) else None
+        seen += 1
+    if not dfs:
+        raise ValueError("no pages fetched")
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def fetch_pages_partitioned(
+    cursors: DataFrame,
+    fetch_fn: Callable[[str, str | None], str],
+    out_schema: str,
+    data_field: str = "data",
+) -> DataFrame:
+    """Scale path: one pagination loop per cursor row, executor-side.
+
+    ``cursors`` carries (url, api_key) rows — e.g. one per keyset shard; each
+    partition walks its cursors with the injected fetcher and yields parsed
+    records. This is the mapInPandas shape a real 100 TB API extract uses.
+    """
+    import pandas as pd
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = fetch_fn(r["url"], r.get("api_key"))
+                doc = json.loads(payload)
+                for item in doc.get(data_field, []):
+                    flat = {**{k: v for k, v in item.items() if not isinstance(v, dict)},
+                            **item.get("attributes", {})}
+                    rows.append(flat)
+            yield pd.DataFrame(rows)
+
+    return cursors.mapInPandas(walk, schema=out_schema)

@@ -1,0 +1,41 @@
+"""Manual offset bookkeeping (reference parity: Task.scala:99-100 + Utility.scala:226-249).
+
+Checkpointing is the primary exactly-once mechanism; the status-table offset
+trail is observability plus the reference's resume path
+(``startingOffsets`` JSON rebuilt from the status table).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def offset_ranges_for_batch(batch: DataFrame) -> DataFrame:
+    """Per-(topic, partition) offset ranges of one Kafka micro-batch.
+
+    Parity: Task.scala:99-100 (A1) — groupBy(topic, partition) min/max offset.
+    """
+    return batch.groupBy("topic", "partition").agg(
+        F.min("offset").alias("startOffset"), F.max("offset").alias("endOffset")
+    )
+
+
+def recover_starting_offsets(status: DataFrame, topic: str) -> str:
+    """Rebuild the Kafka ``startingOffsets`` JSON from the status table.
+
+    Parity: Utility.scala:226-249 (A2): max(endOffset) per partition for the
+    topic, emitted as ``{"topic": {"0": off, ...}}``. Bounded collect — one
+    row per partition.
+    """
+    rows = (
+        status.filter((F.col("topic") == topic) & (F.col("endOffset") != 0))
+        .groupBy("topic", "partition")
+        .agg(F.max("endOffset").alias("endOffset"))
+        .collect()
+    )
+    if not rows:
+        return "earliest"
+    return json.dumps({topic: {str(r["partition"]): r["endOffset"] + 1 for r in rows}})
