@@ -1,0 +1,94 @@
+"""Dedup family tests: window/exact parity ops + minhash/simhash/ngram
+near-dup extensions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.dedup import (
+    dedup_exact,
+    dedup_window,
+    minhash_lsh_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_duplicates,
+)
+
+LOREM = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the distant mountains and the river flows quietly through the valley"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, LOREM),
+            (2, LOREM),  # exact dup of 1
+            (3, LOREM.replace("quick", "swift")),  # near dup of 1
+            (4, "completely different content about spark query engines and "
+                "distributed columnar execution with adaptive planning"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_window_asc_is_reference_behavior(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 30)], "k int, v string, ts int"
+    )
+    first = dedup_window(df, ["k"], ["ts"])
+    assert {r["v"] for r in first.collect()} == {"a", "c"}  # ASC: earliest wins
+    latest = dedup_window(df, ["k"], ["ts"], desc=True)
+    assert {r["v"] for r in latest.collect()} == {"b", "c"}
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    out = dedup_exact(_docs(spark), ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    sigs = minhash_signatures(_docs(spark), "text", "doc_id")
+    rows = {r["doc_id"]: r["minhash_sig"] for r in sigs.collect()}
+    assert all(len(v) == 64 for v in rows.values())
+    assert rows[1] == rows[2]  # identical text -> identical signature
+    assert rows[1] != rows[4]
+
+
+def test_minhash_lsh_pairs(spark):
+    pairs = minhash_lsh_duplicates(_docs(spark), "text", "doc_id", jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact dup -> every slot equal
+    assert (1, 3) in got and got[(1, 3)] >= 0.5  # near dup survives
+    assert all(4 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_simhash_hamming(spark):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), "text", "doc_id").collect()}
+    assert fps[1] == fps[2]
+    pairs = simhash_duplicates(_docs(spark), "text", "doc_id", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert all(4 not in p for p in got)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "g"), (2, "a b c e", "g"), (3, "x y z w", "g")],
+        "doc_id long, text string, grp string",
+    )
+    # 3-gram sets: {abc, bcd} vs {abc, bce}: |∩|=1, |∪|=3 -> 1/3
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", ["grp"], threshold=0.1)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert abs(got[(1, 2)] - 1 / 3) < 1e-9
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_short_and_empty_docs_no_crash(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, LOREM)], "doc_id long, text string"
+    )
+    assert minhash_lsh_duplicates(docs, "text", "doc_id").count() == 0
+    assert simhash_duplicates(docs, "text", "doc_id").count() == 0

@@ -1,0 +1,119 @@
+"""Unit tests for §2.3 row-level transforms (hashing, PII, transforms,
+timestamps) — golden asserts per SURVEY.md §5."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.functions.hashing import (
+    hash_it,
+    hash_it_complete,
+    hash_numerical_it,
+)
+from metadata_ingestion_framework_spark.functions.pii import (
+    anonymize_free_text,
+    decrypt_it,
+    encrypt_it,
+    identify_columns,
+    mask_it,
+)
+from metadata_ingestion_framework_spark.functions.timestamps import (
+    clean_iso_timestamp,
+    epoch_millis_to_timestamp,
+)
+from metadata_ingestion_framework_spark.functions.transforms import (
+    add_flag_columns,
+    drop_it,
+    has_column,
+    reorder_columns,
+    serialize_rows,
+)
+
+
+def test_hash_it_null_sentinel(spark):
+    df = spark.createDataFrame([(1, None), (2, "x")], "id int, v string")
+    out = {r["id"]: r["hashed_jk"] for r in hash_it(df, "hashed_jk", 256, "id", "v").collect()}
+    # null coalesces to 'n/a' before concat (Utility.scala:43)
+    assert out[1] == hashlib.sha256(b"1n/a").hexdigest()
+    assert out[2] == hashlib.sha256(b"2x").hexdigest()
+
+
+def test_hash_it_complete_per_column(spark):
+    df = spark.createDataFrame([("a", "b")], "x string, y string")
+    row = hash_it_complete(df, 256, "x", "y").collect()[0]
+    assert row["x_hash"] == hashlib.sha256(b"a").hexdigest()
+    assert row["y_hash"] == hashlib.sha256(b"b").hexdigest()
+    assert row["x"] == "a"  # source kept
+
+
+def test_hash_numerical_bounds(spark):
+    df = spark.range(500).withColumn("k", F.col("id").cast("string"))
+    out = hash_numerical_it(df, "grouping_jk", "k")
+    mn, mx = out.agg(F.min("grouping_jk"), F.max("grouping_jk")).collect()[0]
+    assert 0 <= mn and mx <= 499  # abs(hash) % 500 (Utility.scala:63)
+
+
+def test_mask_it_in_place_and_suffixed(spark):
+    df = spark.createDataFrame([("ssn 123-45-6789",)], "t string")
+    masked = mask_it(df, r"\d{3}-\d{2}-\d{4}", "***", True, "t").collect()[0]["t"]
+    assert masked == "ssn ***"
+    kept = mask_it(df, r"\d{3}-\d{2}-\d{4}", "***", False, "t").collect()[0]
+    assert kept["t"] == "ssn 123-45-6789" and kept["t_masked"] == "ssn ***"
+
+
+def test_anonymize_replaces_pii_with_sha256(spark):
+    ssn, email, cc = "123-45-6789", "a@b.com", "4111111111111111"
+    df = spark.createDataFrame([(f"ssn {ssn} mail {email} cc {cc} end",)], "t string")
+    out = anonymize_free_text(df, "t").collect()[0]["t"]
+    for match in (ssn, email, cc):
+        assert match not in out
+        assert hashlib.sha256(match.encode()).hexdigest() in out
+    assert out.startswith("ssn ") and out.endswith(" end")  # non-PII untouched
+
+
+def test_encrypt_decrypt_roundtrip(spark):
+    df = spark.createDataFrame([(1, "secret"), (2, None)], "id int, v string")
+    enc = encrypt_it(df, "v", key="k1")
+    assert enc.filter(F.col("v") == "secret").count() == 0  # actually encrypted
+    # deterministic ciphertext -> joinable (the property the reference needs)
+    enc2 = encrypt_it(df, "v", key="k1")
+    assert enc.join(enc2, "v").count() >= 2
+    dec = {r["id"]: r["v"] for r in decrypt_it(enc, "v", key="k1").collect()}
+    assert dec[1] == "secret"
+    assert dec[2] is None  # 'n/a' sentinel maps back to null
+
+
+def test_identify_columns_exact_vs_substring():
+    cols = ["email", "user_email", "phone", "notes"]
+    # common_flag True -> exact; False -> substring (Utility.scala:209-223)
+    assert identify_columns(cols, [("email", True)]) == ["email"]
+    assert identify_columns(cols, [("email", False)]) == ["email", "user_email"]
+    assert identify_columns(cols, [("zzz", False)]) == []
+
+
+def test_epoch_millis_to_timestamp(spark):
+    df = spark.createDataFrame([(0,), (1609459200000,)], "ts long")
+    out = [str(r["ts"]) for r in epoch_millis_to_timestamp(df, "ts").collect()]
+    assert out == ["1970-01-01 00:00:00", "2021-01-01 00:00:00"]  # UTC session
+    # missing column: no-op (hasColumn guard, Utility.scala:350)
+    assert epoch_millis_to_timestamp(df, "nope").columns == ["ts"]
+
+
+def test_clean_iso_timestamp(spark):
+    df = spark.createDataFrame([("2021-01-01T12:00:00Z",)], "created string")
+    out = clean_iso_timestamp(df, "created", "created_at").collect()[0]
+    assert out["created_at"] == "2021-01-01 12:00:00"
+
+
+def test_drop_reorder_flags_serialize(spark, emp):
+    assert "comm" not in drop_it(emp, "comm", "missing").columns
+    assert has_column(emp, "sal") and not has_column(emp, "nope")
+    assert reorder_columns(emp, ["deptno", "empid"]).columns[:2] == ["deptno", "empid"]
+    flagged = add_flag_columns(emp)
+    row = flagged.filter("empid = 5467").collect()[0]
+    assert row["row_active"] is True and row["deleted_flag"] is False
+    assert row["current_flag"] is True and row["expiry_at"] is None
+    ser = serialize_rows(emp.filter("empid = 5467").select("empid", "ename", "comm"))
+    assert ser.collect()[0]["row_data"] == "5467|WILSON|400"

@@ -1,0 +1,174 @@
+"""SCD1/2/4 merge-engine scenario tests.
+
+Mirrors the reference's executable ground truth (DeltaWritterTest.scala:71-100
+golden asserts, DeltaWritterSCD2Test.scala:86-116, DeltaWritterSCD4Test
+:197-217) on the emp fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.merge import (
+    MergeClause,
+    merge_apply,
+    scd1_merge,
+    scd2_merge,
+    scd4_merge,
+)
+
+
+def _emp_update(spark):
+    """emp_update.csv analogue: WILSON's sal drops to 500, SCOTT is new."""
+    return spark.createDataFrame(
+        [
+            (5467, "WILSON", 500.0, 30, 400),
+            (7788, "SCOTT", 3000.0, 20, None),
+        ],
+        "empid int, ename string, sal double, deptno int, comm int",
+    )
+
+
+def test_scd1_upsert_golden(spark, emp):
+    out = scd1_merge(emp, _emp_update(spark), ["empid"])
+    assert out.count() == 6  # 5 existing + 1 insert
+    # the golden assert of DeltaWritterTest.scala:97
+    assert out.filter("empid = 5467").collect()[0]["sal"] == 500.0
+    assert out.filter("empid = 7788").collect()[0]["ename"] == "SCOTT"
+    assert out.filter("empid = 7839").collect()[0]["sal"] == 5000.0  # untouched
+
+
+def test_scd1_bootstrap_when_target_missing(spark):
+    u = _emp_update(spark)
+    assert scd1_merge(None, u, ["empid"]).count() == 2
+
+
+def test_scd1_dedup_ascending_first_wins(spark, emp):
+    """Utility.scala:406-413 orders ASC by updated_at -> earliest wins."""
+    u = spark.createDataFrame(
+        [(5467, "WILSON", 111.0, 30, 400, 1), (5467, "WILSON", 222.0, 30, 400, 2)],
+        "empid int, ename string, sal double, deptno int, comm int, updated_at int",
+    )
+    target = emp.withColumn("updated_at", F.lit(0))
+    out = scd1_merge(target, u, ["empid"], updated_at_col="updated_at")
+    assert out.filter("empid = 5467").collect()[0]["sal"] == 111.0
+
+
+def test_merge_clause_order_first_wins(spark, emp):
+    """Delta semantics: the FIRST matching clause wins (Utility.scala:438-457)."""
+    clauses = [
+        MergeClause(when="matched", action="delete", condition="updates.sal < 600"),
+        MergeClause(when="matched", action="update"),
+        MergeClause(when="not_matched", action="insert"),
+    ]
+    out = merge_apply(emp, _emp_update(spark), ["empid"], clauses)
+    assert out.filter("empid = 5467").count() == 0  # delete clause fired first
+    assert out.filter("empid = 7788").count() == 1
+    assert out.count() == 5
+
+
+def test_merge_partial_update_set(spark, emp):
+    clauses = [
+        MergeClause(when="matched", action="update", set={"sal": "updates.sal * 2"}),
+    ]
+    out = merge_apply(emp, _emp_update(spark), ["empid"], clauses)
+    row = out.filter("empid = 5467").collect()[0]
+    assert row["sal"] == 1000.0  # expression applied
+    assert row["ename"] == "WILSON" and row["comm"] == 400  # other cols kept
+    assert out.count() == 5  # no insert clause -> update rows dropped silently
+
+
+def test_merge_pruned_equals_unpruned(spark, emp):
+    u = _emp_update(spark)
+    plain = merge_apply(emp, u, ["empid"])
+    pruned = merge_apply(emp, u, ["empid"], partition_col="deptno")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pruned.collect()))
+
+
+def _scd2_target(spark):
+    return spark.createDataFrame(
+        [
+            (1, "AMS", True, None, "2020-01-01"),
+            (2, "NYC", True, None, "2020-01-01"),
+        ],
+        "empid int, place string, current_flag boolean, expiry_at string, updated_at string",
+    )
+
+
+def test_scd2_expire_and_insert(spark):
+    """DeltaWritterSCD2Test scenario: place changes -> old row expired,
+    new current row inserted; unchanged keys untouched."""
+    target = _scd2_target(spark)
+    updates = spark.createDataFrame(
+        [(1, "BER", True, None, "2021-06-01")],
+        "empid int, place string, current_flag boolean, expiry_at string, updated_at string",
+    )
+    out = scd2_merge(
+        target, updates, ["empid"],
+        match_condition="target.current_flag = true AND target.place <> updates.place",
+        updated_at_col="updated_at",
+    ).cache()
+    assert out.count() == 3
+    versions = out.filter("empid = 1").orderBy("updated_at").collect()
+    old, new = versions
+    assert old["current_flag"] is False and old["expiry_at"] == "2021-06-01"
+    assert old["place"] == "AMS"
+    assert new["current_flag"] is True and new["expiry_at"] is None
+    assert new["place"] == "BER"
+    nyc = out.filter("empid = 2").collect()[0]
+    assert nyc["current_flag"] is True and nyc["place"] == "NYC"
+
+
+def test_scd2_no_change_no_new_version(spark):
+    target = _scd2_target(spark)
+    updates = spark.createDataFrame(
+        [(1, "AMS", True, None, "2021-06-01")],  # same place -> no version
+        "empid int, place string, current_flag boolean, expiry_at string, updated_at string",
+    )
+    out = scd2_merge(
+        target, updates, ["empid"],
+        match_condition="target.current_flag = true AND target.place <> updates.place",
+        updated_at_col="updated_at",
+    )
+    assert out.count() == 2
+    assert out.filter("empid = 1 AND current_flag = true").count() == 1
+
+
+def test_scd2_soft_delete(spark):
+    """updates.row_active=false -> target row flagged deleted (Utility:574-581)."""
+    target = _scd2_target(spark).withColumn("deleted_flag", F.lit(False))
+    updates = spark.createDataFrame(
+        [(2, "NYC", True, None, "2021-06-01", False)],
+        "empid int, place string, current_flag boolean, expiry_at string, "
+        "updated_at string, row_active boolean",
+    )
+    out = scd2_merge(
+        target, updates.withColumn("deleted_flag", F.lit(False)), ["empid"],
+        match_condition="target.current_flag = true AND target.place <> updates.place",
+        updated_at_col="updated_at",
+    )
+    row = out.filter("empid = 2").collect()[0]
+    assert row["deleted_flag"] is True
+    assert row["place"] == "NYC"  # other columns keep target values
+
+
+def test_scd4_history_capture(spark):
+    """SCD4: pre-image appended to history with history_created_at, current
+    table upserted (Utility.scala:621-707)."""
+    target = spark.createDataFrame(
+        [(1, "AMS", "2020-01-01"), (2, "NYC", "2020-01-01")],
+        "empid int, place string, updated_at string",
+    )
+    updates = spark.createDataFrame(
+        [(1, "BER", "2021-06-01", True), (3, "SFO", "2021-06-01", True)],
+        "empid int, place string, updated_at string, row_active boolean",
+    )
+    current, history = scd4_merge(
+        target, None, updates.drop("row_active").withColumn("row_active", F.lit(True)),
+        ["empid"], updated_at_col="updated_at",
+    )
+    hist = history.collect()
+    assert len(hist) == 1  # only empid=1 had a pre-image
+    assert hist[0]["place"] == "AMS" and hist[0]["history_created_at"] == "2021-06-01"
+    cur = {r["empid"]: r["place"] for r in current.collect()}
+    assert cur == {1: "BER", 2: "NYC", 3: "SFO"}

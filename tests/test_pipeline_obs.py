@@ -1,0 +1,95 @@
+"""Pipeline DAG runner + observability store tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.observability import ObservabilityStore
+from metadata_ingestion_framework_spark.operators.merge import MergeClause
+from metadata_ingestion_framework_spark.plans.pipeline import (
+    Pipeline,
+    PipelineTask,
+    parse_merge_clauses,
+    run_pipelines_parallel,
+)
+
+
+def test_pipeline_levels_and_dataflow(spark, emp):
+    """reader -> processor -> writer, outputs flow by name (Task.scala:29-30)."""
+    result = {}
+
+    p = Pipeline("p1")
+    p.add_task(PipelineTask("reader", lambda _: {"rawdf": emp}))
+    p.add_task(
+        PipelineTask(
+            "processor",
+            lambda o: {"processedDf": o["rawdf"].filter("deptno = 10")},
+            after=["reader"],
+        )
+    )
+    p.add_task(
+        PipelineTask(
+            "writer",
+            lambda o: result.update(n=o["processedDf"].count()) or {},
+            after=["processor"],
+        )
+    )
+    p.run()
+    assert result["n"] == 2
+
+
+def test_pipeline_cycle_detection():
+    p = Pipeline("bad")
+    p.add_task(PipelineTask("a", lambda o: {}, after=["b"]))
+    p.add_task(PipelineTask("b", lambda o: {}, after=["a"]))
+    with pytest.raises(ValueError, match="cycle"):
+        p.run()
+
+
+def test_pipeline_error_writes_status(spark, tmp_path):
+    obs = ObservabilityStore(spark, str(tmp_path / "obs"))
+
+    def boom(_):
+        raise RuntimeError("kaput")
+
+    p = Pipeline("p_err", obs=obs)
+    p.add_task(PipelineTask("t1", boom))
+    with pytest.raises(RuntimeError):
+        p.run()
+    status = obs.read_status().collect()
+    assert any(r["status"] == "Error" and "kaput" in (r["message"] or "") for r in status)
+
+
+def test_parallel_pipelines(spark, emp):
+    counts = []
+    def make(i):
+        p = Pipeline(f"p{i}")
+        p.add_task(PipelineTask("r", lambda _: {"df": emp}))
+        p.add_task(PipelineTask("c", lambda o: counts.append(o["df"].count()) or {}, after=["r"]))
+        return p
+    run_pipelines_parallel([make(i) for i in range(3)])
+    assert counts == [5, 5, 5]
+
+
+def test_parse_merge_clauses():
+    js = (
+        '[{"when": "matched", "action": "update", "condition": "updates.v > 1",'
+        ' "set": {"v": "updates.v"}},'
+        ' {"when": "not_matched", "action": "insert"}]'
+    )
+    clauses = parse_merge_clauses(js)
+    assert clauses[0] == MergeClause("matched", "update", "updates.v > 1", {"v": "updates.v"})
+    assert clauses[1].when == "not_matched" and clauses[1].set is None
+
+
+def test_observability_fact_and_error(spark, emp, tmp_path):
+    obs = ObservabilityStore(spark, str(tmp_path / "obs2"))
+    obs.write_status("p1", "t1", "Finished")
+    obs.write_fact("p1", "t1", "input_rows", emp.count())
+    obs.write_errors("p1", "t1", emp.limit(2), ValueError("schema mismatch"))
+    assert obs.read_status().count() == 1
+    fact = obs.read_facts().collect()[0]
+    assert fact["metric"] == "input_rows" and fact["value"] == 5
+    errs = obs.read_errors().collect()
+    assert len(errs) == 2 and "|" in errs[0]["row_data"]

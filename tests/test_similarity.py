@@ -1,0 +1,76 @@
+"""Similarity-search tests: exact top-k, LSH bucketing, embedding near-dup."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+
+DIM = 8
+
+
+def _corpus(spark):
+    """Unit-ish vectors: 0/1/2 point the same way, 3/4 orthogonal."""
+    rows = [
+        (0, [1.0] + [0.0] * (DIM - 1), "a"),
+        (1, [0.9, 0.1] + [0.0] * (DIM - 2), "a"),
+        (2, [0.8, 0.2] + [0.0] * (DIM - 2), "a"),
+        (3, [0.0] * (DIM - 1) + [1.0], "a"),
+        (4, [0.0] * (DIM - 2) + [1.0, 0.0], "b"),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+
+
+def test_brute_force_topk_self_first(spark):
+    corpus = _corpus(spark)
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(corpus, queries, k=3).collect()
+    assert len(out) == 3
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["vec_id"] == 0 and by_rank[1]["score"] == 1.0  # self
+    assert by_rank[2]["vec_id"] == 1  # next most aligned
+    assert by_rank[3]["vec_id"] == 2
+
+
+def test_brute_force_score_is_cosine(spark):
+    corpus = _corpus(spark)
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {r["vec_id"]: r["score"] for r in brute_force_topk(corpus, queries, k=5).collect()}
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(out[1] - round(expected, 6)) < 1e-9
+    assert out[3] == 0.0
+
+
+def test_lsh_topk_recalls_aligned_cluster(spark):
+    corpus = _corpus(spark)
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(corpus, queries, dim=DIM, k=3, n_planes=2)
+    got = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    # bucket must contain the query itself; aligned vectors hash together
+    assert got[0] == 0 and set(got) <= {0, 1, 2}
+
+
+def test_embedding_near_duplicates_blocked(spark):
+    out = embedding_near_duplicates(_corpus(spark), "label", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out.collect()}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)  # orthogonal / other block
+    assert got[(0, 1)] > 0.99
+
+
+def test_embedding_near_duplicates_zero_vector_safe(spark):
+    rows = [(0, [0.0] * DIM, "a"), (1, [1.0] + [0.0] * (DIM - 1), "a")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    assert embedding_near_duplicates(df, "label", threshold=0.5).count() == 0
