@@ -58,6 +58,7 @@ from metadata_ingestion_framework_spark.operators.multimodal import (
 from metadata_ingestion_framework_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -391,8 +392,11 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def q_anti_join(spark, sf_dir):
+    """Customers with no order above 300k — the threshold keeps the result
+    non-empty on this data (a bare no-orders anti-join is always empty here,
+    which would make the check vacuous)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -400,7 +404,9 @@ def q_anti_join(spark, sf_dir):
 
 ORACLE_ANTI_JOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
 """
 
 
@@ -1055,6 +1061,15 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, dim=64, k=10, n_planes=6)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized approximate top-k (rows-only oracle)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, dim=64, k=10, n_cells=8, n_probe=2)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label blocks.
 
@@ -1146,6 +1161,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
@@ -1199,5 +1215,5 @@ ORACLES = {
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     # rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash,
-    # lsh_topk, media_features, media_frames
+    # lsh_topk, ivf_topk, media_features, media_frames
 }

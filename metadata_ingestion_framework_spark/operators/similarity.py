@@ -144,6 +144,77 @@ def ivf_assign(
     return corpus.withColumn("__ivf_cell", best_id)
 
 
+def random_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit centroids (k-means stand-in).
+
+    At scale, train real centroids with Spark ML KMeans over a sample and
+    pass ``model.clusterCenters()`` — the query shape below is unchanged.
+    """
+    import random
+
+    rng = random.Random(seed)
+    cents = []
+    for _ in range(n_cells):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = sum(x * x for x in v) ** 0.5 or 1.0
+        cents.append([x / norm for x in v])
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via IVF: coarse-quantize the corpus into cells,
+    probe each query's ``n_probe`` nearest cells, exact-rerank inside.
+
+    Scale path: the corpus is partitioned by cell once (write-time layout);
+    a query touches n_probe/n_cells of the data — a partition-pruned scan.
+    Assignment is a map-only argmax against broadcast-constant centroids;
+    the only shuffle is the final per-query top-k on Q keys.
+    """
+    cents = random_centroids(dim, n_cells, seed)
+    c = ivf_assign(corpus, cents, vec_col)
+
+    def cell_scores(col: Column) -> list[Column]:
+        return [dot(col, F.array(*[F.lit(float(x)) for x in cent])) for cent in cents]
+
+    # per-query probe list: indices of the n_probe highest-scoring cells
+    scores = F.array(*cell_scores(F.col("__qvec")))
+    probe = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    scores,
+                    lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+                )
+            ),
+            lambda st: st.getField("cell"),
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+        .withColumn("__ivf_cell", F.explode(probe))
+    )
+    scored = c.join(F.broadcast(q), "__ivf_cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     block_col: str,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from metadata_ingestion_framework_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -60,6 +61,17 @@ def test_lsh_topk_recalls_aligned_cluster(spark):
     got = [r["vec_id"] for r in out.orderBy("rank").collect()]
     # bucket must contain the query itself; aligned vectors hash together
     assert got[0] == 0 and set(got) <= {0, 1, 2}
+
+
+def test_ivf_topk_self_retrieval(spark):
+    corpus = _corpus(spark)
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(corpus, queries, dim=DIM, k=3, n_cells=4, n_probe=4)
+    got = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    # probing every cell == exact: self first, aligned cluster follows
+    assert got == [0, 1, 2]
 
 
 def test_embedding_near_duplicates_blocked(spark):
