@@ -107,6 +107,10 @@ def fetch_pages_partitioned(
     records. This is the mapInPandas shape a real 100 TB API extract uses.
     """
     import pandas as pd
+    from pyspark.sql.types import StructType
+
+    struct = StructType.fromDDL(out_schema) if isinstance(out_schema, str) else out_schema
+    names = [f.name for f in struct.fields]
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -118,6 +122,8 @@ def fetch_pages_partitioned(
                     flat = {**{k: v for k, v in item.items() if not isinstance(v, dict)},
                             **item.get("attributes", {})}
                     rows.append(flat)
-            yield pd.DataFrame(rows)
+            # project to the declared schema: APIs drift — extra fields are
+            # dropped, missing ones become NULL instead of crashing the batch.
+            yield pd.DataFrame(rows).reindex(columns=names)
 
-    return cursors.mapInPandas(walk, schema=out_schema)
+    return cursors.mapInPandas(walk, schema=struct)
