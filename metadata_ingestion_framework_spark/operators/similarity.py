@@ -131,17 +131,20 @@ def ivf_assign(
 
     ``centroids`` is a small driver-side list (k-means output; at scale,
     train with Spark ML KMeans and pass ``model.clusterCenters()``). The
-    assignment is a map-only argmin over a broadcast-sized constant array.
+    assignment is a map-only argmax over a broadcast-sized constant array.
+
+    Shape note: an iterative ``when(best_score < s, ...)`` fold nests each
+    cell's dot-product expression inside every later comparison — the tree
+    (and interpreted eval cost) grows exponentially in n_cells. Building the
+    score array once and taking ``array_position(scores, array_max(scores))``
+    evaluates each dot product at most twice.
     """
-    best_id = F.lit(-1)
-    best_score = F.lit(float("-inf"))
     v = F.col(vec_col)
-    for i, cent in enumerate(centroids):
-        s = dot(v, F.array(*[F.lit(float(x)) for x in cent]))
-        better = s > best_score
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_score = F.when(better, s).otherwise(best_score)
-    return corpus.withColumn("__ivf_cell", best_id)
+    scores = F.array(
+        *[dot(v, F.array(*[F.lit(float(x)) for x in cent])) for cent in centroids]
+    )
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return corpus.withColumn("__ivf_cell", cell)
 
 
 def random_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
