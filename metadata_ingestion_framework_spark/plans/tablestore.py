@@ -85,6 +85,34 @@ class VersionedParquetStore:
             df = self.read(table).unionByName(df, allowMissingColumns=True)
         return self.write(df, table, partition_by)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Bucketed catalog table for co-located (shuffle-free) joins/merges.
+
+        At 100 TB the SCD merge's full-outer join shuffles both sides on the
+        join keys every batch; bucketing the TARGET on those keys at write
+        time removes its Exchange permanently — only the (small) update
+        batch shuffles. Bucketing requires the session catalog
+        (``saveAsTable``), so these tables live in the warehouse dir, not
+        the versioned path store; same engine, different layout decision.
+        """
+        writer = df.write.mode("overwrite").format("parquet").bucketBy(
+            num_buckets, *bucket_cols
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Read a catalog (bucketed) table."""
+        return self.spark.table(table)
+
     def vacuum(self, table: str, keep_last: int = 2) -> None:
         """Drop version dirs older than the last ``keep_last``."""
         cur = self.current_version(table)

@@ -109,3 +109,19 @@ def test_offset_bookkeeping_roundtrip(spark):
     js = recover_starting_offsets(status, "t1")
     assert json.loads(js) == {"t1": {"0": 10, "1": 4}}  # endOffset + 1
     assert recover_starting_offsets(status.filter("topic = 'zzz'"), "zzz") == "earliest"
+
+
+def test_bucketed_table_join_is_shuffle_free_on_bucket_side(spark, store, emp):
+    """Bucketing the merge target on the join key removes its Exchange:
+    the co-located join reads bucket files directly (100 TB posture —
+    only the small update batch shuffles)."""
+    spark.sql("DROP TABLE IF EXISTS emp_bucketed")
+    store.write_bucketed(emp, "emp_bucketed", ["empid"], num_buckets=4)
+    target = store.read_table("emp_bucketed")
+    updates = emp.limit(2)
+    joined = target.join(updates.hint("shuffle_merge"), "empid")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # exactly one Exchange (the updates side); the bucketed scan has none
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert joined.count() == 2
+    spark.sql("DROP TABLE IF EXISTS emp_bucketed")
