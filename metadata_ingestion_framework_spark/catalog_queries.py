@@ -1053,7 +1053,11 @@ FROM scored QUALIFY rank <= 10
 
 
 def q_lsh_topk(spark, sf_dir):
-    """SRP-LSH bucketed approximate top-k (rows-only oracle)."""
+    """SRP-LSH bucketed approximate top-k.
+
+    Oracle-checked: the hyperplanes are deterministic Python constants, so
+    the bucket arithmetic + rerank is reproduced verbatim in DuckDB SQL
+    (generated below with the same plane literals)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1061,13 +1065,104 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, dim=64, k=10, n_planes=6)
 
 
+def _sql_vec(v: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _build_lsh_topk_oracle() -> str:
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, 6, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_sql_vec(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH cb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+qb AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+       FROM cb WHERE vec_id < 5),
+scored AS (
+  SELECT qb.query_id, cb.vec_id,
+    ROUND(list_dot_product(CAST(cb.embedding AS DOUBLE[]), CAST(qb.qvec AS DOUBLE[])) /
+      (sqrt(list_dot_product(CAST(cb.embedding AS DOUBLE[]), CAST(cb.embedding AS DOUBLE[]))) *
+       sqrt(list_dot_product(CAST(qb.qvec AS DOUBLE[]), CAST(qb.qvec AS DOUBLE[])))), 6) AS score
+  FROM cb JOIN qb ON cb.bucket = qb.bucket
+)
+SELECT query_id, vec_id, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+ORACLE_LSH_TOPK = _build_lsh_topk_oracle()
+
+
 def q_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantized approximate top-k (rows-only oracle)."""
+    """IVF coarse-quantized approximate top-k.
+
+    Oracle-checked: the centroids are deterministic Python constants, so
+    cell assignment (first-max argmax), n_probe cell selection, and the
+    cosine rerank are reproduced in generated DuckDB SQL."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(emb, queries, dim=64, k=10, n_cells=8, n_probe=2)
+
+
+def _build_ivf_topk_oracle(n_cells: int = 8, n_probe: int = 2) -> str:
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    cents = random_centroids(64, n_cells, seed=7)
+    score_exprs = ", ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {_sql_vec(c)}) AS s{i}"
+        for i, c in enumerate(cents)
+    )
+    greatest = "GREATEST(" + ", ".join(f"s{i}" for i in range(n_cells)) + ")"
+    first_max = "CASE " + " ".join(
+        f"WHEN s{i} = __g THEN {i}" for i in range(n_cells)
+    ) + " END"
+    cell_scores_union = " UNION ALL ".join(
+        f"SELECT query_id, {i} AS cell, s{i} AS cscore FROM qscored"
+        for i in range(n_cells)
+    )
+    return f"""
+WITH scored_cells AS (SELECT vec_id, embedding, {score_exprs} FROM embeddings),
+withg AS (SELECT *, {greatest} AS __g FROM scored_cells),
+corpus AS (SELECT vec_id, embedding, {first_max} AS cell FROM withg),
+qscored AS (SELECT vec_id AS query_id, embedding AS qvec, * EXCLUDE (vec_id, embedding)
+            FROM scored_cells WHERE vec_id < 5),
+qcells AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS rn
+    FROM ({cell_scores_union})
+  ) WHERE rn <= {n_probe}
+),
+q AS (SELECT query_id, qvec FROM qscored),
+cand AS (
+  SELECT qc.query_id, c.vec_id, q.qvec, c.embedding
+  FROM qcells qc JOIN corpus c ON c.cell = qc.cell JOIN q ON q.query_id = qc.query_id
+),
+reranked AS (
+  SELECT query_id, vec_id,
+    ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
+      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+       sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 6) AS score
+  FROM cand
+)
+SELECT query_id, vec_id, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM reranked QUALIFY rank <= 10
+"""
+
+
+ORACLE_IVF_TOPK = _build_ivf_topk_oracle()
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -1213,7 +1308,9 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "cosine_topk": ORACLE_COSINE_TOPK,
+    "lsh_topk": ORACLE_LSH_TOPK,
+    "ivf_topk": ORACLE_IVF_TOPK,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
-    # rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash,
-    # lsh_topk, ivf_topk, media_features, media_frames
+    # rows-only (no SQL-expressible oracle — xxhash64-based): dedup_minhash,
+    # dedup_simhash, media_features, media_frames
 }
