@@ -1,0 +1,127 @@
+"""Late-data semantics: watermarked event-time windows drop late rows and
+bound state (north-star extension over the reference, SURVEY.md §2.10);
+plus the SCD2 streaming foreachBatch flow."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.merge import scd2_merge
+from metadata_ingestion_framework_spark.plans.tablestore import VersionedParquetStore
+from metadata_ingestion_framework_spark.streaming.windows import (
+    session_window_agg,
+    watermarked_window_agg,
+)
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, "ts string, user string, value int").select(
+        F.col("ts").cast("timestamp"), "user", "value"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    src = str(tmp_path / "events")
+    schema = "ts timestamp, user string, value int"
+
+    # batch 1: on-time events up to 12:00 -> watermark advances to 11:50
+    _write_events(spark, src, [
+        ("2021-01-01 10:05:00", "a", 1),
+        ("2021-01-01 10:20:00", "a", 1),
+        ("2021-01-01 12:00:00", "b", 1),
+    ])
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    agg = watermarked_window_agg(
+        stream, "ts", "1 hour", "10 minutes", ["user"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("wm_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one late event (10:30 < watermark 11:50) + one on-time
+        _write_events(spark, src, [
+            ("2021-01-01 10:30:00", "a", 1),   # LATE -> dropped
+            ("2021-01-01 13:00:00", "b", 1),
+        ])
+        q.processAllAvailable()
+        # batch 3: push the watermark forward so 12:00's window can emit
+        _write_events(spark, src, [("2021-01-01 14:00:00", "c", 1)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {(str(r["window_start"]), r["user"]): r["n"]
+            for r in spark.table("wm_test").collect()}
+    # the 10:00 window emitted with 2 events — the late 10:30 row was dropped
+    assert rows[("2021-01-01 10:00:00", "a")] == 2
+    assert rows[("2021-01-01 12:00:00", "b")] == 1
+
+
+def test_session_window_batch(spark):
+    df = spark.createDataFrame(
+        [
+            ("2021-01-01 10:00:00", "a", 1),
+            ("2021-01-01 10:03:00", "a", 1),   # same session (gap 5m)
+            ("2021-01-01 10:30:00", "a", 1),   # new session
+            ("2021-01-01 10:00:00", "b", 1),
+        ],
+        "ts string, user string, value int",
+    ).select(F.col("ts").cast("timestamp"), "user", "value")
+    out = session_window_agg(df, "ts", "5 minutes", ["user"], [F.count(F.lit(1)).alias("n")])
+    got = {(r["user"], str(r["session_start"])): r["n"] for r in out.collect()}
+    assert got[("a", "2021-01-01 10:00:00")] == 2
+    assert got[("a", "2021-01-01 10:30:00")] == 1
+    assert got[("b", "2021-01-01 10:00:00")] == 1
+
+
+def test_streaming_scd2_foreachbatch(spark, tmp_path):
+    """SCD2 inside foreachBatch — the reference's stream variant
+    (Utility.scala:831-942) reuses the batch merge per micro-batch."""
+    store = VersionedParquetStore(spark, str(tmp_path / "tables"))
+    target = spark.createDataFrame(
+        [(1, "AMS", True, None, "2020-01-01"), (2, "NYC", True, None, "2020-01-01")],
+        "empid int, place string, current_flag boolean, expiry_at string, updated_at string",
+    )
+    store.write(target, "dim_scd2")
+
+    src = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [(1, "BER", True, None, "2021-06-01")],
+        "empid int, place string, current_flag boolean, expiry_at string, updated_at string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(target.schema).parquet(src)
+
+    def merge_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        merged = scd2_merge(
+            store.read("dim_scd2"), batch, ["empid"],
+            match_condition="target.current_flag = true AND target.place <> updates.place",
+            updated_at_col="updated_at",
+        )
+        store.write(merged, "dim_scd2")
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(60)
+
+    out = store.read("dim_scd2").cache()
+    assert out.count() == 3
+    versions = out.filter("empid = 1").orderBy("updated_at").collect()
+    assert versions[0]["current_flag"] is False and versions[0]["expiry_at"] == "2021-06-01"
+    assert versions[1]["current_flag"] is True and versions[1]["place"] == "BER"
