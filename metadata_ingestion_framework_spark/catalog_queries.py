@@ -106,6 +106,97 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: 3-way join + filter both sides of the date predicate
+    + top-10 revenue (broadcast dims, TakeOrderedAndProject tail)."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped: HAVING via post-agg filter + semi-join back —
+    customers holding orders whose total lineitem quantity exceeds 250."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped: conditional aggregation ratio (CASE inside SUM)
+    over a one-month date slice."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                (F.sum(promo.cast("decimal(18,4)")) * 100
+                 / F.sum(rev.cast("decimal(18,4)"))).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT ROUND(CAST(
+  SUM(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) * 100
+  / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -1209,6 +1300,9 @@ def q_media_frames(spark, sf_dir):
 
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "large_orders": q_large_orders,
+    "promo_revenue": q_promo_revenue,
     "revenue_by_nation": q_revenue_by_nation,
     "offset_ranges": q_offset_ranges,
     "distinct_segments": q_distinct,
@@ -1264,6 +1358,9 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": ORACLE_PRICING,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "large_orders": ORACLE_LARGE_ORDERS,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
     "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "offset_ranges": ORACLE_OFFSET_RANGES,
     "distinct_segments": ORACLE_DISTINCT,
