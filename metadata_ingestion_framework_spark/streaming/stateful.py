@@ -1,0 +1,69 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's dedup is per-micro-batch only (SURVEY.md §2.10) — a
+duplicate arriving in a later batch is NOT caught. Cross-batch dedup needs
+keyed state, which Structured Streaming exposes to Python through
+``applyInPandasWithState`` (Arrow-batched, state partitioned by key across
+executors — the custom-stateful-operator shape for a 100 TB stream).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+CONTENT_KEY = "__ck"
+
+
+def stateful_stream_dedup(
+    stream: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    state_timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Exactly-first emission per content key ACROSS micro-batches.
+
+    Keyed by a 256-bit content hash; per key the state is one 'seen' flag.
+    The first row (min ``id_col``) for an unseen key is emitted, every later
+    occurrence — same batch or any later batch — is suppressed. State is one
+    boolean per distinct content key, hash-partitioned across executors;
+    with ``state_timeout='ProcessingTimeTimeout'`` callers can bound state
+    for unbounded key spaces (set timeouts inside a custom fn).
+    """
+    key = F.sha2(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols],
+        ),
+        256,
+    )
+    hashed = stream.withColumn(CONTENT_KEY, key)
+    out_schema = hashed.drop(CONTENT_KEY).schema
+
+    def first_only(
+        key_: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return  # key already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(id_col).iloc[[0]]
+            if first is None or cand[id_col].iloc[0] < first[id_col].iloc[0]:
+                first = cand
+        if first is not None:
+            state.update((True,))
+            yield first.drop(columns=[CONTENT_KEY])
+
+    return hashed.groupBy(CONTENT_KEY).applyInPandasWithState(
+        first_only,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, state_timeout),
+    )
