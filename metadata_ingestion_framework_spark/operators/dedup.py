@@ -225,37 +225,57 @@ def minhash_lsh_duplicates(
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprint per document, JVM-side.
+    """64-bit SimHash fingerprint per document via Arrow ``mapInPandas``.
 
-    Each word token votes +1/-1 on each bit via its xxhash64; the fingerprint
-    takes the sign of the per-bit sum.
-
-    Shape: explode word hashes, then one codegen'd hash-aggregate with a
-    conditional-sum per bit (same explode+partial-agg shape as the minhash
-    signatures — an array-HOF formulation evaluates 64 interpreted vote
-    expressions per word and measured ~20x slower). Map-side combine reduces
-    to one 64-long row per doc before the shuffle. Docs with no words drop
-    out — a no-token doc has no meaningful fingerprint (the HOF version gave
-    them all fp=0, spuriously pairing every empty doc).
+    Each word token (duplicates count) votes +1/-1 on each bit via its
+    64-bit hash; the fingerprint takes the sign of the per-bit sum — one
+    vectorized numpy unpack/sum per doc. Map-only, no shuffle. Same kernel
+    shape (and rationale) as ``minhash_signatures``: per-row bit arithmetic
+    is the measured-slow case for both interpreted HOFs and wide codegen'd
+    aggregates. Docs with no tokens drop out — they have no meaningful
+    fingerprint (an all-zero fp would spuriously pair every empty doc).
     """
-    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != "")
-    hashed = df.select(F.col(id_col), F.explode(words).alias("__w")).select(
-        id_col, F.xxhash64("__w").alias("__h")
+    import hashlib
+
+    import numpy as np
+
+    assert bits == 64, "64-bit fingerprints only"
+    id_type = dict(df.dtypes)[id_col]
+
+    def fp_batches(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").lower().split()
+                if not words:
+                    continue
+                h = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+                        )
+                        for w in words
+                    ),
+                    dtype=np.uint64,
+                    count=len(words),
+                )
+                bitmat = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+                votes = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+                fp = np.uint64(0)
+                for b in np.nonzero(votes > 0)[0]:
+                    fp |= np.uint64(1) << np.uint64(b)
+                ids.append(i)
+                # two's-complement reinterpret (Spark long is signed int64)
+                fps.append(fp.astype(np.int64))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "simhash": pd.Series(fps, dtype="int64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        fp_batches, schema=f"{id_col} {id_type}, simhash long"
     )
-    votes = hashed.groupBy(id_col).agg(*[
-        F.sum(
-            F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__v{i}")
-        for i in range(bits)
-    ])
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        # sign bit: 1<<63 doesn't fit a signed long literal; use its negative.
-        bit_val = F.lit(1 << i) if i < bits - 1 else F.lit(-(1 << i))
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"__v{i}") > 0, bit_val).otherwise(F.lit(0)).cast("long")
-        )
-    return votes.select(id_col, fp.alias("simhash"))
 
 
 def simhash_duplicates(
@@ -269,7 +289,9 @@ def simhash_duplicates(
     bit_count(xor). Shuffle key = (block_idx, block_value): bounded, uniform.
     """
     width = 64 // blocks
-    fps = simhash(df, text_col, id_col)
+    # persisted for the same reason as the minhash signatures: the self-join
+    # consumes both branches and would run the Python stage twice otherwise
+    fps = simhash(df, text_col, id_col).persist()
     blocked = fps.select(
         id_col,
         "simhash",

@@ -47,3 +47,40 @@ def process_output_stream_batch(
     if test_mode:
         q.processAllAvailable()
     return q
+
+
+def guarded_batch_fn(
+    batch_fn: Callable[[DataFrame, int], None],
+    obs,
+    pipeline_id: str,
+    task_name: str,
+    offset_fn: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a foreachBatch function with the reference's error/status flow.
+
+    Parity: Task.scala:90-142,149-191 — per batch: success writes a Finished
+    status (+ offset ranges when ``offset_fn`` extracts them) and row-count
+    facts; failure serializes the batch rows to ``pipeline_error_logs``
+    with the stacktrace, writes an Error status, and re-raises (the stream
+    stops, matching the reference's fail-fast behavior).
+    """
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        try:
+            n_in = batch.count()
+            batch_fn(batch, batch_id)
+            offsets = offset_fn(batch) if offset_fn is not None else None
+            obs.write_status(
+                pipeline_id, task_name, "Finished",
+                offset_ranges=offsets, batch_id=batch_id,
+            )
+            obs.write_fact(pipeline_id, task_name, "input_rows", n_in, batch_id=batch_id)
+        except Exception as exc:
+            obs.write_errors(pipeline_id, task_name, batch, exc, batch_id=batch_id)
+            obs.write_status(
+                pipeline_id, task_name, "Error",
+                batch_id=batch_id, message=str(exc)[:2000],
+            )
+            raise
+
+    return run
