@@ -125,3 +125,13 @@ def test_bucketed_table_join_is_shuffle_free_on_bucket_side(spark, store, emp):
     assert plan.count("Exchange hashpartitioning") == 1
     assert joined.count() == 2
     spark.sql("DROP TABLE IF EXISTS emp_bucketed")
+
+
+def test_partitioned_store_prunes_partitions(spark, store, emp):
+    """partitionBy layout + filter -> Spark reads only the matching
+    partition directories (PartitionFilters in the scan)."""
+    store.write(emp, "emp_part", partition_by=["deptno"])
+    df = store.read("emp_part").filter("deptno = 10")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(deptno" in plan
+    assert df.count() == 2
