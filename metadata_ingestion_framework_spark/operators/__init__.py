@@ -7,6 +7,11 @@ from metadata_ingestion_framework_spark.operators.cdc import (
 from metadata_ingestion_framework_spark.operators.dedup import (
     dedup_exact,
     dedup_window,
+    minhash_lsh_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_duplicates,
 )
 from metadata_ingestion_framework_spark.operators.joins import (
     build_inner_join_condition,
@@ -14,9 +19,20 @@ from metadata_ingestion_framework_spark.operators.joins import (
 )
 from metadata_ingestion_framework_spark.operators.merge import (
     MergeClause,
+    merge_apply,
     scd1_merge,
     scd2_merge,
     scd4_merge,
+)
+from metadata_ingestion_framework_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+    lsh_topk,
+)
+from metadata_ingestion_framework_spark.operators.skew import (
+    salted_join,
+    two_stage_agg,
 )
 
 __all__ = [
@@ -26,8 +42,20 @@ __all__ = [
     "enrich_with_shard",
     "dedup_window",
     "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_duplicates",
+    "simhash",
+    "simhash_duplicates",
+    "ngram_jaccard_pairs",
     "MergeClause",
+    "merge_apply",
     "scd1_merge",
     "scd2_merge",
     "scd4_merge",
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "embedding_near_duplicates",
+    "salted_join",
+    "two_stage_agg",
 ]
