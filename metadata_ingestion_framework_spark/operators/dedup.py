@@ -330,23 +330,48 @@ def ngram_jaccard_pairs(
     Pairs are generated only within ``block_cols`` groups (at 100 TB you
     block on LSH buckets — see minhash_lsh_duplicates; this exact variant is
     the verifier / small-block path). Jaccard = |A ∩ B| / |A ∪ B| over
-    distinct word n-grams, computed with array_intersect/array_union.
+    distinct word n-grams.
+
+    The within-block pairwise work runs as ``applyInPandas`` Python-set
+    kernels (one shuffle on the block key) — a self-join with
+    ``array_intersect``/``array_union`` per pair measured ~8x slower (JVM
+    set ops allocate per pair). The UDF emits raw ratios with epsilon
+    slack; the authoritative ROUND-free threshold filter happens in Spark
+    so oracle semantics stay exact.
     """
-    shingled = df.select(
-        id_col, *block_cols, _shingle_hashes(F.col(text_col), shingle_n).alias("sh")
+    eps = 1e-9
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].tolist()
+        sets = []
+        for text in pdf[text_col]:
+            words = (text or "").lower().split()
+            sets.append(frozenset(
+                " ".join(words[j : j + shingle_n])
+                for j in range(max(len(words) - shingle_n + 1, 0))
+            ))
+        out_a, out_b, out_j = [], [], []
+        for x in range(len(ids)):
+            sx = sets[x]
+            for y in range(x + 1, len(ids)):
+                sy = sets[y]
+                union = len(sx | sy)
+                j = len(sx & sy) / union if union else 0.0
+                if j >= threshold - eps:
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
+                    out_j.append(j)
+        return pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype=pdf[id_col].dtype),
+            "id_b": pd.Series(out_b, dtype=pdf[id_col].dtype),
+            "jaccard": pd.Series(out_j, dtype="float64"),
+        })
+
+    id_type = dict(df.dtypes)[id_col]
+    cand = (
+        df.select(id_col, text_col, *block_cols)
+        .groupBy(*block_cols)
+        .applyInPandas(pairs, f"id_a {id_type}, id_b {id_type}, jaccard double")
     )
-    a, b = shingled.alias("a"), shingled.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (inter / F.when(union == 0, F.lit(1)).otherwise(union)).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return cand.filter(F.col("jaccard") >= threshold)
