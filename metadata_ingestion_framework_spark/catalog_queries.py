@@ -1282,6 +1282,29 @@ WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 # Multimodal plumbing (north-star; deterministic fake decode -> rows-only)
 # ---------------------------------------------------------------------------
 
+def q_grouping_key(spark, sf_dir):
+    """T4 hashNumericalIt: bounded bucket key distribution (murmur3 differs
+    from DuckDB -> rows-only; bounds asserted in tests)."""
+    from metadata_ingestion_framework_spark.functions.hashing import hash_numerical_it
+
+    cust = t(spark, sf_dir, "customer")
+    bucketed = hash_numerical_it(cust, "grouping_jk", "c_custkey", "c_nationkey")
+    return (
+        bucketed.groupBy("grouping_jk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("grouping_jk")
+    )
+
+
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize stage: image rows only, fixed target dims (rows-only)."""
+    from metadata_ingestion_framework_spark.operators.multimodal import resize_images
+
+    docs = t(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return resize_images(media, 64, 64).select("media_id", "kind", "width", "height")
+
+
 def q_media_features(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     media = synthesize_media(docs, "doc_id", "text")
@@ -1354,6 +1377,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
+    "media_resize": q_media_resize,
+    "grouping_key": q_grouping_key,
 }
 
 ORACLES = {
