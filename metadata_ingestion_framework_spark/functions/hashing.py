@@ -53,4 +53,9 @@ def hash_numerical_it(
     also a skew-control device: a hot natural key spreads over `buckets`
     partitions when the grouping key is included in the shuffle key.
     """
-    return df.withColumn(alias, F.pmod(F.abs(F.hash(_string_key(list(cols)))), F.lit(buckets)))
+    # cast to long BEFORE abs: abs(Integer.MIN_VALUE) overflows int under
+    # ANSI mode (~2^-32 per row — near-certain at 100 TB row counts)
+    return df.withColumn(
+        alias,
+        F.pmod(F.abs(F.hash(_string_key(list(cols))).cast("long")), F.lit(buckets)),
+    )

@@ -65,7 +65,9 @@ class ObservabilityStore:
             [(pipeline_id, task_name, status, batch_id, run_id, message)],
             "pipeline_id string, task_name string, status string, batch_id long, run_id string, message string",
         )
-        if offset_ranges is not None:
+        # empty offsets must not swallow the status row (crossJoin with an
+        # empty frame yields zero rows) — fall back to the null-offset shape
+        if offset_ranges is not None and not offset_ranges.isEmpty():
             row = base.crossJoin(offset_ranges)
         else:
             row = (

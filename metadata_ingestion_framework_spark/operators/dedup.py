@@ -35,48 +35,25 @@ def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
     One shuffle on a 256-bit content hash (uniform — no skew); the winner per
     group is an arg-min, i.e. a partial-aggregatable min, not a window sort.
+    Each column is encoded as (is-null flag, value) so NULL and '' stay
+    distinct — matching SQL GROUP BY semantics where NULL is its own group.
     """
-    key = F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]), 256)
+    key = F.sha2(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.concat(
+                    F.col(c).isNull().cast("string"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+                for c in content_cols
+            ],
+        ),
+        256,
+    )
     keyed = df.withColumn("__ck", key)
     winners = keyed.groupBy("__ck").agg(F.min(id_col).alias(id_col))
     return keyed.join(winners, ["__ck", id_col], "inner").drop("__ck")
-
-
-def _shingles(col, n: int = 3):
-    """Word n-gram shingles as a distinct array (lowercased)."""
-    words = F.split(F.lower(F.trim(col)), r"\s+")
-    # transform over index range -> n-gram strings
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
-    )
-
-
-def _shingle_hashes(col, n: int = 3):
-    """Distinct 64-bit hashes of word n-gram shingles, without building
-    n-gram strings.
-
-    Hash each word once, then fold ``n`` aligned shifted copies of the
-    word-hash array with ``zip_with`` + ``xxhash64(acc, next)``. Every
-    ``zip_with``/``slice`` argument is evaluated once per ROW (vs. a
-    ``slice(words, i, n)`` inside a ``transform`` lambda, which interpreted
-    HOF eval recomputes per ELEMENT — O(words^2) and measured ~10x slower).
-    Set semantics match `_shingles` up to 64-bit hash collisions.
-    """
-    words = F.split(F.lower(F.trim(col)), r"\s+")
-    wh = F.transform(words, lambda w: F.xxhash64(w))
-    acc = wh
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(wh, j + 1, F.greatest(F.size(wh) - j, F.lit(0))),
-            lambda a, b: F.xxhash64(a, b),
-        )
-    # zip_with null-pads the shorter side; keep only full n-grams.
-    full = F.slice(acc, 1, F.greatest(F.size(acc) - (n - 1), F.lit(0)))
-    return F.array_distinct(full)
 
 
 def minhash_signatures(

@@ -87,7 +87,17 @@ def build_partition_pruning_filter(
     ]
     if not vals or len(vals) > max_values:
         return None
-    return F.col(f"{target_alias}.{partition_col}").isin(vals)
+    has_null = any(v is None for v in vals)
+    non_null = [v for v in vals if v is not None]
+    col = F.col(f"{target_alias}.{partition_col}")
+    cond = col.isin(non_null) if non_null else F.lit(False)
+    if has_null:
+        # NULL-partition updates can only match NULL-partition target rows:
+        # isin() never matches NULL, so without this the NULL slice would be
+        # wrongly routed to 'untouched' while its update re-inserts — a
+        # silent duplicate-key corruption.
+        cond = cond | col.isNull()
+    return cond
 
 
 def build_merge_key_projections(

@@ -238,7 +238,8 @@ def embedding_near_duplicates(
     """
     import pandas as pd
 
-    schema = f"id_a long, id_b long, cos_sim double"
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
     eps = 1e-6
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -49,7 +49,18 @@ def salted_join(
     reducers instead of one. Replication multiplies the other side's
     shuffle volume by ``salt``: use only when it's far smaller than the
     skewed side (but too big / too dynamic to broadcast).
+
+    Only skewed-side-preserving join types are valid: right/full outer
+    would emit each unmatched ``other`` replica (up to ``salt`` null-padded
+    copies) — rejected explicitly.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports skewed-side-preserving joins only {sorted(allowed)}; "
+            f"got {how!r} — replication of the other side breaks right/full outer"
+        )
     s = skewed.withColumn(SALT_COL, _row_salt(skewed, salt))
     o = other.withColumn(SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))) \
              .withColumn(SALT_COL, F.col(SALT_COL).cast("int"))

@@ -30,8 +30,14 @@ def recover_starting_offsets(status: DataFrame, topic: str) -> str:
     topic, emitted as ``{"topic": {"0": off, ...}}``. Bounded collect — one
     row per partition.
     """
+    # Divergence from the reference's `endOffset != 0` filter
+    # (Utility.scala:239): it drops a partition whose highest consumed
+    # offset is legitimately 0, and Kafka's startingOffsets JSON must then
+    # name every partition or the resumed stream fails to start. Our status
+    # rows use NULL (not 0) for "no offsets", so filtering on NOT NULL is
+    # both safe and complete.
     rows = (
-        status.filter((F.col("topic") == topic) & (F.col("endOffset") != 0))
+        status.filter((F.col("topic") == topic) & F.col("endOffset").isNotNull())
         .groupBy("topic", "partition")
         .agg(F.max("endOffset").alias("endOffset"))
         .collect()
