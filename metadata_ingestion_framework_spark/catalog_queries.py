@@ -528,6 +528,40 @@ SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
 """
 
 
+def q_intersect(spark, sf_dir):
+    """Set intersect: nations hosting both customers and suppliers."""
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return cust.intersect(supp)
+
+
+ORACLE_INTERSECT = """
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+"""
+
+
+def q_except(spark, sf_dir):
+    """Set except: nations with a >9500-balance customer but no
+    >9500-balance supplier (the unfiltered variant is vacuous — every
+    nation has both)."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9500).select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return cust.subtract(supp)
+
+
+ORACLE_EXCEPT = """
+SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9500
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9500
+"""
+
+
 def q_struct_multiplex(spark, sf_dir):
     """U3: struct-wrapped two-stream multiplex + demux (DeltaWritter:38-39)."""
     s = t(spark, sf_dir, "supplier")
@@ -1344,6 +1378,8 @@ QUERIES = {
     "anti_join": q_anti_join,
     "cross_join": q_cross_join,
     "union_by_name": q_union_by_name,
+    "intersect_nations": q_intersect,
+    "except_nations": q_except,
     "struct_multiplex": q_struct_multiplex,
     "hash_jk": q_hash_jk,
     "hash_complete": q_hash_complete,
@@ -1404,6 +1440,8 @@ ORACLES = {
     "anti_join": ORACLE_ANTI_JOIN,
     "cross_join": ORACLE_CROSS_JOIN,
     "union_by_name": ORACLE_UNION_BY_NAME,
+    "intersect_nations": ORACLE_INTERSECT,
+    "except_nations": ORACLE_EXCEPT,
     "struct_multiplex": ORACLE_STRUCT_MULTIPLEX,
     "hash_jk": ORACLE_HASH_JK,
     "hash_complete": ORACLE_HASH_COMPLETE,

@@ -125,3 +125,46 @@ def test_streaming_scd2_foreachbatch(spark, tmp_path):
     versions = out.filter("empid = 1").orderBy("updated_at").collect()
     assert versions[0]["current_flag"] is False and versions[0]["expiry_at"] == "2021-06-01"
     assert versions[1]["current_flag"] is True and versions[1]["place"] == "BER"
+
+
+def test_streaming_struct_multiplex_demux(spark, tmp_path):
+    """U3 (DeltaWritter.scala:38-39): two streams multiplexed through ONE
+    foreachBatch via struct-wrap + union, demuxed inside the batch fn."""
+    schema = "id int, v string"
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame([(1, "a1"), (2, "a2")], schema).write.parquet(src_a)
+    spark.createDataFrame([(9, "b1")], schema).write.parquet(src_b)
+
+    sa = spark.readStream.schema(schema).parquet(src_a)
+    sb = spark.readStream.schema(schema).parquet(src_b)
+    struct_t = sa.select(F.struct(*sa.columns).alias("x")).schema["x"].dataType
+    muxed = sa.select(
+        F.struct(*sa.columns).alias("main"),
+        F.lit(None).cast(struct_t).alias("side"),
+    ).unionByName(
+        sb.select(
+            F.lit(None).cast(struct_t).alias("main"),
+            F.struct(*sb.columns).alias("side"),
+        )
+    )
+
+    seen = {"main": [], "side": []}
+
+    def demux(batch, batch_id):
+        seen["main"].extend(
+            r["id"] for r in batch.filter(F.col("main").isNotNull()).select("main.*").collect()
+        )
+        seen["side"].extend(
+            r["id"] for r in batch.filter(F.col("side").isNotNull()).select("side.*").collect()
+        )
+
+    q = (
+        muxed.writeStream.foreachBatch(demux)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(60)
+    assert sorted(seen["main"]) == [1, 2]
+    assert seen["side"] == [9]
