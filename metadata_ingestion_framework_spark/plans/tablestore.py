@@ -113,6 +113,31 @@ class VersionedParquetStore:
         """Read a catalog (bucketed) table."""
         return self.spark.table(table)
 
+    def compact(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite the current version into right-sized files.
+
+        Parity intent: Delta's optimizeWrite/autoCompact table properties
+        (DeltaWritterSCD4Test.scala:59-61) — streaming appends accumulate
+        small files; compaction coalesces them so scans stop paying
+        per-file open/footer costs. File count = ceil(bytes / target);
+        written as a fresh version (snapshot isolation preserved).
+        """
+        import math
+
+        cur = self.current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"table {table} does not exist")
+        path = self._version_path(table, cur)
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        df = self.read(table).repartition(n_files)
+        return self.write(df, table)
+
     def vacuum(self, table: str, keep_last: int = 2) -> None:
         """Drop version dirs older than the last ``keep_last``."""
         cur = self.current_version(table)

@@ -135,3 +135,19 @@ def test_partitioned_store_prunes_partitions(spark, store, emp):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(deptno" in plan
     assert df.count() == 2
+
+
+def test_compact_coalesces_small_files(spark, store, emp):
+    """Many small appended files -> one compacted version with fewer files."""
+    import glob
+
+    store.write(emp.repartition(8), "emp_small")
+    v1_files = glob.glob(
+        store._version_path("emp_small", 1) + "/*.parquet"
+    )
+    assert len(v1_files) >= 2  # fragmented (AQE may coalesce below 8)
+    v2 = store.compact("emp_small")
+    assert v2 == 2
+    v2_files = glob.glob(store._version_path("emp_small", 2) + "/*.parquet")
+    assert len(v2_files) == 1  # tiny table -> single right-sized file
+    assert store.read("emp_small").count() == 5
