@@ -337,6 +337,30 @@ QUALIFY rn <= 3
 """
 
 
+def q_range_frame(spark, sf_dir):
+    """RANGE frame window: count of same-customer orders priced within
+    +/-1000 of each order (value-based frame, not row-based)."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, 1000)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_similar_priced"),
+    )
+
+
+ORACLE_RANGE_FRAME = """
+SELECT o_custkey, o_orderkey,
+  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_similar_priced
+FROM orders
+"""
+
+
 def q_running_sum(spark, sf_dir):
     """Analytic window: per-customer running order total (rows frame)."""
     orders = t(spark, sf_dir, "orders")
@@ -1368,6 +1392,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "topk_per_group": q_topk_per_group,
     "running_sum": q_running_sum,
+    "range_frame": q_range_frame,
     "lead_lag": q_lead_lag,
     "cube_qty": q_cube,
     "rollup_price": q_rollup,
@@ -1430,6 +1455,7 @@ ORACLES = {
     "top_orders": ORACLE_TOP_ORDERS,
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "running_sum": ORACLE_RUNNING_SUM,
+    "range_frame": ORACLE_RANGE_FRAME,
     "lead_lag": ORACLE_LEAD_LAG,
     "cube_qty": ORACLE_CUBE,
     "rollup_price": ORACLE_ROLLUP,

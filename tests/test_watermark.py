@@ -168,3 +168,49 @@ def test_streaming_struct_multiplex_demux(spark, tmp_path):
     q.awaitTermination(60)
     assert sorted(seen["main"]) == [1, 2]
     assert seen["side"] == [9]
+
+
+def test_streaming_scd4_foreachbatch(spark, tmp_path):
+    """SCD4 inside foreachBatch (Utility.scala:956-1045): history pre-image
+    captured per micro-batch, current table upserted."""
+    from metadata_ingestion_framework_spark.operators.merge import scd4_merge
+
+    store = VersionedParquetStore(spark, str(tmp_path / "t4"))
+    target = spark.createDataFrame(
+        [(1, "AMS", "2020-01-01", True), (2, "NYC", "2020-01-01", True)],
+        "empid int, place string, updated_at string, row_active boolean",
+    )
+    store.write(target, "dim4")
+
+    src = str(tmp_path / "u4")
+    spark.createDataFrame(
+        [(1, "BER", "2021-06-01", True), (3, "SFO", "2021-06-01", True)],
+        "empid int, place string, updated_at string, row_active boolean",
+    ).write.parquet(src)
+
+    def merge_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        hist = store.read("dim4_history") if store.exists("dim4_history") else None
+        cur, new_hist = scd4_merge(
+            store.read("dim4"), hist, batch, ["empid"], updated_at_col="updated_at"
+        )
+        # write history first (cur plan reads the pre-merge dim4 version)
+        store.write(new_hist, "dim4_history")
+        store.write(cur, "dim4")
+
+    stream = spark.readStream.schema(target.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "c4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(60)
+
+    cur = {r["empid"]: r["place"] for r in store.read("dim4").collect()}
+    assert cur == {1: "BER", 2: "NYC", 3: "SFO"}
+    hist = store.read("dim4_history").collect()
+    assert len(hist) == 1 and hist[0]["place"] == "AMS"
+    assert hist[0]["history_created_at"] == "2021-06-01"
