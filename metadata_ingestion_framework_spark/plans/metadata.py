@@ -161,6 +161,54 @@ def pipelines_for_batch(
     return [extract_fields(r) for r in rows]
 
 
+def jdbc_options_for_shard(
+    shard: Row | dict,
+    secret_resolver=None,
+    driver: str = "com.mysql.cj.jdbc.Driver",
+) -> dict[str, str]:
+    """shard_details row -> JDBC reader options (PipelineBuilder.scala:107-129).
+
+    The reference pulls user/password from a Databricks secret scope named
+    by the shard row; ``secret_resolver(scope, key) -> str`` abstracts that
+    (default: environment variables ``<SCOPE>_<KEY>``, uppercased) so the
+    same metadata drives any secret backend.
+    """
+    import os
+
+    d = shard.asDict() if isinstance(shard, Row) else dict(shard)
+
+    def resolve(scope: str, key: str) -> str:
+        if secret_resolver is not None:
+            return secret_resolver(scope, key)
+        return os.environ.get(f"{scope}_{key}".upper().replace("-", "_"), "")
+
+    scope = d.get("secret_scope", "")
+    return {
+        "driver": driver,
+        "url": f"jdbc:mysql://{d.get('endpoint', '')}/{d.get('database_name', '')}",
+        "user": resolve(scope, d.get("secret_user", "user")),
+        "password": resolve(scope, d.get("secret_password", "password")),
+    }
+
+
+def failed_runs_for_rerun(status: DataFrame, batch_ids: list[str]) -> DataFrame:
+    """Latest run per batch, kept only if it failed (Start.scala:198-218).
+
+    rank() over (partition by batch order by last_update desc) = 1, status
+    'Error' -> the (batch_id, run_id) pairs the RERUN path re-executes.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("batch_id").orderBy(F.col("last_update").desc())
+    return (
+        status.filter(F.col("batch_id").isin(batch_ids))
+        .withColumn("__rk", F.rank().over(w))
+        .filter((F.col("__rk") == 1) & (F.col("status") == "Error"))
+        .select("batch_id", "run_id")
+        .distinct()
+    )
+
+
 def apply_pii_governance(
     df: DataFrame,
     pii_catalog: list[Row] | list[dict],

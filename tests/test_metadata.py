@@ -124,3 +124,38 @@ def test_metadata_driven_scd1_end_to_end(spark, emp):
     assert wilson["deleted_flag"] is True and wilson["sal"] == 1000.0
     scott = out.filter("empid = 7788").collect()[0]
     assert scott["sal"] == 3000.0 and scott["deleted_flag"] is False
+
+
+def test_jdbc_options_for_shard(monkeypatch):
+    from metadata_ingestion_framework_spark.plans.metadata import jdbc_options_for_shard
+
+    shard = {
+        "endpoint": "db1.internal:3306", "database_name": "sales",
+        "secret_scope": "prod-scope", "secret_user": "db-user",
+        "secret_password": "db-pass",
+    }
+    # injected resolver (the reference's secret-scope lookup)
+    opts = jdbc_options_for_shard(shard, secret_resolver=lambda s, k: f"{s}/{k}")
+    assert opts["url"] == "jdbc:mysql://db1.internal:3306/sales"
+    assert opts["user"] == "prod-scope/db-user"
+    # env fallback
+    monkeypatch.setenv("PROD_SCOPE_DB_PASS", "sekrit")
+    opts = jdbc_options_for_shard(shard)
+    assert opts["password"] == "sekrit"
+
+
+def test_failed_runs_for_rerun(spark):
+    from metadata_ingestion_framework_spark.plans.metadata import failed_runs_for_rerun
+
+    status = spark.createDataFrame(
+        [
+            ("b1", "r1", "Error", 1),
+            ("b1", "r2", "Error", 2),      # latest for b1 -> rerun r2
+            ("b2", "r3", "Error", 1),
+            ("b2", "r4", "Finished", 2),   # latest b2 succeeded -> no rerun
+            ("b3", "r5", "Error", 9),      # not in requested batches
+        ],
+        "batch_id string, run_id string, status string, last_update long",
+    )
+    out = failed_runs_for_rerun(status, ["b1", "b2"]).collect()
+    assert [(r["batch_id"], r["run_id"]) for r in out] == [("b1", "r2")]
