@@ -337,6 +337,44 @@ QUALIFY rn <= 3
 """
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median + p90) per market segment.
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` both use linear
+    interpolation over the sorted values -> identical to 1e-9 after ROUND."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 6).alias("p90_bal"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT c_mktsegment,
+  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+  ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates: sample stddev + Pearson correlation per
+    return flag (ROUND(6) absorbs cross-engine float reassociation)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+ORACLE_STATS_AGG = """
+SELECT l_returnflag,
+  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_range_frame(spark, sf_dir):
     """RANGE frame window: count of same-customer orders priced within
     +/-1000 of each order (value-based frame, not row-based)."""
@@ -1393,6 +1431,8 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "running_sum": q_running_sum,
     "range_frame": q_range_frame,
+    "percentiles": q_percentiles,
+    "stats_agg": q_stats_agg,
     "lead_lag": q_lead_lag,
     "cube_qty": q_cube,
     "rollup_price": q_rollup,
@@ -1456,6 +1496,8 @@ ORACLES = {
     "topk_per_group": ORACLE_TOPK_PER_GROUP,
     "running_sum": ORACLE_RUNNING_SUM,
     "range_frame": ORACLE_RANGE_FRAME,
+    "percentiles": ORACLE_PERCENTILES,
+    "stats_agg": ORACLE_STATS_AGG,
     "lead_lag": ORACLE_LEAD_LAG,
     "cube_qty": ORACLE_CUBE,
     "rollup_price": ORACLE_ROLLUP,
