@@ -33,5 +33,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; rows-only ops are omitted
-    (dedup_minhash, dedup_simhash, media_*: xxhash64/UDF-based)."""
+    (media_* only — their decoders are deterministic fakes)."""
     return dict(ORACLES)

@@ -51,12 +51,23 @@ def main() -> None:
         except Exception:
             pass
 
+    from pyspark.sql import functions as F
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # Column-consuming action (VERDICT r1 item 5): count() alone lets
+        # Catalyst prune every projected column, so compute-heavy
+        # projections were timed without being evaluated. Hashing every
+        # output column forces full expression evaluation; count (not sum)
+        # of the hash avoids ANSI long overflow.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.xxhash64(*df.columns)).alias("chk"),
+        ).collect()[0]
+        n = row["n"]
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 

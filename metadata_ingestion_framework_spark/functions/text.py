@@ -106,7 +106,13 @@ def rolling_hash_fingerprint(col: Column, window: int = 16, keep_every: int = 8)
     s = F.lower(F.regexp_replace(col, r"\s+", " "))
     n = F.greatest(F.length(s) - (window - 1), F.lit(0))
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(keep_every))
-    grams = F.transform(starts, lambda i: F.xxhash64(F.substring(s, 1, window * 100).substr(i, F.lit(window))))
+    # Grams are taken over the FULL normalized string — an earlier truncation
+    # to window*100 chars made every gram past the cutoff the empty string,
+    # so all long documents shared one constant min candidate and edits
+    # beyond the cutoff were invisible (ADVICE r1). For very long documents
+    # precompute the normalized string into its own column before calling
+    # this (HOF lambdas re-evaluate captured expressions per element).
+    grams = F.transform(starts, lambda i: F.xxhash64(s.substr(i, F.lit(window))))
     return F.array_min(grams)
 
 

@@ -56,8 +56,53 @@ def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     return keyed.join(winners, ["__ck", id_col], "inner").drop("__ck")
 
 
+def _token_hash_fn(token_hash: str):
+    """64-bit string hash selected by name.
+
+    'blake2b' (default): fastest stdlib choice for short strings.
+    'md5': first 8 digest bytes big-endian — bit-identical to DuckDB's
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT``, which makes the operators
+    below exactly reproducible in SQL for cross-engine value checks.
+    """
+    import hashlib
+
+    if token_hash == "blake2b":
+        return lambda s: int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+        )
+    if token_hash == "md5":
+        return lambda s: int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+    raise ValueError(f"unknown token_hash: {token_hash}")
+
+
+def minhash_constants(num_hashes: int, token_hash: str = "blake2b"):
+    """Universal-hash family constants (a_i, b_i) as uint64 numpy arrays.
+
+    Deterministic (seeded): the DuckDB oracle embeds the SAME constants as
+    literals. In 'md5' mode multipliers stay below 2^32 so the oracle's
+    HUGEINT product a*h (< 2^96) cannot overflow 128-bit arithmetic before
+    the mod-2^64 reduction; numpy's uint64 wraparound gives the identical
+    result on the Spark side.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    if token_hash == "md5":
+        mult = rng.randint(1, 2**31, size=num_hashes).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+        add = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    else:
+        mult = rng.randint(1, 2**62, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+        add = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    return mult, add
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    token_hash: str = "blake2b",
 ) -> DataFrame:
     """MinHash signature per document via Arrow-batched ``mapInPandas``.
 
@@ -75,14 +120,11 @@ def minhash_signatures(
     per partition. Docs with no shingles (< shingle_n words) drop out —
     they can never pair, so dedup semantics hold.
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
-    rng = np.random.RandomState(42)
-    mult = rng.randint(1, 2**62, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
-    add = rng.randint(0, 2**62, size=num_hashes, dtype=np.uint64)
+    mult, add = minhash_constants(num_hashes, token_hash)
+    hash64 = _token_hash_fn(token_hash)
     id_type = dict(df.dtypes)[id_col]
 
     def sig_batches(batches):
@@ -97,12 +139,7 @@ def minhash_signatures(
                 if not sh:
                     continue
                 base = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-                        )
-                        for s in sh
-                    ),
+                    (hash64(s) for s in sh),
                     dtype=np.uint64,
                     count=len(sh),
                 )
@@ -129,6 +166,7 @@ def minhash_lsh_duplicates(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     shingle_n: int = 3,
+    token_hash: str = "blake2b",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -148,7 +186,7 @@ def minhash_lsh_duplicates(
     # per doc); at 100 TB you'd checkpoint them to storage — same pattern,
     # durable flavor. MEMORY_AND_DISK + LRU eviction keeps this safe to
     # leave cached; callers may unpersist.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, token_hash).persist()
     # band hash = xxhash64 over the band's signature slots + band index
     # (multi-arg long hash — no string concat in the hot path).
     banded = sigs.select(
@@ -201,7 +239,9 @@ def minhash_lsh_duplicates(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64, token_hash: str = "blake2b"
+) -> DataFrame:
     """64-bit SimHash fingerprint per document via Arrow ``mapInPandas``.
 
     Each word token (duplicates count) votes +1/-1 on each bit via its
@@ -212,11 +252,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     aggregates. Docs with no tokens drop out — they have no meaningful
     fingerprint (an all-zero fp would spuriously pair every empty doc).
     """
-    import hashlib
-
     import numpy as np
 
     assert bits == 64, "64-bit fingerprints only"
+    hash64 = _token_hash_fn(token_hash)
     id_type = dict(df.dtypes)[id_col]
 
     def fp_batches(batches):
@@ -228,12 +267,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
                 if not words:
                     continue
                 h = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-                        )
-                        for w in words
-                    ),
+                    (hash64(w) for w in words),
                     dtype=np.uint64,
                     count=len(words),
                 )
@@ -256,7 +290,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_duplicates(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, blocks: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    token_hash: str = "blake2b",
 ) -> DataFrame:
     """Near-dup pairs with SimHash + block-permutation candidate generation.
 
@@ -268,7 +307,7 @@ def simhash_duplicates(
     width = 64 // blocks
     # persisted for the same reason as the minhash signatures: the self-join
     # consumes both branches and would run the Python stage twice otherwise
-    fps = simhash(df, text_col, id_col).persist()
+    fps = simhash(df, text_col, id_col, token_hash=token_hash).persist()
     blocked = fps.select(
         id_col,
         "simhash",

@@ -271,7 +271,13 @@ def scd2_merge(
                     set={c: f"updates.{c}" for c in target.columns}),
     ]
     if soft_delete and "row_active" in u.columns:
-        clauses.insert(0, MergeClause(
+        # Clause ORDER parity (Utility.scala:556-581): the reference registers
+        # whenMatched(matchCondition).updateExpr (expire) FIRST, then
+        # whenMatched(row_active=false) (soft delete). Keeping that order means
+        # a delete whose tracked attributes also changed EXPIRES the old
+        # current row (first-winning clause) instead of leaving two current
+        # rows per key.
+        clauses.insert(1, MergeClause(
             when="matched", action="update",
             condition="updates.__stage_insert = false AND updates.row_active = false",
             set={**{c: f"target.{c}" for c in target.columns}, "deleted_flag": "true"},

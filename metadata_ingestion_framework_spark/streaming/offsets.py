@@ -23,12 +23,20 @@ def offset_ranges_for_batch(batch: DataFrame) -> DataFrame:
     )
 
 
-def recover_starting_offsets(status: DataFrame, topic: str) -> str:
+def recover_starting_offsets(
+    status: DataFrame, topic: str, partition_count: int | None = None
+) -> str:
     """Rebuild the Kafka ``startingOffsets`` JSON from the status table.
 
     Parity: Utility.scala:226-249 (A2): max(endOffset) per partition for the
     topic, emitted as ``{"topic": {"0": off, ...}}``. Bounded collect — one
     row per partition.
+
+    ``partition_count`` reproduces the reference's partitionSize guard
+    (Utility.scala:239-244): if the status table covers fewer partitions
+    than the topic has (a partition was never consumed), a partial
+    startingOffsets JSON would make Spark's Kafka source fail to start —
+    fall back to ``earliest`` instead.
     """
     # Divergence from the reference's `endOffset != 0` filter
     # (Utility.scala:239): it drops a partition whose highest consumed
@@ -44,4 +52,7 @@ def recover_starting_offsets(status: DataFrame, topic: str) -> str:
     )
     if not rows:
         return "earliest"
-    return json.dumps({topic: {str(r["partition"]): r["endOffset"] + 1 for r in rows}})
+    offsets = {str(r["partition"]): r["endOffset"] + 1 for r in rows}
+    if partition_count is not None and len(offsets) != partition_count:
+        return "earliest"
+    return json.dumps({topic: offsets})

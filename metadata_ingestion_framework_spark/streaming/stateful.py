@@ -34,10 +34,19 @@ def stateful_stream_dedup(
     with ``state_timeout='ProcessingTimeTimeout'`` callers can bound state
     for unbounded key spaces (set timeouts inside a custom fn).
     """
+    # Same (is-null flag, value) encoding as batch dedup_exact (dedup.py:41-53)
+    # so NULL and '' stay distinct and batch/streaming dedup agree on what
+    # counts as a duplicate (ADVICE r1).
     key = F.sha2(
         F.concat_ws(
             "\x1f",
-            *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols],
+            *[
+                F.concat(
+                    F.col(c).isNull().cast("string"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+                for c in content_cols
+            ],
         ),
         256,
     )
