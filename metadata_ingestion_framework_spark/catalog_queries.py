@@ -1597,6 +1597,109 @@ def q_media_frames(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / vocab / sketch contracts (north-star extensions)
+# ---------------------------------------------------------------------------
+
+def q_det_sample(spark, sf_dir):
+    """Content-hash deterministic sampling (functions/sampling.py): ~20% of
+    documents by md5-bucket membership — identical row set on any engine,
+    partitioning, or rerun (seeded-RNG sample() is none of those)."""
+    from metadata_ingestion_framework_spark.functions.sampling import deterministic_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, ["doc_id"], 0.2, salt="s1").select(
+        "doc_id", "lang", "source"
+    )
+
+
+ORACLE_DET_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(concat_ws(chr(31), 's1', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+      % 1000000 < 200000
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Training-mix primitive: per-language sampling rates in one map-only
+    pass (en 50%, de 25%, fr 10%, everything else 5%)."""
+    from metadata_ingestion_framework_spark.functions.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.1},
+        key_cols=["doc_id"], salt="mix1", default_rate=0.05,
+    ).select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(concat_ws(chr(31), 'mix1', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+      % 1000000
+      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.1
+         ELSE 0.05 END) * 1000000
+"""
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Vocab building: corpus-wide word-bigram counts, top 20 (occurrences,
+    not per-doc distinct — BPE/vocab prep counts every occurrence).
+    Explode -> codegen'd hash agg; the per-doc gram build is the only HOF."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    # zip adjacent tokens via two slices: referencing `toks` inside the
+    # lambda (element_at(toks, i+2)) re-evaluates the whole split per
+    # ELEMENT under CollapseProject — O(tokens^2) per doc, measured ~60x
+    # slower. Slice args evaluate per row; the lambda only concats.
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOP_NGRAMS = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT unnest([array_to_string(ws[i:i+1], ' ')
+                 FOR i IN range(1, greatest(len(ws) - 1, 0) + 1)]) AS gram
+  FROM toks
+)
+SELECT gram, COUNT(*) AS n FROM g
+GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Sketch contract check: HLL++ approx-distinct must land within 5% of
+    the exact count per event_type. The approx VALUE is engine-specific, so
+    the oracle checks the engine-independent contract (exact value + bound
+    satisfied), the same invariant pattern as grouping_key."""
+    ev = t(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.02)
+    return ev.groupBy("event_type").agg(
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("within_5pct"),
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1635,6 +1738,10 @@ QUERIES = {
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
     "grouping_key": q_grouping_key,
+    "det_sample": q_det_sample,
+    "stratified_sample": q_stratified_sample,
+    "top_ngrams": q_top_ngrams,
+    "approx_distinct": q_approx_distinct,
     # windows / sorts / aggs
     "distinct_segments": q_distinct,
     "window_dedup": q_window_dedup,
@@ -1650,13 +1757,10 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "struct_multiplex": q_struct_multiplex,
-    # row-level transforms / PII
+    # row-level transforms / PII (representatives; the rest of the family —
+    # unchanged since its round-1 green rows — sits in the tail)
     "hash_jk": q_hash_jk,
-    "hash_complete": q_hash_complete,
-    "mask_digits": q_mask,
     "anonymize_pii": q_anonymize_pii,
-    "encrypt_roundtrip": q_encrypt_roundtrip,
-    "serialize_rows": q_serialize_rows,
     # CDC / SCD merges
     "cdc_split": q_cdc_split,
     "shard_enrich": q_shard_enrich,
@@ -1675,6 +1779,10 @@ QUERIES = {
     "intersect_nations": q_intersect,
     "except_nations": q_except,
     "drop_columns": q_drop_columns,
+    "hash_complete": q_hash_complete,
+    "mask_digits": q_mask,
+    "encrypt_roundtrip": q_encrypt_roundtrip,
+    "serialize_rows": q_serialize_rows,
     # rows-only media queries (decoders are deterministic fakes) last
     "media_resize": q_media_resize,
     "media_features": q_media_features,
@@ -1741,6 +1849,10 @@ ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "grouping_key": ORACLE_GROUPING_KEY,
-    # rows-only (media decoders are honest fakes — no codec libs here):
-    # media_features, media_frames, media_resize
+    "det_sample": ORACLE_DET_SAMPLE,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "top_ngrams": ORACLE_TOP_NGRAMS,
+    "approx_distinct": ORACLE_APPROX_DISTINCT,
+    # rows-only (DuckDB cannot decode BMP/WAV payloads): media_features,
+    # media_frames, media_resize
 }

@@ -19,6 +19,11 @@ from metadata_ingestion_framework_spark.functions.pii import (
     identify_columns,
     mask_it,
 )
+from metadata_ingestion_framework_spark.functions.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    stratified_sample,
+)
 from metadata_ingestion_framework_spark.functions.timestamps import (
     clean_iso_timestamp,
     epoch_millis_to_timestamp,
@@ -48,4 +53,7 @@ __all__ = [
     "reorder_columns",
     "add_flag_columns",
     "serialize_rows",
+    "hash_bucket",
+    "deterministic_sample",
+    "stratified_sample",
 ]

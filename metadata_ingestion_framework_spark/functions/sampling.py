@@ -1,0 +1,64 @@
+"""Deterministic sampling for reproducible corpus curation (north-star
+training-data extension; no reference analogue — Utility.scala has no
+sampling support).
+
+``df.sample()`` draws from a seeded RNG over partition splits, so its output
+changes with partitioning/engine — useless for a reproducible 100 TB corpus
+cut. Production pipelines sample by CONTENT HASH instead: a row is in the
+sample iff ``hash(key) mod B < rate*B``. Properties that matter at scale:
+
+- deterministic across engines, partitionings, and retries (md5 here — the
+  same bucket expression is reproduced verbatim in the DuckDB oracle);
+- map-only (no shuffle, no state) — survives any data size;
+- stable under incremental loads: a row's membership never changes, so
+  re-running over a grown table extends the sample instead of reshuffling it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1_000_000
+
+
+def hash_bucket(cols: list[str | Column], salt: str = "") -> Column:
+    """Deterministic bucket in [0, BUCKETS): low 60 bits of md5 over the
+    \\x1f-joined key (nulls -> 'n/a'), mod BUCKETS.
+
+    60 bits (15 hex chars) keeps the value inside a signed long in BOTH
+    engines; DuckDB twin: ``('0x' || substr(md5(key), 1, 15))::BIGINT %
+    1000000``.
+    """
+    key = F.concat_ws(
+        "\x1f",
+        F.lit(salt),
+        *[
+            F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("n/a"))
+            for c in cols
+        ],
+    )
+    return F.pmod(F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"), F.lit(BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame, key_cols: list[str], rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows by content-hash membership (map-only, exact
+    reproducibility across engines/partitionings/reruns)."""
+    return df.filter(hash_bucket(key_cols, salt) < int(rate * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, rates: dict[str, float],
+    key_cols: list[str], salt: str = "", default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the 'training mix' primitive:
+    weight each source/language/quality-band by its own rate, in one
+    map-only pass. Unknown strata get ``default_rate``."""
+    rate_expr: Column = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate_expr = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate_expr)
+    return df.filter(
+        hash_bucket(key_cols, salt).cast("double") < rate_expr * float(BUCKETS)
+    )

@@ -12,6 +12,7 @@ from metadata_ingestion_framework_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_duplicates,
+    unpersist_deps,
 )
 from metadata_ingestion_framework_spark.operators.joins import (
     build_inner_join_condition,
@@ -47,6 +48,7 @@ __all__ = [
     "simhash",
     "simhash_duplicates",
     "ngram_jaccard_pairs",
+    "unpersist_deps",
     "MergeClause",
     "merge_apply",
     "scd1_merge",

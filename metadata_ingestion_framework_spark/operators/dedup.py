@@ -18,6 +18,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _widen_narrow_input(df: DataFrame) -> DataFrame:
+    """Give a CPU-bound Python kernel stage full parallelism.
+
+    ``mapInPandas`` inherits the input partitioning; a small/single-file
+    parquet scan arrives as 1-2 splits, which would run the per-doc kernel
+    on one core. On a real cluster big inputs already carry >= cores splits
+    and pass through untouched — only narrow inputs pay the one extra
+    round-robin shuffle (cheap relative to the kernel it parallelizes).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def unpersist_deps(df: DataFrame) -> None:
+    """Release intermediate DataFrames an operator persisted on behalf of
+    ``df`` (e.g. minhash/simhash signatures). No-op when there are none —
+    long-lived sessions call this after consuming the result instead of
+    relying on LRU eviction."""
+    for dep in getattr(df, "_persisted_deps", ()):
+        dep.unpersist()
+
+
 def dedup_window(df: DataFrame, keys: list[str], order_by: list[str], desc: bool = False) -> DataFrame:
     """Keep one row per key: first by ``order_by`` (ASCENDING by default).
 
@@ -126,6 +150,7 @@ def minhash_signatures(
     mult, add = minhash_constants(num_hashes, token_hash)
     hash64 = _token_hash_fn(token_hash)
     id_type = dict(df.dtypes)[id_col]
+    df = _widen_narrow_input(df.select(id_col, text_col))
 
     def sig_batches(batches):
         for pdf in batches:
@@ -153,7 +178,7 @@ def minhash_signatures(
                 "minhash_sig": pd.Series(sigs, dtype=object),
             })
 
-    return df.select(id_col, text_col).mapInPandas(
+    return df.mapInPandas(
         sig_batches, schema=f"{id_col} {id_type}, minhash_sig array<long>"
     )
 
@@ -188,10 +213,15 @@ def minhash_lsh_duplicates(
     # leave cached; callers may unpersist.
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, token_hash).persist()
     # band hash = xxhash64 over the band's signature slots + band index
-    # (multi-arg long hash — no string concat in the hot path).
+    # (multi-arg long hash — no string concat in the hot path). The banded
+    # frame is SKINNY (id, band, band_hash): a duplicate group of g docs
+    # emits g*(g-1)/2 pairs per band BEFORE the distinct, so dragging the
+    # 64-slot signature arrays through that join multiplied shuffle bytes
+    # by bands x group-size (measured 26x wall at a 10x replica probe).
+    # Candidates dedup as bare id pairs; signatures re-attach afterwards,
+    # once per UNIQUE pair, via two joins against the persisted sigs.
     banded = sigs.select(
         id_col,
-        "minhash_sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -207,21 +237,26 @@ def minhash_lsh_duplicates(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select(id_col, "minhash_sig", "bb.band", "bb.band_hash")
+    ).select(id_col, "bb.band", "bb.band_hash")
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.minhash_sig").alias("sig_a"),
-            F.col("b.minhash_sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand_ids.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("sig_b")),
+        "id_b",
     )
     import numpy as np
 
@@ -232,11 +267,13 @@ def minhash_lsh_duplicates(
             [float(np.mean(np.asarray(x) == np.asarray(y))) for x, y in zip(a, b)]
         )
 
-    return (
+    out = (
         cand.withColumn("jaccard_est", _jac("sig_a", "sig_b"))
         .filter(F.col("jaccard_est") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+    out._persisted_deps = [sigs]  # release via unpersist_deps(out)
+    return out
 
 
 def simhash(
@@ -257,6 +294,7 @@ def simhash(
     assert bits == 64, "64-bit fingerprints only"
     hash64 = _token_hash_fn(token_hash)
     id_type = dict(df.dtypes)[id_col]
+    df = _widen_narrow_input(df.select(id_col, text_col))
 
     def fp_batches(batches):
         shifts = np.arange(64, dtype=np.uint64)
@@ -284,7 +322,7 @@ def simhash(
                 "simhash": pd.Series(fps, dtype="int64"),
             })
 
-    return df.select(id_col, text_col).mapInPandas(
+    return df.mapInPandas(
         fp_batches, schema=f"{id_col} {id_type}, simhash long"
     )
 
@@ -323,14 +361,23 @@ def simhash_duplicates(
         ).alias("b"),
     ).select(id_col, "simhash", "b.blk", "b.blk_val")
     a, b = blocked.alias("a"), blocked.alias("b")
-    return (
+    # Verify BEFORE dedup: the Hamming check is a codegen'd bit_count on the
+    # already-joined row, so it streams through the join output without a
+    # shuffle — while dropDuplicates IS a shuffle. On a homogeneous corpus
+    # the block join can emit orders of magnitude more raw candidates than
+    # true pairs (measured 28M raw -> 215k true at a 10x replica probe);
+    # dedup-first shuffled all 28M, filter-first shuffles <= 4 rows per
+    # true pair (one per matching block).
+    out = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.blk_val") == F.col("b.blk_val"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
+    out._persisted_deps = [fps]  # release via unpersist_deps(out)
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -1,6 +1,9 @@
 """Sources (SURVEY.md §2.1) — batch and streaming readers."""
 
 from metadata_ingestion_framework_spark.sources.readers import (
+    avro_decode_cdc,
+    fetch_registry_schema,
+    history_max_files_for,
     read_csv,
     read_delta_stream,
     read_jdbc,
@@ -10,6 +13,9 @@ from metadata_ingestion_framework_spark.sources.readers import (
 )
 
 __all__ = [
+    "avro_decode_cdc",
+    "fetch_registry_schema",
+    "history_max_files_for",
     "read_jdbc",
     "read_parquet",
     "read_csv",

@@ -89,18 +89,40 @@ def read_csv(
     return reader.csv(path)
 
 
+# Per-table history-stream throttle map (parity:
+# OrchestrationConstant.scala:76 HISTORYLOADMAXFILEMAP = Map("flexifields"->2)).
+# Tables with very large files get a lower files-per-trigger cap; everything
+# else uses DEFAULT_HISTORY_MAX_FILES (Readers.scala:189 getOrElse(...,20)).
+HISTORY_LOAD_MAX_FILE_MAP: dict[str, int] = {"flexifields": 2}
+DEFAULT_HISTORY_MAX_FILES = 20
+
+
+def history_max_files_for(
+    table: str, throttle_map: dict[str, int] | None = None, default: int | None = None
+) -> int:
+    """Resolve the per-table maxFilesPerTrigger cap (Readers.scala:189)."""
+    m = HISTORY_LOAD_MAX_FILE_MAP if throttle_map is None else throttle_map
+    return m.get(table, default if default is not None else DEFAULT_HISTORY_MAX_FILES)
+
+
 def read_parquet_stream(
     spark: SparkSession,
     path: str,
     schema: StructType | str,
     max_files_per_trigger: int | None = None,
+    table_name: str | None = None,
+    throttle_map: dict[str, int] | None = None,
 ) -> DataFrame:
     """File-based streaming scan (our Delta-stream stand-in for this env).
 
     Parity: Readers.scala:179-211 (`DeltaStreamReader`) — a throttled
     streaming table scan for history backfill; ``maxFilesPerTrigger`` is the
-    backpressure knob (Const:76 caps it per table).
+    backpressure knob. When ``table_name`` is given the cap resolves through
+    the per-table throttle map (HISTORYLOADMAXFILEMAP, Const:76), matching
+    the reference's ``getOrElse(tableName, 20)``.
     """
+    if max_files_per_trigger is None and table_name is not None:
+        max_files_per_trigger = history_max_files_for(table_name, throttle_map)
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -108,16 +130,80 @@ def read_parquet_stream(
 
 
 def read_delta_stream(
-    spark: SparkSession, table: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    table: str,
+    max_files_per_trigger: int | None = None,
+    throttle_map: dict[str, int] | None = None,
 ) -> DataFrame:
     """Streaming Delta table scan — import-gated (no delta-spark here).
 
-    Parity: Readers.scala:186-190.
+    Parity: Readers.scala:186-190 (including the per-table throttle map).
     """
+    if max_files_per_trigger is None:
+        max_files_per_trigger = history_max_files_for(table, throttle_map)
     reader = spark.readStream.format("delta")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.table(table)
+
+
+def fetch_registry_schema(
+    registry_url: str,
+    subject: str,
+    http_get=None,
+) -> str:
+    """Fetch the latest Avro schema for ``subject`` from a Confluent-style
+    schema registry: GET {url}/subjects/{subject}/versions/latest.
+
+    Parity: Readers.scala:130-133 resolves ``topic-key`` / ``topic-value``
+    subjects against AVRO_SCHEMA_REG_URL (OrchestrationConstant.scala:6).
+    ``http_get`` is injectable for tests/custom transports.
+    """
+    import json as _json
+    import urllib.request
+
+    url = f"{registry_url.rstrip('/')}/subjects/{subject}/versions/latest"
+    if http_get is None:
+        def http_get(u: str) -> bytes:
+            with urllib.request.urlopen(u, timeout=10) as resp:  # noqa: S310
+                return resp.read()
+
+    doc = _json.loads(http_get(url))
+    schema = doc.get("schema")
+    if not schema:
+        raise ValueError(f"registry response for {subject} has no 'schema' field")
+    return schema
+
+
+def avro_decode_cdc(
+    df: DataFrame,
+    value_schema: str,
+    key_schema: str | None = None,
+    confluent_wire_format: bool = True,
+) -> DataFrame:
+    """Decode Kafka key/value binary columns with ``from_avro``.
+
+    Confluent producers prepend a 5-byte header (magic 0x00 + 4-byte schema
+    id) that plain ``from_avro`` does not strip — the reference's Databricks
+    ``from_avro(col, subject, registryUrl)`` overload handles it internally;
+    here we strip it explicitly. Requires the spark-avro jar (import-gated
+    in this container).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.avro.functions import from_avro
+
+    def body(col_name: str):
+        if confluent_wire_format:
+            return F.expr(f"substring({col_name}, 6, 2147483647)")
+        return F.col(col_name)
+
+    cols = [
+        from_avro(body("value"), value_schema).alias("value"),
+        "topic", "partition", "offset", "timestamp",
+    ]
+    if key_schema is not None:
+        cols.insert(0, from_avro(body("key"), key_schema).alias("key"))
+    return df.select(*cols)
 
 
 def read_kafka_cdc_stream(
@@ -127,16 +213,24 @@ def read_kafka_cdc_stream(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int = 100_000,
     avro_value_schema: str | None = None,
+    schema_registry_url: str | None = None,
+    decode_key: bool = False,
+    http_get=None,
 ) -> DataFrame:
     """Streaming Kafka scan of a Debezium CDC topic.
 
     Parity: Readers.scala:108-152 (`KafkaReader`): maxOffsetsPerTrigger cap,
     failOnDataLoss=false, startingOffsets recovered from the status table
-    (see streaming/offsets.py). Value decoding: ``from_avro`` when a schema
-    is supplied (the reference resolves it from a schema registry per topic,
-    Readers.scala:130-133), else the raw key/value pass through for
-    ``from_json`` downstream. Needs the kafka + avro connector jars on the
-    cluster classpath; import-gated in this container.
+    (see streaming/offsets.py). Value decoding, in precedence order:
+
+    1. ``schema_registry_url`` — fetch the ``{topic}-value`` (and, with
+       ``decode_key``, ``{topic}-key``) subject from a Confluent-style
+       registry and ``from_avro`` both, mirroring Readers.scala:130-133.
+    2. ``avro_value_schema`` — a literal Avro schema string.
+    3. neither — raw key/value pass through for ``from_json`` downstream.
+
+    Needs the kafka + avro connector jars on the cluster classpath;
+    import-gated in this container.
     """
     df = (
         spark.readStream.format("kafka")
@@ -147,9 +241,15 @@ def read_kafka_cdc_stream(
         .option("failOnDataLoss", "false")
         .load()
     )
+    key_schema = None
+    if schema_registry_url is not None:
+        avro_value_schema = fetch_registry_schema(
+            schema_registry_url, f"{topic}-value", http_get=http_get
+        )
+        if decode_key:
+            key_schema = fetch_registry_schema(
+                schema_registry_url, f"{topic}-key", http_get=http_get
+            )
     if avro_value_schema is not None:
-        from pyspark.sql.avro.functions import from_avro
-
-        df = df.select(from_avro(df["value"], avro_value_schema).alias("value"),
-                       "topic", "partition", "offset", "timestamp")
+        df = avro_decode_cdc(df, avro_value_schema, key_schema)
     return df

@@ -1,0 +1,86 @@
+"""Deterministic sampling + vocab counting (training-data extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.functions.sampling import (
+    BUCKETS,
+    deterministic_sample,
+    hash_bucket,
+    stratified_sample,
+)
+
+
+def test_hash_bucket_range_and_determinism(spark):
+    df = spark.range(5000).withColumn("b", hash_bucket(["id"], salt="t"))
+    mn, mx = df.agg(F.min("b"), F.max("b")).collect()[0]
+    assert 0 <= mn and mx < BUCKETS
+    # same rows -> same buckets regardless of partitioning
+    a = {r["id"]: r["b"] for r in df.collect()}
+    b = {
+        r["id"]: r["b"]
+        for r in spark.range(5000).repartition(13)
+        .withColumn("b", hash_bucket(["id"], salt="t")).collect()
+    }
+    assert a == b
+
+
+def test_deterministic_sample_stable_and_proportional(spark):
+    df = spark.range(20000)
+    s1 = set(r["id"] for r in deterministic_sample(df, ["id"], 0.2, "s").collect())
+    s2 = set(
+        r["id"] for r in deterministic_sample(df.repartition(7), ["id"], 0.2, "s").collect()
+    )
+    assert s1 == s2  # membership independent of partitioning
+    assert 0.17 < len(s1) / 20000 < 0.23  # ~rate
+    # membership is monotone under growth: sampling a superset keeps the
+    # original sample (incremental-load stability)
+    s3 = set(r["id"] for r in deterministic_sample(spark.range(40000), ["id"], 0.2, "s").collect())
+    assert s1 <= s3
+    # different salt -> a different (mostly disjoint-ish) sample
+    s4 = set(r["id"] for r in deterministic_sample(df, ["id"], 0.2, "other").collect())
+    assert s4 != s1
+
+
+def test_stratified_sample_rates_and_default(spark):
+    df = spark.range(30000).withColumn(
+        "stratum",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ),
+    )
+    out = stratified_sample(df, "stratum", {"a": 0.5, "b": 0.1}, ["id"], salt="x")
+    counts = {r["stratum"]: r["n"] for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert 0.45 < counts["a"] / 10000 < 0.55
+    assert 0.07 < counts["b"] / 10000 < 0.13
+    assert "c" not in counts  # default_rate=0 drops unknown strata
+    # strata in the rates map keep only their own members
+    full = stratified_sample(df, "stratum", {"a": 1.0}, ["id"], salt="x")
+    assert full.count() == 10000
+
+
+def test_top_ngrams_tiny_golden(spark, tmp_path):
+    from metadata_ingestion_framework_spark.catalog_queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "to be or not to be"),
+            (2, "to be is to do"),
+            (3, "one"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = QUERIES["top_ngrams"](spark, str(tmp_path)).collect()
+    got = {r["gram"]: r["n"] for r in rows}
+    # "to be" appears 3x (twice in doc1? no: 'to be'@1, 'to be'@5->'to be' once
+    # at start and once after 'not to', plus doc2) -- enumerate: doc1 bigrams:
+    # [to be, be or, or not, not to, to be]; doc2: [to be, be is, is to, to do]
+    assert got["to be"] == 3
+    assert got["not to"] == 1 and got["to do"] == 1
+    assert "one" not in got  # single-token doc has no bigram
+    # ordering: count desc then gram asc
+    assert rows[0]["gram"] == "to be"
