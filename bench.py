@@ -53,6 +53,21 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
         except Exception:
             pass
+    # JIT/codegen warmup: run every headline query once at the smallest SF
+    # (sf0.001, ~1% of the timed data). Whole-stage codegen compilation and
+    # Arrow/Python worker startup are per-plan-shape one-time costs a
+    # long-running session has already paid; timing them against the first
+    # query that happens to use each path misattributes fixed cost as
+    # per-query cost. Data caches stay cold for the timed SF — different dir.
+    warm_dir = "/root/testdata/sf0.001"
+    import os as _os
+
+    if _os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_dir).collect()
+            except Exception as exc:  # pragma: no cover - warmup best-effort
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1426,6 +1426,51 @@ FROM scored QUALIFY rank <= 10
 ORACLE_LSH_TOPK = _build_lsh_topk_oracle()
 
 
+def q_lsh_topk_mp(spark, sf_dir):
+    """Multi-probe SRP-LSH top-k: probe the query bucket plus 2 Hamming-1
+    neighbor buckets (flip plane bits 0 and 1) — the recall knob for a near
+    neighbor just across one hyperplane. Deterministic plane constants, so
+    the probe expansion is reproduced verbatim in DuckDB."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=64, k=10, n_planes=6, multi_probe=2)
+
+
+def _build_lsh_topk_mp_oracle(multi_probe: int = 2) -> str:
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, 6, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_sql_vec(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(multi_probe)])
+    return f"""
+WITH cb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+qb AS (SELECT query_id, qvec, unnest([{probes}]) AS bucket
+       FROM (SELECT vec_id AS query_id, embedding AS qvec, bucket
+             FROM cb WHERE vec_id < 5)),
+scored AS (
+  SELECT qb.query_id, cb.vec_id,
+    ROUND(list_dot_product(CAST(cb.embedding AS DOUBLE[]), CAST(qb.qvec AS DOUBLE[])) /
+      (sqrt(list_dot_product(CAST(cb.embedding AS DOUBLE[]), CAST(cb.embedding AS DOUBLE[]))) *
+       sqrt(list_dot_product(CAST(qb.qvec AS DOUBLE[]), CAST(qb.qvec AS DOUBLE[])))), 6) AS score
+  FROM cb JOIN qb ON cb.bucket = qb.bucket
+)
+SELECT query_id, vec_id, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+ORACLE_LSH_TOPK_MP = _build_lsh_topk_mp_oracle()
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF coarse-quantized approximate top-k.
 
@@ -1731,6 +1776,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
+    "lsh_topk_mp": q_lsh_topk_mp,
     "ivf_topk": q_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
@@ -1755,7 +1801,6 @@ QUERIES = {
     # joins
     "theta_join": q_theta_join,
     "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
     "struct_multiplex": q_struct_multiplex,
     # row-level transforms / PII (representatives; the rest of the family —
     # unchanged since its round-1 green rows — sits in the tail)
@@ -1770,6 +1815,7 @@ QUERIES = {
     "scd4_history": q_scd4_history,
     # --- position 51+ (driver-verified green in round 1; lowest marginal
     # signal if a bounded driver window cuts here) ---
+    "anti_join": q_anti_join,
     "cube_qty": q_cube,
     "rollup_price": q_rollup,
     "pivot_status": q_pivot,
@@ -1846,6 +1892,7 @@ ORACLES = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,
+    "lsh_topk_mp": ORACLE_LSH_TOPK_MP,
     "ivf_topk": ORACLE_IVF_TOPK,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "grouping_key": ORACLE_GROUPING_KEY,

@@ -100,19 +100,36 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: SRP-LSH bucket equi-join then exact rerank.
 
     Both sides hash to 2^n_planes buckets; candidates are corpus rows sharing
     the query's bucket. At 100 TB: the corpus is bucketed once (write-time
     partition column), each query probes one bucket — a partition-pruned scan
-    instead of a full pass. Recall tuning: lower n_planes or multi-probe.
+    instead of a full pass.
+
+    Recall tuning: ``multi_probe=m`` additionally probes the m Hamming-1
+    neighbor buckets obtained by flipping each of the first m plane bits —
+    the standard multi-probe answer to a near neighbor sitting just across
+    one hyperplane. Each (query, corpus) pair still joins at most once (a
+    corpus row lives in exactly one bucket and the probe list is distinct),
+    so no dedup stage is needed; cost scales the probed fraction from
+    1/2^n_planes to (1+m)/2^n_planes of the corpus per query.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
     c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     q = queries.select(
         query_id_col, F.col(vec_col).alias("__qvec")
     ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
+    if multi_probe:
+        q = q.withColumn(
+            "__bucket",
+            F.explode(F.array(
+                F.col("__bucket"),
+                *[F.col("__bucket").bitwiseXOR(F.lit(1 << i)) for i in range(multi_probe)],
+            )),
+        )
     scored = c.join(F.broadcast(q), "__bucket").select(
         query_id_col,
         id_col,

@@ -1,0 +1,74 @@
+"""Write-time layout -> partition-pruned scans: the documented 100 TB scale
+path for the similarity family (an n_probe/n_cells fraction of the corpus
+read per query instead of a full pass)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.similarity import (
+    ivf_assign,
+    lsh_topk,
+    random_centroids,
+)
+
+
+def _fake_embeddings(spark, n=200, dim=8):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0),
+        ).cast("array<float>").alias("embedding"),
+    )
+
+
+def test_ivf_cell_layout_prunes_partitions(spark, tmp_path):
+    """Corpus written partitionBy(__ivf_cell): probing 2 cells must produce
+    a scan whose PartitionFilters carry the cell predicate (directory-level
+    pruning — only n_probe/n_cells of the files are touched)."""
+    emb = _fake_embeddings(spark)
+    cents = random_centroids(8, 4, seed=7)
+    path = str(tmp_path / "ivf_layout")
+    ivf_assign(emb, cents).write.partitionBy("__ivf_cell").parquet(path)
+
+    schema = spark.read.parquet(path).schema
+    scan = spark.read.schema(schema).parquet(path).filter(F.col("__ivf_cell").isin(0, 1))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__ivf_cell" in plan.split("PartitionFilters")[1][:200]
+
+    expected = ivf_assign(emb, cents).filter(F.col("__ivf_cell").isin(0, 1)).count()
+    assert expected > 0
+
+    # behavioral proof the pruning is file-level, not a post-scan filter:
+    # corrupt every file of a NON-probed cell — a pruned scan never opens
+    # them and still succeeds; an unpruned scan of the same layout fails.
+    import glob
+    import pytest as _pytest
+
+    corrupted = glob.glob(f"{path}/__ivf_cell=2/*.parquet")
+    assert corrupted, "expected cell-2 files in the layout"
+    for f in corrupted:
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+    assert scan.count() == expected
+    with _pytest.raises(Exception):
+        spark.read.schema(schema).parquet(path).count()
+
+
+def test_lsh_multi_probe_superset_recall(spark):
+    """Multi-probe candidates strictly contain the single-probe candidates
+    (same plane constants -> same buckets, plus the Hamming-1 neighbors),
+    so per-query recall against brute force can only improve."""
+    emb = _fake_embeddings(spark, n=300)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    single = lsh_topk(emb, queries, dim=8, k=5, n_planes=4)
+    multi = lsh_topk(emb, queries, dim=8, k=5, n_planes=4, multi_probe=2)
+    s = {(r["query_id"], r["vec_id"], r["score"]) for r in single.collect()}
+    m_all = lsh_topk(emb, queries, dim=8, k=10**6, n_planes=4, multi_probe=2)
+    m = {(r["query_id"], r["vec_id"], r["score"]) for r in m_all.collect()}
+    assert s <= m  # candidate superset
+    # no duplicate (query, vec) pairs from the probe expansion
+    assert multi.groupBy("query_id", "vec_id").count().filter("count > 1").count() == 0
