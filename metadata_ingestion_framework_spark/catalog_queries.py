@@ -42,6 +42,7 @@ from metadata_ingestion_framework_spark.operators.dedup import (
     dedup_window,
     minhash_lsh_duplicates,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_duplicates,
 )
 from metadata_ingestion_framework_spark.operators.joins import build_inner_join_condition
@@ -1354,6 +1355,42 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
 # Similarity search (north-star)
 # ---------------------------------------------------------------------------
 
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """CORPUS-GLOBAL exact word-3-gram Jaccard pairs (threshold 0.5) via
+    prefix filtering — no blocking column at all, which the O(block^2)
+    kernel cannot afford. The DuckDB oracle brute-forces all pairs; the
+    engine must find exactly the same set through the prefix join."""
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(docs, "text", "doc_id", None, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD_PREFIX = r"""
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([
+      array_to_string(toks[i:i+2], ' ')
+      FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+    ]) AS grams
+  FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS toks
+    FROM documents
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1
+              ELSE len(list_distinct(a.grams || b.grams)) END), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.grams) > 0 AND len(b.grams) > 0
+  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      (CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1
+            ELSE len(list_distinct(a.grams || b.grams)) END) >= 0.5
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for the first 5 vectors as queries."""
     emb = t(spark, sf_dir, "embeddings")
@@ -1744,6 +1781,129 @@ FROM events GROUP BY event_type
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END corpus curation — the flagship composite for a training
+    -data pipeline, every stage one of this engine's oracle-proven
+    operators, chained:
+
+      1. language-ID + quality scoring (pure codegen expressions);
+      2. gate: quality >= 0.5 and predicted language in {en, de, fr};
+      3. exact dedup on the normalized md5 fingerprint (min doc_id wins);
+      4. near-dup removal: word-3-gram Jaccard >= 0.5 within language
+         blocks, higher doc_id of each pair dropped;
+      5. deterministic stratified training mix (en 80%, de 60%, fr 60%).
+
+    Deterministic at every stage, so the whole pipeline has ONE DuckDB
+    oracle. Plan shape: two map stages + one hash-agg + one blocked
+    applyInPandas + one broadcast anti-join + one map filter — no
+    all-pairs work, nothing driver-side.
+    """
+    from metadata_ingestion_framework_spark.functions.sampling import stratified_sample
+
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    scored = docs.select(
+        "doc_id", "text",
+        detect_language(c).alias("pred_lang"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & F.col("pred_lang").isin("en", "de", "fr")
+    )
+    # min-doc_id per fingerprint as ONE window pass (a groupBy+join-back
+    # formulation re-ran the lang-ID/quality expressions on both join
+    # branches); persist: the near-dup pair stage and the anti-join both
+    # consume `exact`, and without the barrier the whole scoring stage
+    # recomputes per branch (measured 3x the pipeline wall).
+    exact = dedup_window(kept, ["fp"], ["doc_id"]).persist()
+    # prefix-filtered exact jaccard: identical output to the blocked O(m^2)
+    # kernel, but a giant language block parallelizes across gram keys
+    # instead of serializing into one Python task (56s -> ~8s at sf0.1)
+    pairs = ngram_jaccard_pairs_prefix(
+        exact, "text", "doc_id", ["pred_lang"], threshold=0.5
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    nodup = exact.join(losers, "doc_id", "left_anti")
+    mixed = stratified_sample(
+        nodup, "pred_lang", {"en": 0.8, "de": 0.6, "fr": 0.6},
+        key_cols=["doc_id"], salt="cur1",
+    )
+    out = mixed.select("doc_id", "pred_lang", "quality")
+    out._persisted_deps = [exact]  # release via operators.unpersist_deps
+    return out
+
+
+def _build_curation_oracle() -> str:
+    from metadata_ingestion_framework_spark.functions.text import LANG_MARKERS
+
+    hits = ", ".join(
+        f"{_lang_hits_sql(words)} AS h_{lang}" for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    greatest = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN h_{lang} = {greatest} THEN '{lang}' "
+    case += "END"
+    return rf"""
+WITH feat AS (
+  SELECT doc_id, text, {hits},
+    CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}]', '', 'g')) AS n_punct,
+    CAST(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 1
+         ELSE len(regexp_extract_all(lower(text), '\S+')) END AS DOUBLE) AS n_toks,
+    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, fp, {case} AS pred_lang,
+    ROUND((n_alpha / n_chars + (1 - n_punct / n_chars) +
+      CASE WHEN n_nonspace / n_toks BETWEEN 3 AND 12 THEN 1.0
+           WHEN n_nonspace / n_toks < 3 THEN (n_nonspace / n_toks) / 3.0
+           ELSE 12.0 / (n_nonspace / n_toks) END) / 3.0, 6) AS quality
+  FROM feat
+),
+kept AS (
+  SELECT * FROM scored WHERE quality >= 0.5 AND pred_lang IN ('en', 'de', 'fr')
+),
+winners AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp),
+exact AS (
+  SELECT k.* FROM kept k JOIN winners w ON k.fp = w.fp AND k.doc_id = w.doc_id
+),
+sh AS (
+  SELECT doc_id, pred_lang,
+    list_distinct([array_to_string(toks[i:i+2], ' ')
+      FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+  FROM (
+    SELECT doc_id, pred_lang,
+      list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS toks
+    FROM exact
+  )
+),
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.pred_lang = b.pred_lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1
+              ELSE len(list_distinct(a.grams || b.grams)) END) >= 0.5
+),
+nodup AS (
+  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT doc_id, pred_lang, quality FROM nodup
+WHERE ('0x' || substr(md5(concat_ws(chr(31), 'cur1', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+      % 1000000
+      < (CASE pred_lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.6 WHEN 'fr' THEN 0.6
+         ELSE 0.0 END) * 1000000
+"""
+
+
+ORACLE_CURATION_PIPELINE = _build_curation_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1774,6 +1934,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_mp": q_lsh_topk_mp,
@@ -1788,6 +1949,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "top_ngrams": q_top_ngrams,
     "approx_distinct": q_approx_distinct,
+    "curation_pipeline": q_curation_pipeline,
     # windows / sorts / aggs
     "distinct_segments": q_distinct,
     "window_dedup": q_window_dedup,
@@ -1797,10 +1959,8 @@ QUERIES = {
     "running_sum": q_running_sum,
     "range_frame": q_range_frame,
     "percentiles": q_percentiles,
-    "stats_agg": q_stats_agg,
     # joins
     "theta_join": q_theta_join,
-    "semi_join": q_semi_join,
     "struct_multiplex": q_struct_multiplex,
     # row-level transforms / PII (representatives; the rest of the family —
     # unchanged since its round-1 green rows — sits in the tail)
@@ -1815,6 +1975,8 @@ QUERIES = {
     "scd4_history": q_scd4_history,
     # --- position 51+ (driver-verified green in round 1; lowest marginal
     # signal if a bounded driver window cuts here) ---
+    "stats_agg": q_stats_agg,
+    "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "cube_qty": q_cube,
     "rollup_price": q_rollup,
@@ -1890,6 +2052,7 @@ ORACLES = {
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "ngram_jaccard_prefix": ORACLE_NGRAM_JACCARD_PREFIX,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,
     "lsh_topk_mp": ORACLE_LSH_TOPK_MP,
@@ -1900,6 +2063,7 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "top_ngrams": ORACLE_TOP_NGRAMS,
     "approx_distinct": ORACLE_APPROX_DISTINCT,
+    "curation_pipeline": ORACLE_CURATION_PIPELINE,
     # rows-only (DuckDB cannot decode BMP/WAV payloads): media_features,
     # media_frames, media_resize
 }

@@ -10,6 +10,7 @@ from metadata_ingestion_framework_spark.operators.dedup import (
     minhash_lsh_duplicates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash,
     simhash_duplicates,
     unpersist_deps,
@@ -48,6 +49,7 @@ __all__ = [
     "simhash",
     "simhash_duplicates",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
     "unpersist_deps",
     "MergeClause",
     "merge_apply",

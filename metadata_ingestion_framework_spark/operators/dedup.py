@@ -380,6 +380,111 @@ def simhash_duplicates(
     return out
 
 
+def _gram_array(text_col: str, shingle_n: int = 3):
+    """Distinct word n-gram array as pure codegen expressions.
+
+    Built by zipping ``shingle_n`` shifted slices of the token array —
+    referencing the token array INSIDE a HOF lambda (element_at) would
+    re-evaluate the whole split per element (CLAUDE.md capture trap).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    m = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for k in range(1, shingle_n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, m), lambda acc, w: F.concat_ws(" ", acc, w)
+        )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str] | None = None,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs at corpus scale via prefix filtering
+    (the PPJoin family; see Xiao et al., WWW'08 — public algorithm).
+
+    Guarantee: order every doc's grams by one global total order
+    (ascending global frequency, then gram). If J(A, B) >= t, the two
+    prefixes of length ``|X| - ceil(t*|X|) + 1`` MUST intersect — so the
+    equi-join on prefix grams produces a candidate superset, and the exact
+    verify keeps precisely the true pairs. Same output as
+    ``ngram_jaccard_pairs`` but no O(block^2) stage: a giant block (e.g.
+    one language holding half the corpus) parallelizes across gram keys
+    instead of serializing into one Python task.
+
+    Shuffle inventory (all bounded keys): gram-frequency agg, freq join,
+    per-doc window (id), prefix self-join on (block, gram), candidate
+    distinct, two id joins for verify. Rare grams make tiny join buckets;
+    the frequency ordering puts each doc's RAREST grams in its prefix,
+    which is what keeps candidate counts near the true-pair count.
+    """
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    blocks = list(block_cols or [])
+    docs_g = (
+        df.select(*blocks, id_col, _gram_array(text_col, shingle_n).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .withColumn("__sz", F.size("grams"))
+        .persist()
+    )
+    freq = (
+        docs_g.select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    exploded = docs_g.select(*blocks, id_col, "__sz", F.explode("grams").alias("gram")).join(
+        freq, "gram"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cnt").asc(), F.col("gram").asc())
+    prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    prefix = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= prefix_len
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cond = (F.col("a.gram") == F.col("b.gram")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf("double")
+    def _jac(ga: pd.Series, gb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ga, gb):
+            sx, sy = set(x), set(y)
+            union = len(sx | sy)
+            out.append(len(sx & sy) / union if union else 0.0)
+        return pd.Series(out)
+
+    ga = docs_g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("__ga"))
+    gb = docs_g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("__gb"))
+    out = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", _jac("__ga", "__gb"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    out._persisted_deps = [docs_g]  # release via unpersist_deps
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
