@@ -455,6 +455,21 @@ def ngram_jaccard_pairs_prefix(
     )
     for c in blocks:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # PPJoin pruning (both exact, applied inside the join so rejected pairs
+    # never reach the shuffle):
+    # - length filter: J >= t forces t*|A| <= |B| <= |A|/t;
+    # - positional filter: a shared prefix gram at sorted positions
+    #   (rnA, rnB) can still lead to overlap alpha = ceil(t/(1+t)(|A|+|B|))
+    #   only if 1 + min(|A|-rnA, |B|-rnB) >= alpha.
+    # Measured: 105k -> ~2k candidates for 215 true pairs at sf0.1, which
+    # also shrinks the gram-array attach join ~50x.
+    sz_a, sz_b = F.col("a.__sz"), F.col("b.__sz")
+    cond = cond & (sz_b >= F.lit(threshold) * sz_a) & (sz_a >= F.lit(threshold) * sz_b)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (sz_a + sz_b) - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(sz_a - F.col("a.__rn"), sz_b - F.col("b.__rn"))
+    cond = cond & (ubound >= alpha)
     cand = (
         a.join(b, cond)
         .select(
