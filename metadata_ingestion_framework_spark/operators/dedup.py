@@ -380,25 +380,6 @@ def simhash_duplicates(
     return out
 
 
-def _gram_array(text_col: str, shingle_n: int = 3):
-    """Distinct word n-gram array as pure codegen expressions.
-
-    Built by zipping ``shingle_n`` shifted slices of the token array —
-    referencing the token array INSIDE a HOF lambda (element_at) would
-    re-evaluate the whole split per element (CLAUDE.md capture trap).
-    """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
-    )
-    m = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(0))
-    grams = F.slice(toks, 1, m)
-    for k in range(1, shingle_n):
-        grams = F.zip_with(
-            grams, F.slice(toks, k + 1, m), lambda acc, w: F.concat_ws(" ", acc, w)
-        )
-    return F.array_distinct(grams)
-
-
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str,
@@ -429,8 +410,31 @@ def ngram_jaccard_pairs_prefix(
 
     id_type = dict(df.dtypes)[id_col]
     blocks = list(block_cols or [])
+    dtypes = dict(df.dtypes)
+    gram_schema = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in blocks]
+        + [f"`{id_col}` {id_type}", "grams array<string>"]
+    )
+
+    def build_grams(batches):
+        # Arrow kernel, not the zip_with expression pipeline: building ~700
+        # grams/doc through interpreted HOF lambdas measured ~4x slower
+        # than one Python pass per doc (CLAUDE.md HOF rule).
+        for pdf in batches:
+            grams = []
+            for text in pdf[text_col]:
+                words = (text or "").lower().split()
+                grams.append(list({
+                    " ".join(words[j : j + shingle_n])
+                    for j in range(max(len(words) - shingle_n + 1, 0))
+                }))
+            out = pdf[[*blocks, id_col]].copy()
+            out["grams"] = pd.Series(grams, dtype=object)
+            yield out
+
     docs_g = (
-        df.select(*blocks, id_col, _gram_array(text_col, shingle_n).alias("grams"))
+        _widen_narrow_input(df.select(*blocks, id_col, text_col))
+        .mapInPandas(build_grams, schema=gram_schema)
         .filter(F.size("grams") > 0)
         .withColumn("__sz", F.size("grams"))
         .persist()

@@ -77,6 +77,20 @@ def probe(spark, docs, emb, tag: str) -> dict:
     # --- simhash end-to-end
     timed("simhash_pairs", lambda: simhash_duplicates(docs, "text", "doc_id").count(), r)
 
+    # --- prefix-filtered exact jaccard, corpus-global (no blocking)
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+        unpersist_deps,
+    )
+
+    def _prefix_join():
+        out = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", None, threshold=0.5)
+        n = out.count()
+        unpersist_deps(out)
+        return n
+
+    timed("prefix_jaccard_global", _prefix_join, r)
+
     # --- embedding near-dup: stage 1 block shuffle, stage 2 blocked matmul
     emb.persist().count()
     timed(
