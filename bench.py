@@ -35,6 +35,11 @@ HEADLINE = [
     "stratified_sample",
 ]
 
+# Heavy flagship composites benchmarked separately (tools/scale_probe.py +
+# BENCH.json "flagship" section): ngram_jaccard_prefix (~4s warm sf0.1),
+# curation_pipeline (~9s warm sf0.1). Kept out of HEADLINE so the
+# round-over-round total stays comparable to the r1 query set.
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,6 +89,8 @@ def main() -> None:
         # at sf0.1, so driver transfer stays a small, honest delivery cost.
         n = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 4)
+        for dep in getattr(df, "_persisted_deps", ()):  # release operator caches
+            dep.unpersist()
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
