@@ -1781,6 +1781,36 @@ FROM events GROUP BY event_type
 """
 
 
+def q_chunk_passages(spark, sf_dir):
+    """Context-window chunking: 128-token passages, 32-token overlap."""
+    from metadata_ingestion_framework_spark.functions.text import chunk_passages
+
+    docs = t(spark, sf_dir, "documents")
+    return chunk_passages(docs, "text", "doc_id", chunk_tokens=128, overlap=32)
+
+
+ORACLE_CHUNK_PASSAGES = r"""
+WITH tk AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+    FROM documents
+  ) WHERE toks IS NOT NULL AND len(toks) > 0
+),
+ch AS (
+  SELECT doc_id,
+    unnest([{'chunk_id': i,
+             'passage': array_to_string(toks[1 + i*96 : 1 + i*96 + 127], ' '),
+             'n_tokens': least(128, len(toks) - (1 + i*96) + 1)}
+            FOR i IN range(0, (greatest(len(toks), 1) - 1) // 96 + 1)]) AS c
+  FROM tk
+)
+SELECT doc_id, CAST(c.chunk_id AS INT) AS chunk_id, c.passage,
+       CAST(c.n_tokens AS INT) AS n_tokens
+FROM ch WHERE c.n_tokens > 0
+"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """END-TO-END corpus curation — the flagship composite for a training
     -data pipeline, every stage one of this engine's oracle-proven
@@ -1949,6 +1979,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "top_ngrams": q_top_ngrams,
     "approx_distinct": q_approx_distinct,
+    "chunk_passages": q_chunk_passages,
     "curation_pipeline": q_curation_pipeline,
     # windows / sorts / aggs
     "distinct_segments": q_distinct,
@@ -1957,7 +1988,6 @@ QUERIES = {
     "top_orders": q_top_orders,
     "topk_per_group": q_topk_per_group,
     "running_sum": q_running_sum,
-    "range_frame": q_range_frame,
     "percentiles": q_percentiles,
     # joins
     "theta_join": q_theta_join,
@@ -1975,6 +2005,7 @@ QUERIES = {
     "scd4_history": q_scd4_history,
     # --- position 51+ (driver-verified green in round 1; lowest marginal
     # signal if a bounded driver window cuts here) ---
+    "range_frame": q_range_frame,
     "stats_agg": q_stats_agg,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -2063,6 +2094,7 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "top_ngrams": ORACLE_TOP_NGRAMS,
     "approx_distinct": ORACLE_APPROX_DISTINCT,
+    "chunk_passages": ORACLE_CHUNK_PASSAGES,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     # rows-only (DuckDB cannot decode BMP/WAV payloads): media_features,
     # media_frames, media_resize

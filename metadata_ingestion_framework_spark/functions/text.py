@@ -122,6 +122,55 @@ def rolling_hash_fingerprint(col: Column, window: int = 16, keep_every: int = 8)
     return F.array_min(grams)
 
 
+def chunk_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-size token passages with overlap — the
+    context-window prep stage of a training pipeline (north-star; no
+    reference analogue).
+
+    Whitespace tokens; windows start every ``chunk_tokens - overlap``
+    positions. Emits (id, chunk_id, passage, n_tokens); empty documents
+    produce no rows. Pure codegen: tokenize once, posexplode the start
+    sequence, slice per chunk row — the token array rides through the
+    explode (never re-split per chunk, the HOF capture trap), duplicating
+    ~1/(chunk-overlap) of the text per emitted row.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    # drop empty AND null texts here: size(NULL) is NULL under ANSI, and
+    # downstream least()/greatest() silently ignore NULL operands, which
+    # would let a NULL document emit one bogus chunk
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    chunks = base.select(
+        id_col,
+        "__toks",
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1)), F.lit(step))
+        ).alias("chunk_id", "__start"),
+    )
+    n_tokens = F.least(F.lit(chunk_tokens), F.size("__toks") - F.col("__start") + 1)
+    return (
+        chunks.select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice("__toks", F.col("__start"), chunk_tokens), " "
+            ).alias("passage"),
+            n_tokens.alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column set in one map stage."""
     c = F.col(text_col)

@@ -84,3 +84,27 @@ def test_top_ngrams_tiny_golden(spark, tmp_path):
     assert "one" not in got  # single-token doc has no bigram
     # ordering: count desc then gram asc
     assert rows[0]["gram"] == "to be"
+
+
+def test_chunk_passages_golden(spark):
+    from metadata_ingestion_framework_spark.functions.text import chunk_passages
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "only three words"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_passages(docs, "text", "doc_id", chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 10 tokens, step 3 -> starts 1,4,7,10
+    assert (1, 0) in rows and rows[(1, 0)]["passage"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["passage"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert rows[(1, 2)]["passage"] == "w6 w7 w8 w9"
+    assert rows[(1, 3)]["passage"] == "w9" and rows[(1, 3)]["n_tokens"] == 1
+    assert rows[(2, 0)]["passage"] == "only three words" and rows[(2, 0)]["n_tokens"] == 3
+    # empty/null docs emit nothing
+    assert not any(d in (3, 4) for d, _ in rows)
+    # every token position is covered by at least one chunk
+    import pytest as _p
+    with _p.raises(ValueError):
+        chunk_passages(docs, "text", "doc_id", chunk_tokens=4, overlap=4)
