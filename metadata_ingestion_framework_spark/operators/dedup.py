@@ -27,6 +27,8 @@ def _widen_narrow_input(df: DataFrame) -> DataFrame:
     and pass through untouched — only narrow inputs pay the one extra
     round-robin shuffle (cheap relative to the kernel it parallelizes).
     """
+    if df.isStreaming:  # .rdd is illegal on streams; micro-batches keep
+        return df       # their source partitioning
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -448,7 +450,12 @@ def ngram_jaccard_pairs_prefix(
         freq, "gram"
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__cnt").asc(), F.col("gram").asc())
-    prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    # every ceil/compare derived from threshold*size subtracts 1e-9 first:
+    # float error (e.g. 0.2*15 = 3.0000000000000004) would otherwise round
+    # the bound UP — shorter prefix / stricter filter — and silently DROP
+    # true pairs; the slack only ever admits extra candidates, which the
+    # exact verify removes
+    prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1
     prefix = exploded.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= prefix_len
     )
@@ -468,7 +475,9 @@ def ngram_jaccard_pairs_prefix(
     # Measured: 105k -> ~2k candidates for 215 true pairs at sf0.1, which
     # also shrinks the gram-array attach join ~50x.
     sz_a, sz_b = F.col("a.__sz"), F.col("b.__sz")
-    cond = cond & (sz_b >= F.lit(threshold) * sz_a) & (sz_a >= F.lit(threshold) * sz_b)
+    cond = cond & (sz_b >= F.lit(threshold) * sz_a - F.lit(1e-9)) & (
+        sz_a >= F.lit(threshold) * sz_b - F.lit(1e-9)
+    )
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (sz_a + sz_b) - F.lit(1e-9)
     )

@@ -41,8 +41,10 @@ def _pairs(df):
 
 
 def test_prefix_join_equals_blocked_kernel(spark):
+    # 0.2/0.3/0.7 are float-hostile (0.2*15 = 3.0000000000000004): without
+    # epsilon slack before ceil, the prefix shortens and true pairs vanish
     docs = _corpus(spark)
-    for thresh in (0.2, 0.5, 0.8):
+    for thresh in (0.2, 0.3, 0.5, 0.7, 0.8):
         blocked = _pairs(ngram_jaccard_pairs(docs, "text", "doc_id", ["blk"], thresh))
         pfx_df = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", ["blk"], thresh)
         pfx = _pairs(pfx_df)
