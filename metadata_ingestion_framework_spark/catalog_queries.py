@@ -1781,6 +1781,46 @@ FROM events GROUP BY event_type
 """
 
 
+def q_quantize_error(spark, sf_dir):
+    """int8 embedding quantization contract (operators/quantize.py): per
+    label, every vector reconstructs within one quantization step and the
+    mean per-vector max-error matches the oracle's exact recomputation.
+    Truncation (CAST AS INT) semantics — identical in both engines, unlike
+    half-up rounding edge cases."""
+    from metadata_ingestion_framework_spark.operators.quantize import (
+        quantization_error_stats,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return quantization_error_stats(emb, "label")
+
+
+ORACLE_QUANTIZE_ERROR = """
+WITH q AS (
+  SELECT label,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+    CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+err AS (
+  SELECT label,
+    CASE WHEN scale > 0 THEN
+      -- trunc(), NOT ::INT: DuckDB's double->int CAST rounds to nearest
+      -- while Spark's CAST truncates toward zero
+      list_max(list_transform(v, x -> abs(x - trunc(x / scale) * scale)))
+    ELSE 0.0 END AS max_err,
+    CASE WHEN scale > 0 THEN scale ELSE 1e-12 END AS bound
+  FROM q
+)
+SELECT label,
+  COUNT(*) AS n_vectors,
+  CAST(SUM(CASE WHEN max_err <= bound THEN 1 ELSE 0 END) AS BIGINT) AS n_within_bound,
+  ROUND(CAST(SUM(CAST(ROUND(max_err, 9) AS DECIMAL(18,12))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_max_err
+FROM err GROUP BY label
+"""
+
+
 def q_chunk_passages(spark, sf_dir):
     """Context-window chunking: 128-token passages, 32-token overlap."""
     from metadata_ingestion_framework_spark.functions.text import chunk_passages
@@ -1979,10 +2019,10 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "top_ngrams": q_top_ngrams,
     "approx_distinct": q_approx_distinct,
+    "quantize_error": q_quantize_error,
     "chunk_passages": q_chunk_passages,
     "curation_pipeline": q_curation_pipeline,
     # windows / sorts / aggs
-    "distinct_segments": q_distinct,
     "window_dedup": q_window_dedup,
     "rank_latest": q_rank_latest,
     "top_orders": q_top_orders,
@@ -2005,6 +2045,7 @@ QUERIES = {
     "scd4_history": q_scd4_history,
     # --- position 51+ (driver-verified green in round 1; lowest marginal
     # signal if a bounded driver window cuts here) ---
+    "distinct_segments": q_distinct,
     "range_frame": q_range_frame,
     "stats_agg": q_stats_agg,
     "semi_join": q_semi_join,
@@ -2094,6 +2135,7 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "top_ngrams": ORACLE_TOP_NGRAMS,
     "approx_distinct": ORACLE_APPROX_DISTINCT,
+    "quantize_error": ORACLE_QUANTIZE_ERROR,
     "chunk_passages": ORACLE_CHUNK_PASSAGES,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     # rows-only (DuckDB cannot decode BMP/WAV payloads): media_features,

@@ -26,6 +26,11 @@ from metadata_ingestion_framework_spark.operators.merge import (
     scd2_merge,
     scd4_merge,
 )
+from metadata_ingestion_framework_spark.operators.quantize import (
+    dequantize,
+    quantization_error_stats,
+    quantize_embeddings,
+)
 from metadata_ingestion_framework_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
@@ -60,6 +65,9 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "embedding_near_duplicates",
+    "quantize_embeddings",
+    "dequantize",
+    "quantization_error_stats",
     "salted_join",
     "two_stage_agg",
 ]
