@@ -1,7 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-{"metric": "total_wall_sec", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": "total_wall_sec", "value": N, "unit": "sec", "queries": {...},
+ "flagship": {...}, "sf": ...}
+
+``value`` is the sum of the HEADLINE timings only (r1/r2-comparable set);
+``flagship`` carries the heavy composites (ngram_jaccard_prefix,
+curation_pipeline) warm and repeat-measured, tracked every round but kept
+out of the headline total (VERDICT r2 item 1).
 """
 
 from __future__ import annotations
@@ -35,10 +41,40 @@ HEADLINE = [
     "stratified_sample",
 ]
 
-# Heavy flagship composites benchmarked separately (tools/scale_probe.py +
-# BENCH.json "flagship" section): ngram_jaccard_prefix (~4s warm sf0.1),
-# curation_pipeline (~9s warm sf0.1). Kept out of HEADLINE so the
-# round-over-round total stays comparable to the r1 query set.
+# Heavy flagship composites: timed in their own block (2 warm repetitions,
+# min reported) so the driver records them every round without making the
+# headline total incomparable to rounds 1-2.
+FLAGSHIP = [
+    "ngram_jaccard_prefix",
+    "curation_pipeline",
+]
+FLAGSHIP_REPEATS = 2
+
+
+def run_query(spark, fn, sf_dir) -> tuple[float, int]:
+    """Time one query with an engine-side checksum action (VERDICT r2 item 1).
+
+    ``bit_xor(xxhash64(*cols))`` forces evaluation of EVERY output column
+    (the xor result depends on every value, so Catalyst can neither prune
+    columns nor rewrite the count) while rows never leave the executors —
+    a 100 TB job would not collect() its result set, and the r2 bench showed
+    row-heavy queries (cdc_split 150k rows) paying ~0.7s of pure driver
+    transfer. orderBy+limit tails survive as TakeOrderedAndProject under the
+    agg (verified in the executed plan), so top-k queries are not distorted
+    into global sorts.
+    """
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("ck"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    for dep in getattr(df, "_persisted_deps", ()):  # release operator caches
+        dep.unpersist()
+    return elapsed, int(row["n"])
 
 
 def main() -> None:
@@ -58,40 +94,38 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
         except Exception:
             pass
-    # JIT/codegen warmup: run every headline query once at the smallest SF
+    # JIT/codegen warmup: run every timed query once at the smallest SF
     # (sf0.001, ~1% of the timed data). Whole-stage codegen compilation and
     # Arrow/Python worker startup are per-plan-shape one-time costs a
     # long-running session has already paid; timing them against the first
     # query that happens to use each path misattributes fixed cost as
     # per-query cost. Data caches stay cold for the timed SF — different dir.
     warm_dir = "/root/testdata/sf0.001"
-    import os as _os
-
-    if _os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE + FLAGSHIP:
             try:
-                QUERIES[name](spark, warm_dir).collect()
+                run_query(spark, QUERIES[name], warm_dir)
             except Exception as exc:  # pragma: no cover - warmup best-effort
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Column-consuming action (VERDICT r1 item 5): count() alone lets
-        # Catalyst prune every projected column, so compute-heavy
-        # projections were timed without being evaluated. collect() must
-        # materialize and deliver EVERY output column — and, unlike an
-        # agg-checksum on top of the query, it keeps orderBy+limit tails
-        # as TakeOrderedAndProject instead of forcing a global sort
-        # (measured 40x on top_ngrams). Headline outputs are <= ~150k rows
-        # at sf0.1, so driver transfer stays a small, honest delivery cost.
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 4)
-        for dep in getattr(df, "_persisted_deps", ()):  # release operator caches
-            dep.unpersist()
+        elapsed, n = run_query(spark, QUERIES[name], sf_dir)
+        timings[name] = round(elapsed, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    # Flagship composites: repeat-measured warm (first timed run doubles as
+    # the warm pass at this SF), min reported — these are the operators the
+    # engine will be judged on at scale, so they get regression tracking in
+    # BENCH_rN.json even though their variance would distort the headline.
+    flagship: dict[str, float] = {}
+    for name in FLAGSHIP:
+        best = None
+        for rep in range(FLAGSHIP_REPEATS):
+            elapsed, n = run_query(spark, QUERIES[name], sf_dir)
+            best = elapsed if best is None else min(best, elapsed)
+            print(f"# flagship {name} rep{rep}: {elapsed:.3f}s rows={n}", file=sys.stderr)
+        flagship[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -99,6 +133,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "flagship": flagship,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
