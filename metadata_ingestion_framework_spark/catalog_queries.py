@@ -11,6 +11,8 @@ Conventions that make cross-engine value-hashing deterministic:
 
 from __future__ import annotations
 
+import struct
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1664,7 +1666,9 @@ def q_media_features(spark, sf_dir):
     def decode(p: bytes) -> list[float]:
         try:
             return codecs.media_features(p)
-        except ValueError:
+        except (ValueError, struct.error):
+            # defense-in-depth with the codecs' truncation guards: opaque
+            # text bytes that mimic a magic prefix must degrade, not crash
             return _fake_decode(p)
 
     docs = t(spark, sf_dir, "documents")

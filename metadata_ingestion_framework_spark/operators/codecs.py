@@ -46,6 +46,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     """24-bit uncompressed BMP bytes -> RGB uint8 array (H, W, 3)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:  # 14-byte file header + 40-byte BITMAPINFOHEADER
+        # Text bytes starting with 'BM' would otherwise hit struct.error,
+        # which ValueError-only fallbacks don't catch (ADVICE r2).
+        raise ValueError("truncated BMP: shorter than the 54-byte header")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     header_size, w, h = struct.unpack_from("<Iii", payload, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
@@ -53,7 +57,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions: {w}x{h}")
     row_size = (w * 3 + 3) & ~3
+    if data_offset < 0 or data_offset + row_size * h > len(payload):
+        raise ValueError("truncated BMP: pixel data extends past payload")
     raw = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=data_offset)
     rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
     if bottom_up:
@@ -107,6 +115,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated chunk -> ValueError, not struct.error
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1 or bits != 16:

@@ -85,6 +85,24 @@ def test_media_features_dispatch_and_unknown():
         media_features(b"\x00\x01\x02\x03garbage")
 
 
+def test_truncated_payloads_raise_valueerror_not_struct_error():
+    """ADVICE r2 (medium): raw text bytes that happen to start with the magic
+    ('BM...' / 'RIFF...WAVE') but are shorter than the fixed headers must
+    raise ValueError — fallback paths catch ValueError, and struct.error
+    would crash the whole query on plausible corpora."""
+    for payload in (b"BM", b"BMshort text doc", b"BM" + b"x" * 40):
+        with pytest.raises(ValueError):
+            decode_bmp(payload)
+    # valid header claiming more pixel data than the payload carries
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_bmp(encode_bmp(px)[:-8])
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        decode_wav(b"RIFF\x10\x00\x00\x00WAVE" + b"fmt " + b"\x04\x00\x00\x00" + b"\x01\x00\x01\x00")
+
+
 def test_extract_features_real_bmp_through_spark(spark):
     """End-to-end: real BMP payloads through the Arrow mapInPandas stage
     produce the exact same features as the local golden decode."""
