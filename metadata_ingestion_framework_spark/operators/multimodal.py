@@ -33,10 +33,19 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Payload = UTF-8 bytes of the text; metadata derived from stable hashes.
     Gives the multimodal operators a real binary column to chew on.
+
+    The image/audio/video split hashes the id with md5 (not xxhash64) so a
+    cross-engine oracle can reproduce WHICH rows carry each kind:
+    DuckDB twin ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+    % 3`` — the repo's shared cross-engine hash primitive (CLAUDE.md).
     """
+    kind_bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(3),
+    )
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(3)) + 1).cast("int"),
+        (kind_bucket + 1).cast("int"),
     )
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -50,25 +59,35 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Like ``synthesize_media`` but image/audio payloads are REAL encoded
-    bytes: deterministic 24-bit BMPs and PCM16 WAVs built arithmetically
-    from the media id (pure numpy — see ``operators/codecs.py``). Video
-    payloads stay opaque (no dependency-free container format).
+    """Like ``synthesize_media`` but every payload is REAL encoded bytes:
+    deterministic 24-bit BMPs, PCM16 WAVs, and multi-frame BMV videos built
+    arithmetically from the media id (pure numpy — see
+    ``operators/codecs.py``).
 
-    This gives the decode operators actual pixels/samples to verify against
-    instead of byte histograms (VERDICT r1 item 6).
+    This gives the decode operators actual pixels/samples/frames to verify
+    against instead of byte histograms (VERDICT r1 item 6, r2 item 8). The
+    generation formulas are the contract the media oracles check:
+
+    - image: w = 4 + id%12, h = 4 + (id//3)%12
+    - audio: n_samples = 256 + id%512 at 16 kHz
+    - video: n_frames = 2 + id%4 at 40 ms/frame, frame w = 4 + id%8,
+      frame h = 4 + (id//5)%8; duration_ms = n_frames * 40
     """
     import numpy as np
 
-    from metadata_ingestion_framework_spark.operators.codecs import encode_bmp, encode_wav
+    from metadata_ingestion_framework_spark.operators.codecs import (
+        encode_bmp,
+        encode_bmv,
+        encode_wav,
+    )
 
     base = synthesize_media(df, id_col, text_col)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, mimes, widths, heights = [], [], [], []
-            for mid, kind, payload, w0, h0 in zip(
-                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            payloads, mimes, widths, heights, durations = [], [], [], [], []
+            for mid, kind, w0, h0, d0 in zip(
+                pdf["media_id"], pdf["kind"], pdf["width"], pdf["height"], pdf["duration_ms"]
             ):
                 mid = int(mid)
                 if kind == "image":
@@ -79,6 +98,7 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
                     mimes.append("image/bmp")
                     widths.append(w)
                     heights.append(h)
+                    durations.append(int(d0))
                 elif kind == "audio":
                     i = np.arange(256 + mid % 512)
                     samples = (((mid * 31 + i * 37) % 4096) - 2048).astype(np.int16) * 8
@@ -86,16 +106,28 @@ def synthesize_real_media(df: DataFrame, id_col: str, text_col: str) -> DataFram
                     mimes.append("audio/wav")
                     widths.append(int(w0))
                     heights.append(int(h0))
-                else:
-                    payloads.append(bytes(payload))
-                    mimes.append("application/x-fake-video")
-                    widths.append(int(w0))
-                    heights.append(int(h0))
+                    durations.append(int(d0))
+                else:  # video: real multi-frame BMV container
+                    n_frames, frame_ms = 2 + mid % 4, 40
+                    w, h = 4 + mid % 8, 4 + (mid // 5) % 8
+                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                    frames = [
+                        encode_bmp(
+                            ((mid * 7 + f * 11 + y * 13 + x * 17 + c * 29) % 256).astype(np.uint8)
+                        )
+                        for f in range(n_frames)
+                    ]
+                    payloads.append(encode_bmv(frames, frame_ms))
+                    mimes.append("video/x-bmv")
+                    widths.append(w)
+                    heights.append(h)
+                    durations.append(n_frames * frame_ms)
             out = pdf.copy()
             out["payload"] = payloads
             out["mime"] = mimes
             out["width"] = pd.Series(widths, dtype="int32")
             out["height"] = pd.Series(heights, dtype="int32")
+            out["duration_ms"] = pd.Series(durations, dtype="int32")
             yield out
 
     return base.mapInPandas(gen, schema=base.schema)
@@ -166,20 +198,38 @@ def resize_images(
     return imgs.mapInPandas(run, schema=media.schema)
 
 
+def _default_frame_fn(payload: bytes, ts: int) -> bytes:
+    """REAL frame extraction for BMV containers: O(1) index seek to the
+    frame covering timestamp ``ts`` (BMP bytes out). Opaque payloads fall
+    back to a deterministic byte slice (the pre-codec stand-in)."""
+    from metadata_ingestion_framework_spark.operators.codecs import (
+        BMV_MAGIC,
+        bmv_info,
+        decode_bmv_frame,
+    )
+
+    if payload[:4] == BMV_MAGIC:
+        n_frames, frame_ms = bmv_info(payload)
+        return decode_bmv_frame(payload, min(ts // frame_ms, n_frames - 1))
+    return payload[(ts // 1000) % max(len(payload), 1):][:64]
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000,
     frame_fn: Callable[[bytes, int], bytes] | None = None,
 ) -> DataFrame:
     """Frame-sample stage: video rows -> one row per sampled timestamp.
 
-    Explodes frame timestamps JVM-side (sequence), then decodes per frame in
-    one Python stage. Fake frame extractor slices the payload.
+    Explodes frame timestamps JVM-side (sequence), then extracts per frame
+    in one Python stage. BMV payloads yield REAL BMP frames via the
+    container index (no bytes of skipped frames are touched); opaque
+    payloads get the deterministic slice stand-in.
     """
     frames = (
         media.filter(F.col("kind") == "video")
         .withColumn("frame_ts", F.explode(F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))))
     )
-    take = frame_fn or (lambda p, ts: p[(ts // 1000) % max(len(p), 1):][:64])
+    take = frame_fn or _default_frame_fn
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
