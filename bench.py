@@ -50,6 +50,18 @@ FLAGSHIP = [
 ]
 FLAGSHIP_REPEATS = 2
 
+# Headline queries are ALSO repeat-measured (min of N warm reps): the r3
+# single-shot headline recorded topk_per_group at 2.21s where 3 warm reps
+# measured 0.94s stable — a fabricated 32% total "regression" (VERDICT r3
+# item 2). min-of-2 keeps the total reproducible within ~10%.
+HEADLINE_REPEATS = 2
+
+# Methodology tag recorded in the output JSON so cross-round deltas are
+# adjudicable (ADVICE r3): r1/r2 timed collect() single-shot; r3 switched to
+# an engine-side bit_xor(xxhash64) checksum action (single-shot); r4+ is the
+# same checksum action with min-of-2 repeats per headline query.
+ACTION = "checksum_xxhash64_min_of_2"
+
 
 def run_query(spark, fn, sf_dir) -> tuple[float, int]:
     """Time one query with an engine-side checksum action (VERDICT r2 item 1).
@@ -110,9 +122,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        elapsed, n = run_query(spark, QUERIES[name], sf_dir)
-        timings[name] = round(elapsed, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        best = None
+        for rep in range(HEADLINE_REPEATS):
+            elapsed, n = run_query(spark, QUERIES[name], sf_dir)
+            best = elapsed if best is None else min(best, elapsed)
+            print(f"# {name} rep{rep}: {elapsed:.3f}s rows={n}", file=sys.stderr)
+        timings[name] = round(best, 4)
 
     # Flagship composites: repeat-measured warm (first timed run doubles as
     # the warm pass at this SF), min reported — these are the operators the
@@ -134,6 +149,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "flagship": flagship,
+        "action": ACTION,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

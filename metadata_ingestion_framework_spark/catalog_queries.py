@@ -1721,8 +1721,8 @@ ORACLE_STRATIFIED_SAMPLE = """
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5(concat_ws(chr(31), 'mix1', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
       % 1000000
-      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.1
-         ELSE 0.05 END) * 1000000
+      < (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 WHEN 'fr' THEN 100000
+         ELSE 50000 END)
 """
 
 
@@ -1970,8 +1970,8 @@ nodup AS (
 SELECT doc_id, pred_lang, quality FROM nodup
 WHERE ('0x' || substr(md5(concat_ws(chr(31), 'cur1', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
       % 1000000
-      < (CASE pred_lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.6 WHEN 'fr' THEN 0.6
-         ELSE 0.0 END) * 1000000
+      < (CASE pred_lang WHEN 'en' THEN 800000 WHEN 'de' THEN 600000 WHEN 'fr' THEN 600000
+         ELSE 0 END)
 """
 
 

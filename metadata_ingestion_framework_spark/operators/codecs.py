@@ -121,6 +121,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+            if rate == 0:  # corrupt fmt chunk: len(x)/rate downstream would ZeroDivide
+                raise ValueError("invalid WAV: sample_rate=0")
         elif cid == b"data":
             samples = np.frombuffer(body, dtype=np.int16)
         pos += 8 + size + (size & 1)  # chunks are word-aligned

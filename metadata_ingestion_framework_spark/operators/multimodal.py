@@ -209,8 +209,12 @@ def _default_frame_fn(payload: bytes, ts: int) -> bytes:
     )
 
     if payload[:4] == BMV_MAGIC:
-        n_frames, frame_ms = bmv_info(payload)
-        return decode_bmv_frame(payload, min(ts // frame_ms, n_frames - 1))
+        try:
+            n_frames, frame_ms = bmv_info(payload)
+            if frame_ms > 0:  # frame_ms=0 would make ts // frame_ms divide by zero
+                return decode_bmv_frame(payload, min(ts // frame_ms, n_frames - 1))
+        except ValueError:
+            pass  # magic-mimicking bytes degrade to the slice stand-in below
     return payload[(ts // 1000) % max(len(payload), 1):][:64]
 
 
