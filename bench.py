@@ -120,13 +120,23 @@ def main() -> None:
             except Exception as exc:  # pragma: no cover - warmup best-effort
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # Per-query error isolation (VERDICT r4 item 2): one broken query must
+    # never again zero the round's entire perf evidence (BENCH_r04 rc=1,
+    # parsed=null). Failures are recorded in "errors" and excluded from the
+    # total; the rest keep benchmarking.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         best = None
-        for rep in range(HEADLINE_REPEATS):
-            elapsed, n = run_query(spark, QUERIES[name], sf_dir)
-            best = elapsed if best is None else min(best, elapsed)
-            print(f"# {name} rep{rep}: {elapsed:.3f}s rows={n}", file=sys.stderr)
+        try:
+            for rep in range(HEADLINE_REPEATS):
+                elapsed, n = run_query(spark, QUERIES[name], sf_dir)
+                best = elapsed if best is None else min(best, elapsed)
+                print(f"# {name} rep{rep}: {elapsed:.3f}s rows={n}", file=sys.stderr)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
 
     # Flagship composites: repeat-measured warm (first timed run doubles as
@@ -136,14 +146,19 @@ def main() -> None:
     flagship: dict[str, float] = {}
     for name in FLAGSHIP:
         best = None
-        for rep in range(FLAGSHIP_REPEATS):
-            elapsed, n = run_query(spark, QUERIES[name], sf_dir)
-            best = elapsed if best is None else min(best, elapsed)
-            print(f"# flagship {name} rep{rep}: {elapsed:.3f}s rows={n}", file=sys.stderr)
+        try:
+            for rep in range(FLAGSHIP_REPEATS):
+                elapsed, n = run_query(spark, QUERIES[name], sf_dir)
+                best = elapsed if best is None else min(best, elapsed)
+                print(f"# flagship {name} rep{rep}: {elapsed:.3f}s rows={n}", file=sys.stderr)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# flagship {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         flagship[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
@@ -151,7 +166,12 @@ def main() -> None:
         "flagship": flagship,
         "action": ACTION,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+        # a partial total is not comparable across rounds — flag it
+        out["partial"] = True
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -74,10 +74,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make TIMESTAMP(NANOS) parquet readable on ANY session, including one
-    the caller supplies (the driver's harness passes a bare session that
-    never saw our get_spark() defaults). Runtime-settable, so safe here."""
+    """Make the testdata's timestamp encodings readable on ANY session,
+    including one the caller supplies (the driver's harness passes a bare
+    session that never saw our get_spark() defaults). All three confs are
+    runtime-settable, so safe here.
+
+    - nanosAsLong: parquet TIMESTAMP(NANOS) arrives as bigint (converted
+      back in _fix_nanos with exact integer division).
+    - inferTimestampNTZ=false: parquet timestamp[us] without UTC adjustment
+      would otherwise infer as TIMESTAMP_NTZ, which unix_micros() rejects.
+      Disabling the inference reads the stored int64 micros as an LTZ
+      instant — timezone-independent, matching DuckDB's epoch arithmetic
+      byte-for-byte (preferred over casting ntz->ltz, which reinterprets
+      wall time in the session zone).
+    - session.timeZone=UTC: pin formatting/extraction (hour(), date_trunc)
+      so results don't depend on the host's default zone.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 _NANOS_CACHE: dict[str, tuple[str, ...]] = {}
@@ -122,6 +137,13 @@ def _fix_nanos(df: DataFrame, nanos_cols: tuple[str, ...]) -> DataFrame:
     for name_ in nanos_cols:
         if dtypes.get(name_) == "bigint":
             df = df.withColumn(name_, F.timestamp_micros(F.expr(f"`{name_}` div 1000")))
+    # Fallback for sessions that read before _ensure_nanos_conf applied (or
+    # future Spark versions that ignore the inference conf): NTZ -> LTZ.
+    # Safe only because _ensure_nanos_conf pins session.timeZone=UTC, making
+    # the wall-time reinterpretation equal to the stored instant.
+    for name_, dt in dtypes.items():
+        if dt == "timestamp_ntz":
+            df = df.withColumn(name_, F.col(name_).cast("timestamp"))
     return df
 
 

@@ -55,6 +55,9 @@ def get_spark(
         # Spark timestamp type; read as long and convert with integer math
         # (see catalog_queries.t / with_event_time).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # timestamp[us] without UTC adjustment must read as LTZ instants
+        # (TIMESTAMP_NTZ breaks unix_micros and epoch arithmetic parity).
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # Local-run ergonomics; no-ops on a real cluster deployment.
         "spark.sql.warehouse.dir": os.path.join(SCRATCH, "warehouse"),
         "spark.ui.showConsoleProgress": "false",
