@@ -38,6 +38,7 @@ from metadata_ingestion_framework_spark.operators.cdc import (
     split_cdc_envelope,
 )
 from metadata_ingestion_framework_spark.operators.dedup import (
+    carry_deps,
     dedup_exact,
     dedup_window,
     minhash_lsh_duplicates,
@@ -1378,8 +1379,9 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
     kernel cannot afford. The DuckDB oracle brute-forces all pairs; the
     engine must find exactly the same set through the prefix join."""
     docs = t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs_prefix(docs, "text", "doc_id", None, threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    pairs = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", None, threshold=0.5)
+    return carry_deps(
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")), pairs
     )
 
 
@@ -2013,7 +2015,7 @@ def q_curation_pipeline(spark, sf_dir):
     )
     out = mixed.select("doc_id", "pred_lang", "quality")
     out._persisted_deps = [exact]  # release via operators.unpersist_deps
-    return out
+    return carry_deps(out, pairs)  # + the prefix join's persisted gram table
 
 
 def _build_curation_oracle() -> str:
