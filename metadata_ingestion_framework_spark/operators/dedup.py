@@ -299,10 +299,15 @@ def minhash_lsh_duplicates(
 
     @F.pandas_udf("double")
     def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
-        # fraction of equal signature slots == estimated Jaccard
-        return pd.Series(
-            [float(np.mean(np.asarray(x) == np.asarray(y))) for x, y in zip(a, b)]
-        )
+        # fraction of equal signature slots == estimated Jaccard; ONE numpy
+        # comparison per Arrow batch (signature length is fixed, so the
+        # batch stacks into a rectangular matrix — the per-pair Python loop
+        # this replaces paid ~3 interpreter calls per pair; VERDICT r4 item 8)
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        lhs = np.stack(a.to_numpy())
+        rhs = np.stack(b.to_numpy())
+        return pd.Series((lhs == rhs).mean(axis=1))
 
     out = (
         cand.withColumn("jaccard_est", _jac("sig_a", "sig_b"))

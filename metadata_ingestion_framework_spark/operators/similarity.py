@@ -13,9 +13,13 @@ precision (sequential left-fold -> deterministic).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import Column
+from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -40,6 +44,49 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def _fold_dot(row, plane) -> float:
+    """Strict left-fold float64 dot — bit-identical to the JVM
+    ``F.aggregate(zip_with(...), 0.0, acc+v)`` evaluation order."""
+    acc = 0.0
+    for i in range(len(row)):
+        acc += float(row[i]) * float(plane[i])
+    return acc
+
+
+def with_l2_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Materialized per-row L2 norm via an Arrow kernel (VERDICT r4 item 7).
+
+    Two properties the obvious alternatives lack:
+
+    - A ``withColumn(l2_norm(...))`` projection gets CollapseProject-inlined
+      into the consuming join select, so a crossJoin consumer re-evaluates
+      the norm PER PAIR instead of per row. A Python stage is a hard
+      optimizer barrier — the norm is computed once per corpus row, period.
+    - The accumulation uses ``cumsum`` (strict sequential float64), which is
+      bit-identical to the JVM ``F.aggregate`` left fold and to the DuckDB
+      oracle's sequential list sum — ROUND(6) on downstream scores therefore
+      stays hash-exact cross-engine.
+    """
+    import numpy as np
+
+    from metadata_ingestion_framework_spark.operators.dedup import _widen_narrow_input
+
+    schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf):
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                sq = m * m
+                out[out_col] = np.sqrt(sq.cumsum(axis=1)[:, -1])
+            else:
+                out[out_col] = pd.Series([], dtype="float64")
+            yield out
+
+    return _widen_narrow_input(df).mapInPandas(run, schema=schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,12 +101,27 @@ def brute_force_topk(
     by corpus id for determinism. The corpus side never shuffles — scoring is
     map-side against the broadcast queries; only the per-query top-k
     aggregation shuffles on query_id (Q keys).
+
+    Norms are PREcomputed per row on both sides (Arrow kernel barrier, so
+    CollapseProject can't inline them into the per-pair select) — the pair
+    loop pays one fold-dot instead of dot + two norms (VERDICT r4 item 7).
     """
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q)).select(
+    q = with_l2_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        "__qvec",
+        "__qnorm",
+    )
+    c = with_l2_norm(corpus.select(id_col, vec_col), vec_col, "__cnorm")
+    denom = F.col("__cnorm") * F.col("__qnorm")
+    scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                dot(F.col(vec_col), F.col("__qvec")) / denom
+            ),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -82,12 +144,55 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-projection LSH bucket id (random hyperplane / SRP-LSH)."""
+    """Sign-of-projection LSH bucket id (random hyperplane / SRP-LSH).
+
+    JVM-expression form — one interpreted HOF dot per plane per row, so use
+    it only on SMALL sides (the query set) or write-time layout jobs; bulk
+    corpus bucketing goes through ``with_lsh_buckets`` (Arrow matmul)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         proj = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
     return bucket
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "__bucket",
+) -> DataFrame:
+    """Bulk SRP bucketing: ONE numpy matmul per Arrow batch instead of
+    n_planes interpreted HOF dots per row (VERDICT r4 item 7 — each HOF
+    lambda call costs ~2µs interpreted; n_planes × dim × 2 of them per row).
+
+    Bucket values are guaranteed IDENTICAL to ``lsh_bucket``: BLAS pairwise
+    summation differs from the JVM left fold by ≲1e-12, so only projections
+    inside a 1e-9 band of zero can possibly flip sign — those few are
+    re-computed with the strict sequential fold, bit-identical to the JVM.
+    """
+    import numpy as np
+
+    from metadata_ingestion_framework_spark.operators.dedup import _widen_narrow_input
+
+    plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = (np.uint64(1) << np.arange(len(planes), dtype=np.uint64)).astype(np.int64)
+    schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf):
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                proj = m @ plane_mat  # (n, n_planes)
+                for r, pi in zip(*np.nonzero(np.abs(proj) <= 1e-9)):
+                    proj[r, pi] = _fold_dot(m[r], plane_mat[:, pi])
+                out[out_col] = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+            else:
+                out[out_col] = pd.Series([], dtype="int64")
+            yield out
+
+    return _widen_narrow_input(df).mapInPandas(run, schema=schema)
 
 
 def lsh_topk(
@@ -118,7 +223,7 @@ def lsh_topk(
     1/2^n_planes to (1+m)/2^n_planes of the corpus per query.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    c = with_lsh_buckets(corpus.select(id_col, vec_col), planes, vec_col)  # Arrow matmul
     q = queries.select(
         query_id_col, F.col(vec_col).alias("__qvec")
     ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
@@ -148,20 +253,46 @@ def ivf_assign(
 
     ``centroids`` is a small driver-side list (k-means output; at scale,
     train with Spark ML KMeans and pass ``model.clusterCenters()``). The
-    assignment is a map-only argmax over a broadcast-sized constant array.
+    assignment is a map-only Arrow-batched matmul argmax (one BLAS call per
+    batch — the previous JVM score-array expression paid n_cells interpreted
+    HOF dots per row; VERDICT r4 item 7).
 
-    Shape note: an iterative ``when(best_score < s, ...)`` fold nests each
-    cell's dot-product expression inside every later comparison — the tree
-    (and interpreted eval cost) grows exponentially in n_cells. Building the
-    score array once and taking ``array_position(scores, array_max(scores))``
-    evaluates each dot product at most twice.
+    Cell values are IDENTICAL to the JVM ``array_position(scores,
+    array_max(scores))`` formulation (first index of the max under exact
+    float64 fold scores): rows whose top-2 matmul scores sit within 1e-9 —
+    the only ones BLAS rounding could misrank — are re-scored with the
+    strict sequential fold, and ``np.argmax`` takes the first max just like
+    ``array_position``.
     """
-    v = F.col(vec_col)
-    scores = F.array(
-        *[dot(v, F.array(*[F.lit(float(x)) for x in cent])) for cent in centroids]
-    )
-    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    return corpus.withColumn("__ivf_cell", cell)
+    import numpy as np
+
+    from metadata_ingestion_framework_spark.operators.dedup import _widen_narrow_input
+
+    cent_mat = np.asarray(centroids, dtype=np.float64).T  # (dim, n_cells)
+    schema = StructType(corpus.schema.fields + [StructField("__ivf_cell", IntegerType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf):
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                scores = m @ cent_mat  # (n, n_cells)
+                cells = scores.argmax(axis=1)
+                if scores.shape[1] > 1:
+                    part = np.partition(scores, -2, axis=1)
+                    close = part[:, -1] - part[:, -2] <= 1e-9
+                    for r in np.nonzero(close)[0]:
+                        exact = [
+                            _fold_dot(m[r], cent_mat[:, j])
+                            for j in range(scores.shape[1])
+                        ]
+                        cells[r] = int(np.argmax(exact))
+                out["__ivf_cell"] = cells.astype(np.int32)
+            else:
+                out["__ivf_cell"] = pd.Series([], dtype="int32")
+            yield out
+
+    return _widen_narrow_input(corpus).mapInPandas(run, schema=schema)
 
 
 def random_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
@@ -202,7 +333,7 @@ def ivf_topk(
     the only shuffle is the final per-query top-k on Q keys.
     """
     cents = random_centroids(dim, n_cells, seed)
-    c = ivf_assign(corpus, cents, vec_col)
+    c = ivf_assign(corpus.select(id_col, vec_col), cents, vec_col)
 
     def cell_scores(col: Column) -> list[Column]:
         return [dot(col, F.array(*[F.lit(float(x)) for x in cent])) for cent in cents]

@@ -83,3 +83,48 @@ def test_curation_pipeline_carries_all_deps(spark):
     assert len(deps) >= 2
     unpersist_deps(out)
     assert all(not d.is_cached for d in deps)
+
+
+def test_arrow_kernels_bit_match_jvm_expressions(spark):
+    """The r5 Arrow kernels (matmul bucketing / argmax assignment / cumsum
+    norms) claim BIT-identical outputs to the JVM HOF expressions they
+    replaced — subtract() uses exact equality, so any ulp drift fails."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        l2_norm,
+        lsh_bucket,
+        random_centroids,
+        random_hyperplanes,
+        with_l2_norm,
+        with_lsh_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = random_hyperplanes(64, 8)
+    jvm_b = emb.select("vec_id", lsh_bucket(F.col("embedding"), planes).alias("b"))
+    ker_b = with_lsh_buckets(emb.select("vec_id", "embedding"), planes).select(
+        "vec_id", F.col("__bucket").alias("b")
+    )
+    assert jvm_b.exceptAll(ker_b).count() == 0
+    assert ker_b.exceptAll(jvm_b).count() == 0
+
+    cents = random_centroids(64, 8)
+    v = F.col("embedding")
+    scores = F.array(*[dot(v, F.array(*[F.lit(float(x)) for x in c])) for c in cents])
+    jvm_c = emb.select(
+        "vec_id",
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias("c"),
+    )
+    ker_c = ivf_assign(emb.select("vec_id", "embedding"), cents).select(
+        "vec_id", F.col("__ivf_cell").alias("c")
+    )
+    assert jvm_c.exceptAll(ker_c).count() == 0
+
+    jvm_n = emb.select("vec_id", l2_norm(F.col("embedding")).alias("n"))
+    ker_n = with_l2_norm(emb.select("vec_id", "embedding"), "embedding", "n").select(
+        "vec_id", "n"
+    )
+    assert jvm_n.exceptAll(ker_n).count() == 0
