@@ -1608,6 +1608,99 @@ FROM reranked QUALIFY rank <= 10
 ORACLE_IVF_TOPK = _build_ivf_topk_oracle()
 
 
+def q_ivf_topk_int8(spark, sf_dir):
+    """IVF top-k scanning int8-quantized codes, exact float rerank of the
+    top-30 survivors per query (operators/similarity.py::ivf_topk_int8).
+
+    Fully value-checkable: truncation quantization and both ROUND(6)
+    scores are engine-exact (see ORACLE below)."""
+    from metadata_ingestion_framework_spark.operators.similarity import ivf_topk_int8
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_int8(emb, queries, dim=64, k=10, n_cells=8, n_probe=2)
+
+
+def _build_ivf_topk_int8_oracle(
+    n_cells: int = 8, n_probe: int = 2, k: int = 10, rerank_factor: int = 3
+) -> str:
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    cents = random_centroids(64, n_cells, seed=7)
+    score_exprs = ", ".join(
+        f"list_dot_product(v, {_sql_vec(c)}) AS s{i}" for i, c in enumerate(cents)
+    )
+    greatest = "GREATEST(" + ", ".join(f"s{i}" for i in range(n_cells)) + ")"
+    first_max = "CASE " + " ".join(
+        f"WHEN s{i} = __g THEN {i}" for i in range(n_cells)
+    ) + " END"
+    cell_scores_union = " UNION ALL ".join(
+        f"SELECT query_id, {i} AS cell, s{i} AS cscore FROM qscored"
+        for i in range(n_cells)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored_cells AS (SELECT vec_id, v, {score_exprs} FROM base),
+withg AS (SELECT *, {greatest} AS __g FROM scored_cells),
+corpus AS (SELECT vec_id, v, {first_max} AS cell FROM withg),
+-- int8 quantization: scale = max|x|/127, code = trunc toward zero
+-- (DuckDB double->int CAST rounds, so trunc() mirrors Spark's CAST AS INT)
+qz AS (SELECT vec_id, v, cell,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       FROM corpus),
+deq AS (SELECT vec_id, cell,
+          CASE WHEN scale > 0
+               THEN list_transform(v, x -> trunc(x / scale) * scale)
+               ELSE list_transform(v, x -> 0.0) END AS dv
+        FROM qz),
+qscored AS (SELECT vec_id AS query_id, v AS qvec, * EXCLUDE (vec_id, v)
+            FROM scored_cells WHERE vec_id < 5),
+qcells AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS rn
+    FROM ({cell_scores_union})
+  ) WHERE rn <= {n_probe}
+),
+q AS (SELECT query_id, qvec FROM qscored),
+cand AS (
+  SELECT qc.query_id, d.vec_id, q.qvec, d.dv
+  FROM qcells qc JOIN deq d ON d.cell = qc.cell JOIN q ON q.query_id = qc.query_id
+),
+qscoredpairs AS (
+  SELECT query_id, vec_id, qvec,
+    ROUND(CASE WHEN sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qvec, qvec)) = 0
+          THEN 0.0
+          ELSE list_dot_product(dv, qvec) /
+               (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qvec, qvec)))
+          END, 6) AS qs
+  FROM cand
+),
+survivors AS (
+  SELECT query_id, vec_id, qvec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qs DESC, vec_id ASC) AS qrn
+    FROM qscoredpairs
+  ) WHERE qrn <= {k * rerank_factor}
+),
+reranked AS (
+  SELECT s.query_id, s.vec_id,
+    ROUND(list_dot_product(b.v, s.qvec) /
+      (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(s.qvec, s.qvec))), 6) AS score
+  FROM survivors s JOIN base b ON b.vec_id = s.vec_id
+)
+SELECT query_id, vec_id, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM reranked QUALIFY rank <= {k}
+"""
+
+
+ORACLE_IVF_TOPK_INT8 = _build_ivf_topk_int8_oracle()
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label blocks.
 
@@ -2139,6 +2232,7 @@ QUERIES = {
     "lsh_topk": q_lsh_topk,
     "lsh_topk_mp": q_lsh_topk_mp,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -2174,8 +2268,11 @@ QUERIES = {
     "scd1_merge": q_scd1_merge,
     "scd1_merge_pruned": q_scd1_merge_pruned,
     "scd2_merge": q_scd2_merge,
-    "scd4_history": q_scd4_history,
     # --- position 51+ (driver-verified green in earlier rounds; lowest
+    # scd4_history rotated here in r6 to fit ivf_topk_int8 — its SCD
+    # family keeps scd1/scd1_pruned/scd2 in-window and it stays
+    # sweep-checked ---
+    "scd4_history": q_scd4_history,
     # marginal signal if a bounded driver window cuts here; rank_latest/
     # top_orders/running_sum rotated out in r5 to fit the media contracts —
     # their families stay in-window via window_dedup/topk_per_group/
@@ -2263,6 +2360,7 @@ ORACLES = {
     "lsh_topk": ORACLE_LSH_TOPK,
     "lsh_topk_mp": ORACLE_LSH_TOPK_MP,
     "ivf_topk": ORACLE_IVF_TOPK,
+    "ivf_topk_int8": ORACLE_IVF_TOPK_INT8,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "grouping_key": ORACLE_GROUPING_KEY,
     "det_sample": ORACLE_DET_SAMPLE,

@@ -86,3 +86,34 @@ def test_embedding_near_duplicates_zero_vector_safe(spark):
     rows = [(0, [0.0] * DIM, "a"), (1, [1.0] + [0.0] * (DIM - 1), "a")]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
     assert embedding_near_duplicates(df, "label", threshold=0.5).count() == 0
+
+
+def test_ivf_topk_int8_matches_float_when_probing_all(spark):
+    """n_probe = n_cells makes both variants exact-over-candidates; the int8
+    scan ranks by quantized score but the float rerank of k*rerank_factor
+    survivors must land the same top-k as the float path (quantization error
+    per element <= scale, far below the synthetic cluster separation)."""
+    from metadata_ingestion_framework_spark.operators.similarity import ivf_topk_int8
+
+    corpus = _corpus(spark)
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    f = ivf_topk(corpus, queries, dim=DIM, k=3, n_cells=4, n_probe=4)
+    q = ivf_topk_int8(corpus, queries, dim=DIM, k=3, n_cells=4, n_probe=4)
+    got_f = [(r["vec_id"], r["rank"]) for r in f.orderBy("rank").collect()]
+    got_q = [(r["vec_id"], r["rank"]) for r in q.orderBy("rank").collect()]
+    assert got_q == got_f == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_ivf_topk_int8_k_rows_per_query(spark):
+    from metadata_ingestion_framework_spark.operators.similarity import ivf_topk_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk_int8(emb, queries, dim=64, k=5, n_cells=8, n_probe=2)
+    counts = {r["query_id"]: r["n"] for r in out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {0, 1, 2} and all(v == 5 for v in counts.values())
