@@ -206,6 +206,36 @@ def avro_decode_cdc(
     return df.select(*cols)
 
 
+def json_decode_cdc(
+    df: DataFrame,
+    value_schema_ddl: str,
+    confluent_wire_format: bool = True,
+) -> DataFrame:
+    """``avro_decode_cdc``'s JSON twin: strip the Confluent wire header and
+    parse the envelope with ``from_json`` into the same ``value`` struct
+    shape the Avro path produces.
+
+    Exists for two reasons: (1) Debezium is commonly deployed with the JSON
+    converter, where the reference's pipeline shape (decode -> envelope
+    split -> SCD merge, Readers.scala:108-152 / BaseProcessor.scala:28-115)
+    is identical but the deserializer differs; (2) the spark-avro connector
+    is an optional package, so this path keeps the full streaming lifecycle
+    EXECUTABLE (tests/test_e2e_rate_cdc_stream.py drives it live) in
+    environments without it. Wire-header stripping is byte-identical to the
+    Avro path (same substring expression).
+    """
+    from pyspark.sql import functions as F
+
+    if confluent_wire_format:
+        body = F.expr("substring(value, 6, 2147483647)")
+    else:
+        body = F.col("value")
+    return df.select(
+        F.from_json(F.decode(body, "UTF-8"), value_schema_ddl).alias("value"),
+        "topic", "partition", "offset", "timestamp",
+    )
+
+
 def read_kafka_cdc_stream(
     spark: SparkSession,
     bootstrap_servers: str,
