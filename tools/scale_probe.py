@@ -117,6 +117,44 @@ def probe(spark, docs, emb, tag: str) -> dict:
         "lsh_topk_total",
         lambda: lsh_topk(emb, queries, dim=64, k=10, n_planes=6).count(), r,
     )
+
+    # --- r5 Arrow kernels + r6 int8 path (VERDICT r5 next-round item 2:
+    # the rewritten hot kernels shipped without re-probed scale evidence)
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_int8,
+        random_centroids,
+        with_l2_norm,
+        with_lsh_buckets,
+    )
+
+    timed(
+        "with_lsh_buckets_corpus",  # Arrow matmul twin of lsh_bucket_corpus
+        lambda: with_lsh_buckets(emb, planes).groupBy("__bucket").count().count(),
+        r,
+    )
+    cents = random_centroids(64, 8)
+    timed(
+        "ivf_assign_corpus",
+        lambda: ivf_assign(emb, cents).groupBy("__ivf_cell").count().count(),
+        r,
+    )
+    timed(
+        "with_l2_norm_corpus",
+        lambda: with_l2_norm(emb, "embedding", "n").count(),
+        r,
+    )
+    timed(
+        "ivf_topk_total",
+        lambda: ivf_topk(emb, queries, dim=64, k=10, n_cells=8, n_probe=2).count(),
+        r,
+    )
+    timed(
+        "ivf_topk_int8_total",
+        lambda: ivf_topk_int8(emb, queries, dim=64, k=10, n_cells=8, n_probe=2).count(),
+        r,
+    )
     docs.unpersist()
     emb.unpersist()
     return r
@@ -151,8 +189,38 @@ def main() -> None:
     }
     with open("PROGRESS.jsonl", "a") as f:
         f.write(json.dumps(result) + "\n")
+    _write_probe_md(result)
     print(json.dumps(result))
     spark.stop()
+
+
+def _write_probe_md(result: dict) -> None:
+    """Durable record (PROBE.md): PROGRESS.jsonl is driver-truncated between
+    rounds (the r1-r4 probe history was lost that way — VERDICT r5)."""
+    import datetime
+
+    lines = [
+        "# 10x scale probe (latest run)",
+        "",
+        f"date: {datetime.date.today().isoformat()}  ",
+        f"data: {result['sf_dir']} replicated {result['replicas']}x "
+        "(near-dup perturbed docs, id-offset embeddings)  ",
+        "interpretation: 10x rows -> growth ~<=10x is linear; the blocked "
+        "matmul stages are quadratic per block BY DESIGN and bounded by "
+        "block size, so their growth reflects block-count x block-cost.",
+        "",
+        "| stage | 1x sec (rows) | 10x sec (rows) | growth |",
+        "|---|---|---|---|",
+    ]
+    for k in result["base"]:
+        b, s = result["base"][k], result["scaled"][k]
+        lines.append(
+            f"| {k} | {b['sec']} ({b['rows']}) | {s['sec']} ({s['rows']}) "
+            f"| {result['growth'][k]}x |"
+        )
+    lines.append("")
+    with open("PROBE.md", "w") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":
