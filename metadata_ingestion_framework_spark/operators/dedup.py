@@ -501,8 +501,15 @@ def ngram_jaccard_pairs_prefix(
     # true pairs; the slack only ever admits extra candidates, which the
     # exact verify removes
     prefix_len = F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)) + 1
-    prefix = exploded.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= prefix_len
+    # persisted: the self-join below would otherwise recompute the whole
+    # explode -> freq-join -> window pipeline for BOTH branches (CLAUDE.md
+    # self-join rule; measured ~25% off the flagship at sf0.1). Skinny
+    # rows only (blocks, id, sz, gram, rn) — bounded by sum of prefix
+    # lengths, far below the exploded gram table.
+    prefix = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .persist()
     )
 
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -554,7 +561,7 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    out._persisted_deps = [docs_g]  # release via unpersist_deps
+    out._persisted_deps = [docs_g, prefix]  # release via unpersist_deps
     return out
 
 
