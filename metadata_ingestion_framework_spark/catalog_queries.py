@@ -1426,6 +1426,46 @@ WHERE len(a.grams) > 0 AND len(b.grams) > 0
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train/eval n-gram decontamination (operators/dedup.py::
+    ngram_contamination): every doc_id % 20 == 0 document plays the eval
+    suite; flagged (train_id, eval_id) pairs share >= 3 distinct word
+    5-grams. The standard pre-training overlap check (13-gram in the
+    GPT-3/PaLM data papers; 5/3 here so the synthetic corpus, whose
+    near-dups share shorter spans, produces a non-trivial result)."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(
+        train, evals, "text", "doc_id", shingle_n=5, min_shared=3
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH g AS (
+  SELECT doc_id,
+    list_distinct([
+      array_to_string(toks[i:i+4], ' ')
+      FOR i IN range(1, greatest(len(toks) - 4, 0) + 1)
+    ]) AS grams
+  FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS toks
+    FROM documents
+  )
+),
+tr AS (SELECT doc_id AS train_id, grams FROM g WHERE doc_id % 20 <> 0),
+ev AS (SELECT doc_id AS eval_id, grams FROM g WHERE doc_id % 20 = 0)
+SELECT tr.train_id, ev.eval_id,
+  len(list_intersect(tr.grams, ev.grams)) AS shared_grams
+FROM tr JOIN ev ON len(list_intersect(tr.grams, ev.grams)) >= 3
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for the first 5 vectors as queries."""
     emb = t(spark, sf_dir, "embeddings")
@@ -2228,6 +2268,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+    "decontaminate": q_decontaminate,  # r6: train/eval n-gram overlap check
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "lsh_topk_mp": q_lsh_topk_mp,
@@ -2254,7 +2295,6 @@ QUERIES = {
     # windows / sorts / aggs
     "window_dedup": q_window_dedup,
     "topk_per_group": q_topk_per_group,
-    "percentiles": q_percentiles,
     # joins
     "theta_join": q_theta_join,
     "struct_multiplex": q_struct_multiplex,
@@ -2269,10 +2309,11 @@ QUERIES = {
     "scd1_merge_pruned": q_scd1_merge_pruned,
     "scd2_merge": q_scd2_merge,
     # --- position 51+ (driver-verified green in earlier rounds; lowest
-    # scd4_history rotated here in r6 to fit ivf_topk_int8 — its SCD
-    # family keeps scd1/scd1_pruned/scd2 in-window and it stays
-    # sweep-checked ---
+    # scd4_history rotated here in r6 to fit ivf_topk_int8, percentiles
+    # to fit decontaminate — their families (SCD, window aggs) keep
+    # multiple in-window entries and both stay sweep-checked ---
     "scd4_history": q_scd4_history,
+    "percentiles": q_percentiles,
     # marginal signal if a bounded driver window cuts here; rank_latest/
     # top_orders/running_sum rotated out in r5 to fit the media contracts —
     # their families stay in-window via window_dedup/topk_per_group/
@@ -2356,6 +2397,7 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_prefix": ORACLE_NGRAM_JACCARD_PREFIX,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,
     "lsh_topk_mp": ORACLE_LSH_TOPK_MP,

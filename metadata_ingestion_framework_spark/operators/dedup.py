@@ -623,3 +623,86 @@ def ngram_jaccard_pairs(
         .applyInPandas(pairs, f"id_a {id_type}, id_b {id_type}, jaccard double")
     )
     return cand.filter(F.col("jaccard") >= threshold)
+
+
+def _distinct_gram_rows(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int, out_id: str
+) -> DataFrame:
+    """(out_id, gram) rows — one per DISTINCT word n-gram per document.
+
+    Arrow kernel tokenize + per-doc set, then explode: the gram build is one
+    Python pass per doc (the HOF expression pipeline measured ~4x slower —
+    CLAUDE.md rule), and the explode output is skinny, so the downstream
+    equi-join shuffles (id, gram) only.
+    """
+    id_type = dict(df.dtypes)[id_col]
+
+    def build(batches):
+        for pdf in batches:
+            ids, grams = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = _tokenize(text)
+                for g in {
+                    " ".join(words[j : j + shingle_n])
+                    for j in range(max(len(words) - shingle_n + 1, 0))
+                }:
+                    ids.append(i)
+                    grams.append(g)
+            yield pd.DataFrame({out_id: pd.Series(ids, dtype=pdf[id_col].dtype),
+                                "gram": pd.Series(grams, dtype=object)})
+
+    return _widen_narrow_input(df.select(id_col, text_col)).mapInPandas(
+        build, schema=f"`{out_id}` {id_type}, gram string"
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 13,
+    min_shared: int = 1,
+    broadcast_evals: bool = True,
+) -> DataFrame:
+    """Train/eval overlap pairs: (train_id, eval_id, shared_grams) where a
+    training document shares >= ``min_shared`` distinct word ``shingle_n``-
+    grams with an eval document — the standard n-gram decontamination test
+    LLM training pipelines run before training (13-gram overlap in the
+    GPT-3/PaLM data papers; public methodology).
+
+    No reference analogue (north-star extension, BASELINE.json).
+
+    Scale shape: both sides explode to skinny (id, gram) rows; the join is
+    a bounded-key equi-join on gram. Eval suites are small next to a 100 TB
+    corpus, so ``broadcast_evals`` ships the eval gram set to every executor
+    and the train side NEVER shuffles — the whole check is one map-side join
+    plus a partial-aggregated count. Set it False for giant eval sets to
+    fall back to a shuffle equi-join on gram.
+    """
+    tg = _distinct_gram_rows(train, text_col, id_col, shingle_n, "train_id")
+    eg = _distinct_gram_rows(evals, text_col, id_col, shingle_n, "eval_id")
+    if broadcast_evals:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop training documents contaminated by eval overlap (left-anti join
+    against :func:`ngram_contamination`'s flagged train ids)."""
+    flagged = ngram_contamination(
+        train, evals, text_col, id_col, shingle_n, min_shared
+    ).select(F.col("train_id").alias(id_col)).distinct()
+    return train.join(F.broadcast(flagged), id_col, "left_anti")

@@ -92,3 +92,44 @@ def test_short_and_empty_docs_no_crash(spark):
     )
     assert minhash_lsh_duplicates(docs, "text", "doc_id").count() == 0
     assert simhash_duplicates(docs, "text", "doc_id").count() == 0
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about spark physical plans"),
+            (3, "the quick brown fox jumps over a sleeping cat today"),
+        ],
+        "doc_id int, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "we ask whether the quick brown fox jumps over anything")],
+        "doc_id int, text string",
+    )
+    pairs = ngram_contamination(train, evals, "text", "doc_id", shingle_n=5, min_shared=1)
+    got = {(r["train_id"], r["eval_id"]): r["shared_grams"] for r in pairs.collect()}
+    # 'the quick brown fox jumps' (+ 'quick brown fox jumps over') shared
+    assert got[(1, 100)] == 2 and got[(3, 100)] == 2 and (2, 100) not in got
+
+    clean = decontaminate(train, evals, "text", "doc_id", shingle_n=5, min_shared=1)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2]
+
+
+def test_ngram_contamination_min_shared_threshold(spark):
+    from metadata_ingestion_framework_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id int, text string"
+    )
+    evals = spark.createDataFrame(
+        [(9, "a b c d e x y z")], "doc_id int, text string"
+    )
+    # shares exactly one 5-gram ('a b c d e')
+    assert ngram_contamination(train, evals, "text", "doc_id", 5, 1).count() == 1
+    assert ngram_contamination(train, evals, "text", "doc_id", 5, 2).count() == 0
