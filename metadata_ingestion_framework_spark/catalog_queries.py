@@ -1426,6 +1426,52 @@ WHERE len(a.grams) > 0 AND len(b.grams) > 0
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-family token-repetition metrics per document
+    (functions/text.py::repetition_stats) — exact integer counts under
+    ROUND(6) ratios, so fully value-checked."""
+    from metadata_ingestion_framework_spark.functions.text import repetition_stats
+
+    docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
+    return repetition_stats(docs, "text", "doc_id")
+
+
+ORACLE_REPETITION_STATS = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w
+),
+ws AS (
+  SELECT doc_id, max(c) AS top_w, sum(c) AS n_w, count(*) AS distinct_w
+  FROM wc GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id,
+    [array_to_string(t[i:i+1], ' ') FOR i IN range(1, greatest(len(t) - 1, 0) + 1)] AS g
+  FROM toks
+),
+gc AS (
+  SELECT doc_id, gg, count(*) AS c
+  FROM (SELECT doc_id, unnest(g) AS gg FROM grams) GROUP BY doc_id, gg
+),
+gs AS (SELECT doc_id, max(c) AS top_g, sum(c) AS n_g FROM gc GROUP BY doc_id)
+SELECT d.doc_id,
+  ROUND(CASE WHEN ws.n_w > 0 THEN CAST(ws.top_w AS DOUBLE) / ws.n_w ELSE 0.0 END, 6)
+    AS top_word_frac,
+  ROUND(CASE WHEN ws.n_w > 0 THEN 1.0 - CAST(ws.distinct_w AS DOUBLE) / ws.n_w ELSE 0.0 END, 6)
+    AS dup_word_frac,
+  ROUND(CASE WHEN gs.n_g > 0 THEN CAST(gs.top_g AS DOUBLE) / gs.n_g ELSE 0.0 END, 6)
+    AS top_bigram_frac
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN ws USING (doc_id) LEFT JOIN gs USING (doc_id)
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Train/eval n-gram decontamination (operators/dedup.py::
     ngram_contamination): every doc_id % 20 == 0 document plays the eval
@@ -2271,11 +2317,11 @@ QUERIES = {
     "decontaminate": q_decontaminate,  # r6: train/eval n-gram overlap check
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
-    "lsh_topk_mp": q_lsh_topk_mp,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
+    "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
@@ -2310,10 +2356,12 @@ QUERIES = {
     "scd2_merge": q_scd2_merge,
     # --- position 51+ (driver-verified green in earlier rounds; lowest
     # scd4_history rotated here in r6 to fit ivf_topk_int8, percentiles
-    # to fit decontaminate — their families (SCD, window aggs) keep
-    # multiple in-window entries and both stay sweep-checked ---
+    # to fit decontaminate, lsh_topk_mp to fit repetition_stats — their
+    # families (SCD, window aggs, LSH/IVF ANN) keep multiple in-window
+    # entries and all stay sweep-checked ---
     "scd4_history": q_scd4_history,
     "percentiles": q_percentiles,
+    "lsh_topk_mp": q_lsh_topk_mp,
     # marginal signal if a bounded driver window cuts here; rank_latest/
     # top_orders/running_sum rotated out in r5 to fit the media contracts —
     # their families stay in-window via window_dedup/topk_per_group/
@@ -2389,6 +2437,7 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "stream_events_agg": ORACLE_STREAM_EVENTS_AGG,
     "text_stats": ORACLE_TEXT_STATS,
+    "repetition_stats": ORACLE_REPETITION_STATS,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "fingerprint": ORACLE_FINGERPRINT,

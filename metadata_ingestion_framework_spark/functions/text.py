@@ -181,3 +181,77 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+def repetition_stats(
+    df: "DataFrame", text_col: str, id_col: str
+) -> "DataFrame":
+    """Per-document token-repetition quality metrics (Gopher-rule family —
+    Rae et al. 2021's repetition filters, public methodology; token-level
+    variants since this corpus has no line structure):
+
+    - ``top_word_frac``: occurrences of the most frequent word / words;
+    - ``dup_word_frac``: 1 - distinct words / words;
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      bigrams (0.0 for docs with < 2 words).
+
+    No reference analogue (north-star extension). Shape: explode ->
+    codegen'd two-level hash agg on (id, token) — bounded keys, partial
+    aggregation; the bigram build is the slice+zip_with trick (CLAUDE.md:
+    element_at-in-lambda re-evaluates the outer array per element). Counts
+    are exact integers, so the ROUND(6) ratios are engine-exact.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    base = df.select(id_col, toks.alias("__toks"), grams.alias("__grams"))
+
+    wstats = (
+        base.select(id_col, F.explode("__toks").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("__top_w"),
+            F.sum("c").alias("__n_w"),
+            F.count(F.lit(1)).alias("__distinct_w"),
+        )
+    )
+    gstats = (
+        base.select(id_col, F.explode("__grams").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("__top_g"), F.sum("c").alias("__n_g"))
+    )
+    out = (
+        base.select(id_col)
+        .join(wstats, id_col, "left")
+        .join(gstats, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.when(F.col("__n_w") > 0, F.col("__top_w") / F.col("__n_w"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_word_frac"),
+            F.round(
+                F.when(
+                    F.col("__n_w") > 0,
+                    1.0 - F.col("__distinct_w") / F.col("__n_w"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.when(F.col("__n_g") > 0, F.col("__top_g") / F.col("__n_g"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return out

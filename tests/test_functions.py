@@ -117,3 +117,26 @@ def test_drop_reorder_flags_serialize(spark, emp):
     assert row["current_flag"] is True and row["expiry_at"] is None
     ser = serialize_rows(emp.filter("empid = 5467").select("empid", "ename", "comm"))
     assert ser.collect()[0]["row_data"] == "5467|WILSON|400"
+
+
+def test_repetition_stats_exact_small(spark):
+    from metadata_ingestion_framework_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # top word a:3/4; distinct 2/4; bigrams: 'a a' 2/3
+            (2, "x y z"),            # all distinct; bigrams all distinct 1/2
+            (3, "solo"),             # one word, no bigrams
+            (4, ""),                 # empty
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert got[1]["top_word_frac"] == 0.75
+    assert got[1]["dup_word_frac"] == 0.5
+    assert got[1]["top_bigram_frac"] == round(2 / 3, 6)
+    assert got[2]["top_word_frac"] == round(1 / 3, 6)
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.5
+    assert got[3]["top_word_frac"] == 1.0 and got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["top_word_frac"] == 0.0 and got[4]["dup_word_frac"] == 0.0
