@@ -1426,6 +1426,36 @@ WHERE len(a.grams) > 0 AND len(b.grams) > 0
 """
 
 
+def q_pack_manifest(spark, sf_dir):
+    """Sequence-packing manifest (functions/text.py::pack_manifest):
+    per-shard concat-then-chunk planning at 512-token sequences. Integer
+    token counts + window cumsum — engine-exact."""
+    from metadata_ingestion_framework_spark.functions.text import pack_manifest
+
+    docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
+    return pack_manifest(docs, "text", "doc_id", budget_tokens=512, shards=8)
+
+
+ORACLE_PACK_MANIFEST = r"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+nz AS (SELECT * FROM base WHERE n_tokens > 0),
+cums AS (
+  SELECT doc_id, shard, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM nz
+)
+SELECT doc_id, shard, n_tokens,
+  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS seq_first,
+  CAST(floor(CAST(cum - 1 AS DOUBLE) / 512) AS BIGINT) AS seq_last
+FROM cums
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-family token-repetition metrics per document
     (functions/text.py::repetition_stats) — exact integer counts under
@@ -2304,7 +2334,6 @@ QUERIES = {
     "offset_ranges": q_offset_ranges,
     "lead_lag": q_lead_lag,
     "epoch_roundtrip": q_epoch_roundtrip,
-    "translate_clean": q_translate_clean,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "stream_events_agg": q_stream_events_agg,
@@ -2332,6 +2361,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "quantize_error": q_quantize_error,
     "chunk_passages": q_chunk_passages,
+    "pack_manifest": q_pack_manifest,  # r6: sequence-packing manifest
     "curation_pipeline": q_curation_pipeline,
     # multimodal decode contracts (r5: exact integer invariants vs DuckDB —
     # rotated INTO the driver window per VERDICT r4 item 3)
@@ -2358,10 +2388,13 @@ QUERIES = {
     # scd4_history rotated here in r6 to fit ivf_topk_int8, percentiles
     # to fit decontaminate, lsh_topk_mp to fit repetition_stats — their
     # families (SCD, window aggs, LSH/IVF ANN) keep multiple in-window
-    # entries and all stay sweep-checked ---
+    # entries and all stay sweep-checked; translate_clean rotated for
+    # pack_manifest (row-transform family keeps epoch_roundtrip/hash_jk/
+    # anonymize_pii/cdc_split in-window) ---
     "scd4_history": q_scd4_history,
     "percentiles": q_percentiles,
     "lsh_topk_mp": q_lsh_topk_mp,
+    "translate_clean": q_translate_clean,
     # marginal signal if a bounded driver window cuts here; rank_latest/
     # top_orders/running_sum rotated out in r5 to fit the media contracts —
     # their families stay in-window via window_dedup/topk_per_group/
@@ -2460,6 +2493,7 @@ ORACLES = {
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "quantize_error": ORACLE_QUANTIZE_ERROR,
     "chunk_passages": ORACLE_CHUNK_PASSAGES,
+    "pack_manifest": ORACLE_PACK_MANIFEST,
     "curation_pipeline": ORACLE_CURATION_PIPELINE,
     # media decode contracts (r5): DuckDB can't decode BMP/WAV/BMV, but it
     # CAN recompute the exact integer pixel/sample sums from the

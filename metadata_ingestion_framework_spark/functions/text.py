@@ -255,3 +255,55 @@ def repetition_stats(
         )
     )
     return out
+
+
+def pack_manifest(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    budget_tokens: int = 2048,
+    shards: int = 32,
+) -> "DataFrame":
+    """Sequence-packing manifest: map every document's token span onto
+    fixed-size training sequences, concat-then-chunk style (the packing
+    strategy most LLM data loaders use; public methodology).
+
+    Documents are assigned to ``shards`` by ``id % shards`` and packed
+    WITHIN a shard in id order: each doc occupies global token offsets
+    ``[cum_before, cum_before + n_tokens)`` of its shard's stream, so it
+    lands in sequences ``floor(offset / budget) .. floor((offset + n - 1) /
+    budget)`` — ``seq_first``/``seq_last`` straddle a boundary when a doc
+    crosses it, exactly like the loader's chunker. Empty docs are dropped
+    (they occupy no tokens).
+
+    No reference analogue (north-star extension). Scale shape: the running
+    token count is a window over the SHARD key — never a global single-
+    partition sort; shards bound each window's state and parallelize the
+    pack. Output is a skinny manifest (ids + 4 ints) the actual pack step
+    consumes.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_toks = token_count(F.col(text_col))
+    base = (
+        df.select(
+            id_col,
+            (F.col(id_col) % shards).cast("int").alias("shard"),
+            n_toks.cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget_tokens).alias("seq_first"),
+        F.floor((cum - 1) / budget_tokens).alias("seq_last"),
+    )

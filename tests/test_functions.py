@@ -140,3 +140,25 @@ def test_repetition_stats_exact_small(spark):
     assert got[2]["top_bigram_frac"] == 0.5
     assert got[3]["top_word_frac"] == 1.0 and got[3]["top_bigram_frac"] == 0.0
     assert got[4]["top_word_frac"] == 0.0 and got[4]["dup_word_frac"] == 0.0
+
+
+def test_pack_manifest_small(spark):
+    from metadata_ingestion_framework_spark.functions.text import pack_manifest
+
+    df = spark.createDataFrame(
+        [
+            (0, "w1 w2 w3"),       # shard 0: 3 toks, offsets 0-2 -> seq 0
+            (2, "a b c d"),        # shard 0: offsets 3-6 -> straddles 0..1
+            (4, ""),               # empty: dropped
+            (1, " ".join(["t"] * 5)),  # shard 1: offsets 0-4 -> seq 0
+            (3, "x"),              # shard 1: offset 5 -> seq 1
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_manifest(df, "text", "doc_id", 5, 2).collect()}
+    assert set(out) == {0, 2, 1, 3}
+    assert (out[0]["seq_first"], out[0]["seq_last"]) == (0, 0)
+    assert (out[2]["seq_first"], out[2]["seq_last"]) == (0, 1)  # straddle
+    assert (out[1]["seq_first"], out[1]["seq_last"]) == (0, 0)
+    assert (out[3]["seq_first"], out[3]["seq_last"]) == (1, 1)
+    assert out[3]["shard"] == 1 and out[2]["shard"] == 0
