@@ -82,3 +82,44 @@ def test_dedup_window_one_row_per_key_min_wins(spark, data):
         best.setdefault(k, (ts, v))
     for r in out:
         assert (r["ts"], r["v"]) == best[r["k"]]
+
+
+def test_pack_manifest_invariants(spark):
+    """Property: within every shard, sequence spans are contiguous and
+    non-overlapping in id order, and token mass is conserved."""
+    from metadata_ingestion_framework_spark.functions.text import pack_manifest
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 256
+    m = pack_manifest(docs, "text", "doc_id", budget, 8).collect()
+    by_shard: dict[int, list] = {}
+    for r in m:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(len(v) for v in by_shard.values()), "non-empty shards"
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["n_tokens"] > 0
+            assert r["seq_first"] == cum // budget
+            assert r["seq_last"] == (cum + r["n_tokens"] - 1) // budget
+            assert r["seq_first"] <= r["seq_last"]
+            cum += r["n_tokens"]
+
+
+def test_repetition_stats_bounds(spark):
+    """Property: all three fractions live in [0, 1]; top_word_frac >= 1/n
+    for any non-empty doc; dup fraction is 0 iff all words distinct."""
+    from metadata_ingestion_framework_spark.functions.text import repetition_stats
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = repetition_stats(docs, "text", "doc_id")
+    bad = out.filter(
+        (F.col("top_word_frac") < 0) | (F.col("top_word_frac") > 1)
+        | (F.col("dup_word_frac") < 0) | (F.col("dup_word_frac") > 1)
+        | (F.col("top_bigram_frac") < 0) | (F.col("top_bigram_frac") > 1)
+    ).count()
+    assert bad == 0
+    assert out.count() == docs.count()

@@ -155,6 +155,35 @@ def probe(spark, docs, emb, tag: str) -> dict:
         lambda: ivf_topk_int8(emb, queries, dim=64, k=10, n_cells=8, n_probe=2).count(),
         r,
     )
+
+    # --- r6 text/training-data operators (explode + codegen agg paths)
+    from metadata_ingestion_framework_spark.functions.text import (
+        pack_manifest,
+        repetition_stats,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    timed(
+        "repetition_stats",
+        lambda: repetition_stats(docs, "text", "doc_id").count(),
+        r,
+    )
+    timed(
+        "pack_manifest",
+        lambda: pack_manifest(docs, "text", "doc_id", 512, 32).count(),
+        r,
+    )
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    timed(
+        "decontaminate_pairs",
+        lambda: ngram_contamination(
+            train, evals, "text", "doc_id", shingle_n=5, min_shared=3
+        ).count(),
+        r,
+    )
     docs.unpersist()
     emb.unpersist()
     return r
