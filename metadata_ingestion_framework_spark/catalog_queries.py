@@ -1426,6 +1426,37 @@ WHERE len(a.grams) > 0 AND len(b.grams) > 0
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-5 smoothed TF-IDF terms (functions/text.py::
+    tfidf_top_terms) — ROUND(6) before ranking + term-asc tiebreak keeps
+    the top-k engine-deterministic."""
+    from metadata_ingestion_framework_spark.functions.text import tfidf_top_terms
+
+    docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
+    return tfidf_top_terms(docs, "text", "doc_id", k=5)
+
+
+ORACLE_TFIDF_TOP_TERMS = r"""
+WITH words AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+    ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_pack_manifest(spark, sf_dir):
     """Sequence-packing manifest (functions/text.py::pack_manifest):
     per-shard concat-then-chunk planning at 512-token sequences. Integer
@@ -2353,11 +2384,11 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
-    "fingerprint": q_fingerprint,
     "grouping_key": q_grouping_key,
     "det_sample": q_det_sample,
     "stratified_sample": q_stratified_sample,
     "top_ngrams": q_top_ngrams,
+    "tfidf_top_terms": q_tfidf_top_terms,  # r6: keyword extraction
     "approx_distinct": q_approx_distinct,
     "quantize_error": q_quantize_error,
     "chunk_passages": q_chunk_passages,
@@ -2390,11 +2421,13 @@ QUERIES = {
     # families (SCD, window aggs, LSH/IVF ANN) keep multiple in-window
     # entries and all stay sweep-checked; translate_clean rotated for
     # pack_manifest (row-transform family keeps epoch_roundtrip/hash_jk/
-    # anonymize_pii/cdc_split in-window) ---
+    # anonymize_pii/cdc_split in-window); fingerprint rotated for
+    # tfidf_top_terms (text family keeps 7 in-window entries) ---
     "scd4_history": q_scd4_history,
     "percentiles": q_percentiles,
     "lsh_topk_mp": q_lsh_topk_mp,
     "translate_clean": q_translate_clean,
+    "fingerprint": q_fingerprint,
     # marginal signal if a bounded driver window cuts here; rank_latest/
     # top_orders/running_sum rotated out in r5 to fit the media contracts —
     # their families stay in-window via window_dedup/topk_per_group/
@@ -2490,6 +2523,7 @@ ORACLES = {
     "det_sample": ORACLE_DET_SAMPLE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "top_ngrams": ORACLE_TOP_NGRAMS,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "quantize_error": ORACLE_QUANTIZE_ERROR,
     "chunk_passages": ORACLE_CHUNK_PASSAGES,

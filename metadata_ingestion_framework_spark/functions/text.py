@@ -307,3 +307,46 @@ def pack_manifest(
         F.floor((cum - F.col("n_tokens")) / budget_tokens).alias("seq_first"),
         F.floor((cum - 1) / budget_tokens).alias("seq_last"),
     )
+
+
+def tfidf_top_terms(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> "DataFrame":
+    """Per-document top-k terms by smoothed TF-IDF (keyword extraction for
+    corpus curation/labeling; standard IR formula, public methodology).
+
+    tf = term count in doc; idf = ln((N + 1) / (df + 1)) + 1 (the smoothed
+    scikit-learn variant); score = tf * idf, ROUND(6), ties broken by term
+    asc so the top-k is engine-deterministic.
+
+    No reference analogue (north-star extension). Shape: one explode ->
+    (doc, term) count agg, a term document-frequency agg joined back (both
+    partial-aggregated, bounded keys), and a per-doc top-k window — the
+    same two-shuffle skeleton as a 100 TB vocabulary build; N is a scalar
+    broadcast, never a driver loop.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    words = df.select(id_col, F.explode(toks).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()  # scalar, embedded as literal
+    scored = tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

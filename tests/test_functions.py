@@ -162,3 +162,29 @@ def test_pack_manifest_small(spark):
     assert (out[1]["seq_first"], out[1]["seq_last"]) == (0, 0)
     assert (out[3]["seq_first"], out[3]["seq_last"]) == (1, 1)
     assert out[3]["shard"] == 1 and out[2]["shard"] == 0
+
+
+def test_tfidf_top_terms_small(spark):
+    import math
+
+    from metadata_ingestion_framework_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tfidf"]))
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert sorted(by_doc[1])[0][1] == "apple"
+    expected_apple = round(2 * (math.log(4 / 2) + 1), 6)
+    assert sorted(by_doc[1])[0][2] == expected_apple
+    # doc 3: cherry tf=3 dominates; durian df=1 second
+    assert [t for _, t, _ in sorted(by_doc[3])] == ["cherry", "durian"]
+    assert all(len(v) <= 2 for v in by_doc.values())
