@@ -72,3 +72,64 @@ def test_lsh_multi_probe_superset_recall(spark):
     assert s <= m  # candidate superset
     # no duplicate (query, vec) pairs from the probe expansion
     assert multi.groupBy("query_id", "vec_id").count().filter("count > 1").count() == 0
+
+
+def test_int8_cell_layout_prunes_and_shrinks(spark, tmp_path):
+    """The ivf_topk_int8 write-time layout: codes + scale + cell, float
+    vectors in a separate table. Proves (a) the code table is materially
+    smaller on disk than the float table, (b) probing cells prunes the
+    code-table scan at directory level."""
+    import glob
+    import os
+
+    from metadata_ingestion_framework_spark.operators.quantize import (
+        quantize_embeddings,
+    )
+
+    # near-unique float values so neither table dictionary-compresses —
+    # the on-disk ratio then reflects the 1-vs-4 bytes/dim physical width
+    # instead of toy-scale encodings
+    emb = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(2**31)) / F.lit(2.0**30)
+                - 1.0
+            ),
+        ).cast("array<float>").alias("embedding"),
+    )
+    cents = random_centroids(64, 4, seed=7)
+    qz = ivf_assign(quantize_embeddings(emb, "embedding"), cents)
+    codes_path = str(tmp_path / "codes")
+    float_path = str(tmp_path / "floats")
+    (
+        qz.select(
+            "vec_id",
+            F.col("embedding_q").cast("array<byte>").alias("codes"),
+            "embedding_scale",
+            "__ivf_cell",
+        )
+        .write.partitionBy("__ivf_cell")
+        .parquet(codes_path)
+    )
+    emb.write.parquet(float_path)
+
+    def disk(p):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{p}/**/*.parquet", recursive=True)
+        )
+
+    assert disk(codes_path) < disk(float_path) * 0.6  # int8 codes ~4x denser
+
+    schema = spark.read.parquet(codes_path).schema
+    scan = (
+        spark.read.schema(schema)
+        .parquet(codes_path)
+        .filter(F.col("__ivf_cell").isin(0, 1))
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "__ivf_cell" in plan.split("PartitionFilters")[1][:200]
+    assert scan.count() == qz.filter(F.col("__ivf_cell").isin(0, 1)).count()
