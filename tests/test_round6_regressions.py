@@ -125,3 +125,20 @@ def test_l2_norm_large_magnitude_bit_match(spark):
     jvm = df.select("vec_id", l2_norm(F.col("embedding")).alias("n"))
     ker = with_l2_norm(df, "embedding", "n").select("vec_id", "n")
     assert jvm.exceptAll(ker).count() == 0
+
+
+def test_ivf_topk_int8_tolerates_dirty_corpus(spark):
+    """Null/ragged corpus rows get a NULL cell from ivf_assign and drop out
+    of the probe join — the quantized path never crashes on dirty data and
+    never surfaces an unscorable row."""
+    from metadata_ingestion_framework_spark.operators.similarity import ivf_topk_int8
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(20)]
+    rows += [(20, None), (21, [1.0, 2.0])]
+    corpus = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    qs = corpus.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk_int8(corpus, qs, dim=4, k=5, n_cells=2, n_probe=2).collect()
+    assert len(out) == 10  # 5 per query
+    assert not any(r["vec_id"] in (20, 21) for r in out)
