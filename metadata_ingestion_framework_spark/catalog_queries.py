@@ -838,6 +838,59 @@ SELECT event_id, replace(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S'), '
 """
 
 
+def q_salted_join_agg(spark, sf_dir):
+    """Skew-mitigation value proof (operators/skew.py::salted_join): the
+    salted customer-nation join aggregated per nation must equal a plain
+    SQL join + GROUP BY — salting changes the shuffle key, never the
+    result set. Oracle-upgrades the op from behavioral pytest to a value
+    check (tail entry; skew.py untouched this round)."""
+    from metadata_ingestion_framework_spark.operators.skew import salted_join
+
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(
+        cust.select("c_custkey", F.col("c_nationkey").alias("n_nationkey")),
+        nat,
+        ["n_nationkey"],
+        salt=8,
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c_custkey").alias("custkey_sum"),
+    )
+
+
+ORACLE_SALTED_JOIN_AGG = """
+SELECT n_name, count(*) AS n_customers, SUM(c_custkey) AS custkey_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_two_stage_collect(spark, sf_dir):
+    """Skew-safe collect value proof (operators/skew.py::two_stage_agg):
+    salted partial collect_list + flatten merge, sorted and serialized,
+    must equal DuckDB's ordered list aggregation per key."""
+    from metadata_ingestion_framework_spark.operators.skew import two_stage_agg
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    agg = two_stage_agg(
+        cust, ["c_nationkey"], "c_custkey", salt=8, finisher=F.sort_array
+    )
+    return agg.select(
+        "c_nationkey",
+        F.concat_ws(",", F.col("c_custkeys").cast("array<string>")).alias("keys_csv"),
+    )
+
+
+ORACLE_TWO_STAGE_COLLECT = """
+SELECT c_nationkey,
+  array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS keys_csv
+FROM customer WHERE c_custkey <= 200
+GROUP BY c_nationkey
+"""
+
+
 def q_serialize_rows(spark, sf_dir):
     """T17: concat_ws row serialization (error-log shape)."""
     n = t(spark, sf_dir, "nation")
@@ -2453,6 +2506,9 @@ QUERIES = {
     "mask_digits": q_mask,
     "encrypt_roundtrip": q_encrypt_roundtrip,
     "serialize_rows": q_serialize_rows,
+    # r6: skew-op value proofs (ops unchanged; oracle upgrade from pytest)
+    "salted_join_agg": q_salted_join_agg,
+    "two_stage_collect": q_two_stage_collect,
 }
 
 ORACLES = {
@@ -2493,6 +2549,8 @@ ORACLES = {
     "epoch_roundtrip": ORACLE_EPOCH_ROUNDTRIP,
     "translate_clean": ORACLE_TRANSLATE_CLEAN,
     "serialize_rows": ORACLE_SERIALIZE_ROWS,
+    "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
+    "two_stage_collect": ORACLE_TWO_STAGE_COLLECT,
     "cdc_split": ORACLE_CDC_SPLIT,
     "shard_enrich": ORACLE_SHARD_ENRICH,
     "scd1_merge": ORACLE_SCD1_MERGE,
