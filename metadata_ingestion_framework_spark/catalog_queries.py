@@ -25,6 +25,7 @@ from metadata_ingestion_framework_spark.functions.pii import (
     mask_it,
 )
 from metadata_ingestion_framework_spark.functions.text import (
+    WS_RUN,
     detect_language,
     fingerprint,
     quality_score,
@@ -1522,7 +1523,8 @@ def q_pack_manifest(spark, sf_dir):
 
 ORACLE_PACK_MANIFEST = r"""
 WITH base AS (
-  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
   FROM documents
 ),
@@ -2150,7 +2152,7 @@ def q_top_ngrams(spark, sf_dir):
     not per-doc distinct — BPE/vocab prep counts every occurrence).
     Explode -> codegen'd hash agg; the per-doc gram build is the only HOF."""
     docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    toks = F.filter(F.split(F.lower(F.col("text")), WS_RUN), lambda w: w != "")
     # zip adjacent tokens via two slices: referencing `toks` inside the
     # lambda (element_at(toks, i+2)) re-evaluates the whole split per
     # ELEMENT under CollapseProject — O(tokens^2) per doc, measured ~60x

@@ -11,6 +11,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Java regex \s includes \x0B (vertical tab); DuckDB's RE2 \s is exactly
+# [ \t\n\r\f]. Every oracle-compared tokenize/count regex spells the RE2
+# class out so both engines split identically on corpora containing
+# vertical tabs (r6 ADVICE item 1 — the \s shorthand would silently desync
+# token counts / term sets cross-engine). Mirrors dedup._ASCII_WS, which
+# fixed the same gap for the Python tokenizer kernels in r5.
+WS_CLASS = r"[ \t\n\r\f]"
+WS_RUN = WS_CLASS + "+"
+NONWS_RUN = r"[^ \t\n\r\f]+"
+
 # Tiny per-language stopword marker sets (public common-words lists). The
 # detector scores each language by marker-word hits over whitespace tokens —
 # an n-gram-free heuristic that is deterministic and SQL-expressible, which
@@ -25,7 +35,7 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _tokens(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+    return F.filter(F.split(F.lower(col), WS_RUN), lambda w: w != "")
 
 
 def token_count(col: Column) -> Column:
@@ -35,7 +45,7 @@ def token_count(col: Column) -> Column:
     ``size(filter(split(...)))`` formulation allocated a token array AND ran
     an interpreted lambda per element (measured 10x slower on long docs).
     """
-    return F.regexp_count(col, F.lit(r"\S+"))
+    return F.regexp_count(col, F.lit(NONWS_RUN))
 
 
 def word_token_count(col: Column) -> Column:
@@ -46,7 +56,7 @@ def word_token_count(col: Column) -> Column:
     token. Real BPE drops in as a pandas_udf over the same column.
     Single regex pass (regexp_count), no array materialization.
     """
-    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]"))
 
 
 def detect_language(col: Column, languages: list[str] | None = None) -> Column:
@@ -84,7 +94,7 @@ def quality_score(col: Column) -> Column:
     punct_ratio = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}]", "")) / safe_chars
     n_toks = token_count(col)
     safe_toks = F.when(n_toks == 0, F.lit(1)).otherwise(n_toks).cast("double")
-    mean_word_len = F.length(F.regexp_replace(col, r"\s", "")) / safe_toks
+    mean_word_len = F.length(F.regexp_replace(col, WS_CLASS, "")) / safe_toks
     band = (
         F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0))
         .when(mean_word_len < 3, mean_word_len / 3.0)
@@ -109,7 +119,7 @@ def rolling_hash_fingerprint(col: Column, window: int = 16, keep_every: int = 8)
 
     Pure higher-order functions (sequence/transform/array_min).
     """
-    s = F.lower(F.regexp_replace(col, r"\s+", " "))
+    s = F.lower(F.regexp_replace(col, WS_RUN, " "))
     n = F.greatest(F.length(s) - (window - 1), F.lit(0))
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(keep_every))
     # Grams are taken over the FULL normalized string — an earlier truncation
@@ -143,7 +153,7 @@ def chunk_passages(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    toks = F.filter(F.split(F.col(text_col), WS_RUN), lambda w: w != "")
     # drop empty AND null texts here: size(NULL) is NULL under ANSI, and
     # downstream least()/greatest() silently ignore NULL operands, which
     # would let a NULL document emit one bogus chunk
@@ -203,7 +213,7 @@ def repetition_stats(
     """
     from pyspark.sql import functions as F
 
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_RUN), lambda w: w != "")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     grams = F.zip_with(
         F.slice(toks, 1, n1), F.slice(toks, 2, n1),
@@ -268,8 +278,13 @@ def pack_manifest(
     fixed-size training sequences, concat-then-chunk style (the packing
     strategy most LLM data loaders use; public methodology).
 
-    Documents are assigned to ``shards`` by ``id % shards`` and packed
-    WITHIN a shard in id order: each doc occupies global token offsets
+    Documents are assigned to ``shards`` by a 60-bit md5 hash of the id
+    (``pmod``) — deterministic for ANY id type (``id % shards`` raised an
+    AnalysisException on string doc-ids, r6 VERDICT item 2) and free of
+    hot spots when ids are clustered. md5 rather than ``xxhash64`` so the
+    DuckDB oracle computes the identical assignment (the shared md5
+    primitive — CLAUDE.md cross-engine hashing rule). Docs pack WITHIN a
+    shard in id order: each doc occupies global token offsets
     ``[cum_before, cum_before + n_tokens)`` of its shard's stream, so it
     lands in sequences ``floor(offset / budget) .. floor((offset + n - 1) /
     budget)`` — ``seq_first``/``seq_last`` straddle a boundary when a doc
@@ -286,10 +301,15 @@ def pack_manifest(
     from pyspark.sql import functions as F
 
     n_toks = token_count(F.col(text_col))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(shards),
+    )
     base = (
         df.select(
             id_col,
-            (F.col(id_col) % shards).cast("int").alias("shard"),
+            shard.cast("int").alias("shard"),
             n_toks.cast("long").alias("n_tokens"),
         )
         .filter(F.col("n_tokens") > 0)
@@ -325,23 +345,26 @@ def tfidf_top_terms(
     No reference analogue (north-star extension). Shape: one explode ->
     (doc, term) count agg, a term document-frequency agg joined back (both
     partial-aggregated, bounded keys), and a per-doc top-k window — the
-    same two-shuffle skeleton as a 100 TB vocabulary build; N is a scalar
-    broadcast, never a driver loop.
+    same two-shuffle skeleton as a 100 TB vocabulary build. N rides INSIDE
+    the DAG as a broadcast 1-row scalar cross-join: the earlier
+    ``.distinct().count()`` fired a separate full corpus scan at
+    plan-BUILD time (r6 VERDICT item 1) — an extra pass nothing downstream
+    could pipeline with at 100 TB.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_RUN), lambda w: w != "")
     words = df.select(id_col, F.explode(toks).alias("term"))
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(id_col).distinct().count()  # scalar, embedded as literal
-    scored = tf.join(dfreq, "term").select(
+    n = df.agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).select(
         id_col,
         "term",
         F.round(
             F.col("tf")
-            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            * (F.log((F.col("__n_docs").cast("double") + 1.0) / (F.col("df") + 1.0)) + 1.0),
             6,
         ).alias("tfidf"),
     )

@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 # silently desync md5-mode token hashes cross-engine on corpora containing
 # those characters (VERDICT r3 item 4c / r4 item 5 / r5 ADVICE item 1).
 # All Python tokenizer kernels therefore split on the RE2 class exactly.
-# NOTE: Spark SQL split(x, '\\s+') paths share the Java-\s-includes-\x0B
-# gap vs RE2; none are currently on an md5-oracle-compared tokenize path.
+# The Spark SQL tokenize/count regexes spell out the same class via
+# functions.text.WS_RUN/NONWS_RUN (r6 ADVICE closed the last \s-shorthand
+# paths: repetition_stats / tfidf / token_count).
 _ASCII_WS = re.compile(r"[ \t\n\r\f]+")
 
 

@@ -59,8 +59,10 @@ def _vec_matrix(vals, expected_dim: int | None = None):
     ``np.stack`` raises on a null or ragged-length row, failing the whole
     Arrow batch on one dirty record (r5 ADVICE item 3). Instead, rows that
     are null — or whose length differs from ``expected_dim`` (the plane /
-    centroid dim when given, else the batch's first non-null row) — are
-    masked out; callers emit NULL for the derived column on those rows,
+    centroid dim when given, else the MODAL length of the batch's non-null
+    rows; the earlier first-non-null-row rule let a leading off-dim dirty
+    row mask out every well-formed row in its batch — r6 ADVICE item 4) —
+    are masked out; callers emit NULL for the derived column on those rows,
     matching the null-propagation of the JVM HOF expressions these kernels
     replaced. Off-dim rows yielding NULL (rather than a shorter fold) is a
     documented fixed-dim precondition, not silent truncation.
@@ -72,7 +74,11 @@ def _vec_matrix(vals, expected_dim: int | None = None):
     )
     if expected_dim is None:
         pos = lens[lens >= 0]
-        expected_dim = int(pos[0]) if len(pos) else 0
+        if len(pos):
+            dims, counts = np.unique(pos, return_counts=True)
+            expected_dim = int(dims[counts.argmax()])  # ties -> smallest dim
+        else:
+            expected_dim = 0
     valid = lens == expected_dim
     m = (
         np.stack(list(vals[valid])).astype(np.float64)

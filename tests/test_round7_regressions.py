@@ -1,0 +1,154 @@
+"""Round-7 regression locks (r6 VERDICT items 1-2 + r6 ADVICE items 1, 4):
+
+- ``pack_manifest`` shards by a 60-bit md5 of the id: works for STRING
+  doc-ids (the ``id % shards`` formulation raised AnalysisException) and
+  matches the DuckDB md5 twin exactly.
+- ``tfidf_top_terms`` keeps N inside the DAG — building the query must not
+  fire a Spark job (the old ``.distinct().count()`` scanned the corpus at
+  plan-build time).
+- Spark-side tokenize/count regexes use the explicit RE2 whitespace class
+  ``[ \\t\\n\\r\\f]``: a corpus containing vertical tabs (\\x0B — Java \\s
+  whitespace, NOT RE2 whitespace) must produce identical token counts and
+  term sets in both engines.
+- ``_vec_matrix`` infers the embedding dim from the MODAL row length, so a
+  leading off-dim dirty row no longer masks out every clean row in its
+  Arrow batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.functions.text import (
+    pack_manifest,
+    repetition_stats,
+    tfidf_top_terms,
+    token_count,
+)
+from metadata_ingestion_framework_spark.operators.similarity import (
+    _vec_matrix,
+    embedding_near_duplicates,
+)
+
+
+def _md5_shard(key: str, shards: int) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % shards
+
+
+def test_pack_manifest_string_ids(spark):
+    """String doc-ids shard via md5 — no AnalysisException, assignment
+    matches the portable md5 formula, and the per-shard cumsum packs in
+    id order."""
+    rows = [(f"doc-{i:03d}", "w " * (i + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_manifest(df, "text", "doc_id", budget_tokens=16, shards=4)
+    got = {r.doc_id: (r.shard, r.n_tokens) for r in out.collect()}
+    assert len(got) == 40
+    for i in range(40):
+        did = f"doc-{i:03d}"
+        assert got[did] == (_md5_shard(did, 4), i + 1)
+
+
+def test_pack_manifest_int_ids_match_md5(spark):
+    """Integer ids use the SAME md5-of-string assignment (cast to string
+    first) so the DuckDB CAST(doc_id AS VARCHAR) twin agrees."""
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(30)], "doc_id int, text string"
+    )
+    out = pack_manifest(df, "text", "doc_id", budget_tokens=8, shards=8)
+    for r in out.collect():
+        assert r.shard == _md5_shard(str(r.doc_id), 8)
+
+
+def test_tfidf_build_fires_no_job(spark):
+    """Constructing the tfidf plan must be lazy: the text column below
+    raises on execution, so any plan-build-time action (the old
+    ``.distinct().count()`` N scan) would blow up here."""
+
+    @F.pandas_udf("string")
+    def boom(s):
+        raise RuntimeError("plan-build must not execute the scan")
+
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"), boom(F.col("id").cast("string")).alias("text")
+    )
+    out = tfidf_top_terms(df, "text", "doc_id", k=3)  # build only
+    assert {"doc_id", "term", "tfidf", "rank"} <= set(out.columns)
+
+
+def test_tfidf_values_unchanged_by_dag_n(spark):
+    """The broadcast scalar N gives the same scores as the literal-N
+    formula it replaced."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b d")], "doc_id int, text string"
+    )
+    rows = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tfidf_top_terms(df, "text", "doc_id", k=5).collect()
+    }
+    # n=3 docs; term 'a': df=2 -> idf = ln(4/3)+1
+    assert rows[(1, "a")] == pytest.approx(round(2 * (math.log(4 / 3) + 1), 6))
+    assert rows[(3, "b")] == pytest.approx(round(2 * (math.log(4 / 3) + 1), 6))
+    assert rows[(2, "c")] == pytest.approx(round(1 * (math.log(4 / 2) + 1), 6))
+
+
+def test_vertical_tab_tokens_match_duckdb(spark):
+    """\\x0B is NOT whitespace under RE2 (DuckDB) — with the explicit
+    class, Spark agrees: 'a\\x0bb' is ONE token in both engines (Java \\s
+    would have split it into two)."""
+    import duckdb
+
+    text = "a\x0bb c"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    n_spark = df.select(token_count(F.col("text")).alias("n")).collect()[0].n
+    n_duck = duckdb.sql(
+        r"SELECT len(regexp_extract_all('a' || chr(11) || 'b c', '\S+')) AS n"
+    ).fetchone()[0]
+    assert n_spark == n_duck == 2
+
+
+def test_vertical_tab_repetition_stats(spark):
+    """Token-level repetition metrics treat 'x\\x0by' as one word — the
+    term set (and therefore top_word_frac) matches the RE2 tokenization."""
+    text = "x\x0by x\x0by z"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    r = repetition_stats(df, "text", "doc_id").collect()[0]
+    # tokens = ['x\x0by', 'x\x0by', 'z'] -> top 2/3, distinct 2/3
+    assert r.top_word_frac == pytest.approx(round(2 / 3, 6))
+    assert r.dup_word_frac == pytest.approx(round(1 - 2 / 3, 6))
+
+
+def test_vec_matrix_modal_dim_leading_dirty_row():
+    """A leading off-dim row must not define the batch dim: the modal
+    length wins and only the dirty row is masked."""
+    vals = np.array([[1.0, 2.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], None], dtype=object)
+    valid, m = _vec_matrix(vals)
+    assert valid.tolist() == [False, True, True, False]
+    assert m.shape == (2, 3)
+
+
+def test_vec_matrix_modal_tie_prefers_smallest():
+    vals = np.array([[1.0, 2.0], [1.0, 0.0, 0.0]], dtype=object)
+    valid, m = _vec_matrix(vals)
+    assert valid.tolist() == [True, False] and m.shape == (1, 2)
+
+
+def test_neardup_survives_leading_dirty_row(spark):
+    """End-to-end: the dirty 3-dim row arrives FIRST in its block; the two
+    clean 2-dim near-duplicates must still pair (r6 ADVICE item 4)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0, 0.0]),  # off-dim, smallest id -> leads batch
+            (2, "a", [1.0, 0.0]),
+            (3, "a", [1.0, 1e-9]),
+        ],
+        "vec_id int, blk string, embedding array<double>",
+    ).coalesce(1).sortWithinPartitions("vec_id")
+    pairs = embedding_near_duplicates(df, "blk", threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(2, 3)}
