@@ -47,6 +47,7 @@ from metadata_ingestion_framework_spark.operators.dedup import (
     ngram_jaccard_pairs_prefix,
     simhash_duplicates,
 )
+from metadata_ingestion_framework_spark.operators.cluster import connected_components
 from metadata_ingestion_framework_spark.operators.joins import build_inner_join_condition
 from metadata_ingestion_framework_spark.operators.merge import (
     scd1_merge,
@@ -1480,6 +1481,66 @@ WHERE len(a.grams) > 0 AND len(b.grams) > 0
 """
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters (operators/cluster.py::
+    connected_components — large-star/small-star label propagation) over
+    the corpus-global prefix-join pair set: every clustered doc labeled
+    with its component representative (min reachable doc_id) and the
+    cluster size. The DuckDB oracle computes reachability from the SAME
+    brute-forced pair set via WITH RECURSIVE — the Spark fixpoint must
+    land on identical components."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", None, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("component")
+    out = cc.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return carry_deps(out, pairs)
+
+
+ORACLE_DUP_CLUSTERS = r"""
+WITH RECURSIVE sh AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct([
+      array_to_string(toks[i:i+2], ' ')
+      FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+    ]) AS grams
+  FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS toks
+    FROM documents
+  )
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.grams) > 0 AND len(b.grams) > 0
+    AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1
+              ELSE len(list_distinct(a.grams || b.grams)) END) >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT doc_id, component,
+  COUNT(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc top-5 smoothed TF-IDF terms (functions/text.py::
     tfidf_top_terms) — ROUND(6) before ranking + term-asc tiebreak keeps
@@ -2285,13 +2346,18 @@ def q_curation_pipeline(spark, sf_dir):
       2. gate: quality >= 0.5 and predicted language in {en, de, fr};
       3. exact dedup on the normalized md5 fingerprint (min doc_id wins);
       4. near-dup removal: word-3-gram Jaccard >= 0.5 within language
-         blocks, higher doc_id of each pair dropped;
+         blocks, resolved TRANSITIVELY — pairs cluster into connected
+         components and only each component's min-doc_id representative
+         survives (r7: replaced the greedy per-pair id_b drop, which was
+         topology-dependent on chains like A~B~C);
       5. deterministic stratified training mix (en 80%, de 60%, fr 60%).
 
     Deterministic at every stage, so the whole pipeline has ONE DuckDB
-    oracle. Plan shape: two map stages + one hash-agg + one blocked
-    applyInPandas + one broadcast anti-join + one map filter — no
-    all-pairs work, nothing driver-side.
+    oracle (near-dup resolution = WITH RECURSIVE reachability). Plan
+    shape: two map stages + one hash-agg + one blocked prefix join +
+    the O(log n)-round star fixpoint on the tiny pair table + one
+    broadcast anti-join + one map filter — no all-pairs work, nothing
+    driver-side.
     """
     from metadata_ingestion_framework_spark.functions.sampling import stratified_sample
 
@@ -2318,7 +2384,12 @@ def q_curation_pipeline(spark, sf_dir):
     pairs = ngram_jaccard_pairs_prefix(
         exact, "text", "doc_id", ["pred_lang"], threshold=0.5
     )
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # transitive cluster resolution: every clustered doc except its
+    # component's min-id representative is dropped (operators/cluster.py)
+    cc = connected_components(pairs, "id_a", "id_b")
+    losers = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
     nodup = exact.join(losers, "doc_id", "left_anti")
     mixed = stratified_sample(
         nodup, "pred_lang", {"en": 0.8, "de": 0.6, "fr": 0.6},
@@ -2342,7 +2413,7 @@ def _build_curation_oracle() -> str:
         case += f"WHEN h_{lang} = {greatest} THEN '{lang}' "
     case += "END"
     return rf"""
-WITH feat AS (
+WITH RECURSIVE feat AS (
   SELECT doc_id, text, {hits},
     CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS n_chars,
     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
@@ -2368,7 +2439,7 @@ winners AS (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp),
 exact AS (
   SELECT k.* FROM kept k JOIN winners w ON k.fp = w.fp AND k.doc_id = w.doc_id
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, pred_lang,
     list_distinct([array_to_string(toks[i:i+2], ' ')
       FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
@@ -2378,12 +2449,27 @@ sh AS (
     FROM exact
   )
 ),
-losers AS (
-  SELECT DISTINCT b.doc_id
+prs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.pred_lang = b.pred_lang AND a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         (CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1
               ELSE len(list_distinct(a.grams || b.grams)) END) >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM prs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+losers AS (
+  SELECT u AS doc_id
+  FROM (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
+  WHERE u <> comp
 ),
 nodup AS (
   SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
@@ -2429,6 +2515,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+    "dup_clusters": q_dup_clusters,  # r7: transitive cluster resolution
     "decontaminate": q_decontaminate,  # r6: train/eval n-gram overlap check
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
@@ -2572,6 +2659,7 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_prefix": ORACLE_NGRAM_JACCARD_PREFIX,
+    "dup_clusters": ORACLE_DUP_CLUSTERS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,
