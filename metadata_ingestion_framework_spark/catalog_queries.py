@@ -1367,6 +1367,55 @@ WHERE CAST(len(list_filter(range(1, {num_hashes} + 1), i -> sa.s[i] = sb.s[i])) 
 ORACLE_DEDUP_MINHASH = _minhash_oracle_sql()
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental cross-run dedup (operators/incremental.py::
+    minhash_batch_drops — the exact join MinhashSignatureStore.ingest
+    runs): docs with doc_id % 4 < 3 play the already-ingested signature
+    store, the rest arrive as the new batch. The surviving batch ids of
+    the incremental band-join path must EQUAL a full-corpus greedy rerun
+    over the union under temporal-then-min-id precedence — which is what
+    the DuckDB oracle computes from the all-documents pair set. md5 token
+    hash -> every stage value-reproducible in SQL (CLAUDE.md hashing
+    rule)."""
+    from metadata_ingestion_framework_spark.operators.dedup import minhash_signatures
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        minhash_batch_drops,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    store = docs.filter(F.col("doc_id") % 4 < 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    store_sigs = minhash_signatures(store, "text", "doc_id", token_hash="md5").persist()
+    batch_sigs = minhash_signatures(batch, "text", "doc_id", token_hash="md5").persist()
+    drops = minhash_batch_drops(
+        store_sigs, batch_sigs, "doc_id", jaccard_threshold=0.5
+    )
+    out = batch.join(drops, "doc_id", "left_anti").select("doc_id")
+    out._persisted_deps = [store_sigs, batch_sigs]  # release via unpersist_deps
+    return out
+
+
+def _incremental_oracle_sql() -> str:
+    """Full-union rerun: the incremental survivors must match the greedy
+    rule applied to the whole corpus's pair set (temporal precedence:
+    store always beats batch; min-id wins within the batch)."""
+    inner = _minhash_oracle_sql(threshold=0.5)
+    return f"""
+WITH pairs AS MATERIALIZED ({inner}),
+batch AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+dropped AS (
+  SELECT id_b AS doc_id FROM pairs WHERE id_b % 4 = 3
+  UNION
+  SELECT id_a AS doc_id FROM pairs WHERE id_a % 4 = 3 AND id_b % 4 <> 3
+)
+SELECT doc_id FROM batch
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+ORACLE_INCREMENTAL_DEDUP = _incremental_oracle_sql()
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs, fully value-checked cross-engine (md5 token
     hash -> DuckDB recomputes the 64-bit fingerprints, block candidates and
@@ -1600,6 +1649,68 @@ SELECT doc_id, shard, n_tokens,
   CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS seq_first,
   CAST(floor(CAST(cum - 1 AS DOUBLE) / 512) AS BIGINT) AS seq_last
 FROM cums
+"""
+
+
+def q_heuristic_filters(spark, sf_dir):
+    """C4/RefinedWeb/Gopher document-quality gate (functions/text.py::
+    heuristic_filters) — line-structure ratios via sentinel-\\n regex
+    counts (no multiline anchors: Java and RE2 disagree on \\r\\n), Gopher
+    stopword/word-count/word-length gates. Exact integer counts under
+    ROUND(6) ratios -> fully value-checked."""
+    from metadata_ingestion_framework_spark.functions.text import heuristic_filters
+
+    docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
+    return heuristic_filters(docs, "text", "doc_id")
+
+
+ORACLE_HEURISTIC_FILTERS = r"""
+WITH feat AS (
+  SELECT doc_id,
+    coalesce(text, '') AS c,
+    len(regexp_extract_all(coalesce(text, '') || chr(10), '[^\n]\n')) AS n_lines,
+    len(regexp_extract_all(coalesce(text, '') || chr(10), '[.!?]["'')\]]?\n')) AS term_lines,
+    len(regexp_extract_all(chr(10) || coalesce(text, ''), '\n[ \t]*[-*\x{2022}]')) AS bullet_lines,
+    len(regexp_extract_all(coalesce(text, '') || chr(10), '(\.\.\.|\x{2026})\n')) AS ellipsis_lines,
+    len(regexp_extract_all(coalesce(text, ''), '\S+')) AS n_words,
+    length(regexp_replace(coalesce(text, ''), '\s', '', 'g')) AS n_nonspace
+  FROM documents
+),
+sw AS (
+  SELECT doc_id,
+    (CASE WHEN regexp_matches(lower(c), '(^|[ \t\n\r\f])the([ \t\n\r\f]|$)') THEN 1 ELSE 0 END
+   + CASE WHEN regexp_matches(lower(c), '(^|[ \t\n\r\f])be([ \t\n\r\f]|$)') THEN 1 ELSE 0 END
+   + CASE WHEN regexp_matches(lower(c), '(^|[ \t\n\r\f])to([ \t\n\r\f]|$)') THEN 1 ELSE 0 END
+   + CASE WHEN regexp_matches(lower(c), '(^|[ \t\n\r\f])of([ \t\n\r\f]|$)') THEN 1 ELSE 0 END
+   + CASE WHEN regexp_matches(lower(c), '(^|[ \t\n\r\f])and([ \t\n\r\f]|$)') THEN 1 ELSE 0 END
+   + CASE WHEN regexp_matches(lower(c), '(^|[ \t\n\r\f])that([ \t\n\r\f]|$)') THEN 1 ELSE 0 END
+   + CASE WHEN regexp_matches(lower(c), '(^|[ \t\n\r\f])have([ \t\n\r\f]|$)') THEN 1 ELSE 0 END
+   + CASE WHEN regexp_matches(lower(c), '(^|[ \t\n\r\f])with([ \t\n\r\f]|$)') THEN 1 ELSE 0 END
+    ) AS stopword_hits
+  FROM feat
+)
+SELECT f.doc_id,
+  f.n_lines,
+  ROUND(CAST(f.term_lines AS DOUBLE)
+        / (CASE WHEN f.n_lines = 0 THEN 1 ELSE f.n_lines END), 6) AS terminal_punct_ratio,
+  ROUND(CAST(f.bullet_lines AS DOUBLE)
+        / (CASE WHEN f.n_lines = 0 THEN 1 ELSE f.n_lines END), 6) AS bullet_frac,
+  ROUND(CAST(f.ellipsis_lines AS DOUBLE)
+        / (CASE WHEN f.n_lines = 0 THEN 1 ELSE f.n_lines END), 6) AS ellipsis_frac,
+  s.stopword_hits,
+  f.n_words,
+  ROUND(CAST(f.n_nonspace AS DOUBLE)
+        / (CASE WHEN f.n_words = 0 THEN 1 ELSE f.n_words END), 6) AS mean_word_len,
+  (ROUND(CAST(f.bullet_lines AS DOUBLE)
+         / (CASE WHEN f.n_lines = 0 THEN 1 ELSE f.n_lines END), 6) <= 0.9
+   AND ROUND(CAST(f.ellipsis_lines AS DOUBLE)
+             / (CASE WHEN f.n_lines = 0 THEN 1 ELSE f.n_lines END), 6) <= 0.3
+   AND s.stopword_hits >= 2
+   AND f.n_words BETWEEN 50 AND 100000
+   AND CAST(f.n_nonspace AS DOUBLE)
+       / (CASE WHEN f.n_words = 0 THEN 1 ELSE f.n_words END) BETWEEN 3 AND 10
+  ) AS gate
+FROM feat f JOIN sw s USING (doc_id)
 """
 
 
@@ -2512,6 +2623,7 @@ QUERIES = {
     # LLM-data-pipeline family (no driver rows in r1 — keep well inside 50)
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "incremental_dedup": q_incremental_dedup,  # r7: cross-run dedup vs store
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -2523,6 +2635,7 @@ QUERIES = {
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
     "embedding_neardup": q_embedding_neardup,
     "text_stats": q_text_stats,
+    "heuristic_filters": q_heuristic_filters,  # r7: C4/Gopher quality gate
     "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -2650,12 +2763,14 @@ ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "stream_events_agg": ORACLE_STREAM_EVENTS_AGG,
     "text_stats": ORACLE_TEXT_STATS,
+    "heuristic_filters": ORACLE_HEURISTIC_FILTERS,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
     "fingerprint": ORACLE_FINGERPRINT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "ngram_jaccard_prefix": ORACLE_NGRAM_JACCARD_PREFIX,

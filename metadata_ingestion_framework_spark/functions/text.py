@@ -113,6 +113,105 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(col), r"[^a-z0-9]", ""))
 
 
+# Gopher-rule stopword set (Rae et al. 2021, public methodology): a doc
+# must contain >= 2 of these to pass the gate.
+GATE_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def heuristic_filters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """C4/RefinedWeb/Gopher-style document-quality signals + gate, as pure
+    codegen expressions (public methodology: Raffel et al. 2020 'C4',
+    Penedo et al. 2023 'RefinedWeb', Rae et al. 2021 'Gopher' filters).
+
+    Per doc:
+    - ``n_lines``: non-empty lines;
+    - ``terminal_punct_ratio``: lines ending in terminal punctuation
+      (C4's line heuristic, lifted to a doc-level signal);
+    - ``bullet_frac`` / ``ellipsis_frac``: lines starting with a bullet /
+      ending with an ellipsis (Gopher: drop docs > 90% bullets or > 30%
+      ellipsis endings);
+    - ``stopword_hits``: how many of the 8 Gopher stopwords appear;
+    - ``n_words``, ``mean_word_len``: Gopher word-count/word-length gates;
+    - ``gate``: true iff the doc passes the Gopher-rule set
+      (bullet_frac <= 0.9, ellipsis_frac <= 0.3, stopword_hits >= 2,
+      50 <= n_words <= 100000, 3 <= mean_word_len <= 10).
+
+    Line structure is detected WITHOUT multiline regex anchors: Java's
+    (?m)$ treats \\r\\n as a unit while RE2's matches between \\r and \\n —
+    a cross-engine desync on CRLF corpora. Instead every pattern is
+    anchored to a literal \\n with a sentinel appended/prepended, which
+    both engines read identically. One map stage, no shuffle, no Python —
+    the gate runs at scan speed on a 100 TB documents table.
+    """
+    s = _gate_signals(F.col(text_col))
+    return df.select(
+        id_col,
+        s["n_lines"].alias("n_lines"),
+        s["terminal_punct_ratio"].alias("terminal_punct_ratio"),
+        s["bullet_frac"].alias("bullet_frac"),
+        s["ellipsis_frac"].alias("ellipsis_frac"),
+        s["stopword_hits"].alias("stopword_hits"),
+        s["n_words"].alias("n_words"),
+        F.round(s["mean_word_len"], 6).alias("mean_word_len"),
+        s["gate"].alias("gate"),
+    )
+
+
+def gopher_gate(col: Column) -> Column:
+    """The :func:`heuristic_filters` gate as one boolean Column — the
+    optional curation-stage form: ``df.filter(gopher_gate(F.col("text")))``
+    composes into any pipeline as a map-only stage (one scan, no join)."""
+    return _gate_signals(col)["gate"]
+
+
+def _gate_signals(col: Column) -> dict[str, Column]:
+    """Shared expression tree for :func:`heuristic_filters` /
+    :func:`gopher_gate` — one source of truth for the rule set."""
+    c = F.coalesce(col, F.lit(""))
+    nl = F.concat(c, F.lit("\n"))  # sentinel: last line ends like the rest
+    n_lines = F.regexp_count(nl, F.lit(r"[^\n]\n"))
+    term_lines = F.regexp_count(nl, F.lit("[.!?][\"')\\]]?\n"))
+    bullet_lines = F.regexp_count(
+        F.concat(F.lit("\n"), c), F.lit("\n[ \t]*[-*•]")
+    )
+    ellipsis_lines = F.regexp_count(nl, F.lit("(\\.\\.\\.|…)\n"))
+    safe_lines = F.when(n_lines == 0, F.lit(1)).otherwise(n_lines).cast("double")
+    n_words = token_count(c)
+    safe_words = F.when(n_words == 0, F.lit(1)).otherwise(n_words).cast("double")
+    mean_word_len = F.length(F.regexp_replace(c, WS_CLASS, "")) / safe_words
+    low = F.lower(c)
+    stopword_hits = sum(
+        (
+            F.regexp_like(
+                low, F.lit(rf"(^|[ \t\n\r\f]){w}([ \t\n\r\f]|$)")
+            ).cast("int")
+            for w in GATE_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    bullet_frac = F.round(bullet_lines / safe_lines, 6)
+    ellipsis_frac = F.round(ellipsis_lines / safe_lines, 6)
+    gate = (
+        (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (stopword_hits >= 2)
+        & (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+    )
+    return {
+        "n_lines": n_lines,
+        "terminal_punct_ratio": F.round(term_lines / safe_lines, 6),
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "stopword_hits": stopword_hits,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "gate": gate,
+    }
+
+
 def rolling_hash_fingerprint(col: Column, window: int = 16, keep_every: int = 8) -> Column:
     """Winnowing-style selective fingerprint: min xxhash64 of char n-grams
     sampled every ``keep_every`` positions — robust to small edits.

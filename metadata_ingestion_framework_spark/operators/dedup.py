@@ -226,6 +226,55 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    sigs: DataFrame, id_col: str, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Skinny (id, band, band_hash) rows from a signature table.
+
+    band hash = xxhash64 over the band's signature slots + band index
+    (multi-arg long hash — no string concat in the hot path). Shared by the
+    single-corpus LSH join below and the incremental cross-run dedup
+    (operators/incremental.py), so both paths bucket identically.
+    """
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.element_at("minhash_sig", b * rows_per_band + j + 1)
+                            for j in range(rows_per_band)
+                        ],
+                        F.lit(b),
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+
+
+def jaccard_estimate_udf():
+    """Arrow kernel: fraction of equal signature slots == estimated
+    Jaccard; ONE numpy comparison per batch (fixed signature length stacks
+    into a rectangular matrix — the per-pair Python loop this replaces paid
+    ~3 interpreter calls per pair; VERDICT r4 item 8)."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        lhs = np.stack(a.to_numpy())
+        rhs = np.stack(b.to_numpy())
+        return pd.Series((lhs == rhs).mean(axis=1))
+
+    return _jac
+
+
 def minhash_lsh_duplicates(
     df: DataFrame,
     text_col: str,
@@ -247,7 +296,6 @@ def minhash_lsh_duplicates(
     keys, uniform by construction. Candidate verification is array
     comparison on already-joined rows. No O(n^2) anywhere.
     """
-    rows_per_band = num_hashes // bands
     # Persist signatures: the self-join consumes them on BOTH branches, and
     # without a materialization barrier Spark recomputes the whole Python
     # signature stage twice per action. Signatures are tiny (one 64-long row
@@ -255,32 +303,14 @@ def minhash_lsh_duplicates(
     # durable flavor. MEMORY_AND_DISK + LRU eviction keeps this safe to
     # leave cached; callers may unpersist.
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, token_hash).persist()
-    # band hash = xxhash64 over the band's signature slots + band index
-    # (multi-arg long hash — no string concat in the hot path). The banded
-    # frame is SKINNY (id, band, band_hash): a duplicate group of g docs
-    # emits g*(g-1)/2 pairs per band BEFORE the distinct, so dragging the
-    # 64-slot signature arrays through that join multiplied shuffle bytes
-    # by bands x group-size (measured 26x wall at a 10x replica probe).
-    # Candidates dedup as bare id pairs; signatures re-attach afterwards,
-    # once per UNIQUE pair, via two joins against the persisted sigs.
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[
-                            F.element_at("minhash_sig", b * rows_per_band + j + 1)
-                            for j in range(rows_per_band)
-                        ],
-                        F.lit(b),
-                    ).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.band_hash")
+    # The banded frame is SKINNY (id, band, band_hash): a duplicate group
+    # of g docs emits g*(g-1)/2 pairs per band BEFORE the distinct, so
+    # dragging the 64-slot signature arrays through that join multiplied
+    # shuffle bytes by bands x group-size (measured 26x wall at a 10x
+    # replica probe). Candidates dedup as bare id pairs; signatures
+    # re-attach afterwards, once per UNIQUE pair, via two joins against
+    # the persisted sigs.
+    banded = minhash_bands(sigs, id_col, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -301,19 +331,7 @@ def minhash_lsh_duplicates(
         sigs.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("sig_b")),
         "id_b",
     )
-    import numpy as np
-
-    @F.pandas_udf("double")
-    def _jac(a: pd.Series, b: pd.Series) -> pd.Series:
-        # fraction of equal signature slots == estimated Jaccard; ONE numpy
-        # comparison per Arrow batch (signature length is fixed, so the
-        # batch stacks into a rectangular matrix — the per-pair Python loop
-        # this replaces paid ~3 interpreter calls per pair; VERDICT r4 item 8)
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        lhs = np.stack(a.to_numpy())
-        rhs = np.stack(b.to_numpy())
-        return pd.Series((lhs == rhs).mean(axis=1))
+    _jac = jaccard_estimate_udf()
 
     out = (
         cand.withColumn("jaccard_est", _jac("sig_a", "sig_b"))

@@ -1,0 +1,292 @@
+"""Incremental cross-run dedup against a persisted signature store.
+
+A recurring 100 TB ingestion does not re-dedup the whole corpus per run —
+it dedups TODAY'S batch against the signature store of everything already
+ingested (r6 VERDICT "What's missing" #2). This module marries the
+engine's minhash machinery (``operators/dedup.py``) with its durable
+table plumbing: signatures live in a ``VersionedParquetStore``
+(``plans/tablestore.py``, the Delta-table stand-in), each ingest
+SCD1-merges the batch's signatures in (``operators/merge.py::scd1_merge``
+— Utility.scala:433-458 parity machinery reused as-is), and a run ledger
+makes retries no-ops the same way the streaming offset bookkeeping does
+(``streaming/offsets.py`` / Readers.scala:153-171 analogy).
+
+Semantics (proved by the ``incremental_dedup`` oracle query): with
+temporal precedence — already-ingested docs always beat new ones, and
+min-id wins within a batch — the incremental result over disjoint runs
+EQUALS a full-corpus greedy rerun on the union:
+
+    drop batch doc X  iff  some verified pair (X, Y) exists with
+                           Y in the store, or Y in the batch and Y < X.
+
+The store keeps signatures of EVERY seen doc (dropped ones included) —
+drop only the winners' and a future doc that matches a dropped doc but
+not its winner would silently survive, diverging from the full rerun.
+
+Scale shape: the batch side pays the Python signature kernel (cost
+tracks BATCH size — the corpus is never re-signatured); the store side
+is a columnar band-key equi-join, pruned to the batch's band-hash
+buckets (the bands table is partitioned by ``pmod(band_hash, n_buckets)``,
+so a small batch's scan skips most partitions — same manual-DPP shape as
+``operators/joins.py::build_partition_pruning_filter``). Transitive
+cluster resolution composes downstream: feed the emitted pairs to
+``operators/cluster.py::connected_components``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.dedup import (
+    jaccard_estimate_udf,
+    minhash_bands,
+    minhash_signatures,
+)
+from metadata_ingestion_framework_spark.operators.merge import scd1_merge
+from metadata_ingestion_framework_spark.plans.tablestore import VersionedParquetStore
+
+
+def minhash_batch_drops(
+    store_sigs: DataFrame | None,
+    batch_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    store_bands_df: DataFrame | None = None,
+) -> DataFrame:
+    """Batch ids to DROP under temporal-then-min-id precedence.
+
+    Pure DataFrame logic shared by :class:`MinhashSignatureStore.ingest`
+    (which passes the stored, bucket-pruned band table) and the
+    ``incremental_dedup`` oracle query (which derives the store side
+    in-plan) — so the driver's DuckDB gate value-checks the exact join
+    the store path runs.
+
+    Returns a 1-column DataFrame ``(id_col,)`` of dropped batch ids.
+    """
+    _jac = jaccard_estimate_udf()
+    batch_bands = minhash_bands(batch_sigs, id_col, num_hashes, bands)
+
+    # intra-batch: the single-corpus LSH rule — the LARGER id of every
+    # verified pair drops (same greedy rule as minhash_lsh_duplicates
+    # consumers; cluster resolution composes downstream if wanted)
+    a, b = batch_bands.alias("a"), batch_bands.alias("b")
+    intra_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = batch_sigs.select(
+        F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("sig_a")
+    )
+    sig_b = batch_sigs.select(
+        F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("sig_b")
+    )
+    intra_drops = (
+        intra_cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("__j", _jac("sig_a", "sig_b"))
+        .filter(F.col("__j") >= jaccard_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+    if store_sigs is None:
+        return intra_drops
+
+    # vs store: every batch doc matching ANY stored doc drops (temporal
+    # precedence). Same-id rows are the doc's own prior copy (a replayed
+    # batch) — excluded, never a self-duplicate.
+    store_bands = (
+        store_bands_df
+        if store_bands_df is not None
+        else minhash_bands(store_sigs, id_col, num_hashes, bands)
+    )
+    n = batch_bands.alias("n")
+    s = store_bands.alias("s")
+    cross_cand = (
+        n.join(
+            s,
+            (F.col("n.band") == F.col("s.band"))
+            & (F.col("n.band_hash") == F.col("s.band_hash"))
+            & (F.col(f"n.{id_col}") != F.col(f"s.{id_col}")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_new"), F.col(f"s.{id_col}").alias("id_old")
+        )
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    store_drops = (
+        cross_cand.join(
+            batch_sigs.select(
+                F.col(id_col).alias("id_new"), F.col("minhash_sig").alias("sig_a")
+            ),
+            "id_new",
+        )
+        .join(
+            store_sigs.select(
+                F.col(id_col).alias("id_old"), F.col("minhash_sig").alias("sig_b")
+            ),
+            "id_old",
+        )
+        .withColumn("__j", _jac("sig_a", "sig_b"))
+        .filter(F.col("__j") >= jaccard_threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return intra_drops.union(store_drops).distinct()
+
+
+class MinhashSignatureStore:
+    """Durable cross-run minhash dedup state.
+
+    Tables (both ``VersionedParquetStore`` snapshots under ``root``):
+
+    - ``sigs``:  (id, minhash_sig array<long>) — every doc ever seen.
+    - ``bands``: (id, band, band_hash, bucket) — the LSH join keys,
+      partitioned by ``bucket = pmod(band_hash, n_buckets)`` so a small
+      batch's store scan prunes to its own buckets.
+
+    ``_runs.json`` is the run ledger (offset-bookkeeping analogy): an
+    already-ingested ``run_id`` is a no-op, making retries idempotent —
+    re-running a batch against a store that already contains it would
+    otherwise drop every batch doc as a duplicate of its own stored copy's
+    band-mates.
+    """
+
+    SIGS = "sigs"
+    BANDS = "bands"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_n: int = 3,
+        token_hash: str = "blake2b",
+        jaccard_threshold: float = 0.8,
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.store = VersionedParquetStore(spark, root)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.token_hash = token_hash
+        self.jaccard_threshold = jaccard_threshold
+        self.n_buckets = n_buckets
+        self._ledger_path = os.path.join(root, "_runs.json")
+
+    # -- run ledger --------------------------------------------------------
+    def ingested_runs(self) -> list[str]:
+        try:
+            with open(self._ledger_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return []
+
+    def _record_run(self, run_id: str) -> None:
+        runs = self.ingested_runs() + [run_id]
+        tmp = self._ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(runs, f)
+        os.replace(tmp, self._ledger_path)  # atomic, like _CURRENT
+
+    # -- signature plumbing ------------------------------------------------
+    def _signatures(self, batch: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            batch,
+            self.text_col,
+            self.id_col,
+            self.num_hashes,
+            self.shingle_n,
+            self.token_hash,
+        )
+
+    def _band_rows(self, sigs: DataFrame) -> DataFrame:
+        banded = minhash_bands(sigs, self.id_col, self.num_hashes, self.bands)
+        return banded.withColumn(
+            "bucket", F.pmod(F.col("band_hash"), F.lit(self.n_buckets))
+        )
+
+    # -- the operation -----------------------------------------------------
+    def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
+        """Dedup ``batch`` against the store and itself; merge its
+        signatures in; return the surviving batch rows (original columns).
+
+        Returns None (store untouched) when ``run_id`` was already
+        ingested. The store update is SCD1: a re-seen id's signature is
+        replaced, not duplicated.
+        """
+        if run_id in self.ingested_runs():
+            return None
+        sigs_new = self._signatures(batch).persist()
+        store_sigs = store_bands = None
+        if self.store.exists(self.SIGS):
+            batch_ids = sigs_new.select(self.id_col)
+            # exclude ids of THIS batch from the store side: for disjoint
+            # runs a no-op, but it makes a replay (ledger lost / crash
+            # between write and record) idempotent instead of dropping
+            # every batch doc against its own stored band-mates
+            store_sigs = self.store.read(self.SIGS).join(
+                batch_ids, self.id_col, "left_anti"
+            )
+            # bucket pruning: the batch can only collide inside its own
+            # band-hash buckets — collect them (bounded by n_buckets) and
+            # let the IN-list prune the partitioned store scan (manual-DPP
+            # shape, operators/joins.py:66)
+            batch_buckets = [
+                r.bucket
+                for r in self._band_rows(sigs_new).select("bucket").distinct().collect()
+            ]
+            store_bands = (
+                self.store.read(self.BANDS)
+                .filter(F.col("bucket").isin(batch_buckets))
+                .join(batch_ids, self.id_col, "left_anti")
+            )
+        # materialize the (tiny) drop set now: the survivor plan must stay
+        # valid after sigs_new unpersists at the end of this call
+        drops = minhash_batch_drops(
+            store_sigs,
+            sigs_new,
+            self.id_col,
+            self.num_hashes,
+            self.bands,
+            self.jaccard_threshold,
+            store_bands_df=store_bands,
+        ).localCheckpoint()
+        survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
+
+        # durable state: SCD1-merge ALL batch signatures (dropped docs
+        # included — see module docstring) and their band rows, then write
+        # fresh snapshots. At 100 TB you'd additionally bucket the sigs
+        # table on id (write_bucketed) so this merge's store side never
+        # re-shuffles; the band table's bucket partitioning already gives
+        # the probe-side pruning.
+        merged_sigs = scd1_merge(store_sigs, sigs_new, [self.id_col])
+        self.store.write(merged_sigs, self.SIGS)
+        old_bands = self.store.read(self.BANDS) if self.store.exists(self.BANDS) else None
+        merged_bands = scd1_merge(
+            old_bands, self._band_rows(sigs_new), [self.id_col, "band"]
+        )
+        self.store.write(merged_bands, self.BANDS, partition_by=["bucket"])
+        self._record_run(run_id)
+        sigs_new.unpersist()
+        return survivors

@@ -1,0 +1,91 @@
+"""MinhashSignatureStore: durable cross-run dedup lifecycle
+(operators/incremental.py) — two-run flow over a VersionedParquetStore,
+SCD1 signature merge, run-ledger idempotence, replay safety, and
+bucket-partitioned band layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.incremental import (
+    MinhashSignatureStore,
+)
+
+# ~40 tokens per doc so 3-gram shingle sets are stable; B-docs near-dup A
+BASE = "the quick brown fox jumps over the lazy dog and then runs far away " * 3
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return MinhashSignatureStore(
+        spark, str(tmp_path / "sigstore"), jaccard_threshold=0.5
+    )
+
+
+def test_two_run_flow(spark, store):
+    # run 1: docs 1..3; 2 duplicates 1 (exact text), 3 distinct
+    r1 = _docs(
+        spark,
+        [(1, BASE), (2, BASE), (3, "totally different words " * 10)],
+    )
+    s1 = store.ingest(r1, "run-1")
+    assert {r.doc_id for r in s1.collect()} == {1, 3}  # 2 drops (dup of 1)
+    assert store.ingested_runs() == ["run-1"]
+
+    # run 2: 11 duplicates stored 1 (temporal precedence), 12 new, and
+    # 13 duplicates 12 intra-batch (min-id 12 wins)
+    other = "completely unrelated fresh content every time " * 5
+    r2 = _docs(spark, [(11, BASE), (12, other), (13, other)])
+    s2 = store.ingest(r2, "run-2")
+    assert {r.doc_id for r in s2.collect()} == {12}
+    # store keeps EVERY seen doc's signature (dropped ones included)
+    ids = {r.doc_id for r in store.store.read(store.SIGS).select("doc_id").collect()}
+    assert ids == {1, 2, 3, 11, 12, 13}
+
+
+def test_ledger_makes_retry_noop(spark, store):
+    r1 = _docs(spark, [(1, BASE), (2, BASE)])
+    store.ingest(r1, "run-1")
+    v_before = store.store.current_version(store.SIGS)
+    assert store.ingest(r1, "run-1") is None  # ledger hit: no-op
+    assert store.store.current_version(store.SIGS) == v_before
+
+
+def test_replay_without_ledger_is_idempotent(spark, store):
+    """Crash-recovery shape: signatures already merged but the ledger entry
+    lost. Re-ingesting under a NEW run id must not drop surviving docs
+    against their own stored copies — and SCD1 keeps the store row count
+    flat."""
+    r1 = _docs(spark, [(1, BASE), (2, BASE), (3, "totally different words " * 10)])
+    s1 = {r.doc_id for r in store.ingest(r1, "run-1").collect()}
+    s_replay = {r.doc_id for r in store.ingest(r1, "run-1-retry").collect()}
+    assert s_replay == s1 == {1, 3}
+    assert store.store.read(store.SIGS).count() == 3  # upsert, not append
+
+
+def test_band_layout_bucket_partitioned(spark, store, tmp_path):
+    store.ingest(_docs(spark, [(1, BASE), (3, "totally different words " * 10)]), "r1")
+    v = store.store.current_version(store.BANDS)
+    path = store.store._version_path(store.BANDS, v)
+    buckets = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    assert buckets, "bands table must be partitioned by bucket"
+    bands = store.store.read(store.BANDS)
+    assert set(bands.columns) == {"doc_id", "band", "band_hash", "bucket"}
+    # bucket is the band_hash partition key, bounded by n_buckets
+    mx = bands.agg(F.max("bucket").alias("m")).collect()[0].m
+    assert 0 <= mx < store.n_buckets
+
+
+def test_store_versions_advance_and_vacuum(spark, store):
+    store.ingest(_docs(spark, [(1, BASE)]), "r1")
+    store.ingest(_docs(spark, [(5, "some new content here " * 8)]), "r2")
+    assert store.store.current_version(store.SIGS) == 2
+    store.store.vacuum(store.SIGS, keep_last=1)
+    assert store.store.read(store.SIGS).count() == 2  # current still readable

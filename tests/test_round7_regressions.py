@@ -152,3 +152,77 @@ def test_neardup_survives_leading_dirty_row(spark):
     ).coalesce(1).sortWithinPartitions("vec_id")
     pairs = embedding_near_duplicates(df, "blk", threshold=0.9).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(2, 3)}
+
+
+# --- C4/Gopher heuristic quality filters (functions/text.py, r7) ----------
+
+GOOD_DOC = (
+    "This is a good paragraph that ends with punctuation and has the "
+    "usual stopwords of normal prose in it.\n"
+) * 8  # 8 identical well-formed lines, ~136 words
+
+
+def _filters(spark, text):
+    from metadata_ingestion_framework_spark.functions.text import heuristic_filters
+
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    return heuristic_filters(df, "text", "doc_id").collect()[0]
+
+
+def test_heuristic_filters_good_doc_passes(spark):
+    r = _filters(spark, GOOD_DOC)
+    assert r.gate and r.terminal_punct_ratio == 1.0
+    assert r.n_lines == 8 and r.bullet_frac == 0.0 and r.stopword_hits >= 2
+
+
+def test_heuristic_filters_bullet_doc_gated(spark):
+    bullets = "\n".join(f"- item {i} of the and that listing" for i in range(20))
+    r = _filters(spark, bullets)
+    assert r.bullet_frac == 1.0 and not r.gate
+
+
+def test_heuristic_filters_ellipsis_lines(spark):
+    text = "first thought trails off...\nsecond one too…\nbut this ends."
+    r = _filters(spark, text)
+    assert r.n_lines == 3
+    assert r.ellipsis_frac == pytest.approx(round(2 / 3, 6))
+    # '...' ends in '.' so the ellipsis line ALSO counts as terminal —
+    # the two signals are deliberately independent
+    assert r.terminal_punct_ratio == pytest.approx(round(2 / 3, 6))
+
+
+def test_heuristic_filters_empty_doc(spark):
+    r = _filters(spark, "")
+    assert r.n_lines == 0 and r.n_words == 0 and not r.gate
+    assert r.terminal_punct_ratio == 0.0
+
+
+def test_heuristic_filters_short_doc_gated(spark):
+    # well-formed but < 50 words -> Gopher word-count gate
+    r = _filters(spark, "The cat sat on the mat and that was that.")
+    assert not r.gate and r.stopword_hits >= 2
+
+
+def test_gopher_gate_column_matches_filters(spark):
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.functions.text import (
+        gopher_gate,
+        heuristic_filters,
+    )
+
+    rows = [
+        (1, GOOD_DOC),
+        (2, "- a\n- b\n- c"),
+        (3, "short text."),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    via_filter = {
+        r.doc_id for r in df.filter(gopher_gate(F.col("text"))).collect()
+    }
+    via_signals = {
+        r.doc_id
+        for r in heuristic_filters(df, "text", "doc_id").filter("gate").collect()
+    }
+    assert via_filter == via_signals == {1}

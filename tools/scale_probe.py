@@ -189,7 +189,96 @@ def probe(spark, docs, emb, tag: str) -> dict:
     return r
 
 
+def probe_incremental(spark, docs, replicas: int, workdir: str) -> dict:
+    """Does incremental-ingest cost track the BATCH or the STORE?
+
+    Seeds a signature store at 1x and at ``replicas``x corpus size, then
+    ingests the SAME fixed batch against each and times the phases
+    separately:
+
+    - ``sig_kernel``: batch signature build (the Python-kernel cost a full
+      rerun would pay for the WHOLE corpus every run);
+    - ``inc_query``: band-join + verify + survivor anti-join against the
+      store (bucket-pruned columnar scan — the incremental read path);
+    - ``inc_ingest_e2e``: the full ingest() including the SCD1 snapshot
+      rewrite. The rewrite is the VersionedParquetStore limitation (a new
+      immutable version = full columnar copy); Delta MERGE / a bucketed
+      sigs table rewrites only touched files — called out, not hidden.
+    - ``full_rerun``: minhash_lsh_duplicates over store+batch union — what
+      a non-incremental pipeline would run; its cost tracks the corpus.
+    """
+    import os
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        minhash_lsh_duplicates,
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        MinhashSignatureStore,
+        minhash_batch_drops,
+    )
+
+    base_n = docs.count()
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(replicas * base_n * 7))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" fresh batch")))
+        .persist()
+    )
+    batch.count()
+    out: dict = {}
+    for tag, store_docs in [("1x", docs), (f"{replicas}x", replicate_docs(docs, replicas))]:
+        r: dict = {}
+        print(f"== incremental, store {tag} ==", file=sys.stderr)
+        store = MinhashSignatureStore(
+            spark, os.path.join(workdir, f"sigstore_{tag}"), jaccard_threshold=0.5
+        )
+        # seed directly (no dedup): prior runs' accumulated state
+        seed_sigs = store._signatures(store_docs).persist()
+        timed("seed_store_write", lambda: (
+            store.store.write(seed_sigs, store.SIGS),
+            store.store.write(store._band_rows(seed_sigs), store.BANDS,
+                              partition_by=["bucket"]),
+            seed_sigs.count())[-1], r)
+        seed_sigs.unpersist()
+
+        batch_sigs = store._signatures(batch).persist()
+        timed("sig_kernel_batch", lambda: batch_sigs.count(), r)
+        store_sigs = store.store.read(store.SIGS)
+        buckets = [x.bucket for x in store._band_rows(batch_sigs)
+                   .select("bucket").distinct().collect()]
+        store_bands = store.store.read(store.BANDS).filter(F.col("bucket").isin(buckets))
+        timed(
+            "inc_query",
+            lambda: batch.join(
+                minhash_batch_drops(store_sigs, batch_sigs, "doc_id",
+                                    jaccard_threshold=0.5,
+                                    store_bands_df=store_bands),
+                "doc_id", "left_anti",
+            ).count(),
+            r,
+        )
+        batch_sigs.unpersist()
+        timed("inc_ingest_e2e", lambda: store.ingest(batch, "probe-run").count(), r)
+
+        def _full():
+            pairs = minhash_lsh_duplicates(
+                store_docs.unionByName(batch), "text", "doc_id", jaccard_threshold=0.5
+            )
+            n = pairs.count()
+            unpersist_deps(pairs)
+            return n
+
+        timed("full_rerun_pairs", _full, r)
+        out[tag] = r
+    batch.unpersist()
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        main_incremental(sys.argv[2:])
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     sys.path.insert(0, "/root/repo")
@@ -221,6 +310,65 @@ def main() -> None:
     _write_probe_md(result)
     print(json.dumps(result))
     spark.stop()
+
+
+def main_incremental(args: list[str]) -> None:
+    import tempfile
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    replicas = int(args[1]) if len(args) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import t
+
+    spark = get_spark("scale_probe_incremental")
+    docs = t(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as workdir:
+        phases = probe_incremental(spark, docs, replicas, workdir)
+    tags = list(phases)
+    result = {
+        "probe": "incremental_dedup_store_10x",
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "base": phases[tags[0]],
+        "scaled": phases[tags[1]],
+    }
+    result["growth"] = {
+        k: round(result["scaled"][k]["sec"] / max(result["base"][k]["sec"], 0.01), 1)
+        for k in result["base"]
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    _append_incremental_md(result)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def _append_incremental_md(result: dict) -> None:
+    lines = [
+        "",
+        "## Incremental-dedup store probe (fixed batch, store grown "
+        f"{result['replicas']}x)",
+        "",
+        "claim under test: ingest cost tracks the BATCH, not the store. "
+        "`sig_kernel_batch`/`inc_query` should stay ~flat as the store grows "
+        f"{result['replicas']}x; `full_rerun_pairs` (the non-incremental "
+        "alternative) grows with the corpus; `inc_ingest_e2e` includes the "
+        "VersionedParquetStore snapshot rewrite (full columnar copy — a "
+        "Delta MERGE / bucketed table rewrites only touched files).",
+        "",
+        "| phase | store 1x sec (rows) | store 10x sec (rows) | growth |",
+        "|---|---|---|---|",
+    ]
+    for k in result["base"]:
+        b, s = result["base"][k], result["scaled"][k]
+        lines.append(
+            f"| {k} | {b['sec']} ({b['rows']}) | {s['sec']} ({s['rows']}) "
+            f"| {result['growth'][k]}x |"
+        )
+    lines.append("")
+    with open("PROBE.md", "a") as f:
+        f.write("\n".join(lines))
 
 
 def _write_probe_md(result: dict) -> None:
