@@ -143,25 +143,34 @@ def test_repetition_stats_exact_small(spark):
 
 
 def test_pack_manifest_small(spark):
+    """Expectations derived from the SAME 60-bit-md5 shard formula the
+    operator uses, then a pure-Python re-pack per shard — so the test
+    survives shard-function changes as long as docs pack in id order."""
+    import hashlib
+
     from metadata_ingestion_framework_spark.functions.text import pack_manifest
 
-    df = spark.createDataFrame(
-        [
-            (0, "w1 w2 w3"),       # shard 0: 3 toks, offsets 0-2 -> seq 0
-            (2, "a b c d"),        # shard 0: offsets 3-6 -> straddles 0..1
-            (4, ""),               # empty: dropped
-            (1, " ".join(["t"] * 5)),  # shard 1: offsets 0-4 -> seq 0
-            (3, "x"),              # shard 1: offset 5 -> seq 1
-        ],
-        "doc_id int, text string",
-    )
-    out = {r["doc_id"]: r for r in pack_manifest(df, "text", "doc_id", 5, 2).collect()}
-    assert set(out) == {0, 2, 1, 3}
-    assert (out[0]["seq_first"], out[0]["seq_last"]) == (0, 0)
-    assert (out[2]["seq_first"], out[2]["seq_last"]) == (0, 1)  # straddle
-    assert (out[1]["seq_first"], out[1]["seq_last"]) == (0, 0)
-    assert (out[3]["seq_first"], out[3]["seq_last"]) == (1, 1)
-    assert out[3]["shard"] == 1 and out[2]["shard"] == 0
+    rows = [(0, "w1 w2 w3"), (2, "a b c d"), (4, ""), (1, " ".join(["t"] * 5)), (3, "x")]
+    budget, shards = 5, 2
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in pack_manifest(df, "text", "doc_id", budget, shards).collect()}
+
+    def shard_of(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % shards
+
+    expected = {}
+    nonempty = sorted((i, len(t.split())) for i, t in rows if t)
+    for s in range(shards):
+        cum = 0
+        for i, n in [(i, n) for i, n in nonempty if shard_of(i) == s]:
+            expected[i] = (s, n, cum // budget, (cum + n - 1) // budget)
+            cum += n
+    assert set(out) == set(expected)  # empty doc 4 dropped
+    for i, (s, n, sf, sl) in expected.items():
+        r = out[i]
+        assert (r["shard"], r["n_tokens"], r["seq_first"], r["seq_last"]) == (s, n, sf, sl)
+    # at least one doc must straddle a sequence boundary for the test to bite
+    assert any(sf != sl for (_, _, sf, sl) in expected.values())
 
 
 def test_tfidf_top_terms_small(spark):
