@@ -1800,6 +1800,71 @@ FROM tr JOIN ev ON len(list_intersect(tr.grams, ev.grams)) >= 3
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Duplicate token-span REMOVAL (operators/dedup.py::
+    remove_duplicate_spans): rewrite every document deleting any 6-token
+    window that already occurred at a smaller (doc_id, pos) anywhere in
+    the corpus — exact-substring dedup at token-window granularity (Lee
+    et al. 2022), the first operator that emits a CLEANED corpus rather
+    than duplicate pairs. W=6 gives the synthetic corpus ~5% duplicate
+    spans concentrated in ~24 dirty docs, so both rewrite paths (codegen
+    normalization for clean docs, indexed-filter for dirty) execute."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "text", "doc_id", span_w=6)
+
+
+ORACLE_SPAN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS arr
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, unnest(range(0, greatest(len(arr) - 5, 0))) AS pos, arr
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, pos, array_to_string(arr[pos+1:pos+6], ' ') AS gram FROM spans
+),
+dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM grams
+  ) WHERE rn > 1
+),
+rm AS (
+  SELECT DISTINCT d.doc_id, d.pos + j.j AS idx
+  FROM dups d CROSS JOIN (SELECT unnest(range(0, 6)) AS j) j
+),
+tokrows AS (
+  SELECT doc_id, unnest(range(0, len(arr))) AS idx, arr FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.arr[t.idx + 1] AS tok
+  FROM tokrows t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rm WHERE rm.doc_id = t.doc_id AND rm.idx = t.idx
+  )
+),
+agg AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+),
+rmc AS (SELECT doc_id, COUNT(*) AS n_removed FROM rm GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(a.clean_text, '') AS clean_text,
+  COALESCE(r.n_removed, 0) AS n_removed
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN rmc r USING (doc_id)
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for the first 5 vectors as queries."""
     emb = t(spark, sf_dir, "embeddings")
@@ -2629,6 +2694,7 @@ QUERIES = {
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "dup_clusters": q_dup_clusters,  # r7: transitive cluster resolution
     "decontaminate": q_decontaminate,  # r6: train/eval n-gram overlap check
+    "span_dedup": q_span_dedup,  # r7: duplicate token-span removal (rewrite)
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -2776,6 +2842,7 @@ ORACLES = {
     "ngram_jaccard_prefix": ORACLE_NGRAM_JACCARD_PREFIX,
     "dup_clusters": ORACLE_DUP_CLUSTERS,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "span_dedup": ORACLE_SPAN_DEDUP,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,
     "lsh_topk_mp": ORACLE_LSH_TOPK_MP,

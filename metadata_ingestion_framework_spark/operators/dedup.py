@@ -725,3 +725,112 @@ def decontaminate(
         train, evals, text_col, id_col, shingle_n, min_shared
     ).select(F.col("train_id").alias(id_col)).distinct()
     return train.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def _span_rows(
+    df: DataFrame, text_col: str, id_col: str, span_w: int
+) -> DataFrame:
+    """(id, pos, gh) — one row per token-window span occurrence.
+
+    ``gh`` is the 60-bit md5 of the span's space-joined tokens (15 hex
+    chars — the shared cross-engine primitive, CLAUDE.md hashing rule;
+    60 bits keeps it inside a signed BIGINT on both engines). Tokens are
+    split on the RE2 whitespace class WITHOUT lowercasing: span dedup
+    rewrites documents, so matching is done on the verbatim tokens the
+    rewrite preserves. Arrow kernel per doc (house style of
+    ``_distinct_gram_rows``); output is skinny (id + 2 ints), so the
+    downstream first-occurrence shuffle moves ~16 bytes per span, not the
+    span text.
+    """
+    import hashlib
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def build(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in _ASCII_WS.split(text or "") if t]
+                for p in range(len(toks) - span_w + 1):
+                    g = " ".join(toks[p : p + span_w])
+                    ids.append(i)
+                    poss.append(p)
+                    hs.append(int(hashlib.md5(g.encode()).hexdigest()[:15], 16))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "pos": pd.Series(poss, dtype="int32"),
+                    "gh": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return _widen_narrow_input(df.select(id_col, text_col)).mapInPandas(
+        build, schema=f"`{id_col}` {id_type}, pos int, gh long"
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_w: int = 6,
+    broadcast_removals: bool = True,
+) -> DataFrame:
+    """Duplicate token-span REMOVAL: rewrite every document so that any
+    window of ``span_w`` consecutive tokens that already occurred earlier
+    in the corpus (earlier = smaller (id, pos), the global first
+    occurrence) is deleted, exact-substring-dedup style (the
+    "Deduplicating Training Data Makes Language Models Better" operation,
+    Lee et al. 2022, at token-window granularity — public methodology).
+    Unlike the pair-flagging dedup family this operator emits a CLEANED
+    corpus: (id, clean_text, n_removed), where ``clean_text`` is the
+    surviving tokens joined by single spaces (whitespace-normalized;
+    untouched docs pass through normalized too, so the output is uniform)
+    and ``n_removed`` counts deleted tokens. Overlapping duplicate spans
+    union their token ranges; a repeated span INSIDE one document removes
+    the later occurrences too.
+
+    No reference analogue (north-star training-data extension;
+    BASELINE.json).
+
+    Scale shape: span rows are skinny (id, pos, 60-bit hash); the only
+    full-corpus shuffle is the first-occurrence window on the span hash
+    (bounded uniform key). Duplicate occurrences are a small fraction of
+    any real corpus, so the removal set is tiny: it broadcasts back to
+    the documents (set ``broadcast_removals=False`` to fall back to a
+    shuffle join for pathological corpora), and the rewrite itself is a
+    map-only expression — clean docs take a pure-codegen regex
+    normalization, only dirty docs pay the indexed-filter lambda.
+    """
+    from metadata_ingestion_framework_spark.functions.text import WS_RUN
+
+    spans = _span_rows(df, text_col, id_col, span_w)
+    w = Window.partitionBy("gh").orderBy(id_col, "pos")
+    dups = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    removed = dups.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(span_w - 1))
+        ).alias("__idx"),
+    ).distinct()
+    rm = removed.groupBy(id_col).agg(F.collect_set("__idx").alias("__rm"))
+    if broadcast_removals:
+        rm = F.broadcast(rm)
+
+    toks = F.filter(F.split(F.col(text_col), WS_RUN), lambda x: x != F.lit(""))
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.array_contains(F.col("__rm"), i),
+    )
+    normalized = F.trim(F.regexp_replace(F.col(text_col), WS_RUN, " "))
+    return df.join(rm, id_col, "left").select(
+        id_col,
+        F.when(F.col("__rm").isNull(), normalized)
+        .otherwise(F.array_join(kept, " "))
+        .alias("clean_text"),
+        F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_removed"),
+    )

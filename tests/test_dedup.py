@@ -133,3 +133,59 @@ def test_ngram_contamination_min_shared_threshold(spark):
     # shares exactly one 5-gram ('a b c d e')
     assert ngram_contamination(train, evals, "text", "doc_id", 5, 1).count() == 1
     assert ngram_contamination(train, evals, "text", "doc_id", 5, 2).count() == 0
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Cross-doc removal, self-overlap, whole-doc wipe, short/empty docs,
+    whitespace normalization, and case preservation (spans match on
+    verbatim tokens; the rewrite keeps original casing)."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "A b c d e f tail1"),        # global first occurrence
+            (2, "head \t A b c d e f tail2"),  # dup at pos 1 -> 6 tokens out
+            (3, "x y"),                       # shorter than W: untouched
+            (4, ""),                          # empty
+            (5, "A b c d e f"),               # whole doc is the dup span
+            (6, "p p p p p p p p"),           # self-overlap: keeps one token
+            (7, "a B c d e f"),               # case differs from doc 1: kept
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, "text", "doc_id", span_w=6).collect()
+    }
+    assert (out[1]["clean_text"], out[1]["n_removed"]) == ("A b c d e f tail1", 0)
+    assert (out[2]["clean_text"], out[2]["n_removed"]) == ("head tail2", 6)
+    assert (out[3]["clean_text"], out[3]["n_removed"]) == ("x y", 0)
+    assert (out[4]["clean_text"], out[4]["n_removed"]) == ("", 0)
+    assert (out[5]["clean_text"], out[5]["n_removed"]) == ("", 6)
+    assert (out[6]["clean_text"], out[6]["n_removed"]) == ("p", 7)
+    assert (out[7]["clean_text"], out[7]["n_removed"]) == ("a B c d e f", 0)
+
+
+def test_remove_duplicate_spans_shuffle_join_parity(spark):
+    """broadcast_removals=False (the pathological-corpus fallback) must
+    produce identical output to the broadcast path."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 4} x y z q r s t{i % 3}") for i in range(40)],
+        "doc_id int, text string",
+    )
+    a = sorted(
+        remove_duplicate_spans(df, "text", "doc_id", span_w=6, broadcast_removals=True)
+        .collect()
+    )
+    b = sorted(
+        remove_duplicate_spans(df, "text", "doc_id", span_w=6, broadcast_removals=False)
+        .collect()
+    )
+    assert a == b
+    assert any(r["n_removed"] > 0 for r in a)  # the corpus must be dirty
