@@ -1865,6 +1865,71 @@ LEFT JOIN rmc r USING (doc_id)
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.py::
+    semantic_dedup): IVF cell assignment -> within-cell cosine pairs
+    (ROUND(6) >= 0.35, the synthetic embeddings' near-dup tail) ->
+    connected components -> min-id representative per cluster. The oracle
+    re-derives the ENTIRE pipeline: literal centroids + first-max argmax
+    (the IVF oracle convention), the neardup pair SQL restricted to equal
+    cells, and WITH RECURSIVE reachability for the transitive labels."""
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", dim=64, n_cells=8, threshold=0.35, seed=7
+    )
+
+
+def _build_semantic_dedup_oracle(
+    dim: int = 64, n_cells: int = 8, tau: float = 0.35
+) -> str:
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    cents = random_centroids(dim, n_cells, seed=7)
+    score_exprs = ", ".join(
+        f"list_dot_product(v, {_sql_vec(c)}) AS s{i}" for i, c in enumerate(cents)
+    )
+    greatest = "GREATEST(" + ", ".join(f"s{i}" for i in range(n_cells)) + ")"
+    first_max = "CASE " + " ".join(
+        f"WHEN s{i} = __g THEN {i}" for i in range(n_cells)
+    ) + " END"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sc AS (SELECT vec_id, v, {score_exprs} FROM base),
+wg AS (SELECT *, {greatest} AS __g FROM sc),
+cells AS MATERIALIZED (SELECT vec_id, v, {first_max} AS cell FROM wg),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {tau}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+SELECT c.vec_id, c.cell,
+  COALESCE(p.component, c.vec_id) AS component,
+  (COALESCE(p.component, c.vec_id) = c.vec_id) AS kept
+FROM cells c LEFT JOIN comp p USING (vec_id)
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for the first 5 vectors as queries."""
     emb = t(spark, sf_dir, "embeddings")
@@ -1904,6 +1969,11 @@ def q_lsh_topk(spark, sf_dir):
 
 def _sql_vec(v: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+# deferred: _build_semantic_dedup_oracle (defined above, with its query)
+# needs _sql_vec at call time
+ORACLE_SEMANTIC_DEDUP = _build_semantic_dedup_oracle()
 
 
 def _build_lsh_topk_oracle() -> str:
@@ -2695,6 +2765,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,  # r7: transitive cluster resolution
     "decontaminate": q_decontaminate,  # r6: train/eval n-gram overlap check
     "span_dedup": q_span_dedup,  # r7: duplicate token-span removal (rewrite)
+    "semantic_dedup": q_semantic_dedup,  # r7: SemDeDup (IVF cells + components)
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -2843,6 +2914,7 @@ ORACLES = {
     "dup_clusters": ORACLE_DUP_CLUSTERS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "span_dedup": ORACLE_SPAN_DEDUP,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,
     "lsh_topk_mp": ORACLE_LSH_TOPK_MP,

@@ -599,3 +599,71 @@ def embedding_near_duplicates(
         cand.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    methodology): cluster the embedding space with an IVF coarse quantizer,
+    score cosine pairs only WITHIN each cell, resolve the pair graph into
+    transitive duplicate clusters, and keep one deterministic
+    representative (min id) per cluster. Returns one row per input vector:
+    (id, cell, component, kept) — ``kept`` marks the representative a
+    curation pipeline retains; ``component`` labels the duplicate cluster
+    (singletons label themselves).
+
+    No reference analogue (north-star training-data extension;
+    BASELINE.json).
+
+    Composition of three proven operators: :func:`ivf_assign` (map-only
+    Arrow matmul argmax vs broadcast-constant centroids),
+    :func:`embedding_near_duplicates` blocked on the cell (BLAS within
+    bounded cells — the cell blocking is exactly SemDeDup's "pairwise only
+    inside k-means clusters" trick that avoids the O(n^2) corpus scan),
+    and ``connected_components`` (union-find / star rounds over the tiny
+    pair set). Scale shape: one shuffle on the cell key + the component
+    fixpoint on the pair graph; the final label attach is a broadcast-size
+    left join (components only exist for paired vectors). Null / off-dim
+    vectors keep a NULL cell, never pair, and stay kept singletons.
+
+    The assignment+cell rows feed BOTH the pair stage and the output join;
+    persisted so the Arrow assign kernel runs once (CLAUDE.md self-join
+    rule) — release via ``unpersist_deps``.
+    """
+    from metadata_ingestion_framework_spark.operators.cluster import (
+        connected_components,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import carry_deps
+
+    cents = random_centroids(dim, n_cells, seed)
+    cells = (
+        ivf_assign(df.select(id_col, vec_col), cents, vec_col)
+        .withColumnRenamed("__ivf_cell", "cell")
+        .persist()
+    )
+    pairs = embedding_near_duplicates(
+        cells.filter(F.col("cell").isNotNull()),
+        "cell",
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    comps = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "id", id_col
+    )
+    comp = F.coalesce(F.col("component"), F.col(id_col))
+    out = cells.join(F.broadcast(comps), id_col, "left").select(
+        id_col,
+        "cell",
+        comp.alias("component"),
+        (comp == F.col(id_col)).alias("kept"),
+    )
+    out._persisted_deps = [cells]
+    return carry_deps(out, pairs)

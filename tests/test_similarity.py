@@ -117,3 +117,41 @@ def test_ivf_topk_int8_k_rows_per_query(spark):
     counts = {r["query_id"]: r["n"] for r in out.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert set(counts) == {0, 1, 2} and all(v == 5 for v in counts.values())
+
+
+def test_semantic_dedup_transitive_chain(spark):
+    """A chain a~b~c (each adjacent pair above threshold, a-c below) must
+    collapse into ONE component keeping only the min id; an unrelated
+    vector stays a kept singleton; a null vector stays kept with a null
+    cell."""
+    import math
+
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import unpersist_deps
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = [
+        (1, unit(0.0)),       # a
+        (2, unit(0.5)),       # b: cos(a,b)=0.878, cos(b,c)=0.878
+        (3, unit(1.0)),       # c: cos(a,c)=0.540 < 0.8 — only via b
+        (9, [0.0] * 7 + [1.0]),  # orthogonal singleton
+        (10, None),           # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = semantic_dedup(df, dim=8, n_cells=2, threshold=0.8, seed=7)
+    out = {r["vec_id"]: r for r in res.collect()}
+    assert len(out) == 5
+    # the chain is one component labeled by its min id...
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+    # ...keeping exactly the representative
+    assert out[1]["kept"] and not out[2]["kept"] and not out[3]["kept"]
+    assert out[9]["kept"] and out[9]["component"] == 9
+    assert out[10]["kept"] and out[10]["component"] == 10 and out[10]["cell"] is None
+    # chain members were actually co-located in one cell (else the test
+    # exercised nothing)
+    assert out[1]["cell"] == out[2]["cell"] == out[3]["cell"]
+    unpersist_deps(res)
