@@ -50,6 +50,22 @@ FLAGSHIP = [
 ]
 FLAGSHIP_REPEATS = 2
 
+# r6/r7 operator surface (VERDICT r6 item 5): benched every round with the
+# same min-of-2 methodology, recorded under "extended" — kept out of the
+# headline total so that number stays comparable to rounds 1-6.
+EXTENDED = [
+    "decontaminate",
+    "repetition_stats",
+    "pack_manifest",
+    "tfidf_top_terms",
+    "ivf_topk_int8",
+    "incremental_dedup",
+    "dup_clusters",
+    "heuristic_filters",
+    "span_dedup",
+    "semantic_dedup",
+]
+
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3
 # single-shot headline recorded topk_per_group at 2.21s where 3 warm reps
 # measured 0.94s stable — a fabricated 32% total "regression" (VERDICT r3
@@ -114,7 +130,7 @@ def main() -> None:
     # per-query cost. Data caches stay cold for the timed SF — different dir.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE + FLAGSHIP:
+        for name in HEADLINE + FLAGSHIP + EXTENDED:
             try:
                 run_query(spark, QUERIES[name], warm_dir)
             except Exception as exc:  # pragma: no cover - warmup best-effort
@@ -157,6 +173,20 @@ def main() -> None:
             continue
         flagship[name] = round(best, 4)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        best = None
+        try:
+            for rep in range(HEADLINE_REPEATS):
+                elapsed, n = run_query(spark, QUERIES[name], sf_dir)
+                best = elapsed if best is None else min(best, elapsed)
+                print(f"# extended {name} rep{rep}: {elapsed:.3f}s rows={n}", file=sys.stderr)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# extended {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
+        extended[name] = round(best, 4)
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "total_wall_sec",
@@ -164,6 +194,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "flagship": flagship,
+        "extended": extended,
         "action": ACTION,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
