@@ -184,6 +184,36 @@ def probe(spark, docs, emb, tag: str) -> dict:
         ).count(),
         r,
     )
+    # --- r7 operators: span removal (kernel + first-occurrence shuffle +
+    # map-only rewrite) and semantic dedup (assign + in-cell BLAS + CC)
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _span_rows,
+        remove_duplicate_spans,
+    )
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    timed(
+        "span_rows_kernel",
+        lambda: _span_rows(docs, "text", "doc_id", 6).count(),
+        r,
+    )
+    timed(
+        "span_dedup_total",
+        lambda: remove_duplicate_spans(docs, "text", "doc_id", span_w=6).count(),
+        r,
+    )
+
+    def _semantic():
+        out = semantic_dedup(emb, "vec_id", "embedding", dim=64, n_cells=8,
+                             threshold=0.35)
+        n = out.count()
+        unpersist_deps(out)
+        return n
+
+    timed("semantic_dedup_total", _semantic, r)
+
     docs.unpersist()
     emb.unpersist()
     return r
