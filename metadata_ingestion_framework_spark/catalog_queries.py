@@ -1800,6 +1800,58 @@ FROM tr JOIN ev ON len(list_intersect(tr.grams, ev.grams)) >= 3
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/joins.py::as_of_join): every click
+    event picks the user's most recent purchase at-or-before the click
+    (left-outer; unmatched clicks keep NULLs). Spark has no native as-of
+    join — the operator is the union+one-window formulation (single
+    shuffle on user_id, no inequality-join pair explosion); the oracle is
+    DuckDB's NATIVE ``ASOF LEFT JOIN``, so the two independent
+    formulations must agree value-for-value. Timestamps are emitted as
+    epoch micros (events-family convention)."""
+    from metadata_ingestion_framework_spark.operators.joins import as_of_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    j = as_of_join(
+        clicks,
+        purch,
+        ["user_id"],
+        "ts",
+        "p_ts",
+        right_cols=["p_event_id", "p_ts", "p_value"],
+        suffix="",
+        tiebreak="p_event_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "p_event_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "p_value",
+    )
+
+
+ORACLE_ASOF_JOIN = """
+SELECT c.event_id, c.user_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS ts_us, c.value,
+  p.event_id AS p_event_id, epoch_us(CAST(p.ts AS TIMESTAMP)) AS p_ts_us,
+  p.value AS p_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def q_span_dedup(spark, sf_dir):
     """Duplicate token-span REMOVAL (operators/dedup.py::
     remove_duplicate_spans): rewrite every document deleting any 6-token
@@ -2753,11 +2805,11 @@ QUERIES = {
     "lead_lag": q_lead_lag,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,  # r7: backward as-of join vs native DuckDB ASOF
     # LLM-data-pipeline family (no driver rows in r1 — keep well inside 50)
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "incremental_dedup": q_incremental_dedup,  # r7: cross-run dedup vs store
-    "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "dup_clusters": q_dup_clusters,  # r7: transitive cluster resolution
     "decontaminate": q_decontaminate,  # r6: train/eval n-gram overlap check
@@ -2816,11 +2868,14 @@ QUERIES = {
     # semantics), lsh_topk (lsh_topk_mp sweep; ANN keeps cosine/ivf/int8),
     # embedding_neardup (wholesale re-exercised inside semantic_dedup's
     # full-pipeline oracle), media_frames (media keeps resize+features),
-    # scd1_merge_pruned (scd1_merge in-window). Earlier rotations:
+    # scd1_merge_pruned (scd1_merge in-window); dedup_simhash rotated for
+    # asof_join (dedup family keeps exact/minhash/incremental/prefix/span/
+    # semantic in-window). Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
     "epoch_roundtrip": q_epoch_roundtrip,
     "stream_events_agg": q_stream_events_agg,
+    "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -2922,6 +2977,7 @@ ORACLES = {
     "dup_clusters": ORACLE_DUP_CLUSTERS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "span_dedup": ORACLE_SPAN_DEDUP,
+    "asof_join": ORACLE_ASOF_JOIN,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,

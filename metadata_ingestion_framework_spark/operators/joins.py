@@ -114,3 +114,92 @@ def build_merge_key_projections(
     real_keyed = [f"CAST({k} AS STRING) AS mergekey_{i}" for i, k in enumerate(keys)]
     rest = [c for c in all_columns]
     return null_keyed + rest, real_keyed + rest
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    tolerance_sec: float | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: every left row picks the most recent right row
+    with ``right_ts <= left_ts`` within the same ``on`` key (pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics, left-outer: unmatched
+    rows keep NULL right fields). Spark has no native as-of join; the
+    naive formulation is an inequality join Catalyst can only execute as a
+    per-key cartesian. This is the scalable union+window formulation
+    instead (the standard distributed as-of trick, e.g. Flint): tag both
+    sides, union, ONE window over the key ordered by (ts, side) with a
+    running ``last(right_payload, ignorenulls=True)``, keep left rows.
+    One shuffle on the key, linear state, no pair explosion.
+
+    At equal timestamps the right row is visible to the left row
+    (inclusive). Duplicate right rows per (key, ts) are resolved by
+    ``tiebreak`` (largest wins) — pass a unique column to make results
+    engine-deterministic. ``tolerance_sec`` voids matches older than the
+    given horizon (the window still carries them; a codegen'd conditional
+    nulls them out — no second pass).
+
+    No reference analogue (the reference's join surface is equi/theta
+    string conditions, Utility.scala:258-348); north-star extension for
+    event-stream feature attachment.
+    """
+    rp_cols = right_cols or [c for c in right.columns if c not in on]
+    rp_struct = F.struct(*[F.col(c) for c in rp_cols])
+    rp_type = right.select(rp_struct.alias("__rp")).schema[0].dataType
+    lp_struct = F.struct(*[F.col(c) for c in left.columns])
+    lp_type = left.select(lp_struct.alias("__lp")).schema[0].dataType
+    tb = (
+        F.col(tiebreak).cast("double")
+        if tiebreak
+        else F.lit(None).cast("double")
+    )
+
+    l2 = left.select(
+        *[F.col(k) for k in on],
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__is_r"),
+        F.lit(None).cast("double").alias("__tb"),
+        F.lit(None).cast(rp_type).alias("__rp"),
+        lp_struct.alias("__lp"),
+    )
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__is_r"),
+        tb.alias("__tb"),
+        rp_struct.alias("__rp"),
+        F.lit(None).cast(lp_type).alias("__lp"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col("__t").asc_nulls_first(),
+            F.col("__is_r").desc(),
+            F.col("__tb").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l2.unionByName(r2)
+    m = F.last("__rp", ignorenulls=True).over(w)
+    matched = u.withColumn("__m", m).filter(F.col("__is_r") == 0)
+    if tolerance_sec is not None:
+        if right_ts not in rp_cols:
+            raise ValueError(
+                "tolerance_sec needs the matched row's timestamp: include "
+                f"{right_ts!r} in right_cols"
+            )
+        in_horizon = (
+            F.col("__t").cast("double") - F.col(f"__m.{right_ts}").cast("double")
+        ) <= float(tolerance_sec)
+        matched = matched.withColumn("__m", F.when(in_horizon, F.col("__m")))
+    out_cols = [F.col(f"__lp.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in rp_cols]
+    return matched.select(*out_cols)

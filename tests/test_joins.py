@@ -67,3 +67,68 @@ def test_merge_key_projections():
     assert reals[0] == "CAST(empid AS STRING) AS mergekey_0"
     assert reals[1] == "CAST(deptno AS STRING) AS mergekey_1"
     assert nulls[-3:] == ["empid", "deptno", "sal"]
+
+
+def test_as_of_join_semantics(spark):
+    """Backward inclusive match, duplicate-ts tiebreak (largest wins),
+    left-outer nulls, and the tolerance horizon (boundary kept, beyond
+    voided)."""
+    import datetime as dt
+
+    from metadata_ingestion_framework_spark.operators.joins import as_of_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 10, 0, 0), "c1"),
+            (2, 10, T(2024, 1, 1, 12, 0, 0), "c2"),
+            (3, 11, T(2024, 1, 1, 9, 0, 0), "c3"),  # no prior right row
+            (4, 10, T(2024, 1, 1, 11, 0, 0), "c4"),  # equal-ts inclusive
+        ],
+        "id long, user long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, T(2024, 1, 1, 9, 30, 0), 5.0),
+            (101, 10, T(2024, 1, 1, 11, 0, 0), 7.0),  # dup ts with 102
+            (102, 10, T(2024, 1, 1, 11, 0, 0), 9.0),  # larger tiebreak wins
+            (103, 11, T(2024, 1, 1, 9, 30, 0), 1.0),  # after left id=3
+        ],
+        "rid long, user long, ts timestamp, amt double",
+    )
+    out = {
+        r["id"]: r
+        for r in as_of_join(
+            left, right, ["user"], "ts", "ts",
+            right_cols=["rid", "ts", "amt"], tiebreak="rid",
+        ).collect()
+    }
+    assert (out[1]["rid_r"], out[1]["amt_r"]) == (100, 5.0)
+    assert out[2]["rid_r"] == 102                    # latest, dup-ts tiebreak
+    assert out[3]["rid_r"] is None                   # left-outer
+    assert out[4]["rid_r"] == 102                    # inclusive equal ts
+    assert sorted(out[1].asDict()) == sorted(
+        ["id", "user", "ts", "tag", "rid_r", "ts_r", "amt_r"]
+    )
+
+    tol = {
+        r["id"]: r
+        for r in as_of_join(
+            left, right, ["user"], "ts", "ts",
+            right_cols=["rid", "ts", "amt"], tiebreak="rid",
+            tolerance_sec=1800,
+        ).collect()
+    }
+    assert tol[1]["rid_r"] == 100   # exactly 1800s: boundary kept
+    assert tol[2]["rid_r"] is None  # 3600s old: voided
+    assert tol[4]["rid_r"] == 102   # 0s old
+
+
+def test_as_of_join_tolerance_needs_ts(spark):
+    import pytest
+
+    from metadata_ingestion_framework_spark.operators.joins import as_of_join
+
+    df = spark.createDataFrame([(1, 1.0, 2.0)], "k long, ts double, v double")
+    with pytest.raises(ValueError, match="tolerance_sec"):
+        as_of_join(df, df, ["k"], "ts", "ts", right_cols=["v"], tolerance_sec=5)
