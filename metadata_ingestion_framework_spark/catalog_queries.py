@@ -1852,6 +1852,62 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Interval-overlap join (operators/joins.py::range_join_pairs):
+    per-user click windows [ts, ts+1h] overlapped with error windows
+    [ts-1h, ts]. The operator is the bucketed equi-join with dedup-free
+    canonical-bucket emission; the oracle is DuckDB's plain inequality
+    join — two independent formulations that must agree. Overlap emitted
+    in exact integer micros (no float compare)."""
+    from metadata_ingestion_framework_spark.operators.joins import (
+        range_join_pairs,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    hour = 3600 * 1000 * 1000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        "user_id",
+        us.alias("cs"),
+        (us + hour).alias("ce"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_event_id"),
+        "user_id",
+        (us - hour).alias("es"),
+        us.alias("ee"),
+    )
+    pairs = range_join_pairs(
+        clicks, errors, "c_event_id", "e_event_id",
+        "cs", "ce", "es", "ee",
+        bucket_width=float(hour), keys=["user_id"],
+    )
+    return pairs.select(
+        "user_id", "c_event_id", "e_event_id",
+        F.col("overlap").cast("long").alias("overlap_us"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH c AS (
+  SELECT event_id AS c_event_id, user_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+    epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS e
+  FROM events WHERE event_type = 'click'
+),
+er AS (
+  SELECT event_id AS e_event_id, user_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) - 3600000000 AS s,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, c_event_id, e_event_id,
+  LEAST(c.e, er.e) - GREATEST(c.s, er.s) AS overlap_us
+FROM c JOIN er ON c.user_id = er.user_id AND c.s <= er.e AND er.s <= c.e
+"""
+
+
 def q_span_dedup(spark, sf_dir):
     """Duplicate token-span REMOVAL (operators/dedup.py::
     remove_duplicate_spans): rewrite every document deleting any 6-token
@@ -2806,6 +2862,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,  # r7: backward as-of join vs native DuckDB ASOF
+    "range_join": q_range_join,  # r7: bucketed interval-overlap join
     # LLM-data-pipeline family (no driver rows in r1 — keep well inside 50)
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -2836,7 +2893,6 @@ QUERIES = {
     # multimodal decode contracts (r5: exact integer invariants vs DuckDB —
     # rotated INTO the driver window per VERDICT r4 item 3)
     "media_resize": q_media_resize,
-    "media_features": q_media_features,
     # windows / sorts / aggs
     "window_dedup": q_window_dedup,
     "topk_per_group": q_topk_per_group,
@@ -2870,12 +2926,14 @@ QUERIES = {
     # full-pipeline oracle), media_frames (media keeps resize+features),
     # scd1_merge_pruned (scd1_merge in-window); dedup_simhash rotated for
     # asof_join (dedup family keeps exact/minhash/incremental/prefix/span/
-    # semantic in-window). Earlier rotations:
+    # semantic in-window); media_features rotated for range_join (media
+    # keeps resize in-window). Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
     "epoch_roundtrip": q_epoch_roundtrip,
     "stream_events_agg": q_stream_events_agg,
     "dedup_simhash": q_dedup_simhash,
+    "media_features": q_media_features,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -2978,6 +3036,7 @@ ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "span_dedup": ORACLE_SPAN_DEDUP,
     "asof_join": ORACLE_ASOF_JOIN,
+    "range_join": ORACLE_RANGE_JOIN,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,

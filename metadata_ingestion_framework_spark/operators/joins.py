@@ -203,3 +203,74 @@ def as_of_join(
     out_cols = [F.col(f"__lp.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in rp_cols]
     return matched.select(*out_cols)
+
+
+def range_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join: (left_id, right_id, overlap) for every pair
+    of intervals with ``l_start <= r_end AND r_start <= l_end``
+    (inclusive), optionally also matching on equality ``keys``. Spark
+    plans a raw inequality join as a (per-key) nested-loop cartesian;
+    this is the bucketed formulation instead: each interval explodes to
+    the fixed-width buckets it touches, candidates meet in a bucket
+    equi-join, and each true pair is emitted from exactly ONE bucket —
+    the canonical bucket ``max(floor(l_start/w), floor(r_start/w))``,
+    the first bucket both intervals occupy — so no dropDuplicates
+    shuffle is needed at all (the dedup-free emission trick from the
+    interval-join literature). Candidate rows are SKINNY (id + 2
+    endpoints); callers re-attach payloads by id (CLAUDE.md
+    candidate-join rule).
+
+    ``bucket_width`` trades explode factor against candidate precision:
+    ~ the median interval length is the classic choice. Endpoints may be
+    any numeric or timestamp type (cast to double internally; overlap is
+    ``least(ends) - greatest(starts)`` in those units).
+
+    No reference analogue (north-star extension; the reference's join
+    surface is equi/theta conditions, Utility.scala:258-348).
+    """
+    keys = keys or []
+    w = float(bucket_width)
+
+    def prep(df, idc, s, e, side):
+        sd = F.col(s).cast("double")
+        ed = F.col(e).cast("double")
+        return df.select(
+            *keys,
+            F.col(idc),
+            sd.alias(f"__{side}s"),
+            ed.alias(f"__{side}e"),
+            F.floor(sd / w).alias("__bs"),
+            F.explode(
+                F.sequence(F.floor(sd / w), F.floor(ed / w))
+            ).alias("__bucket"),
+        ).withColumnRenamed("__bs", f"__{side}bs")
+
+    l2 = prep(left, left_id, left_start, left_end, "l")
+    r2 = prep(right, right_id, right_start, right_end, "r")
+    joined = l2.join(r2, [*keys, "__bucket"])
+    return (
+        joined.filter(
+            (F.col("__ls") <= F.col("__re"))
+            & (F.col("__rs") <= F.col("__le"))
+            & (F.col("__bucket") == F.greatest("__lbs", "__rbs"))
+        )
+        .select(
+            *keys,
+            left_id,
+            right_id,
+            (F.least("__le", "__re") - F.greatest("__ls", "__rs")).alias(
+                "overlap"
+            ),
+        )
+    )

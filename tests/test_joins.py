@@ -132,3 +132,54 @@ def test_as_of_join_tolerance_needs_ts(spark):
     df = spark.createDataFrame([(1, 1.0, 2.0)], "k long, ts double, v double")
     with pytest.raises(ValueError, match="tolerance_sec"):
         as_of_join(df, df, ["k"], "ts", "ts", right_cols=["v"], tolerance_sec=5)
+
+
+def test_range_join_pairs_matches_bruteforce(spark):
+    """Bucketed canonical-emission output == brute-force inequality join,
+    across interval shapes (containment, partial overlap, touching
+    endpoints, disjoint, many-bucket spans) and two bucket widths."""
+    import random
+
+    from metadata_ingestion_framework_spark.operators.joins import range_join_pairs
+
+    rng = random.Random(11)
+    lrows = [(i, rng.randrange(2), rng.uniform(0, 100), rng.uniform(0.1, 25))
+             for i in range(60)]
+    rrows = [(i, rng.randrange(2), rng.uniform(0, 100), rng.uniform(0.1, 25))
+             for i in range(60)]
+    left = spark.createDataFrame(
+        [(i, k, s, s + d) for i, k, s, d in lrows], "lid long, k int, s double, e double"
+    )
+    right = spark.createDataFrame(
+        [(i, k, s, s + d) for i, k, s, d in rrows], "rid long, k int, s double, e double"
+    )
+    expect = sorted(
+        (lk, li, ri, round(min(le, re) - max(ls, rs), 9))
+        for li, lk, ls, ld in [(i, k, s, d) for i, k, s, d in lrows]
+        for ri, rk, rs, rd in [(i, k, s, d) for i, k, s, d in rrows]
+        if lk == rk and ls <= rs + rd and rs <= ls + ld
+        for le, re in [(ls + ld, rs + rd)]
+    )
+    for width in (5.0, 40.0):
+        got = sorted(
+            (r["k"], r["lid"], r["rid"], round(r["overlap"], 9))
+            for r in range_join_pairs(
+                left, right, "lid", "rid", "s", "e", "s", "e",
+                bucket_width=width, keys=["k"],
+            ).collect()
+        )
+        assert got == expect, f"width={width}"
+    assert len(expect) > 50  # the fixture must exercise real overlap density
+
+
+def test_range_join_touching_endpoints_inclusive(spark):
+    from metadata_ingestion_framework_spark.operators.joins import range_join_pairs
+
+    left = spark.createDataFrame([(1, 0.0, 10.0)], "lid long, s double, e double")
+    right = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 20.0, 30.0)], "rid long, s double, e double"
+    )
+    got = {(r["lid"], r["rid"]): r["overlap"] for r in range_join_pairs(
+        left, right, "lid", "rid", "s", "e", "s", "e", bucket_width=7.0
+    ).collect()}
+    assert got == {(1, 1): 0.0}  # touching counts, disjoint does not
