@@ -2038,6 +2038,57 @@ FROM cells c LEFT JOIN comp p USING (vec_id)
 """
 
 
+def q_token_budget(spark, sf_dir):
+    """Greedy per-source token-budget fill (functions/sampling.py::
+    token_budget_select): rank each source's docs by quality (ROUND(6),
+    engine-exact) with doc_id tiebreak and keep docs until 700 tokens per
+    source are filled — the 'select the best N tokens' curation step."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        token_budget_select,
+    )
+    from metadata_ingestion_framework_spark.functions.text import quality_score
+
+    docs = wide_t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", "text", quality_score(F.col("text")).alias("quality")
+    )
+    return token_budget_select(
+        scored, "text", "doc_id", "quality", budget_tokens=700, by=["source"]
+    ).select("doc_id", "source", "quality", "n_tokens", "cum_before")
+
+
+ORACLE_TOKEN_BUDGET = r"""
+WITH stats AS (
+  SELECT doc_id, source, text,
+    CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS n_punct,
+    CAST(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 1
+         ELSE len(regexp_extract_all(lower(text), '\S+')) END AS DOUBLE) AS n_toks,
+    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+    CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+    ROUND((n_alpha / n_chars + (1 - n_punct / n_chars) +
+      CASE WHEN n_nonspace / n_toks BETWEEN 3 AND 12 THEN 1.0
+           WHEN n_nonspace / n_toks < 3 THEN (n_nonspace / n_toks) / 3.0
+           ELSE 12.0 / (n_nonspace / n_toks) END) / 3.0, 6) AS quality
+  FROM stats
+),
+cum AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY quality DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cum_before
+  FROM scored
+)
+SELECT doc_id, source, quality, n_tokens, cum_before
+FROM cum WHERE cum_before < 700
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for the first 5 vectors as queries."""
     emb = t(spark, sf_dir, "embeddings")
@@ -2875,7 +2926,6 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
-    "text_stats": q_text_stats,
     "heuristic_filters": q_heuristic_filters,  # r7: C4/Gopher quality gate
     "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
     "lang_id": q_lang_id,
@@ -2883,6 +2933,7 @@ QUERIES = {
     "grouping_key": q_grouping_key,
     "det_sample": q_det_sample,
     "stratified_sample": q_stratified_sample,
+    "token_budget": q_token_budget,  # r7: greedy per-source token-budget fill
     "top_ngrams": q_top_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,  # r6: keyword extraction
     "approx_distinct": q_approx_distinct,
@@ -2927,13 +2978,16 @@ QUERIES = {
     # scd1_merge_pruned (scd1_merge in-window); dedup_simhash rotated for
     # asof_join (dedup family keeps exact/minhash/incremental/prefix/span/
     # semantic in-window); media_features rotated for range_join (media
-    # keeps resize in-window). Earlier rotations:
+    # keeps resize in-window); text_stats rotated for token_budget (text
+    # family keeps heuristic/repetition/lang_id/quality/chunk/tfidf/pack
+    # in-window). Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
     "epoch_roundtrip": q_epoch_roundtrip,
     "stream_events_agg": q_stream_events_agg,
     "dedup_simhash": q_dedup_simhash,
     "media_features": q_media_features,
+    "text_stats": q_text_stats,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -3037,6 +3091,7 @@ ORACLES = {
     "span_dedup": ORACLE_SPAN_DEDUP,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
+    "token_budget": ORACLE_TOKEN_BUDGET,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,

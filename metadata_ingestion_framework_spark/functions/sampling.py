@@ -79,3 +79,50 @@ def stratified_sample(
             F.col(stratum_col) == value, F.lit(rate_threshold(r))
         ).otherwise(rate_expr)
     return df.filter(hash_bucket(key_cols, salt) < rate_expr)
+
+
+def token_budget_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str | Column,
+    budget_tokens: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Greedy token-budget fill: rank documents by ``score_col`` (best
+    first, ``id_col`` ascending tiebreak so the cut is engine-exact) and
+    keep each document whose PRECEDING cumulative token count is still
+    under ``budget_tokens`` — the "select the best N-token training mix"
+    step every LLM data pipeline runs after scoring. The boundary doc
+    that crosses the budget is kept (downstream packing truncates);
+    ``cum_before``/``n_tokens`` are emitted so callers can see the fill
+    level and trim exactly.
+
+    ``by`` partitions the budget (one budget per source/language — the
+    realistic shape); the window state is bounded per group. ``by=None``
+    is a single global sort — fine for the post-filter tail of a
+    pipeline (the scored survivor set), not for a raw 100 TB corpus; at
+    that scale run per-shard budgets or a two-pass quantile cut on the
+    score instead.
+
+    No reference analogue (north-star extension).
+    """
+    from pyspark.sql import Window
+
+    from metadata_ingestion_framework_spark.functions.text import token_count
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    by = by or []
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(score.desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = token_count(F.col(text_col)).cast("long")
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("cum_before") < budget_tokens)
+    )

@@ -108,3 +108,54 @@ def test_chunk_passages_golden(spark):
     import pytest as _p
     with _p.raises(ValueError):
         chunk_passages(docs, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_token_budget_select_greedy_fill(spark):
+    """Best-score-first fill; the boundary doc that crosses the budget is
+    kept; later docs are cut; per-group budgets are independent; zero
+    budget keeps nothing."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # group a: scores pick order 3,1,2 -> cum_before 0,4,9
+            (1, "a", 0.8, "w w w w w"),     # 5 toks, cum_before 4 -> kept (crosser)
+            (2, "a", 0.5, "x x"),           # cum_before 9 >= 8 -> cut
+            (3, "a", 0.9, "t t t t"),       # 4 toks, cum_before 0 -> kept
+            # group b: single doc bigger than budget still kept
+            (4, "b", 0.1, " ".join(["y"] * 50)),
+        ],
+        "doc_id int, grp string, score double, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in token_budget_select(
+            df, "text", "doc_id", "score", budget_tokens=8, by=["grp"]
+        ).collect()
+    }
+    assert set(out) == {1, 3, 4}
+    assert (out[3]["cum_before"], out[1]["cum_before"]) == (0, 4)
+    assert out[4]["cum_before"] == 0 and out[4]["n_tokens"] == 50
+    none = token_budget_select(
+        df, "text", "doc_id", "score", budget_tokens=0, by=["grp"]
+    ).count()
+    assert none == 0
+
+
+def test_token_budget_select_score_tie_uses_id(spark):
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(2, 0.5, "a a a"), (1, 0.5, "b b b")], "doc_id int, score double, text string"
+    )
+    kept = [
+        r["doc_id"]
+        for r in token_budget_select(
+            df, "text", "doc_id", "score", budget_tokens=3
+        ).collect()
+    ]
+    assert kept == [1]  # equal scores: lower id fills the budget first
