@@ -1590,6 +1590,67 @@ FROM comp
 """
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/val split (operators/cluster.py::
+    cluster_safe_split): near-dup clusters from the corpus-global prefix
+    pair set are assigned to a split as a UNIT by the md5 bucket of their
+    min-id representative (val rate 0.2) — no cluster straddles the
+    boundary. Oracle re-derives pairs + WITH RECURSIVE components + the
+    same md5 bucket rule."""
+    from metadata_ingestion_framework_spark.operators.cluster import (
+        cluster_safe_split,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", None, threshold=0.5)
+    out = cluster_safe_split(docs, pairs, "doc_id", val_rate=0.2, salt="split1")
+    return carry_deps(out.select("doc_id", "component", "split"), pairs)
+
+
+ORACLE_CLUSTER_SPLIT = r"""
+WITH RECURSIVE sh AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct([
+      array_to_string(toks[i:i+2], ' ')
+      FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+    ]) AS grams
+  FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS toks
+    FROM documents
+  )
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.grams) > 0 AND len(b.grams) > 0
+    AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1
+              ELSE len(list_distinct(a.grams || b.grams)) END) >= 0.5
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, component,
+  CASE WHEN ('0x' || substr(md5(concat_ws(chr(31), 'split1',
+       CAST(component AS VARCHAR))), 1, 15))::BIGINT % 1000000 < 200000
+       THEN 'val' ELSE 'train' END AS split
+FROM labeled
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc top-5 smoothed TF-IDF terms (functions/text.py::
     tfidf_top_terms) — ROUND(6) before ranking + term-asc tiebreak keeps
@@ -2920,6 +2981,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,  # r7: cross-run dedup vs store
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "dup_clusters": q_dup_clusters,  # r7: transitive cluster resolution
+    "cluster_split": q_cluster_split,  # r7: leakage-safe train/val split
     "decontaminate": q_decontaminate,  # r6: train/eval n-gram overlap check
     "span_dedup": q_span_dedup,  # r7: duplicate token-span removal (rewrite)
     "semantic_dedup": q_semantic_dedup,  # r7: SemDeDup (IVF cells + components)
@@ -2928,7 +2990,6 @@ QUERIES = {
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
     "heuristic_filters": q_heuristic_filters,  # r7: C4/Gopher quality gate
     "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
-    "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "grouping_key": q_grouping_key,
     "det_sample": q_det_sample,
@@ -2978,9 +3039,10 @@ QUERIES = {
     # scd1_merge_pruned (scd1_merge in-window); dedup_simhash rotated for
     # asof_join (dedup family keeps exact/minhash/incremental/prefix/span/
     # semantic in-window); media_features rotated for range_join (media
-    # keeps resize in-window); text_stats rotated for token_budget (text
-    # family keeps heuristic/repetition/lang_id/quality/chunk/tfidf/pack
-    # in-window). Earlier rotations:
+    # keeps resize in-window); text_stats and lang_id rotated for
+    # token_budget and cluster_split (text family keeps heuristic/
+    # repetition/quality/chunk/tfidf/pack in-window; lang-ID still runs
+    # inside curation_pipeline's in-window composite). Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -2988,6 +3050,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "media_features": q_media_features,
     "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -3092,6 +3155,7 @@ ORACLES = {
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
     "token_budget": ORACLE_TOKEN_BUDGET,
+    "cluster_split": ORACLE_CLUSTER_SPLIT,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,

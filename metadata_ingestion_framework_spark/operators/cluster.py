@@ -199,3 +199,51 @@ def cluster_representatives(
     clusters: every clustered node except its component representative."""
     cc = connected_components(pairs, id_a, id_b, **kwargs)
     return cc.filter(F.col("id") != F.col("component")).select("id")
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    val_rate: float,
+    salt: str = "",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Leakage-safe train/validation split: assign every document to a
+    split by the content-hash of its near-dup CLUSTER representative, so
+    a duplicate cluster can never straddle the train/val boundary — the
+    standard eval-integrity guard (splitting by raw doc id leaks
+    near-identical text across the split, inflating eval scores).
+
+    Composition of proven primitives: :func:`connected_components` over
+    the pair graph labels each doc with its min reachable id (singletons
+    label themselves), then the md5 bucket rule from
+    ``functions/sampling.py`` (deterministic across engines, reruns, and
+    incremental loads) maps the LABEL to 'val' iff
+    ``bucket(component) < rate_threshold(val_rate)``. Adding new members
+    to an existing cluster never moves the cluster (its min-id label is
+    stable unless a smaller id joins), so incremental ingests extend the
+    split instead of reshuffling it.
+
+    Scale shape: the component table only holds PAIRED docs (tiny next
+    to the corpus) and broadcasts; the split itself is a map-only
+    expression. No reference analogue (north-star extension).
+    """
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        hash_bucket,
+        rate_threshold,
+    )
+
+    cc = connected_components(pairs, id_a, id_b, **cc_kwargs).withColumnRenamed(
+        "id", id_col
+    )
+    comp = F.coalesce(F.col("component"), F.col(id_col))
+    labeled = df.join(F.broadcast(cc), id_col, "left").withColumn(
+        "component", comp
+    )
+    is_val = hash_bucket(["component"], salt) < rate_threshold(val_rate)
+    return labeled.withColumn(
+        "split", F.when(is_val, F.lit("val")).otherwise(F.lit("train"))
+    )

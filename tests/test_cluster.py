@@ -125,3 +125,30 @@ def test_unknown_strategy_raises(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="strategy"):
         connected_components(df, strategy="nope")
+
+
+def test_cluster_safe_split_no_straddle(spark):
+    """Every near-dup cluster lands wholly in one split; singletons split
+    by their own id; the assignment is deterministic across reruns."""
+    from metadata_ingestion_framework_spark.operators.cluster import (
+        cluster_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 21)], "doc_id long, text string"
+    )
+    # clusters: {1,2,3} (chain), {7,8}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = cluster_safe_split(docs, pairs, "doc_id", val_rate=0.5, salt="t")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 20
+    assert {rows[i]["component"] for i in (1, 2, 3)} == {1}
+    assert {rows[i]["split"] for i in (1, 2, 3)} == {rows[1]["split"]}
+    assert {rows[i]["split"] for i in (7, 8)} == {rows[7]["split"]}
+    # deterministic rerun
+    again = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert again == {i: rows[i]["split"] for i in rows}
+    # a 0.5 rate on 17 clusters must actually produce both splits
+    assert {r["split"] for r in rows.values()} == {"train", "val"}
