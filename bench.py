@@ -64,6 +64,10 @@ EXTENDED = [
     "heuristic_filters",
     "span_dedup",
     "semantic_dedup",
+    "asof_join",
+    "range_join",
+    "token_budget",
+    "cluster_split",
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3
