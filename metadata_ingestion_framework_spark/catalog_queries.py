@@ -1651,6 +1651,47 @@ FROM labeled
 """
 
 
+def q_ngram_perplexity(spark, sf_dir):
+    """Bigram pseudo-perplexity quality signal (functions/text.py::
+    ngram_perplexity): per-doc average NLL of its word bigrams under the
+    corpus's own bigram counts — the count-based stand-in for LM
+    perplexity filtering."""
+    from metadata_ingestion_framework_spark.functions.text import (
+        ngram_perplexity,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents")
+    return ngram_perplexity(docs, "text", "doc_id")
+
+
+ORACLE_NGRAM_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x <> '') AS a
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, a, unnest(range(0, greatest(len(a) - 1, 0))) AS i FROM toks
+),
+rows_ AS (
+  SELECT doc_id, a[i+1] AS w1, a[i+1] || ' ' || a[i+2] AS b FROM bg
+),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM rows_ GROUP BY w1),
+c12 AS (SELECT b, COUNT(*) AS c12 FROM rows_ GROUP BY b),
+nll AS (
+  SELECT r.doc_id,
+    ROUND(AVG(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 6) AS avg_nll,
+    COUNT(*) AS n_bigrams
+  FROM rows_ r JOIN c12 ON r.b = c12.b JOIN c1 ON r.w1 = c1.w1
+  GROUP BY r.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n.avg_nll, 0.0) AS avg_nll,
+  COALESCE(n.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN nll n USING (doc_id)
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-doc top-5 smoothed TF-IDF terms (functions/text.py::
     tfidf_top_terms) — ROUND(6) before ranking + term-asc tiebreak keeps
@@ -2990,9 +3031,9 @@ QUERIES = {
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
     "heuristic_filters": q_heuristic_filters,  # r7: C4/Gopher quality gate
     "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
+    "ngram_perplexity": q_ngram_perplexity,  # r7: bigram pseudo-perplexity
     "quality_score": q_quality_score,
     "grouping_key": q_grouping_key,
-    "det_sample": q_det_sample,
     "stratified_sample": q_stratified_sample,
     "token_budget": q_token_budget,  # r7: greedy per-source token-budget fill
     "top_ngrams": q_top_ngrams,
@@ -3042,7 +3083,10 @@ QUERIES = {
     # keeps resize in-window); text_stats and lang_id rotated for
     # token_budget and cluster_split (text family keeps heuristic/
     # repetition/quality/chunk/tfidf/pack in-window; lang-ID still runs
-    # inside curation_pipeline's in-window composite). Earlier rotations:
+    # inside curation_pipeline's in-window composite); det_sample rotated
+    # for ngram_perplexity (sampling keeps stratified_sample/token_budget
+    # in-window, and det_sample's md5-bucket rule runs inside both).
+    # Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -3051,6 +3095,7 @@ QUERIES = {
     "media_features": q_media_features,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "det_sample": q_det_sample,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -3156,6 +3201,7 @@ ORACLES = {
     "range_join": ORACLE_RANGE_JOIN,
     "token_budget": ORACLE_TOKEN_BUDGET,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
+    "ngram_perplexity": ORACLE_NGRAM_PERPLEXITY,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,

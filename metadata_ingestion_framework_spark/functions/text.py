@@ -472,3 +472,57 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ngram_perplexity(df: "DataFrame", text_col: str, id_col: str) -> "DataFrame":
+    """Count-based bigram pseudo-perplexity: score every document by the
+    average negative log-likelihood of its word bigrams under the
+    corpus's own bigram model, ``P(w2|w1) = C(w1 w2) / C(w1 ·)`` —
+    the SQL-expressible stand-in for the LM-perplexity quality filter
+    (CCNet/RefinedWeb-style; a real LM drops in as a pandas_udf scoring
+    stage over the same per-doc shape). Boilerplate/repetitive docs score
+    LOW (their bigrams dominate the corpus), rare-garbage docs score HIGH
+    — both tails are standard curation cut points.
+
+    Returns (id, avg_nll ROUND(6), n_bigrams); docs with < 2 tokens get
+    (0.0, 0). No reference analogue (north-star extension).
+
+    Shape: ONE gram build (the zip_with-slice bigram trick — no
+    per-element outer-array re-evaluation) exploded to skinny
+    (id, w1, bigram) rows, persisted because three consumers read it
+    (the two count aggs + the per-doc score join); both count tables are
+    vocabulary-bounded partial aggs; the score join is a bounded-key
+    equi-join. Release via ``operators.dedup.unpersist_deps``.
+    """
+    from pyspark.sql import functions as F
+
+    toks = _tokens(F.col(text_col))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda x, y: F.struct(x.alias("w1"), F.concat_ws(" ", x, y).alias("bg")),
+    )
+    rows = (
+        df.select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, "p.w1", "p.bg")
+        .persist()
+    )
+    c1 = rows.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = rows.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    nll = (
+        rows.join(c12, "bg")
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log(F.col("c12") / F.col("c1"))), 6).alias("avg_nll"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    out = df.select(id_col).join(nll, id_col, "left").select(
+        id_col,
+        F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+    )
+    out._persisted_deps = [rows]
+    return out

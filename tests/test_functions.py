@@ -197,3 +197,49 @@ def test_tfidf_top_terms_small(spark):
     # doc 3: cherry tf=3 dominates; durian df=1 second
     assert [t for _, t, _ in sorted(by_doc[3])] == ["cherry", "durian"]
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_ngram_perplexity_small(spark):
+    """Hand-computed bigram NLLs; short/empty docs get (0.0, 0); a doc made
+    of the corpus-dominant bigram scores lower than a rare-bigram doc."""
+    import math
+
+    from metadata_ingestion_framework_spark.functions.text import ngram_perplexity
+    from metadata_ingestion_framework_spark.operators.dedup import unpersist_deps
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: (a b)x3, (b a)x2
+            (2, "a b"),           # one bigram (a b)
+            (3, "x"),             # no bigrams
+            (4, ""),              # empty
+            (5, "q r"),           # unique bigram -> P=1 under its own count
+        ],
+        "doc_id int, text string",
+    )
+    res = ngram_perplexity(df, "text", "doc_id")
+    out = {r["doc_id"]: r for r in res.collect()}
+    # corpus counts: C(a b)=4, C(b a)=2, C(a .)=4, C(b .)=2, C(q r)=1, C(q .)=1
+    nll_ab = -math.log(4 / 4)   # 0.0
+    nll_ba = -math.log(2 / 2)   # 0.0
+    assert out[1]["avg_nll"] == round((3 * nll_ab + 2 * nll_ba) / 5, 6) == 0.0
+    assert out[1]["n_bigrams"] == 5
+    assert (out[3]["avg_nll"], out[3]["n_bigrams"]) == (0.0, 0)
+    assert (out[4]["avg_nll"], out[4]["n_bigrams"]) == (0.0, 0)
+    assert out[5]["avg_nll"] == 0.0  # unique bigram, unique prefix: P=1
+    unpersist_deps(res)
+
+
+def test_ngram_perplexity_separates_common_from_rare(spark):
+    """A doc repeating the corpus-dominant bigram must score strictly lower
+    than a doc whose bigrams are one-offs against a shared prefix word."""
+    from metadata_ingestion_framework_spark.functions.text import ngram_perplexity
+    from metadata_ingestion_framework_spark.operators.dedup import unpersist_deps
+
+    rows = [(i, "the cat the cat the cat") for i in range(10)]
+    rows.append((99, "the dog the bird the fish"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    res = ngram_perplexity(df, "text", "doc_id")
+    out = {r["doc_id"]: r["avg_nll"] for r in res.collect()}
+    assert out[0] < out[99]
+    unpersist_deps(res)
