@@ -68,6 +68,7 @@ EXTENDED = [
     "range_join",
     "token_budget",
     "cluster_split",
+    "ngram_perplexity",
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3
