@@ -69,6 +69,7 @@ EXTENDED = [
     "token_budget",
     "cluster_split",
     "ngram_perplexity",
+    "zorder_key",
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

@@ -1651,6 +1651,40 @@ FROM labeled
 """
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key (plans/layout.py::zorder_value) —
+    the multi-dimensional layout primitive behind write_zordered —
+    computed over (user_id, event_id mod 1024) at 10 bits/dim. Pure bit
+    arithmetic: the oracle runs the IDENTICAL generated shift/and
+    expression (zorder_sql), so the key is value-checked bit-for-bit."""
+    from metadata_ingestion_framework_spark.plans.layout import zorder_value
+
+    ev = t(spark, sf_dir, "events")
+    prepped = ev.select(
+        "event_id",
+        F.col("user_id").alias("x"),
+        F.pmod(F.col("event_id"), F.lit(1024)).alias("y"),
+    )
+    return prepped.select(
+        "event_id", "x", "y", zorder_value(["x", "y"], bits=10).alias("z")
+    )
+
+
+def _build_zorder_oracle() -> str:
+    from metadata_ingestion_framework_spark.plans.layout import zorder_sql
+
+    return f"""
+WITH prepped AS (
+  SELECT event_id, user_id AS x, event_id % 1024 AS y FROM events
+)
+SELECT event_id, x, y, CAST({zorder_sql(['x', 'y'], bits=10)} AS BIGINT) AS z
+FROM prepped
+"""
+
+
+ORACLE_ZORDER_KEY = _build_zorder_oracle()
+
+
 def q_ngram_perplexity(spark, sf_dir):
     """Bigram pseudo-perplexity quality signal (functions/text.py::
     ngram_perplexity): per-doc average NLL of its word bigrams under the
@@ -3034,11 +3068,11 @@ QUERIES = {
     "ngram_perplexity": q_ngram_perplexity,  # r7: bigram pseudo-perplexity
     "quality_score": q_quality_score,
     "grouping_key": q_grouping_key,
+    "zorder_key": q_zorder_key,  # r7: Morton layout key, bit-exact oracle
     "stratified_sample": q_stratified_sample,
     "token_budget": q_token_budget,  # r7: greedy per-source token-budget fill
     "top_ngrams": q_top_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,  # r6: keyword extraction
-    "approx_distinct": q_approx_distinct,
     "quantize_error": q_quantize_error,
     "chunk_passages": q_chunk_passages,
     "pack_manifest": q_pack_manifest,  # r6: sequence-packing manifest
@@ -3085,7 +3119,9 @@ QUERIES = {
     # repetition/quality/chunk/tfidf/pack in-window; lang-ID still runs
     # inside curation_pipeline's in-window composite); det_sample rotated
     # for ngram_perplexity (sampling keeps stratified_sample/token_budget
-    # in-window, and det_sample's md5-bucket rule runs inside both).
+    # in-window, and det_sample's md5-bucket rule runs inside both);
+    # approx_distinct rotated for zorder_key (its HLL contract is
+    # unchanged since r2 and stays sweep-checked).
     # Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
@@ -3096,6 +3132,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "det_sample": q_det_sample,
+    "approx_distinct": q_approx_distinct,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -3202,6 +3239,7 @@ ORACLES = {
     "token_budget": ORACLE_TOKEN_BUDGET,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "ngram_perplexity": ORACLE_NGRAM_PERPLEXITY,
+    "zorder_key": ORACLE_ZORDER_KEY,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,
