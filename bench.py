@@ -70,6 +70,7 @@ EXTENDED = [
     "cluster_split",
     "ngram_perplexity",
     "zorder_key",
+    "incremental_semantic",
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

@@ -2225,6 +2225,74 @@ FROM cum WHERE cum_before < 700
 """
 
 
+def q_incremental_semantic(spark, sf_dir):
+    """Incremental cross-run SEMANTIC dedup (operators/incremental.py::
+    embedding_batch_drops — the exact join EmbeddingDedupStore.ingest
+    runs): vectors with vec_id % 4 < 3 play the already-ingested store,
+    the rest arrive as the new batch; candidates meet only within IVF
+    cells. Surviving batch ids must EQUAL the full-union greedy rerun
+    under temporal-then-min-id precedence, which the oracle computes from
+    the all-pairs set (literal centroids + first-max argmax + ROUND(6)
+    cosine, the established conventions)."""
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        embedding_batch_drops,
+    )
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        ivf_assign,
+        random_centroids,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = random_centroids(64, 8, seed=7)
+    cells = ivf_assign(emb.select("vec_id", "embedding"), cents).withColumnRenamed(
+        "__ivf_cell", "cell"
+    )
+    store = cells.filter(F.col("vec_id") % 4 < 3)
+    batch = cells.filter(F.col("vec_id") % 4 == 3)
+    drops = embedding_batch_drops(store, batch, "vec_id", "embedding", threshold=0.35)
+    return batch.join(drops, "vec_id", "left_anti").select("vec_id")
+
+
+def _build_incremental_semantic_oracle(
+    dim: int = 64, n_cells: int = 8, tau: float = 0.35
+) -> str:
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    cents = random_centroids(dim, n_cells, seed=7)
+    score_exprs = ", ".join(
+        f"list_dot_product(v, {_sql_vec(c)}) AS s{i}" for i, c in enumerate(cents)
+    )
+    greatest = "GREATEST(" + ", ".join(f"s{i}" for i in range(n_cells)) + ")"
+    first_max = "CASE " + " ".join(
+        f"WHEN s{i} = __g THEN {i}" for i in range(n_cells)
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sc AS (SELECT vec_id, v, {score_exprs} FROM base),
+wg AS (SELECT *, {greatest} AS __g FROM sc),
+cells AS MATERIALIZED (SELECT vec_id, v, {first_max} AS cell FROM wg),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {tau}
+),
+batch AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 3),
+dropped AS (
+  SELECT id_b AS vec_id FROM pairs WHERE id_b % 4 = 3
+  UNION
+  SELECT id_a AS vec_id FROM pairs WHERE id_a % 4 = 3 AND id_b % 4 <> 3
+)
+SELECT vec_id FROM batch
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for the first 5 vectors as queries."""
     emb = t(spark, sf_dir, "embeddings")
@@ -2269,6 +2337,7 @@ def _sql_vec(v: list[float]) -> str:
 # deferred: _build_semantic_dedup_oracle (defined above, with its query)
 # needs _sql_vec at call time
 ORACLE_SEMANTIC_DEDUP = _build_semantic_dedup_oracle()
+ORACLE_INCREMENTAL_SEMANTIC = _build_incremental_semantic_oracle()
 
 
 def _build_lsh_topk_oracle() -> str:
@@ -3060,6 +3129,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,  # r6: train/eval n-gram overlap check
     "span_dedup": q_span_dedup,  # r7: duplicate token-span removal (rewrite)
     "semantic_dedup": q_semantic_dedup,  # r7: SemDeDup (IVF cells + components)
+    "incremental_semantic": q_incremental_semantic,  # r7: cross-run semantic dedup
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
@@ -3073,7 +3143,6 @@ QUERIES = {
     "token_budget": q_token_budget,  # r7: greedy per-source token-budget fill
     "top_ngrams": q_top_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,  # r6: keyword extraction
-    "quantize_error": q_quantize_error,
     "chunk_passages": q_chunk_passages,
     "pack_manifest": q_pack_manifest,  # r6: sequence-packing manifest
     "curation_pipeline": q_curation_pipeline,
@@ -3121,7 +3190,9 @@ QUERIES = {
     # for ngram_perplexity (sampling keeps stratified_sample/token_budget
     # in-window, and det_sample's md5-bucket rule runs inside both);
     # approx_distinct rotated for zorder_key (its HLL contract is
-    # unchanged since r2 and stays sweep-checked).
+    # unchanged since r2 and stays sweep-checked); quantize_error rotated
+    # for incremental_semantic (the int8 quantization contract is
+    # exercised in-window by ivf_topk_int8).
     # Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
@@ -3133,6 +3204,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "det_sample": q_det_sample,
     "approx_distinct": q_approx_distinct,
+    "quantize_error": q_quantize_error,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -3241,6 +3313,7 @@ ORACLES = {
     "ngram_perplexity": ORACLE_NGRAM_PERPLEXITY,
     "zorder_key": ORACLE_ZORDER_KEY,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "incremental_semantic": ORACLE_INCREMENTAL_SEMANTIC,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_topk": ORACLE_LSH_TOPK,
     "lsh_topk_mp": ORACLE_LSH_TOPK_MP,

@@ -290,3 +290,166 @@ class MinhashSignatureStore:
         self._record_run(run_id)
         sigs_new.unpersist()
         return survivors
+
+
+def embedding_batch_drops(
+    store_vecs: DataFrame | None,
+    batch_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Batch ids to DROP under semantic (cosine) temporal-then-min-id
+    precedence — the embedding twin of :func:`minhash_batch_drops`:
+
+        drop batch X  iff  cos(X, Y) >= threshold for some stored Y
+                           (any id), or some batch Y with Y.id < X.id.
+
+    Both inputs must carry a ``cell`` column (the IVF coarse-quantizer
+    assignment — ``EmbeddingDedupStore._assign``); candidates only meet
+    within a cell, SemDeDup-style, so the work is bounded per cell and a
+    batch only ever scans its own cells of the store. The Arrow kernel
+    emits raw candidate cosines with an epsilon slack; the authoritative
+    ``ROUND(6) >= threshold`` filter happens in Spark (the
+    ``embedding_near_duplicates`` engine-exactness convention).
+
+    Returns a 1-column DataFrame ``(id_col,)`` of dropped batch ids.
+    """
+    import pandas as pd
+
+    from metadata_ingestion_framework_spark.operators.similarity import _vec_matrix
+
+    eps = 1e-6
+    id_type = dict(batch_vecs.dtypes)[id_col]
+    b = batch_vecs.select(
+        F.col(id_col), F.col(vec_col), F.col("cell"), F.lit(True).alias("__new")
+    )
+    if store_vecs is None:
+        u = b
+    else:
+        s = store_vecs.select(
+            F.col(id_col), F.col(vec_col), F.col("cell"), F.lit(False).alias("__new")
+        )
+        u = b.unionByName(s)
+
+    schema = f"id_new {id_type}, id_other {id_type}, cos double"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.reset_index(drop=True)
+        valid, m = _vec_matrix(pdf[vec_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[valid]
+        isnew = pdf["__new"].to_numpy()[valid]
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        out_n, out_o, out_c = [], [], []
+        new_rows = np.nonzero(isnew)[0]
+        for lo in range(0, len(new_rows), 1024):
+            chunk = new_rows[lo : lo + 1024]
+            s = m[chunk] @ m.T  # (c, n)
+            for r, row in zip(chunk, s):
+                # stored partner (any id) or smaller-id batch partner
+                ok = (~isnew) | (isnew & (ids < ids[r]))
+                ok[r] = False
+                cols = np.nonzero(ok & (row >= threshold - eps))[0]
+                if len(cols):
+                    out_n.extend([ids[r]] * len(cols))
+                    out_o.extend(ids[cols])
+                    out_c.extend(row[cols])
+        return pd.DataFrame({"id_new": out_n, "id_other": out_o, "cos": out_c})
+
+    cand = u.groupBy("cell").applyInPandas(pairs, schema)
+    return (
+        cand.filter(F.round("cos", 6) >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+
+
+class EmbeddingDedupStore:
+    """Durable cross-run SEMANTIC dedup state — the embedding twin of
+    :class:`MinhashSignatureStore`: a recurring ingest dedups today's
+    batch of vectors against everything already ingested without
+    re-scoring the corpus.
+
+    One table (``VersionedParquetStore`` snapshot under ``root``):
+
+    - ``vecs``: (id, embedding, cell) — every vector ever seen, written
+      ``partition_by=["cell"]`` so a batch's store scan directory-prunes
+      to its own IVF cells (the layout proven by
+      ``tests/test_layout_pruning.py``); dropped vectors are kept for the
+      same reason the minhash store keeps dropped signatures (a future
+      near-dup of a dropped vector must still drop).
+
+    Centroids are fixed at store creation (``dim``/``n_cells``/``seed``)
+    — retraining them would reassign cells and orphan the layout; rebuild
+    the store to re-cluster (same contract as re-sharding any store).
+    ``_runs.json`` run-ledger idempotence is shared verbatim.
+    """
+
+    VECS = "vecs"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        dim: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 8,
+        threshold: float = 0.95,
+        seed: int = 7,
+    ):
+        from metadata_ingestion_framework_spark.operators.similarity import (
+            random_centroids,
+        )
+
+        self.spark = spark
+        self.store = VersionedParquetStore(spark, root)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.centroids = random_centroids(dim, n_cells, seed)
+        self._ledger_path = os.path.join(root, "_runs.json")
+
+    ingested_runs = MinhashSignatureStore.ingested_runs
+    _record_run = MinhashSignatureStore._record_run
+
+    def _assign(self, batch: DataFrame) -> DataFrame:
+        from metadata_ingestion_framework_spark.operators.similarity import ivf_assign
+
+        return ivf_assign(
+            batch.select(self.id_col, self.vec_col), self.centroids, self.vec_col
+        ).withColumnRenamed("__ivf_cell", "cell")
+
+    def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
+        """Semantically dedup ``batch`` against the store and itself;
+        merge its vectors in; return surviving batch rows (original
+        columns). None (store untouched) when ``run_id`` already ran."""
+        if run_id in self.ingested_runs():
+            return None
+        assigned = self._assign(batch).persist()
+        store_pruned = store_all = None
+        if self.store.exists(self.VECS):
+            batch_ids = assigned.select(self.id_col)
+            batch_cells = [
+                r.cell for r in assigned.select("cell").distinct().collect()
+            ]
+            store_all = self.store.read(self.VECS)
+            # cell prune (directory-level on the partitioned layout) +
+            # replay safety (a re-delivered batch must not collide with
+            # its own stored copy)
+            store_pruned = store_all.filter(
+                F.col("cell").isin(batch_cells)
+            ).join(batch_ids, self.id_col, "left_anti")
+        drops = embedding_batch_drops(
+            store_pruned, assigned, self.id_col, self.vec_col, self.threshold
+        ).localCheckpoint()
+        survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
+        merged = scd1_merge(store_all, assigned, [self.id_col])
+        self.store.write(merged, self.VECS, partition_by=["cell"])
+        self._record_run(run_id)
+        assigned.unpersist()
+        return survivors

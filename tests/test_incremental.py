@@ -89,3 +89,81 @@ def test_store_versions_advance_and_vacuum(spark, store):
     assert store.store.current_version(store.SIGS) == 2
     store.store.vacuum(store.SIGS, keep_last=1)
     assert store.store.read(store.SIGS).count() == 2  # current still readable
+
+
+# ---- EmbeddingDedupStore (semantic twin) ----------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _unit(i, dim=8, bump=None, eps=0.05):
+    v = [0.0] * dim
+    v[i] = 1.0
+    if bump is not None:
+        v[bump] += eps
+    return v
+
+
+def test_embedding_store_two_run_flow(spark, tmp_path):
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        EmbeddingDedupStore,
+    )
+
+    store = EmbeddingDedupStore(
+        spark, str(tmp_path / "vecstore"), dim=8, n_cells=2, threshold=0.9
+    )
+    # run 1: 2 near-dups 1 (cos ~0.999), 3 orthogonal
+    r1 = _vecs(spark, [(1, _unit(0)), (2, _unit(0, bump=1)), (3, _unit(7))])
+    s1 = store.ingest(r1, "run-1")
+    assert {r.vec_id for r in s1.collect()} == {1, 3}
+    # run 2: 11 dups STORED 1 (temporal precedence: 11 > 1 but also 11 vs
+    # dropped 2's direction — dropped vectors still defend), 12 new
+    # direction, 13 dups 12 intra-batch (min-id 12 wins)
+    fresh = [0.0] * 8
+    fresh[3] = 1.0
+    fresh2 = list(fresh)
+    fresh2[4] = 0.05
+    r2 = _vecs(spark, [(11, _unit(0, bump=1, eps=0.02)), (12, fresh), (13, fresh2)])
+    s2 = store.ingest(r2, "run-2")
+    assert {r.vec_id for r in s2.collect()} == {12}
+    # every seen vector's embedding persisted (dropped ones included)
+    ids = {r.vec_id for r in store.store.read(store.VECS).select("vec_id").collect()}
+    assert ids == {1, 2, 3, 11, 12, 13}
+    assert store.ingested_runs() == ["run-1", "run-2"]
+    # ledger no-op on retry
+    assert store.ingest(r2, "run-2") is None
+
+
+def test_embedding_store_replay_without_ledger_is_idempotent(spark, tmp_path):
+    """Crash between write and ledger record -> the batch re-runs with its
+    own vectors already in the store; the batch-id exclusion must keep the
+    replay from dropping every doc against its own stored copy."""
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        EmbeddingDedupStore,
+    )
+
+    store = EmbeddingDedupStore(
+        spark, str(tmp_path / "vecstore"), dim=8, n_cells=2, threshold=0.9
+    )
+    r1 = _vecs(spark, [(1, _unit(0)), (3, _unit(7))])
+    s1 = store.ingest(r1, "run-1")
+    assert {r.vec_id for r in s1.collect()} == {1, 3}
+    os.remove(store._ledger_path)  # simulate the lost-ledger crash window
+    s1b = store.ingest(r1, "run-1-replay")
+    assert {r.vec_id for r in s1b.collect()} == {1, 3}
+
+
+def test_embedding_store_cell_layout_partitioned(spark, tmp_path):
+    import glob
+
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        EmbeddingDedupStore,
+    )
+
+    store = EmbeddingDedupStore(
+        spark, str(tmp_path / "vecstore"), dim=8, n_cells=2, threshold=0.9
+    )
+    store.ingest(_vecs(spark, [(i, _unit(i % 8)) for i in range(16)]), "run-1")
+    vdir = store.store._version_path(store.VECS, store.store.current_version(store.VECS))
+    assert glob.glob(f"{vdir}/cell=*"), "vecs table must be cell-partitioned"
