@@ -214,6 +214,33 @@ def probe(spark, docs, emb, tag: str) -> dict:
 
     timed("semantic_dedup_total", _semantic, r)
 
+    from metadata_ingestion_framework_spark.functions.text import ngram_perplexity
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        embedding_batch_drops,
+    )
+
+    def _perplexity():
+        out = ngram_perplexity(docs, "text", "doc_id")
+        n = out.count()
+        unpersist_deps(out)
+        return n
+
+    timed("ngram_perplexity_total", _perplexity, r)
+
+    cents = random_centroids(64, 8)
+    cells = ivf_assign(emb.select("vec_id", "embedding"), cents).withColumnRenamed(
+        "__ivf_cell", "cell"
+    )
+    timed(
+        "embedding_batch_drops",  # cross-run semantic dedup inner join
+        lambda: embedding_batch_drops(
+            cells.filter(F.col("vec_id") % 4 < 3),
+            cells.filter(F.col("vec_id") % 4 == 3),
+            threshold=0.35,
+        ).count(),
+        r,
+    )
+
     docs.unpersist()
     emb.unpersist()
     return r
