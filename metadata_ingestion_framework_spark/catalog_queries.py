@@ -2215,7 +2215,7 @@ scored AS (
 ),
 cum AS (
   SELECT *, COALESCE(SUM(n_tokens) OVER (
-      PARTITION BY source ORDER BY quality DESC, doc_id ASC
+      PARTITION BY source ORDER BY quality DESC NULLS LAST, doc_id ASC
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
     ), 0) AS cum_before
   FROM scored

@@ -113,9 +113,12 @@ def token_budget_select(
 
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     by = by or []
+    # desc_nulls_last EXPLICITLY: Spark's bare desc() is nulls-last but
+    # DuckDB's DESC is nulls-FIRST — an unscored doc would fill the budget
+    # first on one engine and last on the other (oracles spell NULLS LAST)
     w = (
         Window.partitionBy(*by)
-        .orderBy(score.desc(), F.col(id_col).asc())
+        .orderBy(score.desc_nulls_last(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     n = token_count(F.col(text_col)).cast("long")

@@ -154,17 +154,23 @@ def as_of_join(
     rp_type = right.select(rp_struct.alias("__rp")).schema[0].dataType
     lp_struct = F.struct(*[F.col(c) for c in left.columns])
     lp_type = left.select(lp_struct.alias("__lp")).schema[0].dataType
-    tb = (
-        F.col(tiebreak).cast("double")
+    # order by the tiebreak's NATIVE type: a double cast would silently
+    # null out string/complex tiebreaks and surrender determinism
+    tb_type = (
+        dict(zip(right.schema.fieldNames(), [f.dataType for f in right.schema]))[
+            tiebreak
+        ]
         if tiebreak
-        else F.lit(None).cast("double")
+        else None
     )
+    tb = F.col(tiebreak) if tiebreak else F.lit(None).cast("int")
+    tb_null = F.lit(None).cast(tb_type) if tb_type is not None else F.lit(None).cast("int")
 
     l2 = left.select(
         *[F.col(k) for k in on],
         F.col(left_ts).alias("__t"),
         F.lit(0).alias("__is_r"),
-        F.lit(None).cast("double").alias("__tb"),
+        tb_null.alias("__tb"),
         F.lit(None).cast(rp_type).alias("__rp"),
         lp_struct.alias("__lp"),
     )
@@ -245,6 +251,9 @@ def range_join_pairs(
     def prep(df, idc, s, e, side):
         sd = F.col(s).cast("double")
         ed = F.col(e).cast("double")
+        # inverted/null intervals are dropped, not joined: F.sequence
+        # DESCENDS for start > end and would emit phantom buckets
+        df = df.filter(sd <= ed)
         return df.select(
             *keys,
             F.col(idc),

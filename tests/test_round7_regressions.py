@@ -226,3 +226,60 @@ def test_gopher_gate_column_matches_filters(spark):
         for r in heuristic_filters(df, "text", "doc_id").filter("gate").collect()
     }
     assert via_filter == via_signals == {1}
+
+
+def test_asof_string_tiebreak_orders_natively(spark):
+    """r7 review: the tiebreak column must order by its NATIVE type — the
+    earlier double cast nulled out string tiebreaks, silently surrendering
+    dup-ts determinism."""
+    import datetime as dt
+
+    from metadata_ingestion_framework_spark.operators.joins import as_of_join
+
+    T = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, 10, T)], "id long, user long, ts timestamp")
+    right = spark.createDataFrame(
+        [("aa", 10, T, 1.0), ("zz", 10, T, 2.0), ("mm", 10, T, 3.0)],
+        "tag string, user long, ts timestamp, amt double",
+    )
+    out = as_of_join(
+        left, right, ["user"], "ts", "ts",
+        right_cols=["tag", "amt"], tiebreak="tag",
+    ).collect()[0]
+    assert out["tag_r"] == "zz"  # largest string tiebreak wins
+
+
+def test_range_join_inverted_interval_dropped(spark):
+    """r7 review: F.sequence DESCENDS for start > end — inverted intervals
+    must be dropped, not exploded into phantom buckets."""
+    from metadata_ingestion_framework_spark.operators.joins import range_join_pairs
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 30.0, 20.0)], "lid long, s double, e double"
+    )
+    right = spark.createDataFrame([(1, 5.0, 25.0)], "rid long, s double, e double")
+    got = {(r["lid"], r["rid"]) for r in range_join_pairs(
+        left, right, "lid", "rid", "s", "e", "s", "e", bucket_width=8.0
+    ).collect()}
+    assert got == {(1, 1)}  # the inverted [30,20] never matches
+
+
+def test_token_budget_null_scores_fill_last(spark):
+    """r7 review: null scores rank LAST on both engines (explicit
+    desc_nulls_last / NULLS LAST — the engines' bare-DESC defaults
+    disagree)."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "a a a"), (2, 0.1, "b b b")],
+        "doc_id int, score double, text string",
+    )
+    kept = [
+        r["doc_id"]
+        for r in token_budget_select(
+            df, "text", "doc_id", "score", budget_tokens=3
+        ).collect()
+    ]
+    assert kept == [2]  # the scored doc fills the budget; the null doc is cut
