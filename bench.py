@@ -71,6 +71,7 @@ EXTENDED = [
     "ngram_perplexity",
     "zorder_key",
     "incremental_semantic",
+    "calibrate_scores",
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

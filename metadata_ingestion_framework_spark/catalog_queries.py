@@ -2293,6 +2293,49 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def q_calibrate_scores(spark, sf_dir):
+    """Per-source percentile-rank score calibration (functions/sampling.py
+    ::calibrate_scores): each doc's quality mapped to its percent_rank
+    within its source (exact rational (rank-1)/(n-1); doc_id tiebreak)."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        calibrate_scores,
+    )
+    from metadata_ingestion_framework_spark.functions.text import quality_score
+
+    docs = wide_t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return calibrate_scores(scored, "quality", "doc_id", by=["source"])
+
+
+ORACLE_CALIBRATE_SCORES = r"""
+WITH stats AS (
+  SELECT doc_id, source,
+    CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS n_punct,
+    CAST(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 1
+         ELSE len(regexp_extract_all(lower(text), '\S+')) END AS DOUBLE) AS n_toks,
+    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+    ROUND((n_alpha / n_chars + (1 - n_punct / n_chars) +
+      CASE WHEN n_nonspace / n_toks BETWEEN 3 AND 12 THEN 1.0
+           WHEN n_nonspace / n_toks < 3 THEN (n_nonspace / n_toks) / 3.0
+           ELSE 12.0 / (n_nonspace / n_toks) END) / 3.0, 6) AS quality
+  FROM stats
+)
+SELECT doc_id, source, quality,
+  ROUND(PERCENT_RANK() OVER (
+    PARTITION BY source ORDER BY quality ASC NULLS FIRST, doc_id ASC
+  ), 6) AS score_pct
+FROM scored
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for the first 5 vectors as queries."""
     emb = t(spark, sf_dir, "embeddings")
@@ -3141,6 +3184,7 @@ QUERIES = {
     "zorder_key": q_zorder_key,  # r7: Morton layout key, bit-exact oracle
     "stratified_sample": q_stratified_sample,
     "token_budget": q_token_budget,  # r7: greedy per-source token-budget fill
+    "calibrate_scores": q_calibrate_scores,  # r7: percentile-rank calibration
     "top_ngrams": q_top_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,  # r6: keyword extraction
     "chunk_passages": q_chunk_passages,
@@ -3151,7 +3195,6 @@ QUERIES = {
     "media_resize": q_media_resize,
     # windows / sorts / aggs
     "window_dedup": q_window_dedup,
-    "topk_per_group": q_topk_per_group,
     # joins
     "theta_join": q_theta_join,
     "struct_multiplex": q_struct_multiplex,
@@ -3192,7 +3235,10 @@ QUERIES = {
     # approx_distinct rotated for zorder_key (its HLL contract is
     # unchanged since r2 and stays sweep-checked); quantize_error rotated
     # for incremental_semantic (the int8 quantization contract is
-    # exercised in-window by ivf_topk_int8).
+    # exercised in-window by ivf_topk_int8); topk_per_group rotated for
+    # calibrate_scores (window family keeps window_dedup/lead_lag, and
+    # the per-group-rank shape is in-window via calibrate_scores itself
+    # and tfidf's top-k window).
     # Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
@@ -3205,6 +3251,7 @@ QUERIES = {
     "det_sample": q_det_sample,
     "approx_distinct": q_approx_distinct,
     "quantize_error": q_quantize_error,
+    "topk_per_group": q_topk_per_group,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -3310,6 +3357,7 @@ ORACLES = {
     "range_join": ORACLE_RANGE_JOIN,
     "token_budget": ORACLE_TOKEN_BUDGET,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
+    "calibrate_scores": ORACLE_CALIBRATE_SCORES,
     "ngram_perplexity": ORACLE_NGRAM_PERPLEXITY,
     "zorder_key": ORACLE_ZORDER_KEY,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,

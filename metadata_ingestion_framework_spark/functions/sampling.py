@@ -129,3 +129,32 @@ def token_budget_select(
         )
         .filter(F.col("cum_before") < budget_tokens)
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str | Column,
+    id_col: str,
+    by: list[str] | None = None,
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-group percentile-rank calibration of a quality score: maps each
+    row's score to its ``percent_rank`` within its group (0 = worst,
+    1 = best), so thresholds mean the same thing across sources whose raw
+    score distributions differ — the standard per-domain score
+    normalization before a global quality cut. ``id_col`` ascending breaks
+    score ties, making the rank engine-exact, and percent_rank's
+    ``(rank - 1) / (n - 1)`` is exact rational arithmetic (ROUND(6) is
+    cosmetic, not a float-determinism crutch). Single-row groups get 0.0.
+
+    One bounded-per-group window — same scale posture as
+    :func:`token_budget_select`. No reference analogue (north-star
+    extension).
+    """
+    from pyspark.sql import Window
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    w = Window.partitionBy(*(by or [])).orderBy(
+        score.asc_nulls_first(), F.col(id_col).asc()
+    )
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))

@@ -159,3 +159,28 @@ def test_token_budget_select_score_tie_uses_id(spark):
         ).collect()
     ]
     assert kept == [1]  # equal scores: lower id fills the budget first
+
+
+def test_calibrate_scores_percentile_semantics(spark):
+    """0 = worst, 1 = best per group; ties broken by id (engine-exact);
+    single-row group gets 0.0; nulls rank worst."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        calibrate_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.2), (2, "a", 0.8), (3, "a", 0.5), (4, "a", None),
+            (5, "b", 0.9),
+        ],
+        "doc_id int, grp string, score double",
+    )
+    out = {
+        r["doc_id"]: r["score_pct"]
+        for r in calibrate_scores(df, "score", "doc_id", by=["grp"]).collect()
+    }
+    assert out[4] == 0.0                 # null: worst of group a (rank 1 of 4)
+    assert out[1] == round(1 / 3, 6)
+    assert out[3] == round(2 / 3, 6)
+    assert out[2] == 1.0
+    assert out[5] == 0.0                 # singleton group
