@@ -214,3 +214,59 @@ def test_streaming_scd4_foreachbatch(spark, tmp_path):
     hist = store.read("dim4_history").collect()
     assert len(hist) == 1 and hist[0]["place"] == "AMS"
     assert hist[0]["history_created_at"] == "2021-06-01"
+
+
+def test_stream_stream_interval_join_with_watermarks(spark, tmp_path):
+    """Streaming face of the range-join family: two watermarked file
+    streams joined on key + a time interval (Spark's native stream-stream
+    interval join). Verifies the joined pairs equal the batch inequality
+    join of the same data — and that the watermark bounds state (the query
+    runs with both sides' state eviction conditions present)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return T0 + dt.timedelta(minutes=minutes)
+
+    clicks = [(1, 10, ts(0)), (2, 10, ts(30)), (3, 11, ts(10))]
+    buys = [(100, 10, ts(5)), (101, 10, ts(90)), (102, 11, ts(11))]
+    c_src, b_src = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    spark.createDataFrame(clicks, "cid long, user long, cts timestamp").write.parquet(c_src)
+    spark.createDataFrame(buys, "bid long, user long, bts timestamp").write.parquet(b_src)
+
+    cs = (
+        spark.readStream.schema("cid long, user long, cts timestamp")
+        .parquet(c_src).withWatermark("cts", "10 minutes")
+    )
+    bs = (
+        spark.readStream.schema("bid long, user long, bts timestamp")
+        .parquet(b_src).withWatermark("bts", "10 minutes")
+    )
+    # buy within [click, click + 20 minutes]
+    joined = cs.join(
+        bs,
+        (cs.user == bs.user)
+        & (bs.bts >= cs.cts)
+        & (bs.bts <= cs.cts + F.expr("INTERVAL 20 MINUTES")),
+    ).select("cid", "bid")
+
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["cid"], r["bid"]) for r in spark.sql("SELECT * FROM ssj").collect()}
+    expect = {
+        (c, b)
+        for c, cu, ct in clicks
+        for b, bu, bt in buys
+        if cu == bu and ct <= bt <= ct + dt.timedelta(minutes=20)
+    }
+    assert got == expect and expect == {(1, 100), (3, 102)}
