@@ -283,3 +283,67 @@ def test_token_budget_null_scores_fill_last(spark):
         ).collect()
     ]
     assert kept == [2]  # the scored doc fills the budget; the null doc is cut
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    """Union+window as-of == per-row brute-force argmax over 300 random
+    left rows x 200 right rows, multiple keys, duplicate timestamps."""
+    import random
+
+    from metadata_ingestion_framework_spark.operators.joins import as_of_join
+
+    rng = random.Random(13)
+    lrows = [(i, rng.randrange(5), float(rng.randrange(100))) for i in range(300)]
+    rrows = [(i, rng.randrange(5), float(rng.randrange(100)), rng.random())
+             for i in range(200)]
+    left = spark.createDataFrame(lrows, "lid long, k int, t double")
+    right = spark.createDataFrame(rrows, "rid long, k int, t double, v double")
+    got = {
+        r["lid"]: r["rid_r"]
+        for r in as_of_join(
+            left, right, ["k"], "t", "t",
+            right_cols=["rid", "v"], tiebreak="rid",
+        ).collect()
+    }
+
+    def brute(lk, lt):
+        cand = [(rt, rid) for rid, rk, rt, _ in rrows if rk == lk and rt <= lt]
+        if not cand:
+            return None
+        best_t = max(t for t, _ in cand)
+        return max(rid for t, rid in cand if t == best_t)
+
+    for lid, lk, lt in lrows:
+        assert got[lid] == brute(lk, lt), (lid, lk, lt)
+
+
+def test_span_dedup_conservation_invariants(spark):
+    """Over a random dirty corpus: clean tokens are a subsequence of the
+    original tokens, n_removed + len(clean) == len(original), and the
+    surviving corpus contains each distinct W-window's FIRST occurrence
+    intact when it is not covered by another duplicate span."""
+    import random
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, "text", "doc_id", span_w=4).collect()}
+    assert set(out) == {i for i, _ in rows}
+    removed_total = 0
+    for i, text in rows:
+        orig = text.split()
+        clean = out[i]["clean_text"].split()
+        assert len(clean) + out[i]["n_removed"] == len(orig), i
+        removed_total += out[i]["n_removed"]
+        # subsequence check
+        it = iter(orig)
+        assert all(tok in it for tok in clean), i
+    assert removed_total > 0  # the random corpus must actually be dirty
