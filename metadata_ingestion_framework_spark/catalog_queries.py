@@ -2244,13 +2244,19 @@ def q_incremental_semantic(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     cents = random_centroids(64, 8, seed=7)
-    cells = ivf_assign(emb.select("vec_id", "embedding"), cents).withColumnRenamed(
-        "__ivf_cell", "cell"
+    # persist: the store/batch filters and the final anti-join are three
+    # consumers — without it each branch re-runs the Arrow assign kernel
+    cells = (
+        ivf_assign(emb.select("vec_id", "embedding"), cents)
+        .withColumnRenamed("__ivf_cell", "cell")
+        .persist()
     )
     store = cells.filter(F.col("vec_id") % 4 < 3)
     batch = cells.filter(F.col("vec_id") % 4 == 3)
     drops = embedding_batch_drops(store, batch, "vec_id", "embedding", threshold=0.35)
-    return batch.join(drops, "vec_id", "left_anti").select("vec_id")
+    out = batch.join(drops, "vec_id", "left_anti").select("vec_id")
+    out._persisted_deps = [cells]  # release via unpersist_deps
+    return out
 
 
 def _build_incremental_semantic_oracle(
