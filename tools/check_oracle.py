@@ -88,6 +88,7 @@ def main() -> None:
         if only and name not in only:
             continue
         t0 = time.perf_counter()
+        sdf = None
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
@@ -96,6 +97,13 @@ def main() -> None:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(exc).__name__}: {exc}")
             continue
+        finally:
+            # release operator-persisted intermediates: a 91-query session
+            # would otherwise accumulate every query's caches (sig tables,
+            # prefix rows, cell assignments) until LRU eviction
+            if sdf is not None:
+                for dep in getattr(sdf, "_persisted_deps", ()):
+                    dep.unpersist()
         if name not in oracles:
             rows_only += 1
             print(f"ROWS  {name}: {len(spdf)} rows ({time.perf_counter()-t0:.2f}s, no oracle)")
