@@ -72,6 +72,7 @@ EXTENDED = [
     "zorder_key",
     "incremental_semantic",
     "calibrate_scores",
+    "temperature_mix",
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

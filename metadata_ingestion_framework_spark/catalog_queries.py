@@ -2342,6 +2342,41 @@ FROM scored
 """
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-resampled training mix (functions/sampling.py::
+    temperature_mix, alpha=0.5): per-language keep-rates sqrt(c_min/c)
+    reshape the skewed lang distribution toward counts^0.5 by
+    downsampling; membership is the md5 bucket rule. The whole chain —
+    counts, division, sqrt, FLOOR(r*1e6+0.5) threshold, bucket compare —
+    is correctly rounded on both engines, so the oracle recomputes the
+    EXACT member set from scratch in SQL."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        temperature_mix,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return temperature_mix(docs, "lang", ["doc_id"], alpha=0.5, salt="tmix").select(
+        "doc_id", "lang"
+    )
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS c FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+    CAST(FLOOR(sqrt(CAST((SELECT MIN(c) FROM counts) AS DOUBLE) / c) * 1000000
+               + 0.5) AS BIGINT) AS threshold
+  FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substr(md5(concat_ws(chr(31), 'tmix', CAST(d.doc_id AS VARCHAR))), 1, 15))::BIGINT
+      % 1000000 < r.threshold
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for the first 5 vectors as queries."""
     emb = t(spark, sf_dir, "embeddings")
@@ -3189,11 +3224,11 @@ QUERIES = {
     "grouping_key": q_grouping_key,
     "zorder_key": q_zorder_key,  # r7: Morton layout key, bit-exact oracle
     "stratified_sample": q_stratified_sample,
+    "temperature_mix": q_temperature_mix,  # r7: counts^alpha training mix
     "token_budget": q_token_budget,  # r7: greedy per-source token-budget fill
     "calibrate_scores": q_calibrate_scores,  # r7: percentile-rank calibration
     "top_ngrams": q_top_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,  # r6: keyword extraction
-    "chunk_passages": q_chunk_passages,
     "pack_manifest": q_pack_manifest,  # r6: sequence-packing manifest
     "curation_pipeline": q_curation_pipeline,
     # multimodal decode contracts (r5: exact integer invariants vs DuckDB —
@@ -3244,7 +3279,9 @@ QUERIES = {
     # exercised in-window by ivf_topk_int8); topk_per_group rotated for
     # calibrate_scores (window family keeps window_dedup/lead_lag, and
     # the per-group-rank shape is in-window via calibrate_scores itself
-    # and tfidf's top-k window).
+    # and tfidf's top-k window); chunk_passages rotated for
+    # temperature_mix (chunking's posexplode+slice shape stays green in
+    # the sweep; text family keeps 6+ in-window entries).
     # Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
@@ -3258,6 +3295,7 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "quantize_error": q_quantize_error,
     "topk_per_group": q_topk_per_group,
+    "chunk_passages": q_chunk_passages,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -3364,6 +3402,7 @@ ORACLES = {
     "token_budget": ORACLE_TOKEN_BUDGET,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "calibrate_scores": ORACLE_CALIBRATE_SCORES,
+    "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "ngram_perplexity": ORACLE_NGRAM_PERPLEXITY,
     "zorder_key": ORACLE_ZORDER_KEY,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,

@@ -158,3 +158,52 @@ def calibrate_scores(
         score.asc_nulls_first(), F.col(id_col).asc()
     )
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+
+
+def temperature_mix_rates(
+    df: DataFrame, stratum_col: str, alpha: float = 0.5
+) -> dict[str, float]:
+    """Per-stratum keep-rates that reshape stratum sizes from ``c_s`` to
+    ``∝ c_s^alpha`` by DOWNSAMPLING only (the multilingual temperature-
+    sampling formula, GPT-3/mBERT-style; public methodology): with
+    ``K = c_min^(1-alpha)`` every stratum keeps ``rate_s = (c_min /
+    c_s)^(1-alpha) <= 1``, so the rarest stratum is kept whole and larger
+    strata shrink toward the tempered distribution.
+
+    The collect is bounded (#strata — the partition-pruning-filter rule);
+    rates feed :func:`stratified_sample`'s exact integer thresholds.
+    ``alpha=0.5`` keeps the whole chain engine-exact: ``sqrt`` and
+    division are correctly rounded under IEEE 754, so DuckDB recomputes
+    bit-identical rates (arbitrary ``alpha`` goes through ``pow``, which
+    libms do NOT guarantee correctly rounded — fine for production, not
+    for a bit-exact oracle).
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return {}
+    import math
+
+    c_min = min(counts.values())
+    if alpha == 0.5:
+        # math.sqrt, NOT ** 0.5: sqrt is correctly rounded per IEEE 754
+        # (pow(x, 0.5) is not guaranteed to be), matching DuckDB's sqrt
+        return {s: math.sqrt(c_min / c) for s, c in counts.items()}
+    return {s: (c_min / c) ** (1.0 - alpha) for s, c in counts.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    key_cols: list[str],
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature-resampled training mix: compute
+    :func:`temperature_mix_rates` then apply :func:`stratified_sample`
+    (content-hash membership — map-only, rerun/engine-stable)."""
+    rates = temperature_mix_rates(df, stratum_col, alpha)
+    return stratified_sample(df, stratum_col, rates, key_cols, salt)

@@ -184,3 +184,31 @@ def test_calibrate_scores_percentile_semantics(spark):
     assert out[3] == round(2 / 3, 6)
     assert out[2] == 1.0
     assert out[5] == 0.0                 # singleton group
+
+
+def test_temperature_mix_reshapes_distribution(spark):
+    """alpha=0.5 keeps the rarest stratum whole and shrinks the dominant
+    one toward sqrt scaling; alpha=1 is a no-op (all rates 1); output is
+    deterministic across reruns."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        temperature_mix,
+        temperature_mix_rates,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    rates = temperature_mix_rates(df, "lang", alpha=0.5)
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - (100 / 900) ** 0.5) < 1e-12
+
+    out = temperature_mix(df, "lang", ["doc_id"], alpha=0.5)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts["small"] == 100          # rarest kept whole
+    # big shrinks to ~300 (900 * 1/3); md5-bucket variance is a few %
+    assert 250 <= counts["big"] <= 350
+    again = {r["lang"]: r["count"] for r in temperature_mix(
+        df, "lang", ["doc_id"], alpha=0.5).groupBy("lang").count().collect()}
+    assert again == counts                 # deterministic
+
+    noop = temperature_mix(df, "lang", ["doc_id"], alpha=1.0)
+    assert noop.count() == 1000
