@@ -73,6 +73,7 @@ EXTENDED = [
     "incremental_semantic",
     "calibrate_scores",
     "temperature_mix",
+    "curation_v2",
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

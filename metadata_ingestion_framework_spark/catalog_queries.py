@@ -2377,6 +2377,115 @@ WHERE ('0x' || substr(md5(concat_ws(chr(31), 'tmix', CAST(d.doc_id AS VARCHAR)))
 """
 
 
+def q_curation_v2(spark, sf_dir):
+    """Composite r7 curation pipeline — proves the round's operators
+    COMPOSE: (1) duplicate token-span REMOVAL rewrites the corpus
+    (dedup.py::remove_duplicate_spans, lang passthrough keeps the chain
+    join-free); (2) docs with < 5 surviving tokens drop; (3) bigram
+    pseudo-perplexity is trained ON THE CLEAN CORPUS
+    (text.py::ngram_perplexity); (4) per-lang percentile calibration
+    (sampling.py::calibrate_scores) gates out the weirdest 10%
+    (rank-based — no float-boundary risk); (5) a 2000-token budget per
+    lang fills best-(lowest-NLL)-first (sampling.py::token_budget_select).
+    ONE DuckDB oracle re-derives all five stages."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        calibrate_scores,
+        token_budget_select,
+    )
+    from metadata_ingestion_framework_spark.functions.text import (
+        ngram_perplexity,
+        token_count,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        remove_duplicate_spans,
+        carry_deps,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents")
+    clean = remove_duplicate_spans(
+        docs.select("doc_id", "lang", "text"), "text", "doc_id",
+        span_w=6, keep_cols=["lang"],
+    )
+    surv = clean.filter(token_count(F.col("clean_text")) >= 5)
+    nll = ngram_perplexity(surv, "clean_text", "doc_id")
+    scored = surv.join(nll.select("doc_id", "avg_nll"), "doc_id")
+    cal = calibrate_scores(scored, "avg_nll", "doc_id", by=["lang"], out_col="nll_pct")
+    gated = cal.filter(F.col("nll_pct") <= 0.9)
+    out = token_budget_select(
+        gated, "clean_text", "doc_id",
+        F.lit(1.0) - F.col("nll_pct"), budget_tokens=2000, by=["lang"],
+    ).select("doc_id", "lang", "avg_nll", "nll_pct", "n_tokens", "cum_before")
+    return carry_deps(out, nll)
+
+
+ORACLE_CURATION_V2 = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '') AS arr
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, unnest(range(0, greatest(len(arr) - 5, 0))) AS pos, arr FROM toks
+),
+grams AS (
+  SELECT doc_id, pos, array_to_string(arr[pos+1:pos+6], ' ') AS gram FROM spans
+),
+dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM grams) WHERE rn > 1
+),
+rm AS (
+  SELECT DISTINCT d.doc_id, d.pos + j.j AS idx
+  FROM dups d CROSS JOIN (SELECT unnest(range(0, 6)) AS j) j
+),
+tokrows AS (
+  SELECT doc_id, unnest(range(0, len(arr))) AS idx, arr FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.idx, t.arr[t.idx + 1] AS tok FROM tokrows t
+  WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.doc_id = t.doc_id AND rm.idx = t.idx)
+),
+clean AS (
+  SELECT d.doc_id, d.lang, COALESCE(a.clean_text, '') AS clean_text
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, array_to_string(list(tok ORDER BY idx), ' ') AS clean_text
+             FROM kept GROUP BY doc_id) a USING (doc_id)
+),
+surv AS (
+  SELECT doc_id, lang, clean_text,
+    list_filter(string_split_regex(lower(clean_text), '[ \t\n\r\f]+'), x -> x <> '') AS a
+  FROM clean
+  WHERE len(list_filter(string_split_regex(clean_text, '[ \t\n\r\f]+'), x -> x <> '')) >= 5
+),
+bgr AS (SELECT doc_id, a, unnest(range(0, greatest(len(a) - 1, 0))) AS i FROM surv),
+rows_ AS (SELECT doc_id, a[i+1] AS w1, a[i+1] || ' ' || a[i+2] AS b FROM bgr),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM rows_ GROUP BY w1),
+c12 AS (SELECT b, COUNT(*) AS c12 FROM rows_ GROUP BY b),
+nll AS (
+  SELECT r.doc_id, ROUND(AVG(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 6) AS avg_nll
+  FROM rows_ r JOIN c12 ON r.b = c12.b JOIN c1 ON r.w1 = c1.w1 GROUP BY r.doc_id
+),
+scored AS (
+  SELECT s.doc_id, s.lang, s.clean_text, n.avg_nll,
+    ROUND(PERCENT_RANK() OVER (
+      PARTITION BY s.lang ORDER BY n.avg_nll ASC NULLS FIRST, s.doc_id ASC), 6) AS nll_pct
+  FROM surv s JOIN nll n USING (doc_id)
+),
+gated AS (SELECT * FROM scored WHERE nll_pct <= 0.9),
+cum AS (
+  SELECT doc_id, lang, avg_nll, nll_pct,
+    CAST(len(regexp_extract_all(clean_text, '[^ \t\n\r\f]+')) AS BIGINT) AS n_tokens,
+    COALESCE(SUM(CAST(len(regexp_extract_all(clean_text, '[^ \t\n\r\f]+')) AS BIGINT)) OVER (
+      PARTITION BY lang ORDER BY (1 - nll_pct) DESC NULLS LAST, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM gated
+)
+SELECT doc_id, lang, avg_nll, nll_pct, n_tokens, cum_before
+FROM cum WHERE cum_before < 2000
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for the first 5 vectors as queries."""
     emb = t(spark, sf_dir, "embeddings")
@@ -3231,6 +3340,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,  # r6: keyword extraction
     "pack_manifest": q_pack_manifest,  # r6: sequence-packing manifest
     "curation_pipeline": q_curation_pipeline,
+    "curation_v2": q_curation_v2,  # r7: span-rewrite + perplexity + budget composite
     # multimodal decode contracts (r5: exact integer invariants vs DuckDB —
     # rotated INTO the driver window per VERDICT r4 item 3)
     "media_resize": q_media_resize,
@@ -3241,7 +3351,6 @@ QUERIES = {
     "struct_multiplex": q_struct_multiplex,
     # row-level transforms / PII (representatives; the rest of the family —
     # unchanged since its round-1 green rows — sits in the tail)
-    "hash_jk": q_hash_jk,
     "anonymize_pii": q_anonymize_pii,
     # CDC / SCD merges
     "cdc_split": q_cdc_split,
@@ -3281,7 +3390,9 @@ QUERIES = {
     # the per-group-rank shape is in-window via calibrate_scores itself
     # and tfidf's top-k window); chunk_passages rotated for
     # temperature_mix (chunking's posexplode+slice shape stays green in
-    # the sweep; text family keeps 6+ in-window entries).
+    # the sweep; text family keeps 6+ in-window entries); hash_jk rotated
+    # for curation_v2 (hashing family keeps anonymize_pii + grouping_key
+    # in-window).
     # Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
@@ -3296,6 +3407,7 @@ QUERIES = {
     "quantize_error": q_quantize_error,
     "topk_per_group": q_topk_per_group,
     "chunk_passages": q_chunk_passages,
+    "hash_jk": q_hash_jk,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -3403,6 +3515,7 @@ ORACLES = {
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "calibrate_scores": ORACLE_CALIBRATE_SCORES,
     "temperature_mix": ORACLE_TEMPERATURE_MIX,
+    "curation_v2": ORACLE_CURATION_V2,
     "ngram_perplexity": ORACLE_NGRAM_PERPLEXITY,
     "zorder_key": ORACLE_ZORDER_KEY,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,

@@ -775,6 +775,7 @@ def remove_duplicate_spans(
     id_col: str,
     span_w: int = 6,
     broadcast_removals: bool = True,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Duplicate token-span REMOVAL: rewrite every document so that any
     window of ``span_w`` consecutive tokens that already occurred earlier
@@ -829,6 +830,8 @@ def remove_duplicate_spans(
     normalized = F.trim(F.regexp_replace(F.col(text_col), WS_RUN, " "))
     return df.join(rm, id_col, "left").select(
         id_col,
+        *(keep_cols or []),  # passthrough (e.g. lang/source) — keeps
+        # composites join-free after the rewrite
         F.when(F.col("__rm").isNull(), normalized)
         .otherwise(F.array_join(kept, " "))
         .alias("clean_text"),
