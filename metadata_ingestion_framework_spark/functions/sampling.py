@@ -202,8 +202,35 @@ def temperature_mix(
     alpha: float = 0.5,
     salt: str = "",
 ) -> DataFrame:
-    """Deterministic temperature-resampled training mix: compute
-    :func:`temperature_mix_rates` then apply :func:`stratified_sample`
-    (content-hash membership — map-only, rerun/engine-stable)."""
-    rates = temperature_mix_rates(df, stratum_col, alpha)
-    return stratified_sample(df, stratum_col, rates, key_cols, salt)
+    """Deterministic temperature-resampled training mix, entirely IN the
+    DAG: the per-stratum counts, the global min, the sqrt rate, and the
+    FLOOR(r*1e6+0.5) integer threshold are computed as a (tiny) broadcast
+    aggregate joined back on the stratum — no driver collect, no separate
+    count job at plan-build time (the r6 tfidf lesson: a data-dependent
+    constant belongs in the plan as a broadcast scalar, not a literal
+    collected before it). Membership is the md5 bucket rule, identical to
+    :func:`stratified_sample`'s. ``alpha`` other than 0.5 goes through
+    ``pow`` — engine-deterministic only where libm pow is correctly
+    rounded; 0.5 uses SQRT which IEEE 754 guarantees.
+
+    :func:`temperature_mix_rates` remains the driver-side API for callers
+    that want the rates themselves (bounded #strata collect).
+    """
+    counts = (
+        df.filter(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    exponent = 1.0 - alpha
+    ratio = F.col("__cmin").cast("double") / F.col("__c")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(exponent))
+    thresholds = counts.crossJoin(F.broadcast(cmin)).select(
+        stratum_col,
+        F.floor(rate * BUCKETS + F.lit(0.5)).cast("long").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), stratum_col)
+        .filter(hash_bucket(key_cols, salt) < F.col("__thr"))
+        .drop("__thr")
+    )
