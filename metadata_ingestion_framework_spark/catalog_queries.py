@@ -863,7 +863,7 @@ def q_salted_join_agg(spark, sf_dir):
 
 
 ORACLE_SALTED_JOIN_AGG = """
-SELECT n_name, count(*) AS n_customers, SUM(c_custkey) AS custkey_sum
+SELECT n_name, count(*) AS n_customers, CAST(SUM(c_custkey) AS BIGINT) AS custkey_sum
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
@@ -1232,7 +1232,10 @@ def q_lang_id(spark, sf_dir):
 
 def _lang_hits_sql(lang_words: list[str]) -> str:
     arr = ", ".join(f"'{w}'" for w in lang_words)
-    return f"len(list_filter(regexp_extract_all(lower(text), '\\S+'), w -> list_contains([{arr}], w)))"
+    # explicit [^ \t\n\r\f]+ (not \S+): RE2's \S includes \v and unicode
+    # spaces differently from the Spark-side WS_CLASS — keep both engines
+    # on the identical character class (r7 VERDICT item 7)
+    return f"len(list_filter(regexp_extract_all(lower(text), '[^ \\t\\n\\r\\f]+'), w -> list_contains([{arr}], w)))"
 
 
 def _oracle_lang_id() -> str:
@@ -1675,7 +1678,8 @@ def _build_zorder_oracle() -> str:
 
     return f"""
 WITH prepped AS (
-  SELECT event_id, user_id AS x, event_id % 1024 AS y FROM events
+  -- ((e % m) + m) % m == Spark pmod: identical on negative event_id too
+  SELECT event_id, user_id AS x, ((event_id % 1024) + 1024) % 1024 AS y FROM events
 )
 SELECT event_id, x, y, CAST({zorder_sql(['x', 'y'], bits=10)} AS BIGINT) AS z
 FROM prepped
@@ -2214,10 +2218,10 @@ scored AS (
   FROM stats
 ),
 cum AS (
-  SELECT *, COALESCE(SUM(n_tokens) OVER (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
       PARTITION BY source ORDER BY quality DESC NULLS LAST, doc_id ASC
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-    ), 0) AS cum_before
+    ), 0) AS BIGINT) AS cum_before
   FROM scored
 )
 SELECT doc_id, source, quality, n_tokens, cum_before
@@ -2406,16 +2410,27 @@ def q_curation_v2(spark, sf_dir):
         docs.select("doc_id", "lang", "text"), "text", "doc_id",
         span_w=6, keep_cols=["lang"],
     )
-    surv = clean.filter(token_count(F.col("clean_text")) >= 5)
+    # surv feeds three consumers (perplexity's bigram build, its id-base
+    # join, and the outer scored join) — without a persist the whole span
+    # kernel + first-occurrence window recomputes per consumer (r7 ADVICE
+    # item 3). Skinny: (doc_id, lang, clean_text) only.
+    surv = clean.filter(token_count(F.col("clean_text")) >= 5).persist()
     nll = ngram_perplexity(surv, "clean_text", "doc_id")
     scored = surv.join(nll.select("doc_id", "avg_nll"), "doc_id")
     cal = calibrate_scores(scored, "avg_nll", "doc_id", by=["lang"], out_col="nll_pct")
-    gated = cal.filter(F.col("nll_pct") <= 0.9)
-    out = token_budget_select(
+    gated = carry_deps(cal.filter(F.col("nll_pct") <= 0.9), cal)
+    sel = token_budget_select(
         gated, "clean_text", "doc_id",
         F.lit(1.0) - F.col("nll_pct"), budget_tokens=2000, by=["lang"],
-    ).select("doc_id", "lang", "avg_nll", "nll_pct", "n_tokens", "cum_before")
-    return carry_deps(out, nll)
+    )
+    out = carry_deps(
+        sel.select("doc_id", "lang", "avg_nll", "nll_pct", "n_tokens", "cum_before"),
+        sel, clean, nll,
+    )
+    deps = list(getattr(out, "_persisted_deps", ()))
+    deps.append(surv)
+    out._persisted_deps = deps
+    return out
 
 
 ORACLE_CURATION_V2 = r"""
@@ -2476,9 +2491,9 @@ gated AS (SELECT * FROM scored WHERE nll_pct <= 0.9),
 cum AS (
   SELECT doc_id, lang, avg_nll, nll_pct,
     CAST(len(regexp_extract_all(clean_text, '[^ \t\n\r\f]+')) AS BIGINT) AS n_tokens,
-    COALESCE(SUM(CAST(len(regexp_extract_all(clean_text, '[^ \t\n\r\f]+')) AS BIGINT)) OVER (
+    CAST(COALESCE(SUM(CAST(len(regexp_extract_all(clean_text, '[^ \t\n\r\f]+')) AS BIGINT)) OVER (
       PARTITION BY lang ORDER BY (1 - nll_pct) DESC NULLS LAST, doc_id ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
   FROM gated
 )
 SELECT doc_id, lang, avg_nll, nll_pct, n_tokens, cum_before

@@ -81,6 +81,66 @@ def stratified_sample(
     return df.filter(hash_bucket(key_cols, salt) < rate_expr)
 
 
+def _ordered_shard(
+    df: DataFrame, by: list[str], order_cols: list[Column], shards: int | None
+) -> DataFrame:
+    """Range-partition on ``(by..., order...)`` and capture the physical
+    partition id as a monotone bucket column ``__b``: under that ordering,
+    every row in bucket ``i`` precedes every row in bucket ``i + 1``.
+
+    This is the primitive behind the two-stage (per-shard + offset)
+    reformulation of ordered cumulative windows: a plain
+    ``Window.partitionBy(group)`` puts an ENTIRE group in one task, so one
+    dominant source in a 100 TB corpus becomes a single straggler (r7
+    VERDICT item 4); range-sharding spreads each group across ``shards``
+    tasks while the offset join restores the exact global running values.
+    Bucket BOUNDARIES come from the range partitioner's reservoir sample
+    (not engine-stable), but the downstream math only needs monotonicity —
+    the emitted cumulative values are boundary-invariant, so results stay
+    bit-identical across partitionings/engines (oracle-checked).
+
+    PERSISTED — the sharded rows feed two consumers (the per-bucket
+    aggregate and the per-row local window), and ``spark_partition_id`` is
+    nondeterministic so Catalyst won't reuse the exchange: without a
+    persist the entire upstream DAG recomputes per consumer (measured 7×
+    on the curation_v2 composite). Callers carry it in
+    ``_persisted_deps`` so harness/bench sessions release it.
+    """
+    n = shards or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *[F.col(c) for c in by], *order_cols)
+    return parted.withColumn("__b", F.spark_partition_id()).persist()
+
+
+def _attach_deps(out: DataFrame, *sources) -> DataFrame:
+    """Attach persisted intermediates (and any deps inherited from input
+    DataFrames) to the result's ``_persisted_deps`` — the session-lifetime
+    release convention (operators/dedup.py::carry_deps)."""
+    deps: list = []
+    for s in sources:
+        deps.extend(getattr(s, "_persisted_deps", ()))
+        if s.storageLevel.useMemory or s.storageLevel.useDisk:
+            deps.append(s)
+    if deps:
+        out._persisted_deps = deps
+    return out
+
+
+def _join_offsets(
+    sharded: DataFrame, offsets: DataFrame, by: list[str]
+) -> DataFrame:
+    """Broadcast-join per-bucket offsets back on ``(by..., __b)`` with
+    null-safe equality on the group columns — ``Window.partitionBy`` groups
+    NULL keys together, so the offset join must too (a plain ``=`` would
+    silently drop every null-group row)."""
+    renamed = offsets.withColumnsRenamed({c: f"__g_{c}" for c in by})
+    cond = sharded["__b"] == renamed["__ob"]
+    for c in by:
+        cond = cond & sharded[c].eqNullSafe(renamed[f"__g_{c}"])
+    return sharded.join(F.broadcast(renamed), cond).drop(
+        "__ob", *[f"__g_{c}" for c in by]
+    )
+
+
 def token_budget_select(
     df: DataFrame,
     text_col: str,
@@ -88,6 +148,7 @@ def token_budget_select(
     score_col: str | Column,
     budget_tokens: int,
     by: list[str] | None = None,
+    shards: int | None = None,
 ) -> DataFrame:
     """Greedy token-budget fill: rank documents by ``score_col`` (best
     first, ``id_col`` ascending tiebreak so the cut is engine-exact) and
@@ -99,11 +160,12 @@ def token_budget_select(
     level and trim exactly.
 
     ``by`` partitions the budget (one budget per source/language — the
-    realistic shape); the window state is bounded per group. ``by=None``
-    is a single global sort — fine for the post-filter tail of a
-    pipeline (the scored survivor set), not for a raw 100 TB corpus; at
-    that scale run per-shard budgets or a two-pass quantile cut on the
-    score instead.
+    realistic shape). The running sum is TWO-STAGE (r7 VERDICT item 4):
+    range-shard each group on the ranking order (``_ordered_shard``),
+    local cumsum per shard, plus a broadcast per-shard offset — so a
+    group is never one straggler task, even when a single source
+    dominates the corpus (or ``by=None`` makes the whole corpus one
+    group). Same values as the single-window formulation, bit-exact.
 
     No reference analogue (north-star extension).
     """
@@ -116,19 +178,35 @@ def token_budget_select(
     # desc_nulls_last EXPLICITLY: Spark's bare desc() is nulls-last but
     # DuckDB's DESC is nulls-FIRST — an unscored doc would fill the budget
     # first on one engine and last on the other (oracles spell NULLS LAST)
-    w = (
+    order = [score.desc_nulls_last(), F.col(id_col).asc()]
+    n = token_count(F.col(text_col)).cast("long")
+    sharded = _ordered_shard(df.withColumn("n_tokens", n), by, order, shards)
+    partials = sharded.groupBy(*by, "__b").agg(F.sum("n_tokens").alias("__bt"))
+    wo = (
         Window.partitionBy(*by)
-        .orderBy(score.desc_nulls_last(), F.col(id_col).asc())
+        .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    n = token_count(F.col(text_col)).cast("long")
-    return (
-        df.withColumn("n_tokens", n)
+    offsets = partials.select(
+        *by,
+        F.col("__b").alias("__ob"),
+        F.coalesce(F.sum("__bt").over(wo), F.lit(0)).alias("__off"),
+    )
+    wl = (
+        Window.partitionBy(*by, "__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        _join_offsets(sharded, offsets, by)
         .withColumn(
-            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            "cum_before",
+            F.col("__off") + F.coalesce(F.sum("n_tokens").over(wl), F.lit(0)),
         )
         .filter(F.col("cum_before") < budget_tokens)
+        .drop("__b", "__off")
     )
+    return _attach_deps(out, sharded, df)
 
 
 def calibrate_scores(
@@ -137,27 +215,58 @@ def calibrate_scores(
     id_col: str,
     by: list[str] | None = None,
     out_col: str = "score_pct",
+    shards: int | None = None,
 ) -> DataFrame:
     """Per-group percentile-rank calibration of a quality score: maps each
     row's score to its ``percent_rank`` within its group (0 = worst,
     1 = best), so thresholds mean the same thing across sources whose raw
     score distributions differ — the standard per-domain score
     normalization before a global quality cut. ``id_col`` ascending breaks
-    score ties, making the rank engine-exact, and percent_rank's
-    ``(rank - 1) / (n - 1)`` is exact rational arithmetic (ROUND(6) is
-    cosmetic, not a float-determinism crutch). Single-row groups get 0.0.
+    score ties (rows must be unique on ``(score, id)`` — in practice
+    ``id_col`` is a unique key), making the rank engine-exact, and
+    percent_rank's ``(rank - 1) / (n - 1)`` is exact rational arithmetic
+    (ROUND(6) is cosmetic, not a float-determinism crutch). Single-row
+    groups get 0.0.
 
-    One bounded-per-group window — same scale posture as
-    :func:`token_budget_select`. No reference analogue (north-star
-    extension).
+    TWO-STAGE like :func:`token_budget_select` (r7 VERDICT item 4): the
+    global rank is a per-shard ``row_number`` plus a broadcast per-shard
+    row-count offset over range-monotone buckets, so one dominant group
+    never serializes into a single window task. With a unique ``(score,
+    id)`` ordering, rank == row_number, so the values are bit-identical
+    to the single-window ``percent_rank`` formulation.
+
+    No reference analogue (north-star extension).
     """
     from pyspark.sql import Window
 
     score = F.col(score_col) if isinstance(score_col, str) else score_col
-    w = Window.partitionBy(*(by or [])).orderBy(
-        score.asc_nulls_first(), F.col(id_col).asc()
+    by = by or []
+    order = [score.asc_nulls_first(), F.col(id_col).asc()]
+    sharded = _ordered_shard(df, by, order, shards)
+    partials = sharded.groupBy(*by, "__b").agg(F.count(F.lit(1)).alias("__bc"))
+    wo = (
+        Window.partitionBy(*by)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+    wtot = Window.partitionBy(*by)
+    offsets = partials.select(
+        *by,
+        F.col("__b").alias("__ob"),
+        F.coalesce(F.sum("__bc").over(wo), F.lit(0)).alias("__off"),
+        F.sum("__bc").over(wtot).alias("__n"),
+    )
+    wl = Window.partitionBy(*by, "__b").orderBy(*order)
+    rank = F.col("__off") + F.row_number().over(wl)
+    pct = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        (rank - F.lit(1)).cast("double") / (F.col("__n") - F.lit(1)).cast("double")
+    )
+    out = (
+        _join_offsets(sharded, offsets, by)
+        .withColumn(out_col, F.round(pct, 6))
+        .drop("__b", "__off", "__n")
+    )
+    return _attach_deps(out, sharded, df)
 
 
 def temperature_mix_rates(

@@ -174,7 +174,15 @@ def as_of_join(
         F.lit(None).cast(rp_type).alias("__rp"),
         lp_struct.alias("__lp"),
     )
-    r2 = right.filter(F.col(right_ts).isNotNull()).select(
+    # SQL ASOF equality-join semantics: a NULL join key never matches.
+    # Window.partitionBy groups NULLs together, so without this filter a
+    # null-key left row would match a null-key right row (engine skew vs
+    # the DuckDB ASOF oracle). Null-key LEFT rows stay and come out
+    # unmatched, as a left-outer ASOF requires.
+    right_keyed = right.filter(F.col(right_ts).isNotNull())
+    for k in on:
+        right_keyed = right_keyed.filter(F.col(k).isNotNull())
+    r2 = right_keyed.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__is_r"),

@@ -49,10 +49,15 @@ def zorder_value(cols: list[str | Column], bits: int = 16) -> Column:
 
 
 def zorder_sql(cols: list[str], bits: int = 16) -> str:
-    """The DuckDB expression computing the SAME Morton key (oracle twin)."""
+    """The DuckDB expression computing the SAME Morton key (oracle twin).
+
+    Mirrors ``zorder_value``'s null handling: each column is COALESCEd to 0
+    before bit-extraction, so a NULL dimension interleaves as 0 on both
+    engines instead of propagating to a NULL key in SQL only.
+    """
     n = len(cols)
     terms = [
-        f"((({c} >> {b}) & 1) << {b * n + ci})"
+        f"(((COALESCE({c}, 0) >> {b}) & 1) << {b * n + ci})"
         for ci, c in enumerate(cols)
         for b in range(bits)
     ]

@@ -92,6 +92,24 @@ def test_embedding_neardup_drops_dirty_rows(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
 
+def test_embedding_neardup_dirty_row_first(spark):
+    """r7 VERDICT item 6: the off-dim row sorts FIRST in the block (lowest
+    id). The old first-non-null-row dim inference would have adopted its
+    length and masked out every clean row; modal-length inference must keep
+    the clean pair."""
+    df = spark.createDataFrame(
+        [
+            (0, "a", [9.0, 9.0, 9.0]),  # ragged, sorts first
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [1.0, 1e-9]),
+            (3, "a", None),
+        ],
+        "vec_id int, blk string, embedding array<double>",
+    )
+    pairs = embedding_near_duplicates(df, "blk", threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
 def test_lsh_buckets_large_magnitude_bit_match(spark):
     """1e9-magnitude vectors: BLAS-vs-fold drift exceeds the old fixed 1e-9
     band; the magnitude-scaled band must still re-fold near-zero

@@ -186,6 +186,47 @@ def test_calibrate_scores_percentile_semantics(spark):
     assert out[5] == 0.0                 # singleton group
 
 
+def test_two_stage_windows_null_group_and_many_shards(spark):
+    """r8 two-stage reformulation locks (r7 VERDICT item 4):
+
+    - NULL group keys: Window.partitionBy groups NULLs together, so the
+      broadcast offset join must be null-safe — a plain ``=`` would drop
+      every null-group row;
+    - shards > rows: empty range buckets must not perturb offsets;
+    - results identical to the single-window formulation (spot values).
+    """
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        calibrate_scores,
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None, 0.9, "a a a"),
+            (2, None, 0.5, "b b"),
+            (3, "s", 0.7, "c c c c"),
+            (4, "s", 0.6, "d"),
+        ],
+        "doc_id int, grp string, score double, text string",
+    )
+    out = {
+        r["doc_id"]: r["cum_before"]
+        for r in token_budget_select(
+            df, "text", "doc_id", "score", budget_tokens=4, by=["grp"], shards=16
+        ).collect()
+    }
+    # null group: doc1 (score .9) fills first (cum 0), doc2 at cum 3 -> kept
+    # (crosser); group s: doc3 cum 0, doc4 cum 4 >= 4 -> cut
+    assert out == {1: 0, 2: 3, 3: 0}
+    pct = {
+        r["doc_id"]: r["score_pct"]
+        for r in calibrate_scores(
+            df, "score", "doc_id", by=["grp"], shards=16
+        ).collect()
+    }
+    assert pct == {1: 1.0, 2: 0.0, 3: 1.0, 4: 0.0}
+
+
 def test_temperature_mix_reshapes_distribution(spark):
     """alpha=0.5 keeps the rarest stratum whole and shrinks the dominant
     one toward sqrt scaling; alpha=1 is a no-op (all rates 1); output is

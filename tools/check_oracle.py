@@ -45,6 +45,20 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, st
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # The driver's value hash is dtype-sensitive: DuckDB SUM(bigint)
+        # returns HUGEINT which lands in pandas as float64, and equal values
+        # with int64-vs-float64 dtypes hash differently. Mirror that here so
+        # an integer/float dtype split can never pass locally (r7 postmortem:
+        # token_budget / curation_v2 / salted_join_agg).
+        s_int = pd.api.types.is_integer_dtype(sv)
+        o_int = pd.api.types.is_integer_dtype(ov)
+        s_flt = pd.api.types.is_float_dtype(sv)
+        o_flt = pd.api.types.is_float_dtype(ov)
+        if (s_int and o_flt) or (s_flt and o_int):
+            return False, (
+                f"col {c} dtype mismatch: spark {sv.dtype} vs oracle {ov.dtype}"
+                " (driver hash is type-sensitive — CAST the oracle side)"
+            )
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             import numpy as np
 
