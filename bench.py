@@ -85,8 +85,14 @@ HEADLINE_REPEATS = 2
 # Methodology tag recorded in the output JSON so cross-round deltas are
 # adjudicable (ADVICE r3): r1/r2 timed collect() single-shot; r3 switched to
 # an engine-side bit_xor(xxhash64) checksum action (single-shot); r4+ is the
-# same checksum action with min-of-2 repeats per headline query.
-ACTION = "checksum_xxhash64_min_of_2"
+# same checksum action with min-of-2 repeats per headline query; r8 moved
+# the flagship block FIRST (before headline/extended) — the r7 flagship
+# "regression" (2.8->6.1s) did not reproduce in a fresh session (min-of-3
+# 2.54s at HEAD) and was late-session pressure from the ~42-plan warmup +
+# 40 timed runs preceding it, so flagships now measure right after their
+# own warmup, where the number reflects the operator and not the queue
+# position.
+ACTION = "checksum_xxhash64_min_of_2_flagship_first"
 
 
 def run_query(spark, fn, sf_dir) -> tuple[float, int]:
@@ -139,12 +145,7 @@ def main() -> None:
     # query that happens to use each path misattributes fixed cost as
     # per-query cost. Data caches stay cold for the timed SF — different dir.
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE + FLAGSHIP + EXTENDED:
-            try:
-                run_query(spark, QUERIES[name], warm_dir)
-            except Exception as exc:  # pragma: no cover - warmup best-effort
-                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    have_warm = os.path.isdir(warm_dir) and warm_dir != sf_dir
 
     # Per-query error isolation (VERDICT r4 item 2): one broken query must
     # never again zero the round's entire perf evidence (BENCH_r04 rc=1,
@@ -152,23 +153,16 @@ def main() -> None:
     # total; the rest keep benchmarking.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        best = None
-        try:
-            for rep in range(HEADLINE_REPEATS):
-                elapsed, n = run_query(spark, QUERIES[name], sf_dir)
-                best = elapsed if best is None else min(best, elapsed)
-                print(f"# {name} rep{rep}: {elapsed:.3f}s rows={n}", file=sys.stderr)
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name} FAILED: {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 4)
 
-    # Flagship composites: repeat-measured warm (first timed run doubles as
-    # the warm pass at this SF), min reported — these are the operators the
-    # engine will be judged on at scale, so they get regression tracking in
-    # BENCH_rN.json even though their variance would distort the headline.
+    # Flagship composites FIRST (r8 — see ACTION note): warm only their own
+    # plans, then time them min-of-N before the session accumulates the
+    # other ~40 query plans and their run debris.
+    if have_warm:
+        for name in FLAGSHIP:
+            try:
+                run_query(spark, QUERIES[name], warm_dir)
+            except Exception as exc:  # pragma: no cover - warmup best-effort
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     flagship: dict[str, float] = {}
     for name in FLAGSHIP:
         best = None
@@ -182,6 +176,26 @@ def main() -> None:
             print(f"# flagship {name} FAILED: {errors[name]}", file=sys.stderr)
             continue
         flagship[name] = round(best, 4)
+
+    if have_warm:
+        for name in HEADLINE + EXTENDED:
+            try:
+                run_query(spark, QUERIES[name], warm_dir)
+            except Exception as exc:  # pragma: no cover - warmup best-effort
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+
+    for name in HEADLINE:
+        best = None
+        try:
+            for rep in range(HEADLINE_REPEATS):
+                elapsed, n = run_query(spark, QUERIES[name], sf_dir)
+                best = elapsed if best is None else min(best, elapsed)
+                print(f"# {name} rep{rep}: {elapsed:.3f}s rows={n}", file=sys.stderr)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
+        timings[name] = round(best, 4)
 
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -3339,7 +3339,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,  # r7: SemDeDup (IVF cells + components)
     "incremental_semantic": q_incremental_semantic,  # r7: cross-run semantic dedup
     "cosine_topk": q_cosine_topk,
-    "ivf_topk": q_ivf_topk,
+    "lang_id": q_lang_id,  # r8: oracle tokenizer aligned to explicit ws class
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
     "heuristic_filters": q_heuristic_filters,  # r7: C4/Gopher quality gate
     "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
@@ -3375,8 +3375,17 @@ QUERIES = {
     # skew mitigation (r6 oracles; first driver-window pass this round —
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
-    "two_stage_collect": q_two_stage_collect,
-    # --- position 51+ (driver-verified green in earlier rounds). r7
+    "fingerprint": q_fingerprint,  # r8: back in-window (wide_t change in r7
+    # shipped rotated-out — the window rule audit, r7 VERDICT item 5)
+    # --- position 51+ (driver-verified green in earlier rounds). r8
+    # rotation: lang_id pulled in-window (its oracle's tokenizer class
+    # changed this round) displacing ivf_topk (ANN family keeps
+    # cosine_topk + ivf_topk_int8, whose scan-and-rerank path supersets
+    # ivf_topk's); fingerprint pulled back in-window for one round (r7
+    # changed it via wide_t but left it in the tail) displacing
+    # two_stage_collect (driver-green r7, skew family keeps
+    # salted_join_agg in-window, and its two-stage collect shape is
+    # exercised by the salted partial agg there). r7
     # rotation: span_dedup/semantic_dedup (new), cdc_split/shard_enrich/
     # scd1_merge/scd2_merge (pushed out by the post-r6 additions, pulled
     # back) and salted_join_agg/two_stage_collect (never driver-checked —
@@ -3416,7 +3425,8 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "media_features": q_media_features,
     "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
+    "ivf_topk": q_ivf_topk,  # r8: displaced by lang_id (see window comment)
+    "two_stage_collect": q_two_stage_collect,  # r8: displaced by fingerprint
     "det_sample": q_det_sample,
     "approx_distinct": q_approx_distinct,
     "quantize_error": q_quantize_error,
@@ -3432,7 +3442,6 @@ QUERIES = {
     "percentiles": q_percentiles,
     "lsh_topk_mp": q_lsh_topk_mp,
     "translate_clean": q_translate_clean,
-    "fingerprint": q_fingerprint,
     # marginal signal if a bounded driver window cuts here; rank_latest/
     # top_orders/running_sum rotated out in r5 to fit the media contracts —
     # their families stay in-window via window_dedup/topk_per_group/

@@ -183,3 +183,22 @@ def test_range_join_touching_endpoints_inclusive(spark):
         left, right, "lid", "rid", "s", "e", "s", "e", bucket_width=7.0
     ).collect()}
     assert got == {(1, 1): 0.0}  # touching counts, disjoint does not
+
+
+def test_as_of_join_null_keys_never_match(spark):
+    """SQL ASOF equality semantics (r7 ADVICE item 2): a NULL join key on
+    the right never matches anything; a NULL-key left row still comes out,
+    unmatched (left-outer)."""
+    from metadata_ingestion_framework_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, None, 10.0), (2, "u", 10.0)], "eid int, k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [(None, 5.0, "nullkey"), ("u", 5.0, "ukey")], "k string, ts double, v string"
+    )
+    out = {
+        r["eid"]: r["v_r"]
+        for r in as_of_join(left, right, ["k"], "ts", "ts", right_cols=["v"]).collect()
+    }
+    assert out == {1: None, 2: "ukey"}

@@ -332,9 +332,119 @@ def probe_incremental(spark, docs, replicas: int, workdir: str) -> dict:
     return out
 
 
+def probe_skew(spark, docs, tag: str) -> dict:
+    """Time the two-stage ordered-window operators on a 90%-single-source
+    corpus (r7 VERDICT item 4): with the plain ``Window.partitionBy(source)``
+    formulation the dominant source is ONE task, so 10x data means ~10x wall
+    on that straggler; the range-sharded two-stage formulation should grow
+    ~linearly in total work and stay parallel (growth well under the
+    replica factor on an underutilized 32-core box)."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        calibrate_scores,
+        token_budget_select,
+    )
+
+    r: dict = {}
+    print(f"== skew {tag} ==", file=sys.stderr)
+    docs.persist().count()
+
+    def _budget():
+        out = token_budget_select(
+            docs, "text", "doc_id", F.length("text").cast("double"),
+            budget_tokens=1 << 40, by=["source"],
+        )
+        n = out.count()
+        for dep in getattr(out, "_persisted_deps", ()):
+            dep.unpersist()
+        return n
+
+    def _calibrate():
+        out = calibrate_scores(
+            docs, F.length("text").cast("double"), "doc_id", by=["source"]
+        )
+        n = out.count()
+        for dep in getattr(out, "_persisted_deps", ()):
+            dep.unpersist()
+        return n
+
+    timed("token_budget_skewed", _budget, r)
+    timed("calibrate_scores_skewed", _calibrate, r)
+    docs.unpersist()
+    return r
+
+
+def main_skew(args: list[str]) -> None:
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    replicas = int(args[1]) if len(args) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import t
+
+    spark = get_spark("scale_probe_skew")
+    # 90% of rows collapse to ONE source (md5-deterministic assignment so
+    # both scales share the same skew shape)
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "source",
+        F.when(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+                .cast("long"),
+                F.lit(10),
+            )
+            < 9,
+            F.lit("dominant"),
+        ).otherwise(F.col("source")),
+    )
+    result = {
+        "probe": "skewed_window_10x",
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "skew": "90pct_single_source",
+        "base": probe_skew(spark, docs, "1x"),
+        "scaled": probe_skew(spark, replicate_docs(docs, replicas), f"{replicas}x"),
+    }
+    result["growth"] = {
+        k: round(result["scaled"][k]["sec"] / max(result["base"][k]["sec"], 0.01), 1)
+        for k in result["base"]
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    _append_skew_md(result)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def _append_skew_md(result: dict) -> None:
+    lines = [
+        "",
+        f"## Skewed-window probe (90% single source, {result['replicas']}x)",
+        "",
+        "claim under test: the two-stage range-sharded cumulative windows "
+        "(token_budget_select / calibrate_scores) keep a 90%-dominant "
+        "source parallel instead of serializing it into one window task; "
+        f"growth at {result['replicas']}x data should sit well under "
+        f"{result['replicas']}x wall.",
+        "",
+        "| stage | 1x sec (rows) | 10x sec (rows) | growth |",
+        "|---|---|---|---|",
+    ]
+    for k in result["base"]:
+        b, s = result["base"][k], result["scaled"][k]
+        lines.append(
+            f"| {k} | {b['sec']} ({b['rows']}) | {s['sec']} ({s['rows']}) "
+            f"| {result['growth'][k]}x |"
+        )
+    lines.append("")
+    with open("PROBE.md", "a") as f:
+        f.write("\n".join(lines))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         main_incremental(sys.argv[2:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        main_skew(sys.argv[2:])
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
