@@ -74,6 +74,7 @@ EXTENDED = [
     "calibrate_scores",
     "temperature_mix",
     "curation_v2",
+    "curation_v3",
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3
