@@ -73,6 +73,7 @@ EXTENDED = [
     "incremental_semantic",
     "calibrate_scores",
     "temperature_mix",
+    "quota_sample",
     "curation_v2",
     "curation_v3",
 ]

@@ -2346,6 +2346,53 @@ FROM scored
 """
 
 
+def q_quota_sample(spark, sf_dir):
+    """Per-source quota cap (functions/sampling.py::quota_sample): keep
+    the 10 best-quality docs per source (doc_id tiebreak) — the
+    per-domain cap that stops one crawl domain swamping the training
+    mix. Rank comes from the two-stage range-sharded formulation, so a
+    dominant source ranks in parallel; emitted as ``grp_rank`` so the
+    oracle value-checks the exact cut."""
+    from metadata_ingestion_framework_spark.functions.sampling import quota_sample
+    from metadata_ingestion_framework_spark.functions.text import quality_score
+
+    docs = wide_t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return quota_sample(scored, "quality", "doc_id", cap=10, by=["source"])
+
+
+ORACLE_QUOTA_SAMPLE = r"""
+WITH stats AS (
+  SELECT doc_id, source,
+    CAST(CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS DOUBLE) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS n_punct,
+    CAST(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 1
+         ELSE len(regexp_extract_all(lower(text), '\S+')) END AS DOUBLE) AS n_toks,
+    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+    ROUND((n_alpha / n_chars + (1 - n_punct / n_chars) +
+      CASE WHEN n_nonspace / n_toks BETWEEN 3 AND 12 THEN 1.0
+           WHEN n_nonspace / n_toks < 3 THEN (n_nonspace / n_toks) / 3.0
+           ELSE 12.0 / (n_nonspace / n_toks) END) / 3.0, 6) AS quality
+  FROM stats
+),
+ranked AS (
+  SELECT doc_id, source, quality,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY quality DESC NULLS LAST, doc_id ASC
+    ) AS grp_rank
+  FROM scored
+)
+SELECT doc_id, source, quality, grp_rank FROM ranked WHERE grp_rank <= 10
+"""
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-resampled training mix (functions/sampling.py::
     temperature_mix, alpha=0.5): per-language keep-rates sqrt(c_min/c)
@@ -3456,7 +3503,6 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "large_orders": q_large_orders,
-    "promo_revenue": q_promo_revenue,
     "revenue_by_nation": q_revenue_by_nation,
     # events family (all failed r1 on the nanos conf — now self-contained)
     "offset_ranges": q_offset_ranges,
@@ -3486,6 +3532,7 @@ QUERIES = {
     "grouping_key": q_grouping_key,
     "zorder_key": q_zorder_key,  # r7: Morton layout key, bit-exact oracle
     "stratified_sample": q_stratified_sample,
+    "quota_sample": q_quota_sample,  # r8: per-source cap via two-stage rank
     "temperature_mix": q_temperature_mix,  # r7: counts^alpha training mix
     "token_budget": q_token_budget,  # r7: greedy per-source token-budget fill
     "calibrate_scores": q_calibrate_scores,  # r7: percentile-rank calibration
@@ -3522,6 +3569,10 @@ QUERIES = {
     # (lang-ID, quality, exact+minhash dedup, stratified mix) all keep
     # in-window representatives (lang_id, quality_score, dedup_exact,
     # dedup_minhash, stratified_sample, curation_v2/v3).
+    # rotation (3): quota_sample (NEW — per-source cap-N) displaced
+    # promo_revenue (driver-green since r1; the plain filtered-agg SQL
+    # family keeps pricing_summary / revenue_by_nation / large_orders /
+    # shipping_priority in-window).
     # rotation: lang_id pulled in-window (its oracle's tokenizer class
     # changed this round) displacing ivf_topk (ANN family keeps
     # cosine_topk + ivf_topk_int8, whose scan-and-rerank path supersets
@@ -3572,6 +3623,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,  # r8: displaced by lang_id (see window comment)
     "two_stage_collect": q_two_stage_collect,  # r8: displaced by fingerprint
     "curation_pipeline": q_curation_pipeline,  # r8: displaced by curation_v3
+    "promo_revenue": q_promo_revenue,  # r8: displaced by quota_sample
     "det_sample": q_det_sample,
     "approx_distinct": q_approx_distinct,
     "quantize_error": q_quantize_error,
@@ -3683,6 +3735,7 @@ ORACLES = {
     "token_budget": ORACLE_TOKEN_BUDGET,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "calibrate_scores": ORACLE_CALIBRATE_SCORES,
+    "quota_sample": ORACLE_QUOTA_SAMPLE,
     "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "curation_v2": ORACLE_CURATION_V2,
     "curation_v3": ORACLE_CURATION_V3,

@@ -209,6 +209,76 @@ def token_budget_select(
     return _attach_deps(out, sharded, df)
 
 
+def _grouped_rank(
+    df: DataFrame, by: list[str], order: list[Column], shards: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Two-stage global rank per group: per-shard ``row_number`` over
+    range-monotone buckets plus a broadcast per-shard row-count offset.
+    With a UNIQUE ordering (callers tiebreak on the id), rank ==
+    row_number, bit-identical to a single ``Window.partitionBy(by)`` rank
+    — but a dominant group spreads across shards instead of serializing
+    into one window task (r7 VERDICT item 4).
+
+    Returns ``(ranked, sharded)``: ``ranked`` carries ``__rank`` (long)
+    and ``__n`` (group size) plus the helper cols ``__b``/``__off``;
+    ``sharded`` is the persisted intermediate the caller must hand to
+    :func:`_attach_deps`.
+    """
+    from pyspark.sql import Window
+
+    sharded = _ordered_shard(df, by, order, shards)
+    partials = sharded.groupBy(*by, "__b").agg(F.count(F.lit(1)).alias("__bc"))
+    wo = (
+        Window.partitionBy(*by)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy(*by)
+    offsets = partials.select(
+        *by,
+        F.col("__b").alias("__ob"),
+        F.coalesce(F.sum("__bc").over(wo), F.lit(0)).alias("__off"),
+        F.sum("__bc").over(wtot).alias("__n"),
+    )
+    wl = Window.partitionBy(*by, "__b").orderBy(*order)
+    ranked = _join_offsets(sharded, offsets, by).withColumn(
+        "__rank", F.col("__off") + F.row_number().over(wl)
+    )
+    return ranked, sharded
+
+
+def quota_sample(
+    df: DataFrame,
+    score_col: str | Column,
+    id_col: str,
+    cap: int,
+    by: list[str] | None = None,
+    rank_col: str = "grp_rank",
+    shards: int | None = None,
+) -> DataFrame:
+    """Per-group quota cap: keep the best ``cap`` rows per group (score
+    descending, ``id_col`` ascending tiebreak — engine-exact), emitting
+    the rank as ``rank_col`` so callers (and oracles) can see the cut.
+    This is the per-domain/per-source cap every large-corpus curation
+    pipeline applies so one dominant crawl domain cannot swamp the mix
+    (public methodology — e.g. the C4/CCNet per-domain limits).
+
+    Built on the two-stage :func:`_grouped_rank`, so a group bigger than
+    every other combined still ranks in parallel. No reference analogue
+    (north-star extension).
+    """
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    by = by or []
+    order = [score.desc_nulls_last(), F.col(id_col).asc()]
+    ranked, sharded = _grouped_rank(df, by, order, shards)
+    out = (
+        ranked.filter(F.col("__rank") <= cap)
+        .withColumn(rank_col, F.col("__rank"))
+        .drop("__b", "__off", "__n", "__rank")
+    )
+    return _attach_deps(out, sharded, df)
+
+
 def calibrate_scores(
     df: DataFrame,
     score_col: str | Column,
@@ -237,34 +307,16 @@ def calibrate_scores(
 
     No reference analogue (north-star extension).
     """
-    from pyspark.sql import Window
-
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     by = by or []
     order = [score.asc_nulls_first(), F.col(id_col).asc()]
-    sharded = _ordered_shard(df, by, order, shards)
-    partials = sharded.groupBy(*by, "__b").agg(F.count(F.lit(1)).alias("__bc"))
-    wo = (
-        Window.partitionBy(*by)
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wtot = Window.partitionBy(*by)
-    offsets = partials.select(
-        *by,
-        F.col("__b").alias("__ob"),
-        F.coalesce(F.sum("__bc").over(wo), F.lit(0)).alias("__off"),
-        F.sum("__bc").over(wtot).alias("__n"),
-    )
-    wl = Window.partitionBy(*by, "__b").orderBy(*order)
-    rank = F.col("__off") + F.row_number().over(wl)
+    ranked, sharded = _grouped_rank(df, by, order, shards)
     pct = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
-        (rank - F.lit(1)).cast("double") / (F.col("__n") - F.lit(1)).cast("double")
+        (F.col("__rank") - F.lit(1)).cast("double")
+        / (F.col("__n") - F.lit(1)).cast("double")
     )
-    out = (
-        _join_offsets(sharded, offsets, by)
-        .withColumn(out_col, F.round(pct, 6))
-        .drop("__b", "__off", "__n")
+    out = ranked.withColumn(out_col, F.round(pct, 6)).drop(
+        "__b", "__off", "__n", "__rank"
     )
     return _attach_deps(out, sharded, df)
 

@@ -227,6 +227,29 @@ def test_two_stage_windows_null_group_and_many_shards(spark):
     assert pct == {1: 1.0, 2: 0.0, 3: 1.0, 4: 0.0}
 
 
+def test_quota_sample_caps_per_group(spark):
+    """Best-``cap`` rows per group by (score desc, id asc); emitted
+    grp_rank is the exact global rank; null group keys form their own
+    group; many empty shards don't perturb ranks."""
+    from metadata_ingestion_framework_spark.functions.sampling import quota_sample
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.9), (2, "a", 0.8), (3, "a", 0.7), (4, "a", 0.9),
+            (5, None, 0.1), (6, None, 0.2),
+        ],
+        "doc_id int, grp string, score double",
+    )
+    out = {
+        r["doc_id"]: r["grp_rank"]
+        for r in quota_sample(
+            df, "score", "doc_id", cap=2, by=["grp"], shards=16
+        ).collect()
+    }
+    # group a: 0.9@1 beats 0.9@4 on id tiebreak; null group keeps both
+    assert out == {1: 1, 4: 2, 6: 1, 5: 2}
+
+
 def test_temperature_mix_reshapes_distribution(spark):
     """alpha=0.5 keeps the rarest stratum whole and shrinks the dominant
     one toward sqrt scaling; alpha=1 is a no-op (all rates 1); output is
