@@ -2463,12 +2463,21 @@ def q_curation_v2(spark, sf_dir):
     # item 3). Skinny: (doc_id, lang, clean_text) only.
     surv = clean.filter(token_count(F.col("clean_text")) >= 5).persist()
     nll = ngram_perplexity(surv, "clean_text", "doc_id")
-    scored = surv.join(nll.select("doc_id", "avg_nll"), "doc_id")
+    # Drop the TEXT before the window ops: their sharded persists then
+    # cache a skinny (id, lang, counts) table instead of the corpus —
+    # at 100 TB the difference between caching ~2% of the input and all
+    # of it, three times over.
+    skinny = surv.select(
+        "doc_id", "lang",
+        token_count(F.col("clean_text")).cast("long").alias("n_tokens"),
+    )
+    scored = skinny.join(nll.select("doc_id", "avg_nll"), "doc_id")
     cal = calibrate_scores(scored, "avg_nll", "doc_id", by=["lang"], out_col="nll_pct")
     gated = carry_deps(cal.filter(F.col("nll_pct") <= 0.9), cal)
     sel = token_budget_select(
-        gated, "clean_text", "doc_id",
+        gated, None, "doc_id",
         F.lit(1.0) - F.col("nll_pct"), budget_tokens=2000, by=["lang"],
+        n_tokens_col="n_tokens",
     )
     out = carry_deps(
         sel.select("doc_id", "lang", "avg_nll", "nll_pct", "n_tokens", "cum_before"),
@@ -2585,16 +2594,25 @@ def q_curation_v3(spark, sf_dir):
         ngram_jaccard_pairs_prefix,
     )
 
+    from metadata_ingestion_framework_spark.functions.text import token_count
+
     docs = wide_t(spark, sf_dir, "documents")
     scored = docs.select(
-        "doc_id", "lang", "text", quality_score(F.col("text")).alias("quality")
+        "doc_id", "lang", "text",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     pairs = ngram_jaccard_pairs_prefix(scored, "text", "doc_id", None, threshold=0.5)
-    labeled = cluster_safe_split(scored, pairs, "doc_id", val_rate=0.2, salt="v3")
+    # text dropped past pair discovery: split/mix/budget run (and the
+    # budget's sharded persist caches) a skinny id+counts table only
+    labeled = cluster_safe_split(
+        scored.drop("text"), pairs, "doc_id", val_rate=0.2, salt="v3"
+    )
     train = labeled.filter(F.col("split") == "train")
     mixed = temperature_mix(train, "lang", ["doc_id"], alpha=0.5, salt="v3mix")
     sel = token_budget_select(
-        mixed, "text", "doc_id", F.col("quality"), budget_tokens=2500, by=["lang"]
+        mixed, None, "doc_id", F.col("quality"), budget_tokens=2500, by=["lang"],
+        n_tokens_col="n_tokens",
     )
     return carry_deps(
         sel.select("doc_id", "lang", "component", "quality", "n_tokens", "cum_before"),

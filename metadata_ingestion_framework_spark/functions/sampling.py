@@ -143,12 +143,13 @@ def _join_offsets(
 
 def token_budget_select(
     df: DataFrame,
-    text_col: str,
+    text_col: str | None,
     id_col: str,
     score_col: str | Column,
     budget_tokens: int,
     by: list[str] | None = None,
     shards: int | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy token-budget fill: rank documents by ``score_col`` (best
     first, ``id_col`` ascending tiebreak so the cut is engine-exact) and
@@ -167,6 +168,13 @@ def token_budget_select(
     dominates the corpus (or ``by=None`` makes the whole corpus one
     group). Same values as the single-window formulation, bit-exact.
 
+    Pass ``n_tokens_col`` to use a PRECOMPUTED token count instead of
+    counting ``text_col`` here (which is then ignored and may be None):
+    composites that no longer need the text after scoring should drop it
+    first, so the sharded persist caches a skinny (id, keys, counts)
+    table instead of the corpus text — at 100 TB that is the difference
+    between caching ~2% of the input and caching all of it.
+
     No reference analogue (north-star extension).
     """
     from pyspark.sql import Window
@@ -179,8 +187,11 @@ def token_budget_select(
     # DuckDB's DESC is nulls-FIRST — an unscored doc would fill the budget
     # first on one engine and last on the other (oracles spell NULLS LAST)
     order = [score.desc_nulls_last(), F.col(id_col).asc()]
-    n = token_count(F.col(text_col)).cast("long")
-    sharded = _ordered_shard(df.withColumn("n_tokens", n), by, order, shards)
+    if n_tokens_col is not None:
+        base = df.withColumn("n_tokens", F.col(n_tokens_col).cast("long"))
+    else:
+        base = df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    sharded = _ordered_shard(base, by, order, shards)
     partials = sharded.groupBy(*by, "__b").agg(F.sum("n_tokens").alias("__bt"))
     wo = (
         Window.partitionBy(*by)
