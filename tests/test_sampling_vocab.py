@@ -110,6 +110,34 @@ def test_chunk_passages_golden(spark):
         chunk_passages(docs, "text", "doc_id", chunk_tokens=4, overlap=4)
 
 
+def test_token_budget_precomputed_counts_equivalent(spark):
+    """n_tokens_col path (skinny composites drop text before the window
+    ops) must emit exactly what the text-counting path emits."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        token_budget_select,
+    )
+    from metadata_ingestion_framework_spark.functions.text import token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0.8, "w w w w w"), (2, "a", 0.5, "x x"),
+            (3, "a", 0.9, "t t t t"), (4, "b", 0.1, "y y y"),
+        ],
+        "doc_id int, grp string, score double, text string",
+    )
+    via_text = token_budget_select(
+        df, "text", "doc_id", "score", budget_tokens=8, by=["grp"]
+    ).select("doc_id", "n_tokens", "cum_before")
+    pre = df.withColumn("n_tokens", token_count(F.col("text"))).drop("text")
+    via_col = token_budget_select(
+        pre, None, "doc_id", "score", budget_tokens=8, by=["grp"],
+        n_tokens_col="n_tokens",
+    ).select("doc_id", "n_tokens", "cum_before")
+    assert sorted(map(tuple, via_text.collect())) == sorted(
+        map(tuple, via_col.collect())
+    )
+
+
 def test_token_budget_select_greedy_fill(spark):
     """Best-score-first fill; the boundary doc that crosses the budget is
     kept; later docs are cut; per-group budgets are independent; zero
