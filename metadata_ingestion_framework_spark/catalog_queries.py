@@ -2393,6 +2393,33 @@ SELECT doc_id, source, quality, grp_rank FROM ranked WHERE grp_rank <= 10
 """
 
 
+def q_det_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle (functions/sampling.py
+    ::deterministic_shuffle): every doc ranked by the 60-bit md5 of its id
+    under salt 'epoch0' — engine/partitioning/rerun-stable corpus order
+    for sequence packing. The rank comes from the two-stage range-sharded
+    formulation (no single-task global sort); the oracle recomputes the
+    identical hash key and a plain ROW_NUMBER over it."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return deterministic_shuffle(
+        docs.select("doc_id"), ["doc_id"], salt="epoch0"
+    ).select("doc_id", "shuffle_rank")
+
+
+ORACLE_DET_SHUFFLE = r"""
+SELECT doc_id,
+  ROW_NUMBER() OVER (ORDER BY
+    ('0x' || substr(md5(concat_ws(chr(31), 'epoch0',
+      CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT ASC,
+    doc_id ASC) AS shuffle_rank
+FROM documents
+"""
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-resampled training mix (functions/sampling.py::
     temperature_mix, alpha=0.5): per-language keep-rates sqrt(c_min/c)
@@ -3524,7 +3551,6 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     # events family (all failed r1 on the nanos conf — now self-contained)
     "offset_ranges": q_offset_ranges,
-    "lead_lag": q_lead_lag,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,  # r7: backward as-of join vs native DuckDB ASOF
@@ -3551,6 +3577,7 @@ QUERIES = {
     "zorder_key": q_zorder_key,  # r7: Morton layout key, bit-exact oracle
     "stratified_sample": q_stratified_sample,
     "quota_sample": q_quota_sample,  # r8: per-source cap via two-stage rank
+    "det_shuffle": q_det_shuffle,  # r8: engine-stable global training order
     "temperature_mix": q_temperature_mix,  # r7: counts^alpha training mix
     "token_budget": q_token_budget,  # r7: greedy per-source token-budget fill
     "calibrate_scores": q_calibrate_scores,  # r7: percentile-rank calibration
@@ -3642,6 +3669,10 @@ QUERIES = {
     "two_stage_collect": q_two_stage_collect,  # r8: displaced by fingerprint
     "curation_pipeline": q_curation_pipeline,  # r8: displaced by curation_v3
     "promo_revenue": q_promo_revenue,  # r8: displaced by quota_sample
+    "lead_lag": q_lead_lag,  # r8: displaced by det_shuffle (window family
+    # keeps window_dedup/calibrate_scores/quota_sample/token_budget
+    # in-window; lead/lag frames stay sweep-checked via running_sum/
+    # range_frame in the tail)
     "det_sample": q_det_sample,
     "approx_distinct": q_approx_distinct,
     "quantize_error": q_quantize_error,
@@ -3754,6 +3785,7 @@ ORACLES = {
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "calibrate_scores": ORACLE_CALIBRATE_SCORES,
     "quota_sample": ORACLE_QUOTA_SAMPLE,
+    "det_shuffle": ORACLE_DET_SHUFFLE,
     "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "curation_v2": ORACLE_CURATION_V2,
     "curation_v3": ORACLE_CURATION_V3,

@@ -290,6 +290,53 @@ def quota_sample(
     return _attach_deps(out, sharded, df)
 
 
+def hash_key60(cols: list[str | Column], salt: str = "") -> Column:
+    """Full 60-bit md5 key (the :func:`hash_bucket` primitive WITHOUT the
+    mod): deterministic order key for content-hash shuffling. DuckDB twin:
+    ``('0x' || substr(md5(key), 1, 15))::BIGINT``."""
+    key = F.concat_ws(
+        "\x1f",
+        F.lit(salt),
+        *[
+            F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("n/a"))
+            for c in cols
+        ],
+    )
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    salt: str = "",
+    out_col: str = "shuffle_rank",
+    id_col: str | None = None,
+    shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: rank every row by the
+    60-bit md5 of its key (``id_col`` ascending tiebreak on hash
+    collisions) — the "shuffle the corpus once, identically, on any
+    engine/partitioning/rerun" step that precedes sequence packing.
+    Changing ``salt`` is a fresh epoch permutation; a row's relative
+    order is stable under incremental corpus growth up to insertions.
+
+    A naive ``orderBy(hash)`` is a global sort whose final rank
+    assignment funnels through one task chain; this is the two-stage
+    :func:`_grouped_rank` with no groups — range-monotone buckets rank
+    in parallel and broadcast offsets restore the exact global rank.
+    No reference analogue (north-star extension).
+    """
+    tiebreak = id_col or key_cols[0]
+    h = hash_key60(key_cols, salt)
+    base = df.withColumn("__hk", h)
+    order = [F.col("__hk").asc(), F.col(tiebreak).asc()]
+    ranked, sharded = _grouped_rank(base, [], order, shards)
+    out = ranked.withColumn(out_col, F.col("__rank")).drop(
+        "__b", "__off", "__n", "__rank", "__hk"
+    )
+    return _attach_deps(out, sharded, df)
+
+
 def calibrate_scores(
     df: DataFrame,
     score_col: str | Column,

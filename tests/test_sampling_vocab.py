@@ -278,6 +278,29 @@ def test_quota_sample_caps_per_group(spark):
     assert out == {1: 1, 4: 2, 6: 1, 5: 2}
 
 
+def test_deterministic_shuffle_dense_and_epoch_salted(spark):
+    """Ranks are a dense 1..n permutation, identical across reruns and
+    partitionings, and a different salt yields a different epoch order."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+
+    def ranks(salt, parts):
+        d = df.repartition(parts)
+        out = deterministic_shuffle(d, ["doc_id"], salt=salt, shards=8)
+        got = {r["doc_id"]: r["shuffle_rank"] for r in out.collect()}
+        for dep in getattr(out, "_persisted_deps", ()):
+            dep.unpersist()
+        return got
+
+    e0a, e0b, e1 = ranks("e0", 3), ranks("e0", 11), ranks("e1", 3)
+    assert sorted(e0a.values()) == list(range(1, 201))  # dense permutation
+    assert e0a == e0b                                   # partitioning-stable
+    assert e1 != e0a                                    # new epoch, new order
+
+
 def test_temperature_mix_reshapes_distribution(spark):
     """alpha=0.5 keeps the rarest stratum whole and shrinks the dominant
     one toward sqrt scaling; alpha=1 is a no-op (all rates 1); output is
