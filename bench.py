@@ -74,6 +74,7 @@ EXTENDED = [
     "calibrate_scores",
     "temperature_mix",
     "quota_sample",
+    "det_shuffle",
     "curation_v2",
     "curation_v3",
 ]
