@@ -72,3 +72,17 @@ def test_read_parquet_projection_and_cap(spark, emp, tmp_path):
     df = read_parquet(spark, p, row_cap=3, columns=["empid", "sal"])
     assert df.columns == ["empid", "sal"]
     assert df.count() == 3
+
+
+def test_write_csv_append_accumulates(spark, tmp_path):
+    """K6 parity (HttpReader.scala:57,60): consecutive appends accumulate;
+    header + schema survive the roundtrip."""
+    from metadata_ingestion_framework_spark.sources.http import write_csv_append
+
+    path = str(tmp_path / "extract")
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    b = spark.createDataFrame([(3, "z")], "id int, v string")
+    write_csv_append(a, path)
+    write_csv_append(b, path)
+    back = spark.read.csv(path, header=True, inferSchema=True)
+    assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "x"), (2, "y"), (3, "z")}
