@@ -1550,7 +1550,7 @@ def q_dup_clusters(spark, sf_dir):
         "component",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
-    return carry_deps(out, pairs)
+    return carry_deps(out, pairs, cc)
 
 
 ORACLE_DUP_CLUSTERS = r"""
@@ -1607,7 +1607,7 @@ def q_cluster_split(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", None, threshold=0.5)
     out = cluster_safe_split(docs, pairs, "doc_id", val_rate=0.2, salt="split1")
-    return carry_deps(out.select("doc_id", "component", "split"), pairs)
+    return carry_deps(out.select("doc_id", "component", "split"), pairs, out)
 
 
 ORACLE_CLUSTER_SPLIT = r"""
@@ -2192,9 +2192,16 @@ def q_token_budget(spark, sf_dir):
     scored = docs.select(
         "doc_id", "source", "text", quality_score(F.col("text")).alias("quality")
     )
-    return token_budget_select(
+    from metadata_ingestion_framework_spark.operators.dedup import carry_deps
+
+    sel = token_budget_select(
         scored, "text", "doc_id", "quality", budget_tokens=700, by=["source"]
-    ).select("doc_id", "source", "quality", "n_tokens", "cum_before")
+    )
+    # carry_deps: the bare .select would strip _persisted_deps and leak
+    # the sharded persist in a long-lived session
+    return carry_deps(
+        sel.select("doc_id", "source", "quality", "n_tokens", "cum_before"), sel
+    )
 
 
 ORACLE_TOKEN_BUDGET = r"""
@@ -2404,10 +2411,13 @@ def q_det_shuffle(spark, sf_dir):
         deterministic_shuffle,
     )
 
+    from metadata_ingestion_framework_spark.operators.dedup import carry_deps
+
     docs = t(spark, sf_dir, "documents")
-    return deterministic_shuffle(
-        docs.select("doc_id"), ["doc_id"], salt="epoch0"
-    ).select("doc_id", "shuffle_rank")
+    shuf = deterministic_shuffle(docs.select("doc_id"), ["doc_id"], salt="epoch0")
+    # carry_deps: the bare .select would strip _persisted_deps and leak
+    # the sharded persist in a long-lived session
+    return carry_deps(shuf.select("doc_id", "shuffle_rank"), shuf)
 
 
 ORACLE_DET_SHUFFLE = r"""
@@ -2643,7 +2653,7 @@ def q_curation_v3(spark, sf_dir):
     )
     return carry_deps(
         sel.select("doc_id", "lang", "component", "quality", "n_tokens", "cum_before"),
-        sel, pairs,
+        sel, pairs, labeled,
     )
 
 
@@ -3445,7 +3455,8 @@ def q_curation_pipeline(spark, sf_dir):
     )
     out = mixed.select("doc_id", "pred_lang", "quality")
     out._persisted_deps = [exact]  # release via operators.unpersist_deps
-    return carry_deps(out, pairs)  # + the prefix join's persisted gram table
+    # + the prefix join's persisted gram table and CC's persisted edge set
+    return carry_deps(out, pairs, cc)
 
 
 def _build_curation_oracle() -> str:

@@ -183,13 +183,27 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # persist, NOT localCheckpoint (r8): both are one materialization
+        # for the size gate + the component pass, but a checkpoint's RDD
+        # blocks can only be freed by JVM GC — in a long-lived 96-query
+        # harness session every CC consumer left one cached edge RDD
+        # behind (caught by tests/test_persist_hygiene.py). A persist is
+        # releasable via the _persisted_deps convention and recompute-safe
+        # after release. The stars path still localCheckpoints each ROUND
+        # (lineage there grows exponentially with self-joins; those
+        # round RDDs are freed by the ContextCleaner when dereferenced).
+        .persist()
     )
     if strategy == "auto":
         strategy = "local" if edges.count() <= local_threshold else "stars"
-    if strategy == "local":
-        return _local_components(edges)
-    return _stars_components(edges, max_rounds)
+    out = (
+        _local_components(edges)
+        if strategy == "local"
+        else _stars_components(edges, max_rounds)
+    )
+    deps = list(getattr(pairs, "_persisted_deps", ()))
+    out._persisted_deps = deps + [edges]
+    return out
 
 
 def cluster_representatives(
@@ -198,7 +212,9 @@ def cluster_representatives(
     """Distinct (id,) rows to DROP when deduplicating with transitive
     clusters: every clustered node except its component representative."""
     cc = connected_components(pairs, id_a, id_b, **kwargs)
-    return cc.filter(F.col("id") != F.col("component")).select("id")
+    out = cc.filter(F.col("id") != F.col("component")).select("id")
+    out._persisted_deps = list(getattr(cc, "_persisted_deps", ()))
+    return out
 
 
 def cluster_safe_split(
@@ -236,14 +252,15 @@ def cluster_safe_split(
         rate_threshold,
     )
 
-    cc = connected_components(pairs, id_a, id_b, **cc_kwargs).withColumnRenamed(
-        "id", id_col
-    )
+    cc_raw = connected_components(pairs, id_a, id_b, **cc_kwargs)
+    cc = cc_raw.withColumnRenamed("id", id_col)
     comp = F.coalesce(F.col("component"), F.col(id_col))
     labeled = df.join(F.broadcast(cc), id_col, "left").withColumn(
         "component", comp
     )
     is_val = hash_bucket(["component"], salt) < rate_threshold(val_rate)
-    return labeled.withColumn(
+    out = labeled.withColumn(
         "split", F.when(is_val, F.lit("val")).otherwise(F.lit("train"))
     )
+    out._persisted_deps = list(getattr(cc_raw, "_persisted_deps", ()))
+    return out

@@ -655,9 +655,8 @@ def semantic_dedup(
         id_col=id_col,
         vec_col=vec_col,
     )
-    comps = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
-        "id", id_col
-    )
+    comps_raw = connected_components(pairs, "id_a", "id_b")
+    comps = comps_raw.withColumnRenamed("id", id_col)
     comp = F.coalesce(F.col("component"), F.col(id_col))
     out = cells.join(F.broadcast(comps), id_col, "left").select(
         id_col,
@@ -666,4 +665,4 @@ def semantic_dedup(
         (comp == F.col(id_col)).alias("kept"),
     )
     out._persisted_deps = [cells]
-    return carry_deps(out, pairs)
+    return carry_deps(out, pairs, comps_raw)
