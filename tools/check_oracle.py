@@ -118,6 +118,20 @@ def main() -> None:
             if sdf is not None:
                 for dep in getattr(sdf, "_persisted_deps", ()):
                     dep.unpersist()
+                # leak detector (r8): anything still cached after the
+                # advertised deps are released means a query dropped its
+                # _persisted_deps (bare .select) or an operator cached
+                # outside the convention. Warn, don't fail — the pytest
+                # guard (tests/test_persist_hygiene.py) owns the hard gate.
+                leaked = dict(spark.sparkContext._jsc.getPersistentRDDs())
+                if leaked:
+                    print(f"    WARNING {name}: {len(leaked)} cached RDD(s) leaked")
+                    spark.catalog.clearCache()
+                    for jrdd in leaked.values():
+                        try:
+                            jrdd.unpersist()
+                        except Exception:
+                            pass
         if name not in oracles:
             rows_only += 1
             print(f"ROWS  {name}: {len(spdf)} rows ({time.perf_counter()-t0:.2f}s, no oracle)")
