@@ -275,21 +275,52 @@ class MinhashSignatureStore:
         survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
 
         # durable state: SCD1-merge ALL batch signatures (dropped docs
-        # included — see module docstring) and their band rows, then write
-        # fresh snapshots. At 100 TB you'd additionally bucket the sigs
-        # table on id (write_bucketed) so this merge's store side never
-        # re-shuffles; the band table's bucket partitioning already gives
-        # the probe-side pruning.
+        # included — see module docstring) and their band rows. At 100 TB
+        # you'd additionally bucket the sigs table on id (write_bucketed)
+        # so this merge's store side never re-shuffles.
         merged_sigs = scd1_merge(store_sigs, sigs_new, [self.id_col])
         self.store.write(merged_sigs, self.SIGS)
-        old_bands = self.store.read(self.BANDS) if self.store.exists(self.BANDS) else None
-        merged_bands = scd1_merge(
-            old_bands, self._band_rows(sigs_new), [self.id_col, "band"]
-        )
-        self.store.write(merged_bands, self.BANDS, partition_by=["bucket"])
+        new_bands = self._band_rows(sigs_new)
+        if not self.store.exists(self.BANDS):
+            self.store.write(new_bands, self.BANDS, partition_by=["bucket"])
+        else:
+            # PARTITION-DELTA band update (r8): only the batch's own buckets
+            # can change, so merge and physically rewrite just those
+            # partitions; the other ~n_buckets-2 directories carry over by
+            # hard link (write_partition_delta) — the Delta-MERGE
+            # touched-files-only rewrite, without Delta. Caveat, exactly
+            # like Delta tombstones: if a RE-INGESTED doc's new text moves
+            # a band to a different bucket, its old band row survives in
+            # the untouched bucket as a GHOST. Ghost rows are harmless to
+            # results — band rows only GENERATE candidates and the old
+            # hash can only pair with docs matching the old band value;
+            # verification always scores against the (globally SCD1-fresh)
+            # sigs table — and ``rebuild_bands`` reaps them (the band
+            # table is a pure function of sigs).
+            touched = [
+                r.bucket for r in new_bands.select("bucket").distinct().collect()
+            ]
+            old_touched = (
+                self.store.read(self.BANDS)
+                .filter(F.col("bucket").isin(touched))
+            )
+            merged_touched = scd1_merge(
+                old_touched, new_bands, [self.id_col, "band"]
+            )
+            self.store.write_partition_delta(
+                merged_touched, self.BANDS, "bucket", touched
+            )
         self._record_run(run_id)
         sigs_new.unpersist()
         return survivors
+
+    def rebuild_bands(self) -> None:
+        """Maintenance compaction: regenerate the band table from the sigs
+        table (bands are a pure function of signatures), reaping any ghost
+        rows left by partition-delta ingests — the OPTIMIZE/auto-compact
+        analog for this store."""
+        sigs = self.store.read(self.SIGS)
+        self.store.write(self._band_rows(sigs), self.BANDS, partition_by=["bucket"])
 
 
 def embedding_batch_drops(

@@ -57,6 +57,13 @@ class VersionedParquetStore:
             raise FileNotFoundError(f"table {table} does not exist in {self.root}")
         return self.spark.read.parquet(self._version_path(table, v))
 
+    def _swap_pointer(self, table: str, nxt: int) -> None:
+        tmp = self._pointer(table) + ".tmp"
+        os.makedirs(self._dir(table), exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._pointer(table))  # atomic pointer swap
+
     def write(
         self, df: DataFrame, table: str, partition_by: list[str] | None = None
     ) -> int:
@@ -68,11 +75,49 @@ class VersionedParquetStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        tmp = self._pointer(table) + ".tmp"
-        os.makedirs(self._dir(table), exist_ok=True)
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, self._pointer(table))  # atomic pointer swap
+        self._swap_pointer(table, nxt)
+        return nxt
+
+    def write_partition_delta(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_col: str,
+        touched_values: list,
+    ) -> int:
+        """New version that physically rewrites ONLY the given partitions —
+        the Delta-MERGE touched-files-only rewrite at partition-directory
+        granularity. ``df`` must hold exactly the new contents of the
+        ``touched_values`` partitions; every other partition directory is
+        carried from the current version by hard link (copy fallback), so
+        an ingest that touches 2 of 64 buckets writes 2 buckets of bytes,
+        not 64. Snapshot isolation is preserved: links share immutable
+        file inodes, and ``vacuum``'s rmtree only drops the old version's
+        link, never the shared data. Falls back to a plain ``write`` when
+        the table doesn't exist yet.
+        """
+        cur = self.current_version(table)
+        if cur is None:
+            return self.write(df, table, partition_by=[partition_col])
+        nxt = cur + 1
+        path = self._version_path(table, nxt)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        touched = {f"{partition_col}={v}" for v in touched_values}
+        prev = self._version_path(table, cur)
+        for name in os.listdir(prev):
+            if not name.startswith(f"{partition_col}=") or name in touched:
+                continue
+            src, dst = os.path.join(prev, name), os.path.join(path, name)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if f.startswith((".", "_")):
+                    continue
+                s, d = os.path.join(src, f), os.path.join(dst, f)
+                try:
+                    os.link(s, d)
+                except OSError:  # cross-device / fs without hard links
+                    shutil.copy2(s, d)
+        self._swap_pointer(table, nxt)
         return nxt
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> int:

@@ -167,3 +167,64 @@ def test_embedding_store_cell_layout_partitioned(spark, tmp_path):
     store.ingest(_vecs(spark, [(i, _unit(i % 8)) for i in range(16)]), "run-1")
     vdir = store.store._version_path(store.VECS, store.store.current_version(store.VECS))
     assert glob.glob(f"{vdir}/cell=*"), "vecs table must be cell-partitioned"
+
+
+def test_partition_delta_links_untouched_buckets(spark, store):
+    """r8: the band write rewrites ONLY the batch's buckets; every other
+    bucket directory carries over as hard links of the previous version's
+    files (same inode), so ingest IO tracks the batch, not the store."""
+    store.ingest(_docs(spark, [(1, BASE), (2, "totally different words " * 10)]), "r1")
+    v1 = store.store.current_version(store.BANDS)
+    store.ingest(_docs(spark, [(50, "yet another unrelated doc body " * 12)]), "r2")
+    v2 = store.store.current_version(store.BANDS)
+    assert v2 == v1 + 1
+    p1 = store.store._version_path(store.BANDS, v1)
+    p2 = store.store._version_path(store.BANDS, v2)
+    b2 = {
+        r.bucket
+        for r in store._band_rows(
+            store._signatures(_docs(spark, [(50, "yet another unrelated doc body " * 12)]))
+        ).select("bucket").distinct().collect()
+    }
+    linked = rewritten = 0
+    for name in os.listdir(p2):
+        if not name.startswith("bucket="):
+            continue
+        bucket = int(name.split("=")[1])
+        old = os.path.join(p1, name)
+        if not os.path.isdir(old):
+            continue
+        old_inodes = {os.stat(os.path.join(old, f)).st_ino
+                      for f in os.listdir(old) if f.endswith(".parquet")}
+        new_inodes = {os.stat(os.path.join(p2, name, f)).st_ino
+                      for f in os.listdir(os.path.join(p2, name)) if f.endswith(".parquet")}
+        if bucket not in b2:
+            assert new_inodes == old_inodes, f"untouched bucket {bucket} was rewritten"
+            linked += 1
+        else:
+            rewritten += 1
+    assert linked > 0  # the store had untouched buckets that were carried
+
+
+def test_ghost_band_rows_sound_and_reaped(spark, store):
+    """r8: re-ingesting a doc with NEW text may leave its old band rows in
+    un-rewritten buckets (ghosts). Results must stay exact — verification
+    scores against the fresh sigs table — and rebuild_bands reaps them."""
+    store.ingest(_docs(spark, [(1, BASE)]), "r1")
+    # same id, completely different text -> new band hashes, old rows ghost
+    new_text = "completely replaced content body with other words " * 6
+    store.ingest(_docs(spark, [(1, new_text)]), "r2")
+    sigs = store.store.read(store.SIGS)
+    assert sigs.filter(F.col("doc_id") == 1).count() == 1  # SCD1: one sig row
+    bands = store.store.read(store.BANDS)
+    n_with_ghosts = bands.filter(F.col("doc_id") == 1).count()
+    assert n_with_ghosts >= store.bands  # fresh rows present (+ ghosts maybe)
+    # a batch near-dup of the NEW text must still be dropped (exactness)
+    s3 = store.ingest(_docs(spark, [(9, new_text)]), "r3")
+    assert s3.count() == 0
+    # and a doc matching the OLD text must NOT be dropped by a ghost
+    s4 = store.ingest(_docs(spark, [(10, BASE)]), "r4")
+    assert {r.doc_id for r in s4.collect()} == {10}
+    store.rebuild_bands()
+    reaped = store.store.read(store.BANDS).filter(F.col("doc_id") == 1).count()
+    assert reaped == store.bands  # exactly one row per band again

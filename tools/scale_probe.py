@@ -520,9 +520,12 @@ def _append_incremental_md(result: dict) -> None:
         "claim under test: ingest cost tracks the BATCH, not the store. "
         "`sig_kernel_batch`/`inc_query` should stay ~flat as the store grows "
         f"{result['replicas']}x; `full_rerun_pairs` (the non-incremental "
-        "alternative) grows with the corpus; `inc_ingest_e2e` includes the "
-        "VersionedParquetStore snapshot rewrite (full columnar copy — a "
-        "Delta MERGE / bucketed table rewrites only touched files).",
+        "alternative) grows with the corpus. r8: the band table now ingests "
+        "via write_partition_delta — only the batch's buckets are "
+        "physically rewritten, untouched bucket dirs hard-link from the "
+        "previous version (the Delta-MERGE touched-files-only rewrite); "
+        "`inc_ingest_e2e` still carries the sigs snapshot rewrite (one "
+        "row/doc — bucket it via write_bucketed at 100 TB).",
         "",
         "| phase | store 1x sec (rows) | store 10x sec (rows) | growth |",
         "|---|---|---|---|",
