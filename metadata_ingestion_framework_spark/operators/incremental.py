@@ -479,8 +479,41 @@ class EmbeddingDedupStore:
             store_pruned, assigned, self.id_col, self.vec_col, self.threshold
         ).localCheckpoint()
         survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
-        merged = scd1_merge(store_all, assigned, [self.id_col])
-        self.store.write(merged, self.VECS, partition_by=["cell"])
+        if store_all is None:
+            self.store.write(
+                scd1_merge(None, assigned, [self.id_col]),
+                self.VECS,
+                partition_by=["cell"],
+            )
+        else:
+            # PARTITION-DELTA vector upsert (r8): unlike band rows, stale
+            # VECTORS are not candidates-only — drops score directly
+            # against stored embeddings, so a ghost would be a correctness
+            # bug. The touched set is therefore the batch's cells UNION
+            # the OLD cells of re-ingested batch ids (a vector whose new
+            # embedding moves cells must vacate its old partition); the
+            # old-cell lookup is a skinny (id, cell) columnar scan — at
+            # 100 TB keep an id->cell index beside the table, exactly
+            # where Delta would consult its file-level stats.
+            batch_ids = assigned.select(self.id_col)
+            moved = (
+                store_all.join(F.broadcast(batch_ids), self.id_col, "left_semi")
+                .select("cell")
+                .distinct()
+                .collect()
+            )
+            touched_set = set(batch_cells) | {r.cell for r in moved}
+            touched = sorted(
+                (v for v in touched_set if v is not None), key=str
+            ) + ([None] if None in touched_set else [])
+            cell_match = F.col("cell").isin([v for v in touched if v is not None])
+            if None in touched_set:
+                cell_match = cell_match | F.col("cell").isNull()
+            old_touched = store_all.filter(cell_match)
+            merged_touched = scd1_merge(old_touched, assigned, [self.id_col])
+            self.store.write_partition_delta(
+                merged_touched, self.VECS, "cell", touched
+            )
         self._record_run(run_id)
         assigned.unpersist()
         return survivors

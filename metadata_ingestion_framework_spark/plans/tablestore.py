@@ -102,7 +102,14 @@ class VersionedParquetStore:
         nxt = cur + 1
         path = self._version_path(table, nxt)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        touched = {f"{partition_col}={v}" for v in touched_values}
+        # NULL partition values land in the Hive default-partition dir —
+        # a None in touched_values must match it, or the null partition
+        # would be both rewritten and linked (duplicated)
+        touched = {
+            f"{partition_col}="
+            + ("__HIVE_DEFAULT_PARTITION__" if v is None else str(v))
+            for v in touched_values
+        }
         prev = self._version_path(table, cur)
         for name in os.listdir(prev):
             if not name.startswith(f"{partition_col}=") or name in touched:

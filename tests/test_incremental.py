@@ -228,3 +228,39 @@ def test_ghost_band_rows_sound_and_reaped(spark, store):
     store.rebuild_bands()
     reaped = store.store.read(store.BANDS).filter(F.col("doc_id") == 1).count()
     assert reaped == store.bands  # exactly one row per band again
+
+
+def test_embedding_store_moved_cell_vacates_old_partition(spark, tmp_path):
+    """r8 partition-delta exactness: re-ingesting a vec_id with an
+    embedding that lands in a DIFFERENT IVF cell must vacate its old cell
+    partition (stale vectors are scored directly — a ghost would be a
+    correctness bug, unlike the candidates-only minhash bands), and a
+    later probe matching the OLD embedding must NOT be dropped by it."""
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        EmbeddingDedupStore,
+    )
+
+    store = EmbeddingDedupStore(
+        spark, str(tmp_path / "vecstore"), dim=8, n_cells=4, threshold=0.9
+    )
+    store.ingest(_vecs(spark, [(1, _unit(0)), (3, _unit(7))]), "r1")
+    cells0 = {
+        r.vec_id: r.cell for r in store.store.read(store.VECS).select("vec_id", "cell").collect()
+    }
+    # find a direction that assigns id 1 to a DIFFERENT cell
+    new_emb = None
+    for i in range(1, 8):
+        probe = store._assign(_vecs(spark, [(1, _unit(i))])).collect()[0]
+        if probe.cell != cells0[1]:
+            new_emb = _unit(i)
+            break
+    assert new_emb is not None, "fixture needs a cell-moving direction"
+    store.ingest(_vecs(spark, [(1, new_emb)]), "r2")
+    rows = store.store.read(store.VECS).filter(F.col("vec_id") == 1).collect()
+    assert len(rows) == 1 and rows[0].cell != cells0[1]  # vacated, moved
+    # probe matching the OLD embedding of id 1: must survive (no ghost)
+    s3 = store.ingest(_vecs(spark, [(20, _unit(0))]), "r3")
+    assert {r.vec_id for r in s3.collect()} == {20}
+    # probe matching the NEW embedding: must drop
+    s4 = store.ingest(_vecs(spark, [(21, new_emb)]), "r4")
+    assert s4.count() == 0
