@@ -151,3 +151,39 @@ def test_compact_coalesces_small_files(spark, store, emp):
     v2_files = glob.glob(store._version_path("emp_small", 2) + "/*.parquet")
     assert len(v2_files) == 1  # tiny table -> single right-sized file
     assert store.read("emp_small").count() == 5
+
+
+def test_tablestore_partition_delta_write(spark, store):
+    """r8 write_partition_delta: only the touched partition is rewritten,
+    every other partition directory is carried by hard link (same inode);
+    content equals a full rewrite; time travel to the previous version
+    still sees the old data; vacuum of the old version cannot damage the
+    linked files (shared inodes survive the rmtree of the old link)."""
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id int, part string, v int",
+    )
+    store.write(df1, "t", partition_by=["part"])
+    # new contents for partition 'a' only (id 2 updated, id 5 inserted)
+    delta = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 99), (5, "a", 50)], "id int, part string, v int"
+    )
+    v2 = store.write_partition_delta(delta, "t", "part", ["a"])
+    assert v2 == 2
+    got = {(r.id, r.part, r.v) for r in store.read("t").collect()}
+    assert got == {(1, "a", 10), (2, "a", 99), (5, "a", 50), (3, "b", 30), (4, "c", 40)}
+    # untouched partitions are hard links of v1's files
+    p1, p2 = store._version_path("t", 1), store._version_path("t", 2)
+    for part in ("part=b", "part=c"):
+        old = {os.stat(os.path.join(p1, part, f)).st_ino
+               for f in os.listdir(os.path.join(p1, part)) if f.endswith(".parquet")}
+        new = {os.stat(os.path.join(p2, part, f)).st_ino
+               for f in os.listdir(os.path.join(p2, part)) if f.endswith(".parquet")}
+        assert new == old, f"{part} should be linked, not rewritten"
+    # time travel intact
+    assert {(r.id, r.v) for r in store.read("t", version=1).filter("part = 'a'").collect()} \
+        == {(1, 10), (2, 20)}
+    # vacuum v1: linked data must survive (inodes shared with v2)
+    store.vacuum("t", keep_last=1)
+    assert store.read("t").count() == 5
+    assert {r.id for r in store.read("t").filter("part = 'b'").collect()} == {3}
