@@ -30,15 +30,7 @@ def hash_bucket(cols: list[str | Column], salt: str = "") -> Column:
     engines; DuckDB twin: ``('0x' || substr(md5(key), 1, 15))::BIGINT %
     1000000``.
     """
-    key = F.concat_ws(
-        "\x1f",
-        F.lit(salt),
-        *[
-            F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("n/a"))
-            for c in cols
-        ],
-    )
-    return F.pmod(F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"), F.lit(BUCKETS))
+    return F.pmod(hash_key60(cols, salt), F.lit(BUCKETS))
 
 
 def rate_threshold(rate: float) -> int:

@@ -115,6 +115,11 @@ class VersionedParquetStore:
             if not name.startswith(f"{partition_col}=") or name in touched:
                 continue
             src, dst = os.path.join(prev, name), os.path.join(path, name)
+            if os.path.isdir(dst):
+                # the writer already produced this partition (caller's
+                # touched list was incomplete) — its fresh contents win;
+                # linking old files beside them would silently duplicate
+                continue
             os.makedirs(dst, exist_ok=True)
             for f in os.listdir(src):
                 if f.startswith((".", "_")):
