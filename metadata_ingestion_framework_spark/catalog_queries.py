@@ -3678,7 +3678,10 @@ QUERIES = {
     "text_stats": q_text_stats,
     "ivf_topk": q_ivf_topk,  # r8: displaced by lang_id (see window comment)
     "two_stage_collect": q_two_stage_collect,  # r8: displaced by fingerprint
-    "curation_pipeline": q_curation_pipeline,  # r8: displaced by curation_v3
+    "curation_pipeline": q_curation_pipeline,  # r8: displaced by curation_v3.
+    # NOTE window-rule audit: its ONLY r8 edit is carry_deps bookkeeping
+    # (persist release — no value-path change); locally sf0.01-sweep-green
+    # post-change, and it stays bench-flagshipped every round.
     "promo_revenue": q_promo_revenue,  # r8: displaced by quota_sample
     "lead_lag": q_lead_lag,  # r8: displaced by det_shuffle (window family
     # keeps window_dedup/calibrate_scores/quota_sample/token_budget

@@ -41,10 +41,15 @@ def test_query_releases_every_persist(spark, name):
     from metadata_ingestion_framework_spark.catalog_queries import QUERIES
 
     spark.catalog.clearCache()
+    # DELTA-based: the session is shared across the test run and earlier
+    # suites may hold localCheckpoint RDDs the SQL cache clear can't drop
+    # — only NEW survivors incriminate this query
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
     df = QUERIES[name](spark, SF_DIR)
     df.count()
     for dep in getattr(df, "_persisted_deps", ()):
         dep.unpersist(blocking=True)
-    leaked = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    leaked = {k: v for k, v in after.items() if k not in before}
     spark.catalog.clearCache()
     assert not leaked, f"{name} leaked {len(leaked)} cached RDD(s)"
