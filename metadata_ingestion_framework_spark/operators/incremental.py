@@ -238,7 +238,9 @@ class MinhashSignatureStore:
         if run_id in self.ingested_runs():
             return None
         sigs_new = self._signatures(batch).persist()
+        new_bands = self._band_rows(sigs_new)
         store_sigs = store_bands = None
+        batch_buckets: list = []
         if self.store.exists(self.SIGS):
             batch_ids = sigs_new.select(self.id_col)
             # exclude ids of THIS batch from the store side: for disjoint
@@ -251,10 +253,11 @@ class MinhashSignatureStore:
             # bucket pruning: the batch can only collide inside its own
             # band-hash buckets — collect them (bounded by n_buckets) and
             # let the IN-list prune the partitioned store scan (manual-DPP
-            # shape, operators/joins.py:66)
+            # shape, operators/joins.py:66). The same list IS the
+            # partition-delta touched set for the band write below.
             batch_buckets = [
                 r.bucket
-                for r in self._band_rows(sigs_new).select("bucket").distinct().collect()
+                for r in new_bands.select("bucket").distinct().collect()
             ]
             store_bands = (
                 self.store.read(self.BANDS)
@@ -280,7 +283,6 @@ class MinhashSignatureStore:
         # so this merge's store side never re-shuffles.
         merged_sigs = scd1_merge(store_sigs, sigs_new, [self.id_col])
         self.store.write(merged_sigs, self.SIGS)
-        new_bands = self._band_rows(sigs_new)
         if not self.store.exists(self.BANDS):
             self.store.write(new_bands, self.BANDS, partition_by=["bucket"])
         else:
@@ -297,9 +299,7 @@ class MinhashSignatureStore:
             # verification always scores against the (globally SCD1-fresh)
             # sigs table — and ``rebuild_bands`` reaps them (the band
             # table is a pure function of sigs).
-            touched = [
-                r.bucket for r in new_bands.select("bucket").distinct().collect()
-            ]
+            touched = batch_buckets
             old_touched = (
                 self.store.read(self.BANDS)
                 .filter(F.col("bucket").isin(touched))
