@@ -566,8 +566,19 @@ def _write_probe_md(result: dict) -> None:
             f"| {result['growth'][k]}x |"
         )
     lines.append("")
+    # preserve the appended probe sections (incremental / skew) — the main
+    # table rewrite must not clobber them (they start at the first "## ")
+    preserved = ""
+    try:
+        with open("PROBE.md") as f:
+            prior = f.read()
+        idx = prior.find("\n## ")
+        if idx != -1:
+            preserved = prior[idx:]
+    except FileNotFoundError:
+        pass
     with open("PROBE.md", "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + preserved)
 
 
 if __name__ == "__main__":
