@@ -22,6 +22,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class VersionedParquetStore:
@@ -131,6 +132,18 @@ class VersionedParquetStore:
                     shutil.copy2(s, d)
         self._swap_pointer(table, nxt)
         return nxt
+
+    def delete_partitions(
+        self, table: str, partition_col: str, values: list
+    ) -> int:
+        """Retention/lifecycle delete: new version WITHOUT the given
+        partition values — the named partitions are simply not carried
+        (no data rewritten at all; every surviving partition hard-links
+        from the current version). The dropped data stays readable via
+        time travel until ``vacuum`` reaps the old versions — the Delta
+        ``DELETE WHERE partition`` + VACUUM lifecycle."""
+        empty = self.read(table).filter(F.lit(False))
+        return self.write_partition_delta(empty, table, partition_col, values)
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> int:
         """Append = read current ∪ new, written as a fresh version.

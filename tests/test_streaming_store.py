@@ -187,3 +187,34 @@ def test_tablestore_partition_delta_write(spark, store):
     store.vacuum("t", keep_last=1)
     assert store.read("t").count() == 5
     assert {r.id for r in store.read("t").filter("part = 'b'").collect()} == {3}
+
+
+def test_tablestore_delete_partitions_and_random_delta_shapes(spark, store):
+    """r8: delete_partitions drops named partitions with zero data
+    rewritten (time travel keeps them until vacuum); a delta write whose
+    new contents EMPTY a touched partition removes it; an incomplete
+    touched list must not duplicate rows (writer's partition wins)."""
+    df1 = spark.createDataFrame(
+        [(i, f"p{i % 4}", i * 10) for i in range(12)], "id int, part string, v int"
+    )
+    store.write(df1, "t", partition_by=["part"])
+    # retention delete of two partitions: no rewrite, links only
+    store.delete_partitions("t", "part", ["p0", "p3"])
+    left = {r.part for r in store.read("t").select("part").distinct().collect()}
+    assert left == {"p1", "p2"}
+    assert store.read("t", version=1).count() == 12  # time travel intact
+    # delta write that EMPTIES p1 (touched but absent from df) and
+    # updates p2
+    upd = spark.createDataFrame([(100, "p2", 1)], "id int, part string, v int")
+    store.write_partition_delta(upd, "t", "part", ["p1", "p2"])
+    got = {(r.id, r.part) for r in store.read("t").collect()}
+    assert got == {(100, "p2")}  # p1 emptied, p2 replaced, p0/p3 deleted
+    # incomplete touched list: df writes p1 rows but touched says only p2
+    # -> p1 must hold EXACTLY the fresh rows (no duplicate link carry)
+    store.write(df1, "t2", partition_by=["part"])
+    upd2 = spark.createDataFrame(
+        [(200, "p1", 1), (201, "p2", 2)], "id int, part string, v int"
+    )
+    store.write_partition_delta(upd2, "t2", "part", ["p2"])
+    p1_rows = store.read("t2").filter("part = 'p1'").collect()
+    assert {r.id for r in p1_rows} == {200}
