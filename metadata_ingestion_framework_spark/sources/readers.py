@@ -58,6 +58,55 @@ def read_parquet(
     return df.limit(row_cap) if row_cap else df
 
 
+def read_orc(
+    spark: SparkSession, path: str, row_cap: int | None = None, columns: list[str] | None = None
+) -> DataFrame:
+    """Batch ORC scan — same declarative shape as :func:`read_parquet`
+    (columnar, predicate-pushdown-capable; Spark's native ORC source). No
+    reference analogue (its sources are Delta/parquet/CSV/JDBC/Kafka);
+    format-breadth extension so a reference user with ORC landing zones
+    can switch without a conversion step."""
+    df = spark.read.orc(path)
+    if columns:
+        df = df.select(*columns)
+    return df.limit(row_cap) if row_cap else df
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    ddl_schema: str | StructType | None = None,
+    multiline: bool = False,
+    row_cap: int | None = None,
+    **extra: str,
+) -> DataFrame:
+    """Batch JSON-lines scan with an EXPLICIT schema (never inferSchema in
+    prod — schema inference is a full extra pass over 100 TB and admits
+    drift). ``multiline=True`` for whole-file JSON documents. No reference
+    analogue; format-breadth extension."""
+    reader = spark.read
+    if ddl_schema is not None:
+        reader = reader.schema(ddl_schema)
+    df = reader.options(multiLine=str(multiline).lower(), **extra).json(path)
+    return df.limit(row_cap) if row_cap else df
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    row_cap: int | None = None,
+) -> DataFrame:
+    """Raw text scan: one row per line (``value string``), or one row per
+    FILE with ``wholetext`` — the raw-corpus entry point for the text
+    pipeline (documents often land as flat .txt before any schema
+    exists). No reference analogue; format-breadth extension."""
+    # NB: must be the text() kwarg — a DataFrameReader .option() is reset
+    # by pyspark's text() wrapper (probed: option path splits lines anyway)
+    df = spark.read.text(path, wholetext=whole_file)
+    return df.limit(row_cap) if row_cap else df
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -86,3 +86,41 @@ def test_write_csv_append_accumulates(spark, tmp_path):
     write_csv_append(b, path)
     back = spark.read.csv(path, header=True, inferSchema=True)
     assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "x"), (2, "y"), (3, "z")}
+
+
+def test_read_orc_roundtrip(spark, tmp_path):
+    from metadata_ingestion_framework_spark.sources.readers import read_orc
+
+    path = str(tmp_path / "orc")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string").write.orc(path)
+    df = read_orc(spark, path, columns=["id"])
+    assert [f.name for f in df.schema] == ["id"]
+    assert {r.id for r in df.collect()} == {1, 2}
+    assert read_orc(spark, path, row_cap=1).count() == 1
+
+
+def test_read_json_explicit_schema(spark, tmp_path):
+    from metadata_ingestion_framework_spark.sources.readers import read_json
+
+    path = tmp_path / "j"
+    path.mkdir()
+    (path / "a.jsonl").write_text('{"id": 1, "v": "x"}\n{"id": 2, "v": "y"}\n')
+    df = read_json(spark, str(path), ddl_schema="id int, v string")
+    assert {(r.id, r.v) for r in df.collect()} == {(1, "x"), (2, "y")}
+    # explicit schema: an undeclared field is simply not read
+    (path / "b.jsonl").write_text('{"id": 3, "v": "z", "extra": true}\n')
+    assert read_json(spark, str(path), ddl_schema="id int, v string").count() == 3
+
+
+def test_read_text_lines_and_whole_file(spark, tmp_path):
+    from metadata_ingestion_framework_spark.sources.readers import read_text
+
+    path = tmp_path / "txt"
+    path.mkdir()
+    (path / "doc1.txt").write_text("line one\nline two\n")
+    (path / "doc2.txt").write_text("solo\n")
+    lines = read_text(spark, str(path))
+    assert lines.count() == 3 and [f.name for f in lines.schema] == ["value"]
+    files = read_text(spark, str(path), whole_file=True)
+    assert files.count() == 2
+    assert {r.value.strip().splitlines()[0] for r in files.collect()} == {"line one", "solo"}
