@@ -372,6 +372,7 @@ def pack_manifest(
     id_col: str,
     budget_tokens: int = 2048,
     shards: int = 32,
+    order_col: str | None = None,
 ) -> "DataFrame":
     """Sequence-packing manifest: map every document's token span onto
     fixed-size training sequences, concat-then-chunk style (the packing
@@ -408,14 +409,20 @@ def pack_manifest(
     base = (
         df.select(
             id_col,
+            *( [order_col] if order_col else [] ),
             shard.cast("int").alias("shard"),
             n_toks.cast("long").alias("n_tokens"),
         )
         .filter(F.col("n_tokens") > 0)
     )
+    # order_col (r8): pack in a caller-supplied epoch order (e.g. the
+    # deterministic_shuffle rank) instead of raw id order — the
+    # shuffled-epoch -> packed-sequences composition every loader wants;
+    # id stays the tiebreak so the manifest is engine-exact either way
+    order = [F.col(order_col).asc(), F.col(id_col).asc()] if order_col else [F.col(id_col).asc()]
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)

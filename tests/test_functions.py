@@ -243,3 +243,49 @@ def test_ngram_perplexity_separates_common_from_rare(spark):
     out = {r["doc_id"]: r["avg_nll"] for r in res.collect()}
     assert out[0] < out[99]
     unpersist_deps(res)
+
+
+def test_pack_manifest_epoch_order(spark):
+    """r8: order_col packs each shard in a caller-supplied epoch order
+    (the det_shuffle composition) — token spans stay contiguous and
+    budget-aligned per shard, default id-order results unchanged."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        deterministic_shuffle,
+    )
+    from metadata_ingestion_framework_spark.functions.text import pack_manifest
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    shuffled = deterministic_shuffle(docs, ["doc_id"], salt="ep1", shards=4)
+    man = pack_manifest(
+        shuffled, "text", "doc_id", budget_tokens=7, shards=4,
+        order_col="shuffle_rank",
+    ).collect()
+    for dep in getattr(shuffled, "_persisted_deps", ()):
+        dep.unpersist()
+    ranks = {r.doc_id: r for r in shuffled.collect()}
+    by_shard: dict = {}
+    for r in man:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == 40
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: ranks[r.doc_id]["shuffle_rank"])
+        offset = 0
+        for r in shard_rows:  # spans contiguous in EPOCH order
+            assert r.seq_first == offset // 7
+            assert r.seq_last == (offset + r.n_tokens - 1) // 7
+            offset += r.n_tokens
+    # default path unchanged: id order
+    man_id = pack_manifest(docs, "text", "doc_id", budget_tokens=7, shards=4).collect()
+    for shard_rows in [
+        sorted([r for r in man_id if r.shard == s], key=lambda r: r.doc_id)
+        for s in {r.shard for r in man_id}
+    ]:
+        offset = 0
+        for r in shard_rows:
+            assert r.seq_first == offset // 7
+            offset += r.n_tokens
