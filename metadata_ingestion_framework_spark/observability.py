@@ -120,3 +120,41 @@ def timed(fn, *args, **kwargs) -> tuple[object, float]:
     t0 = time.perf_counter()
     out = fn(*args, **kwargs)
     return out, time.perf_counter() - t0
+
+
+def observe_stage(df: DataFrame, name: str, metrics: dict | None = None):
+    """Attach plan-level metrics to a pipeline stage: returns
+    ``(df, Observation)`` where the observation's named metrics (default:
+    ``rows`` count) are computed BY THE SAME JOB that executes the plan —
+    zero extra passes, unlike a ``.count()`` fact (which re-runs the
+    stage; at 100 TB a per-stage recount IS a second pipeline). Read
+    ``obs.get`` after any action on a descendant DataFrame and feed it to
+    :meth:`ObservabilityStore.write_fact`.
+
+    Scale/parity note: this is the Spark-native ``Dataset.observe`` API
+    (public); the reference's count facts (Task.scala:99-141) re-count.
+    Batch only — for streams use the query-progress listener's
+    ``observedMetrics`` with the same expressions.
+    """
+    from pyspark.sql import Observation
+
+    metrics = metrics or {"rows": F.count(F.lit(1))}
+    obs = Observation(name)
+    out = df.observe(obs, *[v.alias(k) for k, v in metrics.items()])
+    return out, obs
+
+
+def write_observed_facts(
+    store: "ObservabilityStore",
+    pipeline_id: str,
+    task_name: str,
+    observations: list,
+    batch_id: int = 0,
+) -> None:
+    """Land ``(stage_name, Observation)`` pairs from :func:`observe_stage`
+    as fact rows (one per metric) after the action that populated them."""
+    for stage, obs in observations:
+        for metric, value in obs.get.items():
+            store.write_fact(
+                pipeline_id, task_name, f"{stage}.{metric}", int(value), batch_id
+            )

@@ -93,3 +93,35 @@ def test_observability_fact_and_error(spark, emp, tmp_path):
     assert fact["metric"] == "input_rows" and fact["value"] == 5
     errs = obs.read_errors().collect()
     assert len(errs) == 2 and "|" in errs[0]["row_data"]
+
+
+def test_observe_stage_counts_without_recompute(spark, tmp_path):
+    """r8: plan-attached metrics — one action populates every stage's
+    observation (no per-stage recount), and the facts land in the store."""
+    from metadata_ingestion_framework_spark.observability import (
+        ObservabilityStore,
+        observe_stage,
+        write_observed_facts,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    s1, o1 = observe_stage(df, "scored")
+    gated = s1.filter("id >= 40")
+    s2, o2 = observe_stage(
+        gated, "gated", {"rows": F.count(F.lit(1)), "id_sum": F.sum("id")}
+    )
+    result = s2.groupBy("k").count()
+    assert result.count() == 5  # ONE action drives both observations
+    assert o1.get == {"rows": 100}
+    assert o2.get["rows"] == 60 and o2.get["id_sum"] == sum(range(40, 100))
+
+    store = ObservabilityStore(spark, str(tmp_path / "obs"))
+    write_observed_facts(
+        store, "p1", "curate", [("scored", o1), ("gated", o2)], batch_id=7
+    )
+    facts = {
+        r.metric: r.value for r in store.read_facts().collect()
+    }
+    assert facts == {"scored.rows": 100, "gated.rows": 60,
+                     "gated.id_sum": sum(range(40, 100))}
