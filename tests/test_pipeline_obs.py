@@ -125,3 +125,39 @@ def test_observe_stage_counts_without_recompute(spark, tmp_path):
     }
     assert facts == {"scored.rows": 100, "gated.rows": 60,
                      "gated.id_sum": sum(range(40, 100))}
+
+
+def test_observe_stage_streaming_progress_metrics(spark, tmp_path):
+    """r8 streaming face of observe_stage: the SAME observe() expressions
+    attach to a streaming plan and surface per-micro-batch through the
+    query's progress (observedMetrics) — no recount, no extra action."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(i,) for i in range(50)], "id long").write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long").parquet(src)
+        .observe("ingested", F.count(F.lit(1)).alias("rows"),
+                 F.sum("id").alias("id_sum"))
+        .filter("id >= 10")
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("obs_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    observed = {}
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
+        if om and "ingested" in om:
+            m = om["ingested"]
+            observed["rows"] = observed.get("rows", 0) + m["rows"]
+            observed["id_sum"] = observed.get("id_sum", 0) + m["id_sum"]
+    q.stop()
+    assert observed == {"rows": 50, "id_sum": sum(range(50))}
+    assert spark.table("obs_sink").count() == 40
