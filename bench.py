@@ -127,6 +127,21 @@ def run_query(spark, fn, sf_dir) -> tuple[float, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # Environment self-description (VERDICT r8 item 1): a preceding Spark
+    # session winding down inflates pure-JVM stages 1.5-3x (CLAUDE.md uptime
+    # rule). Recording the 1-min load average at start lets any reader
+    # adjudicate a noisy run without forensics — load_avg_at_start > ~2 on
+    # this box means the numbers are environment-suspect, not regressions.
+    try:
+        load_avg_at_start = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        load_avg_at_start = None
+    if load_avg_at_start is not None and load_avg_at_start > 2.0:
+        print(
+            f"# WARNING: load_avg_at_start={load_avg_at_start} > 2.0 — "
+            "timings likely inflated by background work; re-run idle",
+            file=sys.stderr,
+        )
     from metadata_ingestion_framework_spark import get_spark
     from metadata_ingestion_framework_spark.catalog_queries import QUERIES
 
@@ -223,6 +238,7 @@ def main() -> None:
         "flagship": flagship,
         "extended": extended,
         "action": ACTION,
+        "load_avg_at_start": load_avg_at_start,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -103,15 +103,20 @@ def _ordered_shard(
     return parted.withColumn("__b", F.spark_partition_id()).persist()
 
 
-def _attach_deps(out: DataFrame, *sources) -> DataFrame:
-    """Attach persisted intermediates (and any deps inherited from input
-    DataFrames) to the result's ``_persisted_deps`` — the session-lifetime
-    release convention (operators/dedup.py::carry_deps)."""
-    deps: list = []
-    for s in sources:
+def _attach_deps(out: DataFrame, owned: list, *inputs) -> DataFrame:
+    """Attach persisted intermediates to the result's ``_persisted_deps`` —
+    the session-lifetime release convention (operators/dedup.py::carry_deps).
+
+    ``owned`` lists the persists THIS operator created (always attached);
+    ``inputs`` are caller-supplied DataFrames from which only INHERITED
+    ``_persisted_deps`` propagate — the input itself is never appended even
+    if the caller persisted it, because releasing an operator's deps must
+    not unpersist a cache the caller still needs (ADVICE r8: probe_skew's
+    ``docs.persist()`` was silently released by the first operator's dep
+    cleanup, cooling the second operator's timing)."""
+    deps: list = list(owned)
+    for s in inputs:
         deps.extend(getattr(s, "_persisted_deps", ()))
-        if s.storageLevel.useMemory or s.storageLevel.useDisk:
-            deps.append(s)
     if deps:
         out._persisted_deps = deps
     return out
@@ -209,7 +214,7 @@ def token_budget_select(
         .filter(F.col("cum_before") < budget_tokens)
         .drop("__b", "__off")
     )
-    return _attach_deps(out, sharded, df)
+    return _attach_deps(out, [sharded] if sharded is not None else [], df)
 
 
 def _grouped_rank(
@@ -279,7 +284,7 @@ def quota_sample(
         .withColumn(rank_col, F.col("__rank"))
         .drop("__b", "__off", "__n", "__rank")
     )
-    return _attach_deps(out, sharded, df)
+    return _attach_deps(out, [sharded] if sharded is not None else [], df)
 
 
 def hash_key60(cols: list[str | Column], salt: str = "") -> Column:
@@ -326,7 +331,7 @@ def deterministic_shuffle(
     out = ranked.withColumn(out_col, F.col("__rank")).drop(
         "__b", "__off", "__n", "__rank", "__hk"
     )
-    return _attach_deps(out, sharded, df)
+    return _attach_deps(out, [sharded] if sharded is not None else [], df)
 
 
 def calibrate_scores(
@@ -368,7 +373,7 @@ def calibrate_scores(
     out = ranked.withColumn(out_col, F.round(pct, 6)).drop(
         "__b", "__off", "__n", "__rank"
     )
-    return _attach_deps(out, sharded, df)
+    return _attach_deps(out, [sharded] if sharded is not None else [], df)
 
 
 def temperature_mix_rates(

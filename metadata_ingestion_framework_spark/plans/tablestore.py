@@ -25,6 +25,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Characters Spark escapes in partition directory names (public behavior of
+# ExternalCatalogUtils.escapePathName: ASCII control chars plus the path/
+# metadata specials below become %XX uppercase-hex). The touched-partition
+# matching in write_partition_delta must build dir names the same way, or a
+# string partition value containing '=' / ':' / '%' would never match its
+# written directory — the old dir would be hard-linked BESIDE the fresh one
+# and rows would silently duplicate (ADVICE r8).
+_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^' ) | frozenset(
+    chr(c) for c in range(0x20)
+) | frozenset({chr(0x7F)})
+
+
+def escape_partition_value(value: str) -> str:
+    """Escape a partition VALUE exactly the way Spark does when it builds
+    ``col=value`` partition directory names."""
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch for ch in value
+    )
+
+
 class VersionedParquetStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -100,20 +120,45 @@ class VersionedParquetStore:
         cur = self.current_version(table)
         if cur is None:
             return self.write(df, table, partition_by=[partition_col])
+        # Validate the PREVIOUS version's layout before paying for the new
+        # write: if it is not laid out as '{partition_col}=...' dirs
+        # (unpartitioned, or partitioned by a different column), nothing
+        # would be carried and the new version would silently hold only the
+        # touched data — delete_partitions on such a table would silently
+        # truncate it. Refuse instead (ADVICE r8).
+        prev = self._version_path(table, cur)
+        carry = []
+        for name in os.listdir(prev):
+            if name.startswith((".", "_")):
+                continue  # _SUCCESS / hidden metadata, never carried
+            if not name.startswith(f"{partition_col}="):
+                raise ValueError(
+                    f"table {table!r} v={cur} entry {name!r} is not a "
+                    f"'{partition_col}=' partition dir — the current version "
+                    f"is not partitioned by {partition_col!r}; rewrite it "
+                    "with write(..., partition_by=[...]) before using "
+                    "partition-delta writes"
+                )
+            carry.append(name)
+        # NULL partition values land in the Hive default-partition dir —
+        # a None in touched_values must match it, or the null partition
+        # would be both rewritten and linked (duplicated). Non-null values
+        # go through Spark's path escaping so specials like '=' / ':' / '%'
+        # match the directory Spark actually wrote (ADVICE r8).
+        touched = {
+            f"{partition_col}="
+            + (
+                "__HIVE_DEFAULT_PARTITION__"
+                if v is None
+                else escape_partition_value(str(v))
+            )
+            for v in touched_values
+        }
         nxt = cur + 1
         path = self._version_path(table, nxt)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        # NULL partition values land in the Hive default-partition dir —
-        # a None in touched_values must match it, or the null partition
-        # would be both rewritten and linked (duplicated)
-        touched = {
-            f"{partition_col}="
-            + ("__HIVE_DEFAULT_PARTITION__" if v is None else str(v))
-            for v in touched_values
-        }
-        prev = self._version_path(table, cur)
-        for name in os.listdir(prev):
-            if not name.startswith(f"{partition_col}=") or name in touched:
+        for name in carry:
+            if name in touched:
                 continue
             src, dst = os.path.join(prev, name), os.path.join(path, name)
             if os.path.isdir(dst):

@@ -218,3 +218,47 @@ def test_tablestore_delete_partitions_and_random_delta_shapes(spark, store):
     store.write_partition_delta(upd2, "t2", "part", ["p2"])
     p1_rows = store.read("t2").filter("part = 'p1'").collect()
     assert {r.id for r in p1_rows} == {200}
+
+
+def test_tablestore_escaped_partition_values(spark, store):
+    """ADVICE r9: Spark escapes specials ('=', ':', '%', ...) in partition
+    dir names (escapePathName); the touched-set matching must build names
+    the same way or the old dir is linked BESIDE the fresh one and rows
+    duplicate."""
+    weird = ["a=b", "x:y", "50%", "plain"]
+    df1 = spark.createDataFrame(
+        [(i, p, i * 10) for i, p in enumerate(weird)], "id int, part string, v int"
+    )
+    store.write(df1, "t", partition_by=["part"])
+    # rewrite the 'a=b' partition only — pre-fix, 'part=a=b' never matched
+    # the escaped dir 'part=a%3Db', so v1's rows were carried alongside
+    upd = spark.createDataFrame([(100, "a=b", 1)], "id int, part string, v int")
+    store.write_partition_delta(upd, "t", "part", ["a=b"])
+    got = {(r.id, r.part) for r in store.read("t").collect()}
+    assert got == {(100, "a=b"), (1, "x:y"), (2, "50%"), (3, "plain")}
+    # retention delete of an escaped value must actually drop it
+    store.delete_partitions("t", "part", ["50%"])
+    assert {r.part for r in store.read("t").collect()} == {"a=b", "x:y", "plain"}
+
+
+def test_tablestore_partition_delta_layout_guard(spark, store):
+    """ADVICE r9: partition-delta against a table NOT laid out by the given
+    column must refuse (nothing would be carried — delete_partitions would
+    silently truncate the table), and must refuse BEFORE writing the new
+    version (pointer and version count unchanged)."""
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id int, part string, v int"
+    )
+    store.write(df1, "unpart")  # unpartitioned
+    upd = spark.createDataFrame([(9, "a", 1)], "id int, part string, v int")
+    with pytest.raises(ValueError, match="not partitioned by"):
+        store.write_partition_delta(upd, "unpart", "part", ["a"])
+    with pytest.raises(ValueError, match="not partitioned by"):
+        store.delete_partitions("unpart", "part", ["a"])
+    assert store.current_version("unpart") == 1
+    assert not os.path.isdir(store._version_path("unpart", 2))
+    assert store.read("unpart").count() == 2
+    # partitioned by a DIFFERENT column: same refusal
+    store.write(df1, "other", partition_by=["part"])
+    with pytest.raises(ValueError, match="not partitioned by"):
+        store.write_partition_delta(upd, "other", "v", [10])

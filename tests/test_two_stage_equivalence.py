@@ -129,3 +129,32 @@ def test_det_shuffle_equals_global_sort_rank(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
     for dep in getattr(got, "_persisted_deps", ()):
         dep.unpersist()
+
+
+def test_deps_exclude_caller_persisted_input(spark):
+    """ADVICE r9: releasing an operator's _persisted_deps must not unpersist
+    a cache the CALLER created on the input (probe_skew's docs.persist()
+    was cooled by the first operator's dep cleanup)."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        calibrate_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "id long, src string"
+    ).persist()
+    try:
+        df.count()
+        out = calibrate_scores(
+            df, F.col("id").cast("double"), "id", by=["src"], shards=4
+        )
+        out.count()
+        deps = list(getattr(out, "_persisted_deps", ()))
+        assert all(d is not df for d in deps), "caller's own persist leaked into deps"
+        for d in deps:
+            d.unpersist()
+        # the caller's cache must still be live after the release loop
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    finally:
+        df.unpersist()

@@ -290,10 +290,12 @@ def probe_incremental(spark, docs, replicas: int, workdir: str) -> dict:
         store = MinhashSignatureStore(
             spark, os.path.join(workdir, f"sigstore_{tag}"), jaccard_threshold=0.5
         )
-        # seed directly (no dedup): prior runs' accumulated state
+        # seed directly (no dedup): prior runs' accumulated state — through
+        # the store's canonical bucket-partitioned layouts (r9: the sigs
+        # table is sig_bucket-partitioned so ingests partition-delta it)
         seed_sigs = store._signatures(store_docs).persist()
         timed("seed_store_write", lambda: (
-            store.store.write(seed_sigs, store.SIGS),
+            store.write_sigs_snapshot(seed_sigs),
             store.store.write(store._band_rows(seed_sigs), store.BANDS,
                               partition_by=["bucket"]),
             seed_sigs.count())[-1], r)
