@@ -155,13 +155,20 @@ class MinhashSignatureStore:
     Tables (both ``VersionedParquetStore`` snapshots under ``root``):
 
     - ``sigs``:  (id, minhash_sig array<long>, sig_bucket) — every doc
-      ever seen, partitioned by ``sig_bucket = pmod(xxhash64(id),
-      n_buckets)``. The bucket is a pure function of the ID, so a row
-      NEVER moves buckets: each ingest merges and physically rewrites
-      only the batch's own sig buckets (``write_partition_delta`` hard-
-      links the rest), with no ghost hazard at all — r8's one remaining
-      store-size-proportional write (the full sigs snapshot per ingest)
-      is gone (VERDICT r8 item 1).
+      ever seen, partitioned by ``sig_bucket``, a pure function of the
+      ID (so a row NEVER moves buckets and no ghost can form): numeric
+      ids use RANGE buckets ``floor(id / sig_bucket_width)``, string ids
+      fall back to ``pmod(xxhash64(id), n_buckets)``. Each ingest merges
+      and physically rewrites only the batch's own sig buckets
+      (``write_partition_delta`` hard-links the rest) — r8's one
+      remaining store-size-proportional write (the full sigs snapshot
+      per ingest) is gone (VERDICT r8 item 1). Range buckets matter:
+      hash buckets spread any batch bigger than ``n_buckets`` across
+      EVERY bucket (a 500-doc batch touches all 64), degenerating the
+      delta into a full rewrite, while real ingests mint monotonically
+      increasing ids whose range buckets are the batch's own — write
+      cost tracks the BATCH at any store size. At 100 TB pick
+      ``sig_bucket_width`` so a bucket holds a few GB.
     - ``bands``: (id, band, band_hash, bucket) — the LSH join keys,
       partitioned by ``bucket = pmod(band_hash, n_buckets)`` so a small
       batch's store scan prunes to its own buckets.
@@ -188,6 +195,7 @@ class MinhashSignatureStore:
         token_hash: str = "blake2b",
         jaccard_threshold: float = 0.8,
         n_buckets: int = 64,
+        sig_bucket_width: int = 8192,
     ):
         self.spark = spark
         self.store = VersionedParquetStore(spark, root)
@@ -199,6 +207,7 @@ class MinhashSignatureStore:
         self.token_hash = token_hash
         self.jaccard_threshold = jaccard_threshold
         self.n_buckets = n_buckets
+        self.sig_bucket_width = sig_bucket_width
         self._ledger_path = os.path.join(root, "_runs.json")
 
     # -- run ledger --------------------------------------------------------
@@ -237,15 +246,26 @@ class MinhashSignatureStore:
         """Partition key for the sigs table: a pure function of the id
         (NOT of the signature), so a re-ingested doc's row stays in the
         same bucket forever — the partition-delta touched set is exactly
-        the batch ids' buckets and no ghost can form. Engine-internal
-        (never oracle-compared), so xxhash64 is fine here."""
-        return sigs.withColumn(
-            "sig_bucket",
-            F.pmod(
+        the batch ids' buckets and no ghost can form.
+
+        Numeric ids get RANGE buckets (``floor(id / sig_bucket_width)``):
+        a real ingest mints monotone ids, so a batch's rows concentrate
+        in a handful of buckets and the delta write stays O(batch) no
+        matter how big the store is. Hash buckets (the string-id
+        fallback) spread any batch of >= n_buckets rows across EVERY
+        bucket — the write degenerates to a full-store rewrite. Engine-
+        internal (never oracle-compared), so xxhash64 is fine here."""
+        id_type = dict(sigs.dtypes)[self.id_col]
+        if id_type in ("tinyint", "smallint", "int", "bigint"):
+            bucket = F.floor(
+                F.col(self.id_col) / F.lit(self.sig_bucket_width)
+            ).cast("long")
+        else:
+            bucket = F.pmod(
                 F.xxhash64(F.col(self.id_col).cast("string")),
                 F.lit(self.n_buckets),
-            ),
-        )
+            )
+        return sigs.withColumn("sig_bucket", bucket)
 
     def write_sigs_snapshot(self, sigs: DataFrame) -> int:
         """Full sigs-table write in the store's canonical layout

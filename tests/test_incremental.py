@@ -271,6 +271,10 @@ def test_sigs_layout_bucket_partitioned_and_delta_linked(spark, store):
     ingests rewrite ONLY the batch ids' buckets — untouched sig buckets
     carry by hard link, so per-ingest write cost tracks the batch, not the
     store."""
+    store = MinhashSignatureStore(
+        spark, store._ledger_path[: -len("/_runs.json")] + "_rangebucket",
+        jaccard_threshold=0.5, sig_bucket_width=16,
+    )
     many = _docs(
         spark,
         [(i, f"unique content number {i} with plenty of words " * 4) for i in range(40)],
