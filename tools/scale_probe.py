@@ -354,6 +354,9 @@ def probe_skew(spark, docs, tag: str) -> dict:
         out = token_budget_select(
             docs, "text", "doc_id", F.length("text").cast("double"),
             budget_tokens=1 << 40, by=["source"],
+            # explicit shards: the probe measures the SHARDED path (r9's
+            # small-input bypass would otherwise fire at these toy sizes)
+            shards=spark.sparkContext.defaultParallelism,
         )
         n = out.count()
         for dep in getattr(out, "_persisted_deps", ()):
@@ -362,7 +365,8 @@ def probe_skew(spark, docs, tag: str) -> dict:
 
     def _calibrate():
         out = calibrate_scores(
-            docs, F.length("text").cast("double"), "doc_id", by=["source"]
+            docs, F.length("text").cast("double"), "doc_id", by=["source"],
+            shards=spark.sparkContext.defaultParallelism,
         )
         n = out.count()
         for dep in getattr(out, "_persisted_deps", ()):
