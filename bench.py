@@ -59,6 +59,7 @@ EXTENDED = [
     "pack_manifest",
     "tfidf_top_terms",
     "ivf_topk_int8",
+    "ann_recall",
     "incremental_dedup",
     "dup_clusters",
     "heuristic_filters",

@@ -3022,6 +3022,68 @@ FROM reranked QUALIFY rank <= {k}
 ORACLE_IVF_TOPK_INT8 = _build_ivf_topk_int8_oracle()
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN retrieval-quality contract (operators/similarity.py::ivf_recall,
+    VERDICT r8 item 4): per-query recall@10 of the IVF index vs the exact
+    cosine top-10, at n_probe 2 and 4 plus a full probe of all 8 cells.
+
+    Oracle-checkable faces: ``n_exact`` DuckDB recomputes from its own
+    exact top-k; ``recall_full`` must be EXACTLY 1.0 (full probe == exact,
+    a theorem of the candidate-superset rerank — the exact baseline scores
+    with the identical round(cosine,6) expression so it holds bit-for-bit);
+    ``mono_ok`` asserts per-query recall is non-decreasing in n_probe
+    (superset theorem); the bound columns assert the measured floors with
+    margin (observed mins across sf0.001/0.01/0.1: p2 0.2, p4 0.4 —
+    engine-specific retrieval VALUES follow the approx_distinct contract
+    convention: invariants, not raw engine internals)."""
+    from metadata_ingestion_framework_spark.operators.dedup import carry_deps
+    from metadata_ingestion_framework_spark.operators.similarity import ivf_recall
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r = ivf_recall(emb, queries, dim=64, k=10, n_cells=8, probes=(2, 4))
+    out = r.select(
+        "query_id",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        "recall_full",
+        (
+            (F.col("recall_p2") <= F.col("recall_p4"))
+            & (F.col("recall_p4") <= F.col("recall_full"))
+        ).alias("mono_ok"),
+        (F.col("recall_p2") >= 0.15).alias("bound_ok_p2"),
+        (F.col("recall_p4") >= 0.3).alias("bound_ok_p4"),
+    )
+    return carry_deps(out, r)
+
+
+ORACLE_ANN_RECALL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qvec) /
+      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+       sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score
+  FROM embeddings e CROSS JOIN q
+),
+topk AS (
+  SELECT query_id, vec_id FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) <= 10
+)
+SELECT query_id,
+  CAST(COUNT(*) AS BIGINT) AS n_exact,
+  CAST(1.0 AS DOUBLE) AS recall_full,
+  true AS mono_ok,
+  true AS bound_ok_p2,
+  true AS bound_ok_p4
+FROM topk GROUP BY query_id
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label blocks.
 
@@ -3580,6 +3642,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "lang_id": q_lang_id,  # r8: oracle tokenizer aligned to explicit ws class
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
+    "ann_recall": q_ann_recall,  # r9: IVF recall@k contract (NEW)
     "heuristic_filters": q_heuristic_filters,  # r7: C4/Gopher quality gate
     "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
     "ngram_perplexity": q_ngram_perplexity,  # r7: bigram pseudo-perplexity
@@ -3616,9 +3679,13 @@ QUERIES = {
     # skew mitigation (r6 oracles; first driver-window pass this round —
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
-    "fingerprint": q_fingerprint,  # r8: back in-window (wide_t change in r7
-    # shipped rotated-out — the window rule audit, r7 VERDICT item 5)
-    # --- position 51+ (driver-verified green in earlier rounds). r8
+    # --- position 51+ (driver-verified green in earlier rounds). r9
+    # rotation: ann_recall (NEW — IVF retrieval-quality contract, VERDICT
+    # r8 item 4) displaced fingerprint, which was pulled in-window for ONE
+    # round in r8 solely because r7's wide_t change had shipped rotated-out
+    # — it went driver-green in r8 and is unchanged since; the text family
+    # keeps lang_id/quality_score/heuristic_filters/repetition_stats/
+    # ngram_perplexity/top_ngrams/tfidf in-window. r8
     # rotation (2): curation_v3 (NEW — mix-aware leakage-safe composite)
     # took curation_pipeline's slot; curation_pipeline is driver-green
     # since r2, still benched as a FLAGSHIP every round, and its stages
@@ -3671,6 +3738,8 @@ QUERIES = {
     # Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
+    "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
+    # green r8, unchanged since)
     "epoch_roundtrip": q_epoch_roundtrip,
     "stream_events_agg": q_stream_events_agg,
     "dedup_simhash": q_dedup_simhash,
@@ -3812,6 +3881,7 @@ ORACLES = {
     "lsh_topk_mp": ORACLE_LSH_TOPK_MP,
     "ivf_topk": ORACLE_IVF_TOPK,
     "ivf_topk_int8": ORACLE_IVF_TOPK_INT8,
+    "ann_recall": ORACLE_ANN_RECALL,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "grouping_key": ORACLE_GROUPING_KEY,
     "det_sample": ORACLE_DET_SAMPLE,

@@ -155,3 +155,47 @@ def test_semantic_dedup_transitive_chain(spark):
     # exercised nothing)
     assert out[1]["cell"] == out[2]["cell"] == out[3]["cell"]
     unpersist_deps(res)
+
+
+def test_ivf_recall_contract(spark):
+    """r9 (VERDICT r8 item 4): per-query recall@k of the IVF index vs the
+    exact baseline — derived-filter top-k's must equal real ivf_topk runs
+    at each n_probe, recall is monotone in n_probe, full probe is exactly
+    1.0, and the measured floors hold at two settings."""
+    import pyspark.sql.functions as F
+
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        ivf_recall,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r = ivf_recall(emb, queries, dim=64, k=10, n_cells=8, probes=(2, 4))
+    rows = {x.query_id: x for x in r.collect()}
+    assert len(rows) == 8
+    for x in rows.values():
+        assert x.n_exact == 10
+        assert x.recall_full == 1.0, "full probe must reproduce the exact top-k"
+        assert x.recall_p2 <= x.recall_p4 <= x.recall_full, "monotone in n_probe"
+        # measured floors (mins across sf0.001/0.01/0.1: p2 0.2, p4 0.4)
+        assert x.recall_p2 >= 0.15 and x.recall_p4 >= 0.3
+
+    # the shared-scan filter formulation must equal REAL ivf_topk runs
+    exact_ids = {}  # query -> exact top-10 id set, via the full probe
+    full = ivf_topk(emb, queries, 64, 10, 8, 8)
+    for q, vid in full.select("query_id", "vec_id").collect():
+        exact_ids.setdefault(q, set()).add(vid)
+    for p in (2, 4):
+        ap = {}
+        for q, vid in ivf_topk(emb, queries, 64, 10, 8, p).select(
+            "query_id", "vec_id"
+        ).collect():
+            ap.setdefault(q, set()).add(vid)
+        for q in rows:
+            got = len(exact_ids[q] & ap.get(q, set())) / 10
+            assert got == rows[q][f"recall_p{p}"], (q, p)
+    for d in r._persisted_deps:
+        d.unpersist()
