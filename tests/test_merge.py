@@ -172,3 +172,75 @@ def test_scd4_history_capture(spark):
     assert hist[0]["place"] == "AMS" and hist[0]["history_created_at"] == "2021-06-01"
     cur = {r["empid"]: r["place"] for r in current.collect()}
     assert cur == {1: "BER", 2: "NYC", 3: "SFO"}
+
+
+def test_scd1_schema_evolution(spark):
+    """r9 (VERDICT r8 item 6): an update batch with an ADDED column merges
+    when allow_schema_evolution=True — existing history null-fills the new
+    column, matched rows take the update's value; without the flag the new
+    column is silently IGNORED (Delta's updateAll-without-autoMerge parity:
+    extra source columns drop)."""
+    from metadata_ingestion_framework_spark.operators.merge import scd1_merge
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 9.5), (3, "c", 7.0)], "id int, v string, score double"
+    )
+    dropped = scd1_merge(target, updates, ["id"])
+    assert dropped.columns == ["id", "v"], "without the flag, extra cols drop"
+    out = scd1_merge(target, updates, ["id"], allow_schema_evolution=True)
+    assert out.columns == ["id", "v", "score"]
+    got = {r.id: (r.v, r.score) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 7.0)}
+    # and the evolved type is the update side's real type, not a string
+    assert dict(out.dtypes)["score"] == "double"
+
+
+def test_scd2_schema_evolution(spark):
+    """SCD2 with a column added mid-stream: the expire clause keeps NULL on
+    the historical row, the fresh current version carries the new value."""
+    from metadata_ingestion_framework_spark.operators.merge import scd2_merge
+
+    target = _scd2_target(spark)
+    updates = spark.createDataFrame(
+        [(1, "BER", True, None, "2021-06-01", "eu-central")],
+        "empid int, place string, current_flag boolean, expiry_at string, "
+        "updated_at string, region string",
+    )
+    out = scd2_merge(
+        target, updates, ["empid"],
+        match_condition="target.current_flag = true AND target.place <> updates.place",
+        updated_at_col="updated_at",
+        allow_schema_evolution=True,
+    ).cache()
+    assert "region" in out.columns
+    versions = out.filter("empid = 1").orderBy("updated_at").collect()
+    old, new = versions
+    assert old["region"] is None and old["current_flag"] is False
+    assert new["region"] == "eu-central" and new["current_flag"] is True
+    # untouched key: history null-fills the new column
+    assert out.filter("empid = 2").collect()[0]["region"] is None
+
+
+def test_versioned_store_append_merges_schema(spark, tmp_path):
+    """The store's append path has mergeSchema semantics (Task.scala:76
+    parity): appending a batch with a NEW column widens the table schema
+    and null-fills prior rows; appending a batch MISSING a column
+    null-fills the gap."""
+    from metadata_ingestion_framework_spark.plans.tablestore import (
+        VersionedParquetStore,
+    )
+
+    store = VersionedParquetStore(spark, str(tmp_path / "tables"))
+    store.write(spark.createDataFrame([(1, "a")], "id int, v string"), "t")
+    store.append(
+        spark.createDataFrame([(2, "b", 5.0)], "id int, v string, score double"),
+        "t",
+    )
+    got = {r.id: (r.v, r.score) for r in store.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("b", 5.0)}
+    store.append(spark.createDataFrame([(3,)], "id int"), "t")
+    got = {r.id: (r.v, r.score) for r in store.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("b", 5.0), 3: (None, None)}
