@@ -3023,7 +3023,7 @@ ORACLE_IVF_TOPK_INT8 = _build_ivf_topk_int8_oracle()
 
 
 def q_ann_recall(spark, sf_dir):
-    """ANN retrieval-quality contract (operators/similarity.py::ivf_recall,
+    """ANN retrieval-quality contract (similarity.py::ivf_recall + lsh_recall,
     VERDICT r8 item 4): per-query recall@10 of the IVF index vs the exact
     cosine top-10, at n_probe 2 and 4 plus a full probe of all 8 cells.
 
@@ -3037,14 +3037,17 @@ def q_ann_recall(spark, sf_dir):
     engine-specific retrieval VALUES follow the approx_distinct contract
     convention: invariants, not raw engine internals)."""
     from metadata_ingestion_framework_spark.operators.dedup import carry_deps
-    from metadata_ingestion_framework_spark.operators.similarity import ivf_recall
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        ivf_recall,
+        lsh_recall,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     r = ivf_recall(emb, queries, dim=64, k=10, n_cells=8, probes=(2, 4))
-    out = r.select(
+    ivf = r.select(
         "query_id",
         F.col("n_exact").cast("bigint").alias("n_exact"),
         "recall_full",
@@ -3055,7 +3058,21 @@ def q_ann_recall(spark, sf_dir):
         (F.col("recall_p2") >= 0.15).alias("bound_ok_p2"),
         (F.col("recall_p4") >= 0.3).alias("bound_ok_p4"),
     )
-    return carry_deps(out, r)
+    # LSH face (same contract shape; 4 planes so buckets hold enough rows
+    # for a meaningful recall curve on the synthetic data; measured m0/m2
+    # floors 0.1 across SFs -> 0.05 bound with margin)
+    s = lsh_recall(emb, queries, dim=64, k=10, n_planes=4, probes=(0, 2))
+    lsh = s.select(
+        "query_id",
+        F.col("recall_full").alias("lsh_recall_full"),
+        (
+            (F.col("recall_m0") <= F.col("recall_m2"))
+            & (F.col("recall_m2") <= F.col("recall_full"))
+        ).alias("lsh_mono_ok"),
+        (F.col("recall_m2") >= 0.05).alias("lsh_bound_ok_m2"),
+    )
+    out = ivf.join(lsh, "query_id")
+    return carry_deps(carry_deps(out, r), s)
 
 
 ORACLE_ANN_RECALL = """
@@ -3079,7 +3096,10 @@ SELECT query_id,
   CAST(1.0 AS DOUBLE) AS recall_full,
   true AS mono_ok,
   true AS bound_ok_p2,
-  true AS bound_ok_p4
+  true AS bound_ok_p4,
+  CAST(1.0 AS DOUBLE) AS lsh_recall_full,
+  true AS lsh_mono_ok,
+  true AS lsh_bound_ok_m2
 FROM topk GROUP BY query_id
 """
 

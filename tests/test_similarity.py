@@ -199,3 +199,63 @@ def test_ivf_recall_contract(spark):
             assert got == rows[q][f"recall_p{p}"], (q, p)
     for d in r._persisted_deps:
         d.unpersist()
+
+
+def test_lsh_recall_contract(spark):
+    """r9: the lsh_recall twin — monotone in multi_probe m, full probe is
+    exactly 1.0, measured floors hold, and the shared-scan filter equals
+    real lsh_topk runs at each multi_probe setting."""
+    import pyspark.sql.functions as F
+
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        lsh_recall,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r = lsh_recall(emb, queries, dim=64, k=10, n_planes=4, probes=(0, 2))
+    rows = {x.query_id: x for x in r.collect()}
+    assert len(rows) == 8
+    for x in rows.values():
+        assert x.n_exact == 10
+        assert x.recall_full == 1.0
+        assert x.recall_m0 <= x.recall_m2 <= x.recall_full
+        assert x.recall_m0 >= 0.05 and x.recall_m2 >= 0.05
+
+    # filter formulation == real lsh_topk at each multi_probe setting;
+    # exact baseline recomputed with the same round(cosine, 6) expression
+    from pyspark.sql import Window
+
+    from metadata_ingestion_framework_spark.operators.similarity import cosine
+
+    qdf = queries.select("query_id", F.col("embedding").alias("qv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id").asc()
+    )
+    full = {}
+    for q, vid in (
+        emb.crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("s"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 10")
+        .select("query_id", "vec_id")
+        .collect()
+    ):
+        full.setdefault(q, set()).add(vid)
+    for m in (0, 2):
+        ap = {}
+        for q, vid in lsh_topk(
+            emb, queries, 64, 10, n_planes=4, multi_probe=m
+        ).select("query_id", "vec_id").collect():
+            ap.setdefault(q, set()).add(vid)
+        for q in rows:
+            got = len(full[q] & ap.get(q, set())) / 10
+            assert got == rows[q][f"recall_m{m}"], (q, m)
+    for d in r._persisted_deps:
+        d.unpersist()
