@@ -395,6 +395,55 @@ class MinhashSignatureStore:
         sigs_new.unpersist()
         return survivors
 
+    def retire_ids_below(self, cutoff_id: int) -> None:
+        """Retention/lifecycle delete: drop every doc with ``id <
+        cutoff_id`` from the store. Because the sigs table is id-RANGE
+        partitioned, whole buckets below the cutoff are simply NOT carried
+        into the new version (``delete_partitions`` — zero bytes
+        rewritten; old versions stay time-travelable until ``vacuum``);
+        only the single boundary bucket straddling the cutoff is
+        rewritten, filtered. The band table is then rebuilt from the
+        surviving sigs (a pure function of them — also reaping any
+        ghosts). This is the Delta ``DELETE WHERE id < cutoff`` + OPTIMIZE
+        lifecycle, and the reason range beats hash bucketing twice over:
+        hash buckets would force a full-store rewrite here too.
+
+        Retention SEMANTICS caveat, inherent to any dedup-state expiry
+        (same as the watermark-bounded streaming dedup): a future
+        duplicate of a retired doc will no longer be dropped against it.
+
+        Numeric-id stores only — string ids use hash buckets, where a
+        range delete has no partition-level expression."""
+        if not self.store.exists(self.SIGS):
+            return
+        sigs = self.store.read(self.SIGS)
+        if dict(sigs.dtypes)[self.id_col] not in (
+            "tinyint", "smallint", "int", "bigint"
+        ):
+            raise NotImplementedError(
+                "retire_ids_below needs a numeric id (range-bucketed sigs); "
+                "this store's id column is hash-bucketed"
+            )
+        boundary = cutoff_id // self.sig_bucket_width
+        below = [
+            r.sig_bucket
+            for r in sigs.select("sig_bucket").distinct()
+            .filter(F.col("sig_bucket") < boundary).collect()
+        ]
+        if below:
+            self.store.delete_partitions(self.SIGS, "sig_bucket", below)
+        kept_boundary = (
+            self.store.read(self.SIGS)
+            .filter(
+                (F.col("sig_bucket") == boundary)
+                & (F.col(self.id_col) >= cutoff_id)
+            )
+        )
+        self.store.write_partition_delta(
+            kept_boundary, self.SIGS, "sig_bucket", [boundary]
+        )
+        self.rebuild_bands()
+
     def rebuild_bands(self) -> None:
         """Maintenance compaction: regenerate the band table from the sigs
         table (bands are a pure function of signatures), reaping any ghost

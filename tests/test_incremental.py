@@ -339,3 +339,55 @@ def test_reingest_leaves_no_duplicate_band_rows(spark, store):
     assert per_key.count() == 0
     # signatures stayed SCD1 (one row for id 1)
     assert store.store.read(store.SIGS).filter("doc_id = 1").count() == 1
+
+
+def test_retire_ids_below_zero_rewrite_retention(spark, tmp_path):
+    """r9: retention delete on the range-bucketed sigs store — whole
+    buckets below the cutoff drop with no data rewritten (survivor buckets
+    hard-link), the boundary bucket is rewritten filtered, bands rebuild,
+    and a future duplicate of a retired doc now survives (documented
+    expiry semantics)."""
+    store = MinhashSignatureStore(
+        spark, str(tmp_path / "retire_store"), jaccard_threshold=0.5,
+        sig_bucket_width=16,
+    )
+    # per-doc token vocabulary is disjoint so no seed doc near-dups another
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"tok{i}x{j}" for j in range(40))) for i in range(40)]
+        + [(100, BASE)],
+    )
+    store.ingest(docs, "seed")
+    v_before = store.store.current_version(store.SIGS)
+    p_before = store.store._version_path(store.SIGS, v_before)
+
+    store.retire_ids_below(20)  # buckets 0 (ids 0-15) drop; 1 filtered
+
+    ids = sorted(
+        r.doc_id for r in store.store.read(store.SIGS).select("doc_id").collect()
+    )
+    assert ids == list(range(20, 40)) + [100]
+    # survivor bucket (ids 32-39 -> bucket 2) carried by hard link
+    v_after = store.store.current_version(store.SIGS)
+    p_after = store.store._version_path(store.SIGS, v_after)
+    old = {os.stat(os.path.join(p_before, "sig_bucket=2", f)).st_ino
+           for f in os.listdir(os.path.join(p_before, "sig_bucket=2"))
+           if f.endswith(".parquet")}
+    new = {os.stat(os.path.join(p_after, "sig_bucket=2", f)).st_ino
+           for f in os.listdir(os.path.join(p_after, "sig_bucket=2"))
+           if f.endswith(".parquet")}
+    assert new == old, "survivor bucket must be linked, not rewritten"
+    assert not os.path.isdir(os.path.join(p_after, "sig_bucket=0"))
+    # time travel still sees the retired rows until vacuum
+    assert store.store.read(store.SIGS, version=v_before).count() == 41
+    # bands rebuilt to the survivors only
+    band_ids = {r.doc_id for r in store.store.read(store.BANDS).collect()}
+    assert band_ids == set(range(20, 40)) | {100}
+    # a duplicate of a RETIRED doc (id 5's text) now survives ingest;
+    # a duplicate of a SURVIVOR (id 100's BASE text) still drops
+    batch = _docs(spark, [
+        (200, " ".join(f"tok5x{j}" for j in range(40))),  # dup of RETIRED 5
+        (201, BASE),                                      # dup of survivor 100
+    ])
+    out = {r.doc_id for r in store.ingest(batch, "after-retire").collect()}
+    assert out == {200}
