@@ -48,7 +48,7 @@ FLAGSHIP = [
     "ngram_jaccard_prefix",
     "curation_pipeline",
 ]
-FLAGSHIP_REPEATS = 2
+FLAGSHIP_REPEATS = 3
 
 # r6/r7 operator surface (VERDICT r6 item 5): benched every round with the
 # same min-of-2 methodology, recorded under "extended" — kept out of the
@@ -96,7 +96,7 @@ HEADLINE_REPEATS = 2
 # 40 timed runs preceding it, so flagships now measure right after their
 # own warmup, where the number reflects the operator and not the queue
 # position.
-ACTION = "checksum_xxhash64_min_of_2_flagship_first"
+ACTION = "checksum_xxhash64_min_of_2_flagship_first_interleaved"
 
 
 def run_query(spark, fn, sf_dir) -> tuple[float, int]:
@@ -173,17 +173,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    # Flagship composites FIRST (r8 — see ACTION note): warm only their own
-    # plans, then time them min-of-N before the session accumulates the
-    # other ~40 query plans and their run debris.
-    if have_warm:
-        for name in FLAGSHIP:
+    # Flagship composites FIRST (r8 — see ACTION note), and per-flagship
+    # warm->time INTERLEAVED (r9): warming flagship B's ~40-stage plan
+    # between A's warmup and A's timing leaves JVM/codegen debris that
+    # showed up as a consistent-within-session 1.8x on A (5.3s vs 2.9s
+    # same commit, both reps elevated) — each flagship now times
+    # immediately after its own warmup.
+    flagship: dict[str, float] = {}
+    for name in FLAGSHIP:
+        if have_warm:
             try:
                 run_query(spark, QUERIES[name], warm_dir)
             except Exception as exc:  # pragma: no cover - warmup best-effort
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
-    flagship: dict[str, float] = {}
-    for name in FLAGSHIP:
         best = None
         try:
             for rep in range(FLAGSHIP_REPEATS):
