@@ -257,9 +257,13 @@ class MinhashSignatureStore:
         internal (never oracle-compared), so xxhash64 is fine here."""
         id_type = dict(sigs.dtypes)[self.id_col]
         if id_type in ("tinyint", "smallint", "int", "bigint"):
-            bucket = F.floor(
-                F.col(self.id_col) / F.lit(self.sig_bucket_width)
-            ).cast("long")
+            # Integral `div`, NOT floor(double division): for ids above
+            # 2^53 the double rounds and can disagree with the exact
+            # Python `cutoff_id // width` boundary in retire_ids_below,
+            # dropping live rows / retaining retired ones.
+            bucket = F.expr(
+                f"CAST({self.id_col} AS BIGINT) div {int(self.sig_bucket_width)}"
+            )
         else:
             bucket = F.pmod(
                 F.xxhash64(F.col(self.id_col).cast("string")),
@@ -424,7 +428,10 @@ class MinhashSignatureStore:
                 "retire_ids_below needs a numeric id (range-bucketed sigs); "
                 "this store's id column is hash-bucketed"
             )
-        boundary = cutoff_id // self.sig_bucket_width
+        # Match Spark's integral `div` (truncate toward zero) exactly —
+        # Python `//` floors, which differs for negative cutoffs.
+        boundary = -((-cutoff_id) // self.sig_bucket_width) if cutoff_id < 0 \
+            else cutoff_id // self.sig_bucket_width
         below = [
             r.sig_bucket
             for r in sigs.select("sig_bucket").distinct()

@@ -125,6 +125,12 @@ def merge_apply(
     updateAll/insertAll without autoMerge.
     """
     clauses = clauses if clauses is not None else DEFAULT_SCD1_CLAUSES
+    # Columns the update batch NATIVELY carries, before any evolution
+    # null-fill. Delta's updateAll under withSchemaEvolution leaves target
+    # columns absent from the source UNCHANGED (only insertAll writes NULL
+    # there) — so updateAll must resolve those to target.<col>, not to the
+    # null-filled updates.<col> (which would silently erase matched rows).
+    native_update_cols = set(updates.columns)
     if allow_schema_evolution:
         target, updates = _evolve_schemas(target, updates)
     out_cols = target.columns
@@ -170,9 +176,15 @@ def merge_apply(
         chain = F.col(f"target.{col_name}")  # default for matched-no-clause
         for c, ap in reversed(list(zip(clauses, applies))):
             if c.action == "update":
-                # set=None -> updateAll; partial set leaves other cols as target
+                # set=None -> updateAll; partial set leaves other cols as
+                # target. updateAll only touches columns the update batch
+                # natively has — target-only columns stay (Delta parity).
                 if c.set is None:
-                    v = F.col(f"updates.{col_name}")
+                    v = (
+                        F.col(f"updates.{col_name}")
+                        if col_name in native_update_cols
+                        else F.col(f"target.{col_name}")
+                    )
                 elif col_name in c.set:
                     v = F.expr(c.set[col_name])
                 else:

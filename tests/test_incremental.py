@@ -341,6 +341,22 @@ def test_reingest_leaves_no_duplicate_band_rows(spark, store):
     assert store.store.read(store.SIGS).filter("doc_id = 1").count() == 1
 
 
+def test_sig_bucket_exact_integer_division_above_2_53(spark, tmp_path):
+    """r10 (ADVICE r9): the range bucket must use integral `div`, not
+    floor(double division) — for 64-bit ids above 2^53 the double rounds
+    and can place a row across the bucket boundary that retire_ids_below
+    computes exactly, dropping live rows or retaining retired ones.
+    id = 2^57 - 8 with width 16: double rounding yields bucket
+    9007199254740992, exact integer division yields 9007199254740991."""
+    store = MinhashSignatureStore(
+        spark, str(tmp_path / "bigid_store"), sig_bucket_width=16
+    )
+    big_id = (1 << 57) - 8
+    df = spark.createDataFrame([(big_id, "t")], "doc_id long, text string")
+    got = store._with_sig_bucket(df).select("sig_bucket").collect()[0][0]
+    assert got == big_id // 16 == 9007199254740991
+
+
 def test_retire_ids_below_zero_rewrite_retention(spark, tmp_path):
     """r9: retention delete on the range-bucketed sigs store — whole
     buckets below the cutoff drop with no data rewritten (survivor buckets

@@ -198,6 +198,26 @@ def test_scd1_schema_evolution(spark):
     assert dict(out.dtypes)["score"] == "double"
 
 
+def test_scd1_evolution_narrower_update_keeps_target_values(spark):
+    """r10 (ADVICE r9, medium): an update batch MISSING a target column must
+    leave matched rows' values for that column UNCHANGED under
+    allow_schema_evolution=True — Delta's updateAll under withSchemaEvolution
+    never writes NULL into target columns absent from the source (only
+    insertAll null-fills them). Before the fix, the null-filled updates side
+    silently erased matched rows' target-only columns."""
+    from metadata_ingestion_framework_spark.operators.merge import scd1_merge
+
+    target = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, v string, score double"
+    )
+    updates = spark.createDataFrame([(2, "b2"), (3, "c")], "id int, v string")
+    out = scd1_merge(target, updates, ["id"], allow_schema_evolution=True)
+    assert out.columns == ["id", "v", "score"]
+    got = {r.id: (r.v, r.score) for r in out.collect()}
+    # matched row 2 keeps score=2.5; inserted row 3 null-fills it
+    assert got == {1: ("a", 1.5), 2: ("b2", 2.5), 3: ("c", None)}
+
+
 def test_scd2_schema_evolution(spark):
     """SCD2 with a column added mid-stream: the expire clause keeps NULL on
     the historical row, the fresh current version carries the new value."""

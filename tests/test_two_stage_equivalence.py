@@ -194,8 +194,8 @@ def test_small_input_bypass_fires_and_matches(spark, tmp_path):
         assert not getattr(auto, "_persisted_deps", ()), "bypass should not persist"
         forced_deps = list(getattr(forced, "_persisted_deps", ()))
         assert len(forced_deps) == 1
-        assert "rangepartitioning" in auto._jdf.queryExecution().executedPlan().toString().lower() or \
-            "Exchange rangepartitioning" not in auto._jdf.queryExecution().executedPlan().toString(), \
+        auto_plan = auto._jdf.queryExecution().executedPlan().toString().lower()
+        assert "rangepartitioning" not in auto_plan, \
             "bypass plan should not range-shard"
         a = {tuple(r) for r in auto.collect()}
         b = {tuple(r) for r in forced.collect()}
