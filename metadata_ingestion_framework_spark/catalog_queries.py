@@ -3022,20 +3022,132 @@ FROM reranked QUALIFY rank <= {k}
 ORACLE_IVF_TOPK_INT8 = _build_ivf_topk_int8_oracle()
 
 
+_KMEANS_CACHE: dict[str, object] = {}
+
+
+def _kmeans_model(spark, sf_dir):
+    """Train-once-per-sf_dir coarse quantizer shared by q_kmeans_ivf and
+    q_ann_recall (identical params => identical centroids; testdata is
+    immutable, so the memo is safe across the harness's query loop)."""
+    if sf_dir not in _KMEANS_CACHE:
+        from metadata_ingestion_framework_spark.operators.kmeans import kmeans_fit
+
+        _KMEANS_CACHE[sf_dir] = kmeans_fit(
+            t(spark, sf_dir, "embeddings"), dim=64, n_cells=8, n_iters=3
+        )
+    return _KMEANS_CACHE[sf_dir]
+
+
+def q_kmeans_ivf(spark, sf_dir):
+    """Distributed Lloyd's k-means training contract (operators/kmeans.py::
+    kmeans_fit, VERDICT r9 item 1): spherical k-means over the embeddings
+    (md5-ordered seeds, 3 iterations, exact-integer update sums), then
+    every vector's trained cell + round(cosine-to-centroid, 6).
+
+    FULLY value-checked, not contract-bounded: the DuckDB oracle REPLAYS
+    the entire training — trunc(x*2^20) quantization, md5-seeded init,
+    per-iteration first-max assignment (ROW_NUMBER over fold dots) and
+    exact BIGINT mean updates — and must land on bit-identical centroids,
+    assignments and cosines (the argmax/fold conventions of the IVF oracle
+    family, pushed through 3 iterations of training)."""
+    from metadata_ingestion_framework_spark.operators.kmeans import (
+        kmeans_assignments,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, _kmeans_model(spark, sf_dir))
+
+
+def _build_kmeans_oracle(
+    dim: int = 64, n_cells: int = 8, n_iters: int = 3, quant: int = 1 << 20
+) -> str:
+    """DuckDB replay of kmeans_fit + kmeans_assignments (see q_kmeans_ivf).
+    Every arithmetic step mirrors the engine bit-for-bit: trunc == ANSI
+    double->long CAST, list_dot_product == the sequential fold, x/1.0
+    passthrough for zero norms, sum/(n*2^20) over exactly-representable
+    operands, first-max == (score DESC, cell ASC) ROW_NUMBER."""
+    q = float(quant)
+    unit = (
+        "list_transform(c, x -> x / (CASE WHEN list_dot_product(c, c) = 0 "
+        "THEN 1.0 ELSE sqrt(list_dot_product(c, c)) END))"
+    )
+    parts = [f"""
+base AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> trunc(x * {q})) AS vq
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+),
+ordered AS (
+  SELECT vec_id, vq,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+  FROM base
+),
+c0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cell, list_transform(vq, x -> x / {q}) AS c
+  FROM ordered WHERE rn <= {n_cells}
+)"""]
+    for i in range(n_iters):
+        parts.append(f"""
+u{i} AS (SELECT cell, {unit} AS u FROM c{i}),
+a{i} AS (
+  SELECT vec_id, vq, cell FROM (
+    SELECT b.vec_id, b.vq, u.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.vq, u.u) DESC, u.cell ASC) AS rnk
+    FROM base b CROSS JOIN u{i} u
+  ) WHERE rnk = 1
+),
+s{i} AS (
+  SELECT cell, pos, SUM(CAST(vq[pos + 1] AS BIGINT)) AS sx, COUNT(*) AS n
+  FROM (SELECT cell, vq, unnest(range(0, {dim})) AS pos FROM a{i})
+  GROUP BY cell, pos
+),
+c{i + 1} AS (
+  SELECT c{i}.cell, COALESCE(m.c, c{i}.c) AS c
+  FROM c{i} LEFT JOIN (
+    SELECT cell, list(sx / (n * {q}) ORDER BY pos) AS c FROM s{i} GROUP BY cell
+  ) m USING (cell)
+)""")
+    parts.append(f"""
+uF AS (SELECT cell, {unit} AS u FROM c{n_iters}),
+aF AS (
+  SELECT vec_id, vq, cell FROM (
+    SELECT b.vec_id, b.vq, u.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.vq, u.u) DESC, u.cell ASC) AS rnk
+    FROM base b CROSS JOIN uF u
+  ) WHERE rnk = 1
+)""")
+    return ("WITH " + ",".join(parts) + """
+SELECT a.vec_id, a.cell,
+  ROUND(CASE WHEN sqrt(list_dot_product(a.vq, a.vq)) * sqrt(list_dot_product(u.u, u.u)) = 0
+        THEN 0.0
+        ELSE list_dot_product(a.vq, u.u) /
+             (sqrt(list_dot_product(a.vq, a.vq)) * sqrt(list_dot_product(u.u, u.u)))
+        END, 6) AS cos_sim
+FROM aF a JOIN uF u USING (cell)
+""")
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN retrieval-quality contract (similarity.py::ivf_recall + lsh_recall,
-    VERDICT r8 item 4): per-query recall@10 of the IVF index vs the exact
-    cosine top-10, at n_probe 2 and 4 plus a full probe of all 8 cells.
+    VERDICT r8 item 4; r10: the IVF face runs on TRAINED k-means centroids —
+    operators/kmeans.py, VERDICT r9 item 1): per-query recall@10 of the IVF
+    index vs the exact cosine top-10, at n_probe 2 and 4 plus a full probe
+    of all 8 cells.
 
     Oracle-checkable faces: ``n_exact`` DuckDB recomputes from its own
     exact top-k; ``recall_full`` must be EXACTLY 1.0 (full probe == exact,
     a theorem of the candidate-superset rerank — the exact baseline scores
-    with the identical round(cosine,6) expression so it holds bit-for-bit);
-    ``mono_ok`` asserts per-query recall is non-decreasing in n_probe
-    (superset theorem); the bound columns assert the measured floors with
-    margin (observed mins across sf0.001/0.01/0.1: p2 0.2, p4 0.4 —
-    engine-specific retrieval VALUES follow the approx_distinct contract
-    convention: invariants, not raw engine internals)."""
+    with the identical round(cosine,6) expression so it holds bit-for-bit,
+    INDEPENDENT of which centroids partition the space); ``mono_ok``
+    asserts per-query recall is non-decreasing in n_probe (superset
+    theorem); the bound columns assert the trained-centroid floors —
+    per-query p2 >= 0.2 / p4 >= 0.5 and query-set MEAN p2 >= 0.3 /
+    p4 >= 0.5 (random centroids only supported per-query 0.15/0.3; the
+    raise is what training buys — measured mins across sf0.001/0.01/0.1:
+    per-query p2 0.2, p4 0.5; means ~0.45-0.51 / 0.72-0.85)."""
     from metadata_ingestion_framework_spark.operators.dedup import carry_deps
     from metadata_ingestion_framework_spark.operators.similarity import (
         ivf_recall,
@@ -3046,7 +3158,12 @@ def q_ann_recall(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    r = ivf_recall(emb, queries, dim=64, k=10, n_cells=8, probes=(2, 4))
+    model = _kmeans_model(spark, sf_dir)
+    r = ivf_recall(
+        emb, queries, dim=64, k=10, n_cells=8, probes=(2, 4),
+        centroids=model.unit_centroids,
+    )
+    wall = Window.partitionBy(F.lit(1))
     ivf = r.select(
         "query_id",
         F.col("n_exact").cast("bigint").alias("n_exact"),
@@ -3055,8 +3172,10 @@ def q_ann_recall(spark, sf_dir):
             (F.col("recall_p2") <= F.col("recall_p4"))
             & (F.col("recall_p4") <= F.col("recall_full"))
         ).alias("mono_ok"),
-        (F.col("recall_p2") >= 0.15).alias("bound_ok_p2"),
-        (F.col("recall_p4") >= 0.3).alias("bound_ok_p4"),
+        (F.col("recall_p2") >= 0.2).alias("bound_ok_p2"),
+        (F.col("recall_p4") >= 0.5).alias("bound_ok_p4"),
+        (F.avg("recall_p2").over(wall) >= 0.3).alias("mean_ok_p2"),
+        (F.avg("recall_p4").over(wall) >= 0.5).alias("mean_ok_p4"),
     )
     # LSH face (same contract shape; 4 planes so buckets hold enough rows
     # for a meaningful recall curve on the synthetic data; measured m0/m2
@@ -3097,6 +3216,8 @@ SELECT query_id,
   true AS mono_ok,
   true AS bound_ok_p2,
   true AS bound_ok_p4,
+  true AS mean_ok_p2,
+  true AS mean_ok_p4,
   CAST(1.0 AS DOUBLE) AS lsh_recall_full,
   true AS lsh_mono_ok,
   true AS lsh_bound_ok_m2
@@ -3659,10 +3780,12 @@ QUERIES = {
     "span_dedup": q_span_dedup,  # r7: duplicate token-span removal (rewrite)
     "semantic_dedup": q_semantic_dedup,  # r7: SemDeDup (IVF cells + components)
     "incremental_semantic": q_incremental_semantic,  # r7: cross-run semantic dedup
-    "cosine_topk": q_cosine_topk,
     "lang_id": q_lang_id,  # r8: oracle tokenizer aligned to explicit ws class
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
-    "ann_recall": q_ann_recall,  # r9: IVF recall@k contract (NEW)
+    "kmeans_ivf": q_kmeans_ivf,  # r10: trained coarse quantizer (NEW),
+    # full DuckDB training replay
+    "ann_recall": q_ann_recall,  # r9; r10: runs on TRAINED centroids,
+    # bounds raised (per-query p2 0.15->0.2, p4 0.3->0.5; mean 0.3/0.5)
     "heuristic_filters": q_heuristic_filters,  # r7: C4/Gopher quality gate
     "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
     "ngram_perplexity": q_ngram_perplexity,  # r7: bigram pseudo-perplexity
@@ -3699,7 +3822,14 @@ QUERIES = {
     # skew mitigation (r6 oracles; first driver-window pass this round —
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
-    # --- position 51+ (driver-verified green in earlier rounds). r9
+    # --- position 51+ (driver-verified green in earlier rounds). r10
+    # rotation: kmeans_ivf (NEW — trained IVF coarse quantizer, VERDICT r9
+    # item 1) displaced cosine_topk (driver-green since r1, unchanged; its
+    # exact-cosine shape stays in-window twice over: ann_recall's exact
+    # baseline uses the identical round(cosine,6) scoring pass and
+    # ivf_topk_int8's rerank computes the same exact cosines); ann_recall
+    # CHANGED this round (trained centroids + raised bounds) and stays
+    # in-window. r9
     # rotation: ann_recall (NEW — IVF retrieval-quality contract, VERDICT
     # r8 item 4) displaced fingerprint, which was pulled in-window for ONE
     # round in r8 solely because r7's wide_t change had shipped rotated-out
@@ -3758,6 +3888,8 @@ QUERIES = {
     # Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
+    "cosine_topk": q_cosine_topk,  # r10: displaced by kmeans_ivf (see
+    # window comment)
     "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
     # green r8, unchanged since)
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -3901,6 +4033,7 @@ ORACLES = {
     "lsh_topk_mp": ORACLE_LSH_TOPK_MP,
     "ivf_topk": ORACLE_IVF_TOPK,
     "ivf_topk_int8": ORACLE_IVF_TOPK_INT8,
+    "kmeans_ivf": _build_kmeans_oracle(),
     "ann_recall": ORACLE_ANN_RECALL,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "grouping_key": ORACLE_GROUPING_KEY,

@@ -569,6 +569,7 @@ class EmbeddingDedupStore:
         n_cells: int = 8,
         threshold: float = 0.95,
         seed: int = 7,
+        centroids: list[list[float]] | None = None,
     ):
         from metadata_ingestion_framework_spark.operators.similarity import (
             random_centroids,
@@ -579,7 +580,15 @@ class EmbeddingDedupStore:
         self.id_col = id_col
         self.vec_col = vec_col
         self.threshold = threshold
-        self.centroids = random_centroids(dim, n_cells, seed)
+        # Trained coarse quantizer (kmeans_fit(...).unit_centroids) or the
+        # data-blind random fallback. Must stay FIXED for the store's
+        # lifetime — the cell partition layout is derived from it; retrain
+        # => rebuild the store (same contract as re-sharding any store).
+        self.centroids = (
+            centroids
+            if centroids is not None
+            else random_centroids(dim, n_cells, seed)
+        )
         self._ledger_path = os.path.join(root, "_runs.json")
 
     ingested_runs = MinhashSignatureStore.ingested_runs

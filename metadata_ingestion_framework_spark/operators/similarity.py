@@ -410,6 +410,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: coarse-quantize the corpus into cells,
     probe each query's ``n_probe`` nearest cells, exact-rerank inside.
@@ -418,8 +419,11 @@ def ivf_topk(
     a query touches n_probe/n_cells of the data — a partition-pruned scan.
     Assignment is a map-only argmax against broadcast-constant centroids;
     the only shuffle is the final per-query top-k on Q keys.
+
+    ``centroids``: trained coarse quantizer (``kmeans_fit(...).unit_centroids``
+    — operators/kmeans.py); None falls back to the data-blind random cells.
     """
-    cents = random_centroids(dim, n_cells, seed)
+    cents = centroids if centroids is not None else random_centroids(dim, n_cells, seed)
     c = ivf_assign(corpus.select(id_col, vec_col), cents, vec_col)
 
     def cell_scores(col: Column) -> list[Column]:
@@ -465,6 +469,7 @@ def ivf_topk_int8(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF top-k over an int8-quantized corpus with exact float rerank
     (VERDICT r4 item 6 / r5 next-round item 6).
@@ -485,7 +490,7 @@ def ivf_topk_int8(
         quantize_embeddings,
     )
 
-    cents = random_centroids(dim, n_cells, seed)
+    cents = centroids if centroids is not None else random_centroids(dim, n_cells, seed)
     base = corpus.select(id_col, vec_col)
     # write-time layout at scale: codes+scale+cell persisted once; the float
     # column lives in a separate (rarely read) table/column chunk
@@ -609,6 +614,7 @@ def semantic_dedup(
     n_cells: int = 8,
     threshold: float = 0.95,
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     methodology): cluster the embedding space with an IVF coarse quantizer,
@@ -642,7 +648,7 @@ def semantic_dedup(
     )
     from metadata_ingestion_framework_spark.operators.dedup import carry_deps
 
-    cents = random_centroids(dim, n_cells, seed)
+    cents = centroids if centroids is not None else random_centroids(dim, n_cells, seed)
     cells = (
         ivf_assign(df.select(id_col, vec_col), cents, vec_col)
         .withColumnRenamed("__ivf_cell", "cell")
@@ -729,6 +735,7 @@ def ivf_recall(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Per-query recall@k of the IVF index against the exact cosine top-k —
     the retrieval-quality contract a 100 TB user tunes ``n_probe`` by
@@ -763,7 +770,7 @@ def ivf_recall(
     on a sampled query set to calibrate n_probe, then serve with
     ``ivf_topk``/``ivf_topk_int8`` at the chosen setting.
     """
-    cents = random_centroids(dim, n_cells, seed)
+    cents = centroids if centroids is not None else random_centroids(dim, n_cells, seed)
     c = ivf_assign(corpus.select(id_col, vec_col), cents, vec_col)
 
     # full probe ORDER per query — same sort ivf_topk slices its probe
