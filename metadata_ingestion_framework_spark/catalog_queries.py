@@ -3190,7 +3190,7 @@ def q_ann_recall(spark, sf_dir):
         ).alias("lsh_mono_ok"),
         (F.col("recall_m2") >= 0.05).alias("lsh_bound_ok_m2"),
     )
-    out = ivf.join(lsh, "query_id")
+    out = ivf.join(F.broadcast(lsh), "query_id")  # Q-row contract faces
     return carry_deps(carry_deps(out, r), s)
 
 
