@@ -544,17 +544,35 @@ class EmbeddingDedupStore:
 
     One table (``VersionedParquetStore`` snapshot under ``root``):
 
-    - ``vecs``: (id, embedding, cell) — every vector ever seen, written
-      ``partition_by=["cell"]`` so a batch's store scan directory-prunes
-      to its own IVF cells (the layout proven by
-      ``tests/test_layout_pruning.py``); dropped vectors are kept for the
-      same reason the minhash store keeps dropped signatures (a future
-      near-dup of a dropped vector must still drop).
+    - ``vecs``: (id, embedding, cell, vec_bucket) — every vector ever
+      seen, written ``partition_by=["vec_bucket", "cell"]`` (r10,
+      VERDICT r9 item 3): the TOP level is an id-RANGE bucket (numeric
+      ids; xxhash fallback for strings), a pure function of the id, so a
+      re-ingested id always lands back in its own bucket; the second
+      level keeps the IVF-cell layout, so a batch's dedup scan still
+      directory-prunes to its own cells (``tests/test_layout_pruning.py``).
+      Two scale properties fall out:
 
-    Centroids are fixed at store creation (``dim``/``n_cells``/``seed``)
-    — retraining them would reassign cells and orphan the layout; rebuild
-    the store to re-cluster (same contract as re-sharding any store).
-    ``_runs.json`` run-ledger idempotence is shared verbatim.
+      * ingest's partition-delta touched set is simply the BATCH IDS'
+        range buckets — a moved vector (re-ingest with a new embedding /
+        new cell) vacates its old cell automatically because its whole
+        bucket is rewritten from the merged rows (r8's moved-cell union
+        collect is gone), and monotone ingest ids keep the write O(batch)
+        at any store size;
+      * retention (``retire_ids_below``) drops whole buckets below the
+        cutoff with ZERO bytes rewritten — critical here because stale
+        VECTORS are scored directly (unlike minhash bands, a ghost would
+        be a correctness bug, so expiry must be physical).
+
+      Dropped (deduped-away) vectors are kept for the same reason the
+      minhash store keeps dropped signatures: a future near-dup of a
+      dropped vector must still drop.
+
+    Centroids are fixed at store creation (``dim``/``n_cells``/``seed``,
+    or an explicit trained ``centroids`` list) — retraining them would
+    reassign cells and orphan the layout; rebuild the store to
+    re-cluster (same contract as re-sharding any store). ``_runs.json``
+    run-ledger idempotence is shared verbatim.
     """
 
     VECS = "vecs"
@@ -570,6 +588,8 @@ class EmbeddingDedupStore:
         threshold: float = 0.95,
         seed: int = 7,
         centroids: list[list[float]] | None = None,
+        n_buckets: int = 64,
+        vec_bucket_width: int = 8192,
     ):
         from metadata_ingestion_framework_spark.operators.similarity import (
             random_centroids,
@@ -589,17 +609,38 @@ class EmbeddingDedupStore:
             if centroids is not None
             else random_centroids(dim, n_cells, seed)
         )
+        self.n_buckets = n_buckets
+        self.vec_bucket_width = vec_bucket_width
         self._ledger_path = os.path.join(root, "_runs.json")
 
     ingested_runs = MinhashSignatureStore.ingested_runs
     _record_run = MinhashSignatureStore._record_run
 
+    def _with_vec_bucket(self, df: DataFrame) -> DataFrame:
+        """Top-level partition key — same convention as the sigs table
+        (``_with_sig_bucket``): integral-``div`` range buckets for numeric
+        ids (exact above 2^53, consistent with ``retire_ids_below``'s
+        boundary), xxhash fallback for strings (no retention analog)."""
+        id_type = dict(df.dtypes)[self.id_col]
+        if id_type in ("tinyint", "smallint", "int", "bigint"):
+            bucket = F.expr(
+                f"CAST({self.id_col} AS BIGINT) div {int(self.vec_bucket_width)}"
+            )
+        else:
+            bucket = F.pmod(
+                F.xxhash64(F.col(self.id_col).cast("string")),
+                F.lit(self.n_buckets),
+            )
+        return df.withColumn("vec_bucket", bucket)
+
     def _assign(self, batch: DataFrame) -> DataFrame:
         from metadata_ingestion_framework_spark.operators.similarity import ivf_assign
 
-        return ivf_assign(
-            batch.select(self.id_col, self.vec_col), self.centroids, self.vec_col
-        ).withColumnRenamed("__ivf_cell", "cell")
+        return self._with_vec_bucket(
+            ivf_assign(
+                batch.select(self.id_col, self.vec_col), self.centroids, self.vec_col
+            ).withColumnRenamed("__ivf_cell", "cell")
+        )
 
     def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
         """Semantically dedup ``batch`` against the store and itself;
@@ -629,37 +670,86 @@ class EmbeddingDedupStore:
             self.store.write(
                 scd1_merge(None, assigned, [self.id_col]),
                 self.VECS,
-                partition_by=["cell"],
+                partition_by=["vec_bucket", "cell"],
             )
         else:
-            # PARTITION-DELTA vector upsert (r8): unlike band rows, stale
-            # VECTORS are not candidates-only — drops score directly
-            # against stored embeddings, so a ghost would be a correctness
-            # bug. The touched set is therefore the batch's cells UNION
-            # the OLD cells of re-ingested batch ids (a vector whose new
-            # embedding moves cells must vacate its old partition); the
-            # old-cell lookup is a skinny (id, cell) columnar scan — at
-            # 100 TB keep an id->cell index beside the table, exactly
-            # where Delta would consult its file-level stats.
-            batch_ids = assigned.select(self.id_col)
-            moved = (
-                store_all.join(F.broadcast(batch_ids), self.id_col, "left_semi")
-                .select("cell")
-                .distinct()
-                .collect()
-            )
-            touched_set = set(batch_cells) | {r.cell for r in moved}
+            # PARTITION-DELTA vector upsert (r8; r10 layout): unlike band
+            # rows, stale VECTORS are not candidates-only — drops score
+            # directly against stored embeddings, so a ghost would be a
+            # correctness bug. With the id-range top level the touched set
+            # is simply the BATCH IDS' buckets: a re-ingested id's old row
+            # lives in the SAME bucket (bucket is a pure function of the
+            # id), so rewriting those buckets from the merged rows both
+            # upserts the new embedding and vacates the old cell subdir —
+            # no moved-cell lookup, no ghost, and monotone ingest ids keep
+            # the write O(batch) at any store size.
+            touched_set = {
+                r.vec_bucket
+                for r in assigned.select("vec_bucket").distinct().collect()
+            }
             touched = sorted(
                 (v for v in touched_set if v is not None), key=str
             ) + ([None] if None in touched_set else [])
-            cell_match = F.col("cell").isin([v for v in touched if v is not None])
+            bucket_match = F.col("vec_bucket").isin(
+                [v for v in touched if v is not None]
+            )
             if None in touched_set:
-                cell_match = cell_match | F.col("cell").isNull()
-            old_touched = store_all.filter(cell_match)
+                bucket_match = bucket_match | F.col("vec_bucket").isNull()
+            old_touched = store_all.filter(bucket_match)
             merged_touched = scd1_merge(old_touched, assigned, [self.id_col])
             self.store.write_partition_delta(
-                merged_touched, self.VECS, "cell", touched
+                merged_touched, self.VECS, ["vec_bucket", "cell"], touched
             )
         self._record_run(run_id)
         assigned.unpersist()
         return survivors
+
+    def retire_ids_below(self, cutoff_id: int) -> None:
+        """Retention/lifecycle delete: drop every vector with ``id <
+        cutoff_id`` — the embedding twin of the sigs store's zero-rewrite
+        retention (VERDICT r9 item 3). Whole id-range buckets below the
+        cutoff are simply not carried into the new version
+        (``delete_partitions`` — zero bytes rewritten; survivor buckets
+        hard-link, old versions stay time-travelable until ``vacuum``);
+        only the single boundary bucket is rewritten, filtered, so the
+        cost tracks that bucket's SURVIVORS, never the store. Expiry is
+        PHYSICAL — mandatory here because stored vectors are scored
+        directly (a logically-deleted ghost would still drop future
+        batches).
+
+        Retention SEMANTICS caveat (inherent to dedup-state expiry): a
+        future near-duplicate of a retired vector will no longer drop
+        against it.
+
+        Numeric-id stores only — string ids use hash buckets, where a
+        range delete has no partition-level expression."""
+        if not self.store.exists(self.VECS):
+            return
+        vecs = self.store.read(self.VECS)
+        if dict(vecs.dtypes)[self.id_col] not in (
+            "tinyint", "smallint", "int", "bigint"
+        ):
+            raise NotImplementedError(
+                "retire_ids_below needs a numeric id (range-bucketed vecs); "
+                "this store's id column is hash-bucketed"
+            )
+        # Match Spark's integral `div` (truncate toward zero) exactly —
+        # Python `//` floors, which differs for negative cutoffs.
+        boundary = -((-cutoff_id) // self.vec_bucket_width) if cutoff_id < 0 \
+            else cutoff_id // self.vec_bucket_width
+        below = [
+            r.vec_bucket
+            for r in vecs.select("vec_bucket").distinct()
+            .filter(F.col("vec_bucket") < boundary).collect()
+        ]
+        if below:
+            self.store.delete_partitions(
+                self.VECS, ["vec_bucket", "cell"], below
+            )
+        kept_boundary = self.store.read(self.VECS).filter(
+            (F.col("vec_bucket") == boundary)
+            & (F.col(self.id_col) >= cutoff_id)
+        )
+        self.store.write_partition_delta(
+            kept_boundary, self.VECS, ["vec_bucket", "cell"], [boundary]
+        )

@@ -103,7 +103,7 @@ class VersionedParquetStore:
         self,
         df: DataFrame,
         table: str,
-        partition_col: str,
+        partition_col: str | list[str],
         touched_values: list,
     ) -> int:
         """New version that physically rewrites ONLY the given partitions —
@@ -116,10 +116,21 @@ class VersionedParquetStore:
         file inodes, and ``vacuum``'s rmtree only drops the old version's
         link, never the shared data. Falls back to a plain ``write`` when
         the table doesn't exist yet.
+
+        ``partition_col`` may be a LIST for hierarchically partitioned
+        tables (r10, the embedding store's ``["vec_bucket", "cell"]``):
+        the FIRST column is the delta/carry granularity (``touched_values``
+        are its values; untouched top-level dirs hard-link wholesale,
+        sub-partition dirs included), the rest only shape the layout the
+        writer produces inside rewritten dirs.
         """
+        part_cols = (
+            [partition_col] if isinstance(partition_col, str) else list(partition_col)
+        )
+        partition_col = part_cols[0]
         cur = self.current_version(table)
         if cur is None:
-            return self.write(df, table, partition_by=[partition_col])
+            return self.write(df, table, partition_by=part_cols)
         # Validate the PREVIOUS version's layout before paying for the new
         # write: if it is not laid out as '{partition_col}=...' dirs
         # (unpartitioned, or partitioned by a different column), nothing
@@ -156,7 +167,7 @@ class VersionedParquetStore:
         }
         nxt = cur + 1
         path = self._version_path(table, nxt)
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
         for name in carry:
             if name in touched:
                 continue
@@ -166,20 +177,26 @@ class VersionedParquetStore:
                 # touched list was incomplete) — its fresh contents win;
                 # linking old files beside them would silently duplicate
                 continue
-            os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                if f.startswith((".", "_")):
-                    continue
-                s, d = os.path.join(src, f), os.path.join(dst, f)
-                try:
-                    os.link(s, d)
-                except OSError:  # cross-device / fs without hard links
-                    shutil.copy2(s, d)
+            # Recursive: hierarchical layouts nest sub-partition dirs
+            # (e.g. vec_bucket=N/cell=M/part-*.parquet) — files hard-link,
+            # directory structure is recreated.
+            for root, _dirs, files in os.walk(src):
+                rel = os.path.relpath(root, src)
+                tgt = dst if rel == "." else os.path.join(dst, rel)
+                os.makedirs(tgt, exist_ok=True)
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    s, d = os.path.join(root, f), os.path.join(tgt, f)
+                    try:
+                        os.link(s, d)
+                    except OSError:  # cross-device / fs without hard links
+                        shutil.copy2(s, d)
         self._swap_pointer(table, nxt)
         return nxt
 
     def delete_partitions(
-        self, table: str, partition_col: str, values: list
+        self, table: str, partition_col: str | list[str], values: list
     ) -> int:
         """Retention/lifecycle delete: new version WITHOUT the given
         partition values — the named partitions are simply not carried

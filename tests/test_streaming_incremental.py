@@ -120,3 +120,114 @@ def test_streaming_ingest_restart_replays_ledger_safe(spark, tmp_path):
     assert seen == [True, False]  # ledger no-op
     sigs = store.store.read(store.SIGS)
     assert sigs.count() == 2  # no duplicate signature rows from the replay
+
+
+# ---- EmbeddingDedupStore streaming face (r10, VERDICT r9 item 5) -----------
+
+def _unit8(i, bump=None, eps=0.05):
+    v = [0.0] * 8
+    v[i] = 1.0
+    if bump is not None:
+        v[bump] += eps
+    return v
+
+
+def _write_vec_batch(spark, path, rows):
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+@pytest.mark.slow
+def test_streaming_vector_ingest_matches_batch_sequential(spark, tmp_path):
+    """Micro-batched vector stream through foreachBatch equals the
+    batch-sequential ingest of the same files; a replayed micro-batch is a
+    ledger no-op; and a vector re-ingested with a cell-moving embedding in
+    a LATER micro-batch vacates its old cell (the partition-delta
+    exactness contract, exercised across stream batches)."""
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        EmbeddingDedupStore,
+    )
+
+    src = tmp_path / "vec_incoming"
+    src.mkdir()
+    # b0: 1 and its near-dup 2, orthogonal 3; b1: near-dup of stored 1
+    # drops, 12 fresh; b2: id 1 RE-INGESTED pointing in a new direction
+    # (cell may move), plus a near-dup of 12
+    _write_vec_batch(spark, str(src / "b0"),
+                     [(1, _unit8(0)), (2, _unit8(0, bump=1)), (3, _unit8(7))])
+    _write_vec_batch(spark, str(src / "b1"),
+                     [(11, _unit8(0, bump=1, eps=0.02)), (12, _unit8(3))])
+    _write_vec_batch(spark, str(src / "b2"),
+                     [(1, _unit8(5)), (21, _unit8(3, bump=2, eps=0.02))])
+
+    stream_store = EmbeddingDedupStore(
+        spark, str(tmp_path / "vecstore_stream"), dim=8, n_cells=4,
+        threshold=0.9,
+    )
+    survivors: dict[int, set[int]] = {}
+
+    def sink(bdf, batch_id):
+        out = stream_store.ingest(bdf, f"stream-run-{batch_id}")
+        if out is not None:
+            survivors[int(batch_id)] = {r.vec_id for r in out.collect()}
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "vec_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(survivors) == 3
+    per_batch = sorted(survivors.items())
+    assert per_batch[0][1] == {1, 3}
+    assert per_batch[1][1] == {12}
+    # batch 2: id 1 re-ingested (store copy of itself is excluded by the
+    # batch-id replay guard; _unit8(5) is a fresh direction -> survives),
+    # 21 drops against stored 12
+    assert per_batch[2][1] == {1}
+    assert stream_store.ingested_runs() == [
+        "stream-run-0", "stream-run-1", "stream-run-2",
+    ]
+    # SCD1 across micro-batches: id 1 has ONE row, holding the NEW vector
+    rows = stream_store.store.read(stream_store.VECS).filter(
+        "vec_id = 1"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].embedding == _unit8(5)
+    # moved-cell vacate across micro-batches: a probe matching id 1's OLD
+    # direction must NOT drop against a ghost (2's stored copy defends the
+    # direction instead — so probe a direction only the OLD 1 had... the
+    # old direction unit8(0) is still defended by stored 2/11; assert the
+    # CELL move physically happened instead)
+    new_cell = stream_store._assign(
+        spark.createDataFrame([(1, _unit8(5))], "vec_id long, embedding array<double>")
+    ).collect()[0].cell
+    assert rows[0].cell == new_cell
+
+    # batch-mode sequential ingest of the same files = identical survivors
+    batch_store = EmbeddingDedupStore(
+        spark, str(tmp_path / "vecstore_batch"), dim=8, n_cells=4,
+        threshold=0.9,
+    )
+    batch_survivors: dict[int, set[int]] = {}
+    for i in range(3):
+        out = batch_store.ingest(
+            spark.read.parquet(str(src / f"b{i}")), f"run-{i}"
+        )
+        batch_survivors[i] = {r.vec_id for r in out.collect()}
+    assert batch_survivors == dict(per_batch)
+
+    # replayed micro-batch (same run id) is a no-op: version unchanged
+    v = stream_store.store.current_version(stream_store.VECS)
+    assert stream_store.ingest(
+        spark.read.parquet(str(src / "b1")), "stream-run-1"
+    ) is None
+    assert stream_store.store.current_version(stream_store.VECS) == v

@@ -334,6 +334,61 @@ def probe_incremental(spark, docs, replicas: int, workdir: str) -> dict:
     return out
 
 
+def probe_vecstore(spark, emb, replicas: int, workdir: str) -> dict:
+    """Does the EMBEDDING store's ingest AND retention cost track the
+    BATCH/SURVIVORS or the STORE? (r10, VERDICT r9 item 3.)
+
+    Seeds a (vec_bucket, cell)-partitioned store at 1x and ``replicas``x,
+    then against each:
+
+    - ``vec_ingest_e2e``: ingest a fixed monotone-id batch — the touched
+      set is the batch ids' range buckets, so the partition-delta write
+      should be ~flat across store sizes;
+    - ``vec_retire``: ``retire_ids_below`` just past the first bucket —
+      drops whole buckets by NOT carrying them and rewrites only the
+      boundary bucket's survivors, so cost should also be ~flat.
+    """
+    import os
+
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        EmbeddingDedupStore,
+    )
+
+    base_n = emb.count()
+    width = 1024
+    out: dict = {}
+    for tag, vecs in [
+        ("1x", emb), (f"{replicas}x", replicate_embeddings(emb, replicas))
+    ]:
+        r: dict = {}
+        print(f"== vecstore, store {tag} ==", file=sys.stderr)
+        store = EmbeddingDedupStore(
+            spark, os.path.join(workdir, f"vecstore_{tag}"), dim=64,
+            n_cells=8, threshold=0.95, vec_bucket_width=width,
+        )
+        seeded = store._assign(vecs)
+        timed("seed_store_write", lambda: (
+            store.store.write(seeded, store.VECS,
+                              partition_by=["vec_bucket", "cell"]),
+            vecs.count())[-1], r)
+        # fresh monotone ids above everything stored (a real ingest mints
+        # increasing ids) -> the batch concentrates in its own buckets
+        batch = (
+            emb.filter(F.col("vec_id") % 10 == 3)
+            .withColumn("vec_id", F.col("vec_id") + F.lit(replicas * base_n * 7))
+            .persist()
+        )
+        batch.count()
+        timed("vec_ingest_e2e",
+              lambda: store.ingest(batch, "probe-run").count(), r)
+        batch.unpersist()
+        timed("vec_retire", lambda: (
+            store.retire_ids_below(width + width // 2),
+            store.store.read(store.VECS).count())[-1], r)
+        out[tag] = r
+    return out
+
+
 def probe_skew(spark, docs, tag: str) -> dict:
     """Time the two-stage ordered-window operators on a 90%-single-source
     corpus (r7 VERDICT item 4): with the plain ``Window.partitionBy(source)``
@@ -452,6 +507,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         main_skew(sys.argv[2:])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--vecstore":
+        main_vecstore(sys.argv[2:])
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     sys.path.insert(0, "/root/repo")
@@ -515,6 +573,65 @@ def main_incremental(args: list[str]) -> None:
     _append_incremental_md(result)
     print(json.dumps(result))
     spark.stop()
+
+
+def main_vecstore(args: list[str]) -> None:
+    import tempfile
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    replicas = int(args[1]) if len(args) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import t
+
+    spark = get_spark("scale_probe_vecstore")
+    emb = t(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as workdir:
+        phases = probe_vecstore(spark, emb, replicas, workdir)
+    tags = list(phases)
+    result = {
+        "probe": "embedding_store_10x",
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "base": phases[tags[0]],
+        "scaled": phases[tags[1]],
+    }
+    result["growth"] = {
+        k: round(result["scaled"][k]["sec"] / max(result["base"][k]["sec"], 0.01), 1)
+        for k in result["base"]
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    _append_vecstore_md(result)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def _append_vecstore_md(result: dict) -> None:
+    lines = [
+        "",
+        "## Embedding store probe (fixed batch + retention, store grown "
+        f"{result['replicas']}x)",
+        "",
+        "claim under test (r10, VERDICT r9 item 3): with the "
+        "(vec_bucket, cell) layout, ingest's partition-delta touched set "
+        "is the batch ids' range buckets and retention drops whole "
+        "buckets without rewriting — `vec_ingest_e2e` and `vec_retire` "
+        f"should stay ~flat as the store grows {result['replicas']}x "
+        "(`seed_store_write` is the full-corpus baseline that DOES grow).",
+        "",
+        "| phase | store 1x sec (rows) | store 10x sec (rows) | growth |",
+        "|---|---|---|---|",
+    ]
+    for k in result["base"]:
+        b, s = result["base"][k], result["scaled"][k]
+        lines.append(
+            f"| {k} | {b['sec']} ({b['rows']}) | {s['sec']} ({s['rows']}) "
+            f"| {result['growth'][k]}x |"
+        )
+    lines.append("")
+    with open("PROBE.md", "a") as f:
+        f.write("\n".join(lines))
 
 
 def _append_incremental_md(result: dict) -> None:
