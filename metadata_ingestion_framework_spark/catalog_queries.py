@@ -3469,6 +3469,67 @@ WHERE ('0x' || substr(md5(concat_ws(chr(31), 'mix1', CAST(doc_id AS VARCHAR))), 
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE vocabulary training (functions/bpe.py::bpe_train, VERDICT r9
+    item 4): 8 iterative pair-count merges over the distinct-word
+    frequency table (chars + </w> marker, Sennrich et al.). FULLY
+    value-checked: the DuckDB oracle replays the greedy training — 8
+    unrolled rounds, each counting adjacent pairs and picking the winner
+    by the same total tie-break (count desc, pair asc) with the merge as
+    the same delimited-string replace — and must land on the identical
+    ordered merge table."""
+    from metadata_ingestion_framework_spark.functions.bpe import (
+        bpe_merge_table,
+        bpe_train,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents")
+    return bpe_merge_table(spark, bpe_train(docs, "text", k_merges=8))
+
+
+def _build_bpe_oracle(k: int = 8) -> str:
+    """DuckDB replay of bpe_train (see q_bpe_merges): w0 = word-frequency
+    table with the '(c)(c)(</w>)' delimited form; each round counts
+    adjacent pairs (unnest-range indexing), takes the winner as a 1-row
+    CTE, and applies it with replace() — non-overlapping left-to-right,
+    which IS the greedy BPE merge because adjacent matches share no
+    characters in the delimited form."""
+    parts = [r"""
+w0 AS (
+  SELECT word, COUNT(*) AS cnt,
+         regexp_replace(word, '(.)', '(\1)', 'g') || '(</w>)' AS repr
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+  GROUP BY word
+)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+p{i} AS (
+  SELECT syms[j + 1] AS l, syms[j + 2] AS r, SUM(cnt) AS pair_count
+  FROM (SELECT cnt,
+               string_split(substr(repr, 2, length(repr) - 2), ')(') AS syms
+        FROM w{i - 1}),
+       unnest(range(0, len(syms) - 1)) AS t(j)
+  GROUP BY l, r
+),
+m{i} AS (
+  SELECT {i} AS merge_rank, l, r, pair_count
+  FROM p{i} ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+),
+w{i} AS (
+  SELECT word, cnt,
+         replace(repr, '(' || m.l || ')(' || m.r || ')',
+                 '(' || m.l || m.r || ')') AS repr
+  FROM w{i - 1}, m{i} m
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST(merge_rank AS INT) AS merge_rank, l AS lhs, r AS rhs, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
 def q_top_ngrams(spark, sf_dir):
     """Vocab building: corpus-wide word-bigram counts, top 20 (occurrences,
     not per-doc distinct — BPE/vocab prep counts every occurrence).
@@ -3798,7 +3859,8 @@ QUERIES = {
     "temperature_mix": q_temperature_mix,  # r7: counts^alpha training mix
     "token_budget": q_token_budget,  # r7: greedy per-source token-budget fill
     "calibrate_scores": q_calibrate_scores,  # r7: percentile-rank calibration
-    "top_ngrams": q_top_ngrams,
+    "bpe_merges": q_bpe_merges,  # r10: BPE vocab training (NEW), full
+    # DuckDB greedy-merge replay
     "tfidf_top_terms": q_tfidf_top_terms,  # r6: keyword extraction
     "pack_manifest": q_pack_manifest,  # r6: sequence-packing manifest
     "curation_v3": q_curation_v3,  # r8: mix-aware leakage-safe curation composite
@@ -3823,6 +3885,12 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r10
+    # rotation (2): bpe_merges (NEW — BPE vocab training, VERDICT r9 item
+    # 4) displaced top_ngrams (driver-green since r1, unchanged; its
+    # bigram-count shape is literally round 1 of bpe_merges' pair
+    # counting, and the text family keeps lang_id/quality_score/
+    # heuristic_filters/repetition_stats/ngram_perplexity/tfidf_top_terms
+    # in-window).
     # rotation: kmeans_ivf (NEW — trained IVF coarse quantizer, VERDICT r9
     # item 1) displaced cosine_topk (driver-green since r1, unchanged; its
     # exact-cosine shape stays in-window twice over: ann_recall's exact
@@ -3889,6 +3957,8 @@ QUERIES = {
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
     "cosine_topk": q_cosine_topk,  # r10: displaced by kmeans_ivf (see
+    # window comment)
+    "top_ngrams": q_top_ngrams,  # r10: displaced by bpe_merges (see
     # window comment)
     "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
     # green r8, unchanged since)
@@ -4040,6 +4110,7 @@ ORACLES = {
     "det_sample": ORACLE_DET_SAMPLE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "top_ngrams": ORACLE_TOP_NGRAMS,
+    "bpe_merges": _build_bpe_oracle(),
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "quantize_error": ORACLE_QUANTIZE_ERROR,

@@ -1,0 +1,173 @@
+"""BPE vocabulary training (Sennrich et al. 2016, public methodology) —
+the vocab-prep step above the bigram-count surface (``top_ngrams``), r10
+VERDICT r9 item 4.
+
+North-star extension (no reference analogue; BASELINE.json).
+
+Algorithm (classic): train on the DISTINCT-WORD frequency table, not the
+corpus — each word is a symbol sequence (characters + an ``</w>``
+end-of-word marker); K rounds of: count adjacent symbol pairs weighted by
+word frequency, merge the winning pair (count desc, then pair asc)
+greedily left-to-right in every word.
+
+Spark shape — the canonical iterative-aggregation pattern:
+  - ONE corpus shuffle total (the word-frequency groupBy); every round
+    after that runs on the bounded vocab table (distinct words — ~10M rows
+    at 100 TB, a toy next to the corpus);
+  - per round: adjacent pairs via the zip_with(slice, slice) idiom (NO
+    per-element element_at — CLAUDE.md HOF rule), an exact BIGINT
+    groupBy-sum, and a 1-row driver collect of the winner (the bounded
+    iterative-collect pattern, like k-means' centroid table);
+  - the merge itself is a single ``replace`` per round over a DELIMITED
+    string form ``(h)(i)(</w>)``: adjacent matches share no characters,
+    so SQL's non-overlapping left-to-right ``replace`` IS the greedy BPE
+    merge — and DuckDB replays it verbatim (the winner each round is a
+    scalar subquery there, a collected literal here), which makes the
+    whole training value-checkable cross-engine.
+
+Determinism: pair counts are exact integer sums (order-independent), the
+tie-break is total (count desc, left asc, right asc — binary string order
+in both engines), and the merge rewrite is positionally deterministic, so
+training is bitwise reproducible run-to-run and engine-to-engine.
+
+Precondition: symbols must not contain ``(`` / ``)`` — ``bpe_word_table``
+trains on lowercase ``[a-z]+`` words, the cleaned-token convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def _char_repr(word: Column) -> Column:
+    """word -> delimited symbol form '(c)(c)...(</w>)'."""
+    return F.concat(
+        F.regexp_replace(word, "(.)", r"($1)"), F.lit(f"({EOW})")
+    )
+
+
+def _split_repr(repr_col: Column) -> Column:
+    """Delimited form -> array<string> of symbols."""
+    return F.split(
+        repr_col.substr(F.lit(2), F.length(repr_col) - 2), r"\)\("
+    )
+
+
+def _apply_merge(repr_col: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of (left, right): plain non-overlapping
+    replace — adjacent matches share no characters in the delimited form."""
+    return F.replace(
+        repr_col, F.lit(f"({left})({right})"), F.lit(f"({left}{right})")
+    )
+
+
+def bpe_word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count, repr) — the distinct-word frequency table BPE trains
+    on; the ONE corpus-sized shuffle of the whole training run."""
+    words = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("repr", _char_repr(F.col("word")))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the vocab's current symbol sequences —
+    zip the sequence with its own tail (one lambda call per pair)."""
+    syms = _split_repr(F.col("repr"))
+    n = F.size(syms)
+    pairs = F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        vocab.select("count", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("count").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", k_merges: int = 8
+) -> list[tuple[str, str, int]]:
+    """Learn ``k_merges`` BPE merges from the corpus. Returns the ordered
+    merge table ``[(left, right, pair_count), ...]``.
+
+    Stops early if the vocab runs out of adjacent pairs (degenerate
+    corpora only — every real corpus has far more pairs than merges).
+    """
+    vocab = bpe_word_table(df, text_col).persist()
+    try:
+        merges: list[tuple[str, str, int]] = []
+        current = vocab
+        for _ in range(k_merges):
+            top = (
+                _pair_counts(current)
+                .orderBy(
+                    F.col("pair_count").desc(),
+                    F.col("l").asc(),
+                    F.col("r").asc(),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r = top[0].l, top[0].r
+            merges.append((l, r, int(top[0].pair_count)))
+            nxt = current.select(
+                "word", "count",
+                _apply_merge(F.col("repr"), l, r).alias("repr"),
+            ).persist()
+            nxt.count()  # materialize before releasing the previous round
+            if current is not vocab:
+                current.unpersist()
+            current = nxt
+        if current is not vocab:
+            current.unpersist()
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_merge_table(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """The learned merges as a DataFrame: (merge_rank, lhs, rhs,
+    pair_count) — rank 1-based in learning order (lhs/rhs, not
+    left/right: those are SQL keywords on the oracle side)."""
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_count bigint",
+    )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table to a text column: per word, start from
+    characters + ``</w>`` and apply the K merges IN LEARNING ORDER (the
+    published inference rule) — K nested codegen ``replace`` calls inside
+    one transform lambda, no Python. Adds ``{out_col} array<string>``
+    (all words' symbols in word order) and ``n_{out_col} int`` — the BPE
+    face of the token-count surface (functions/text.py)."""
+
+    def per_word(w: Column) -> Column:
+        c = _char_repr(w)
+        for l, r, _ in merges:
+            c = _apply_merge(c, l, r)
+        return _split_repr(c)
+
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    out = df.withColumn(out_col, F.flatten(F.transform(words, per_word)))
+    return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))

@@ -1,0 +1,69 @@
+"""BPE vocabulary training (functions/bpe.py, VERDICT r9 item 4):
+hand-checked merges on a toy corpus, greedy left-to-right overlap
+semantics, total tie-break, ordered inference, round-trip, early stop."""
+
+from __future__ import annotations
+
+from metadata_ingestion_framework_spark.functions.bpe import (
+    bpe_merge_table,
+    bpe_tokenize,
+    bpe_train,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_hand_checked_merges(spark):
+    """'low' x3 + 'lower' x2: pair counts round 1 — (l,o)=5, (o,w)=5,
+    (w,</w>)=3, (w,e)=2, (e,r)=2, (r,</w>)=2. Tie (l,o) vs (o,w) -> 'l' <
+    'o' so (l,o) wins; round 2 merges (lo,w)=5; round 3 (low,</w>)=3."""
+    df = _docs(spark, ["low low low", "lower lower"])
+    merges = bpe_train(df, "text", k_merges=3)
+    assert merges == [("l", "o", 5), ("lo", "w", 5), ("low", "</w>", 3)]
+
+
+def test_greedy_left_to_right_overlap(spark):
+    """'aaaa': round-1 pairs (a,a)=3 (plus (a,</w>)); greedy merge of
+    (a,a) left-to-right gives aa|aa, NOT a|aa|a — round 2's pair set is
+    therefore {(aa,aa), (aa,</w>)}, tied at 1; '<' sorts before 'a' so
+    (aa,</w>) wins the tie-break, and round 3 proves aa|aa existed."""
+    df = _docs(spark, ["aaaa"])
+    merges = bpe_train(df, "text", k_merges=3)
+    assert merges == [("a", "a", 3), ("aa", "</w>", 1), ("aa", "aa</w>", 1)]
+
+
+def test_tokenize_round_trip_and_order(spark):
+    """Applying the learned merges in order re-tokenizes the training
+    corpus so that per-word symbols concatenate back to word + </w>."""
+    df = _docs(spark, ["the quick brown fox", "the lazy dog", "the the the"])
+    merges = bpe_train(df, "text", k_merges=5)
+    # 'e</w>' ('the' x5 dominates) must be learned before anything using it
+    out = bpe_tokenize(df, merges, "text").collect()
+    for row in out:
+        joined = "".join(row.bpe_tokens)
+        words = "".join(
+            w + "</w>" for w in row.text.lower().split()
+        )
+        assert joined == words
+        assert row.n_bpe_tokens == len(row.bpe_tokens)
+
+
+def test_merge_table_shape(spark):
+    df = _docs(spark, ["abc abc"])
+    merges = bpe_train(df, "text", k_merges=2)
+    mt = bpe_merge_table(spark, merges)
+    assert mt.columns == ["merge_rank", "lhs", "rhs", "pair_count"]
+    rows = mt.orderBy("merge_rank").collect()
+    assert [r.merge_rank for r in rows] == [1, 2]
+
+
+def test_early_stop_on_exhausted_pairs(spark):
+    """Single 1-char word: only (a,</w>) exists; after merging it there
+    are no pairs left — training stops early instead of failing."""
+    df = _docs(spark, ["a"])
+    merges = bpe_train(df, "text", k_merges=5)
+    assert merges == [("a", "</w>", 1)]
