@@ -78,6 +78,8 @@ EXTENDED = [
     "det_shuffle",
     "curation_v2",
     "curation_v3",
+    "kmeans_ivf",   # r10: trained coarse quantizer (training included)
+    "bpe_merges",   # r10: BPE vocab training (8 iterative merge rounds)
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3
@@ -137,10 +139,30 @@ def main() -> None:
         load_avg_at_start = round(os.getloadavg()[0], 2)
     except OSError:  # pragma: no cover - platform without getloadavg
         load_avg_at_start = None
+    # Bounded settle-wait (r10, VERDICT r9 item 6): r9's driver bench ran
+    # at load 8.46 — above the repo's own contamination threshold. When the
+    # box is hot, wait (<= 60s, 5s steps) for the load to drain before
+    # timing; both samples and the wait are recorded so the floor is
+    # adjudicable either way.
+    settle_wait_sec = 0
+    load_avg_at_timing = load_avg_at_start
     if load_avg_at_start is not None and load_avg_at_start > 2.0:
         print(
             f"# WARNING: load_avg_at_start={load_avg_at_start} > 2.0 — "
-            "timings likely inflated by background work; re-run idle",
+            "settling up to 60s before timing",
+            file=sys.stderr,
+        )
+        while settle_wait_sec < 60:
+            time.sleep(5)
+            settle_wait_sec += 5
+            load_avg_at_timing = round(os.getloadavg()[0], 2)
+            if load_avg_at_timing <= 2.0:
+                break
+        print(
+            f"# settled {settle_wait_sec}s: load {load_avg_at_start} -> "
+            f"{load_avg_at_timing}"
+            + (" (still hot — numbers are environment-suspect)"
+               if load_avg_at_timing > 2.0 else ""),
             file=sys.stderr,
         )
     from metadata_ingestion_framework_spark import get_spark
@@ -242,6 +264,8 @@ def main() -> None:
         "extended": extended,
         "action": ACTION,
         "load_avg_at_start": load_avg_at_start,
+        "load_avg_at_timing": load_avg_at_timing,
+        "settle_wait_sec": settle_wait_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
