@@ -389,6 +389,88 @@ def probe_vecstore(spark, emb, replicas: int, workdir: str) -> dict:
     return out
 
 
+def probe_training(spark, docs, emb, replicas: int) -> dict:
+    """Do the r10 iterative trainers scale linearly in the corpus?
+
+    - ``kmeans_fit``: assignment is a map-only Arrow argmax; the update is
+      one posexplode groupBy(cell,pos) sum per iteration (n_cells x dim
+      groups regardless of corpus) — growth should track data ~linearly,
+      and the bounded ``sample_limit`` path should stay FLAT (that is the
+      100 TB answer: train on a sample, serve the corpus).
+    - ``bpe_train``: ONE corpus-sized shuffle (word counts); every round
+      after runs on the distinct-word vocab, so growth should sit well
+      under the replica factor (replicated docs share most words).
+    """
+    from metadata_ingestion_framework_spark.functions.bpe import bpe_train
+    from metadata_ingestion_framework_spark.operators.kmeans import kmeans_fit
+
+    out: dict = {}
+    for tag, d, e in [
+        ("1x", docs, emb),
+        (f"{replicas}x", replicate_docs(docs, replicas),
+         replicate_embeddings(emb, replicas)),
+    ]:
+        r: dict = {}
+        print(f"== training {tag} ==", file=sys.stderr)
+        timed("kmeans_fit_full", lambda: (
+            kmeans_fit(e, dim=64, n_cells=8, n_iters=3), e.count())[-1], r)
+        timed("kmeans_fit_sampled", lambda: (
+            kmeans_fit(e, dim=64, n_cells=8, n_iters=3, sample_limit=1000),
+            1000)[-1], r)
+        timed("bpe_train_8", lambda: len(bpe_train(d, "text", k_merges=8)), r)
+        out[tag] = r
+    return out
+
+
+def main_training(args: list[str]) -> None:
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    replicas = int(args[1]) if len(args) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import t
+
+    spark = get_spark("scale_probe_training")
+    phases = probe_training(
+        spark, t(spark, sf_dir, "documents"), t(spark, sf_dir, "embeddings"),
+        replicas,
+    )
+    tags = list(phases)
+    result = {
+        "probe": "iterative_training_10x",
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "base": phases[tags[0]],
+        "scaled": phases[tags[1]],
+    }
+    result["growth"] = {
+        k: round(result["scaled"][k]["sec"] / max(result["base"][k]["sec"], 0.01), 1)
+        for k in result["base"]
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    lines = [
+        "",
+        f"## Iterative-trainer probe (kmeans / BPE, {result['replicas']}x data)",
+        "",
+        "claim under test (r10): kmeans_fit grows ~linearly (map-only "
+        "assignment + fixed-group update shuffle) and its sample_limit "
+        "path stays FLAT (the 100 TB posture: train on a bounded sample); "
+        "bpe_train pays one corpus shuffle then vocab-bounded rounds, so "
+        f"growth sits well under {result['replicas']}x.",
+        "",
+        "| phase | 1x sec | 10x sec | growth |",
+        "|---|---|---|---|",
+    ] + [
+        f"| {k} | {result['base'][k]['sec']} | {result['scaled'][k]['sec']} "
+        f"| {result['growth'][k]}x |"
+        for k in result["base"]
+    ] + [""]
+    with open("PROBE.md", "a") as f:
+        f.write("\n".join(lines))
+    print(json.dumps(result))
+    spark.stop()
+
+
 def probe_skew(spark, docs, tag: str) -> dict:
     """Time the two-stage ordered-window operators on a 90%-single-source
     corpus (r7 VERDICT item 4): with the plain ``Window.partitionBy(source)``
@@ -509,6 +591,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--vecstore":
         main_vecstore(sys.argv[2:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--training":
+        main_training(sys.argv[2:])
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
