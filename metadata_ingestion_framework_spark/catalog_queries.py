@@ -3480,20 +3480,19 @@ def q_bpe_merges(spark, sf_dir):
     ordered merge table."""
     from metadata_ingestion_framework_spark.functions.bpe import (
         bpe_merge_table,
-        bpe_train,
     )
 
-    docs = wide_t(spark, sf_dir, "documents")
-    return bpe_merge_table(spark, bpe_train(docs, "text", k_merges=8))
+    return bpe_merge_table(spark, _bpe_model(spark, sf_dir))
 
 
-def _build_bpe_oracle(k: int = 8) -> str:
-    """DuckDB replay of bpe_train (see q_bpe_merges): w0 = word-frequency
-    table with the '(c)(c)(</w>)' delimited form; each round counts
-    adjacent pairs (unnest-range indexing), takes the winner as a 1-row
-    CTE, and applies it with replace() — non-overlapping left-to-right,
-    which IS the greedy BPE merge because adjacent matches share no
-    characters in the delimited form."""
+def _bpe_train_ctes(k: int = 8) -> list[str]:
+    """Shared training-replay CTEs (w0, p_i/m_i/w_i per round) for the
+    bpe_merges and bpe_tokenize oracles: w0 = word-frequency table with
+    the '(c)(c)(</w>)' delimited form; each round counts adjacent pairs
+    (unnest-range indexing), takes the winner as a 1-row CTE, and applies
+    it with replace() — non-overlapping left-to-right, which IS the
+    greedy BPE merge because adjacent matches share no characters in the
+    delimited form."""
     parts = [r"""
 w0 AS (
   SELECT word, COUNT(*) AS cnt,
@@ -3522,12 +3521,84 @@ w{i} AS (
                  '(' || m.l || m.r || ')') AS repr
   FROM w{i - 1}, m{i} m
 )""")
+    return parts
+
+
+def _build_bpe_oracle(k: int = 8) -> str:
+    """DuckDB replay of bpe_train (see q_bpe_merges): the ordered merge
+    table from the shared training CTEs."""
     union = " UNION ALL ".join(
         f"SELECT CAST(merge_rank AS INT) AS merge_rank, l AS lhs, r AS rhs, "
         f"CAST(pair_count AS BIGINT) AS pair_count FROM m{i}"
         for i in range(1, k + 1)
     )
-    return "WITH " + ",".join(parts) + "\n" + union
+    return "WITH " + ",".join(_bpe_train_ctes(k)) + "\n" + union
+
+
+_BPE_CACHE: dict[str, list] = {}
+
+
+def _bpe_model(spark, sf_dir):
+    """Train-once-per-sf_dir merge table shared by q_bpe_merges and
+    q_bpe_tokenize (same params => identical merges; testdata immutable)."""
+    if sf_dir not in _BPE_CACHE:
+        from metadata_ingestion_framework_spark.functions.bpe import bpe_train
+
+        _BPE_CACHE[sf_dir] = bpe_train(
+            wide_t(spark, sf_dir, "documents"), "text", k_merges=8
+        )
+    return _BPE_CACHE[sf_dir]
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """BPE inference (functions/bpe.py::bpe_tokenize): apply the trained
+    8-merge table to every document in learning order (K nested codegen
+    replaces, no Python) and emit the per-doc BPE token count — the BPE
+    face of the token-count surface. The oracle replays training (the
+    bpe_merges CTEs) AND inference (8 sequential replaces with
+    scalar-subquery winners) and must match every count."""
+    from metadata_ingestion_framework_spark.functions.bpe import bpe_tokenize
+
+    docs = wide_t(spark, sf_dir, "documents")
+    out = bpe_tokenize(docs, _bpe_model(spark, sf_dir), "text")
+    return out.select("doc_id", "n_bpe_tokens")
+
+
+def _build_bpe_tokenize_oracle(k: int = 8) -> str:
+    """Training replay (shared CTE builder) + inference replay: per word,
+    the char repr run through the k winning merges in order, then the
+    symbol count summed per doc."""
+    parts = list(_bpe_train_ctes(k))
+    parts.append(r"""
+docw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+r0 AS (
+  SELECT doc_id, regexp_replace(word, '(.)', '(\1)', 'g') || '(</w>)' AS repr
+  FROM docw
+)""")
+    for i in range(1, k + 1):
+        parts.append(f"""
+r{i} AS (
+  SELECT doc_id,
+         replace(repr, '(' || m.l || ')(' || m.r || ')',
+                 '(' || m.l || m.r || ')') AS repr
+  FROM r{i - 1}, m{i} m
+)""")
+    parts.append(f"""
+cnt AS (
+  SELECT doc_id,
+         SUM(len(string_split(substr(repr, 2, length(repr) - 2), ')('))) AS n
+  FROM r{k} GROUP BY doc_id
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + """
+SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS INT) AS n_bpe_tokens
+FROM documents d LEFT JOIN cnt c USING (doc_id)
+"""
+    )
 
 
 def q_top_ngrams(spark, sf_dir):
@@ -3960,6 +4031,8 @@ QUERIES = {
     # window comment)
     "top_ngrams": q_top_ngrams,  # r10: displaced by bpe_merges (see
     # window comment)
+    "bpe_tokenize": q_bpe_tokenize,  # r10 tail: BPE inference face —
+    # oracle replays training AND the ordered-merge tokenization
     "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
     # green r8, unchanged since)
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -4111,6 +4184,7 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "top_ngrams": ORACLE_TOP_NGRAMS,
     "bpe_merges": _build_bpe_oracle(),
+    "bpe_tokenize": _build_bpe_tokenize_oracle(),
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "quantize_error": ORACLE_QUANTIZE_ERROR,

@@ -67,3 +67,59 @@ def test_early_stop_on_exhausted_pairs(spark):
     df = _docs(spark, ["a"])
     merges = bpe_train(df, "text", k_merges=5)
     assert merges == [("a", "</w>", 1)]
+
+
+def _ref_bpe(texts: list[str], k: int) -> list[tuple[str, str, int]]:
+    """Independent pure-Python reference: classic list-based greedy BPE
+    (no strings-with-delimiters trick, no Spark) — the engine must agree."""
+    import re
+    from collections import Counter
+
+    words = Counter(
+        w for t in texts for w in re.findall(r"[a-z]+", t.lower())
+    )
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for _ in range(k):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_property_matches_pure_python_reference(spark):
+    """Randomized corpora (seeded): the Spark delimited-replace training
+    must equal the classic list-based greedy BPE exactly, merges AND
+    counts — including heavy-tie regimes (2-letter alphabet)."""
+    import random
+
+    rng = random.Random(20260814)
+    for case in range(6):
+        alpha = "ab" if case % 2 == 0 else "abcde"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(rng.randint(1, 8))
+        ]
+        expected = _ref_bpe(texts, 4)
+        got = bpe_train(_docs(spark, texts), "text", k_merges=4)
+        assert got == expected, f"case {case}: {texts!r}"
