@@ -1919,6 +1919,25 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """The SAME train/eval contamination check through the fixed-size
+    Bloom prefilter (operators/dedup.py::ngram_contamination_bloom) — the
+    scale path for eval suites too big to row-broadcast. Shares
+    q_decontaminate's oracle verbatim: the Bloom has no false negatives
+    and candidates are exact-verified, so the output must be IDENTICAL to
+    the exact operator's."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        ngram_contamination_bloom,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination_bloom(
+        train, evals, "text", "doc_id", shingle_n=5, min_shared=3
+    )
+
+
 ORACLE_DECONTAMINATE = r"""
 WITH g AS (
   SELECT doc_id,
@@ -4050,6 +4069,8 @@ QUERIES = {
     # window comment)
     "bpe_tokenize": q_bpe_tokenize,  # r10 tail: BPE inference face —
     # oracle replays training AND the ordered-merge tokenization
+    "decontaminate_bloom": q_decontaminate_bloom,  # r10 tail: fixed-size
+    # Bloom prefilter path; must equal the exact operator (shared oracle)
     "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
     # green r8, unchanged since)
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -4173,6 +4194,7 @@ ORACLES = {
     "ngram_jaccard_prefix": ORACLE_NGRAM_JACCARD_PREFIX,
     "dup_clusters": ORACLE_DUP_CLUSTERS,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "decontaminate_bloom": ORACLE_DECONTAMINATE,
     "span_dedup": ORACLE_SPAN_DEDUP,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,

@@ -711,6 +711,78 @@ def ngram_contamination(
     )
 
 
+def ngram_contamination_bloom(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 13,
+    min_shared: int = 1,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """:func:`ngram_contamination` behind a deterministic Bloom prefilter —
+    IDENTICAL output (the Bloom has no false negatives; flagged candidates
+    are exact-verified), different scale shape for when the eval-suite
+    gram set outgrows a row-broadcast:
+
+    - the filter is a ``(word, bits)`` bitmap table of FIXED size
+      ``n_bits/64`` rows (2^20 bits = 16K rows = 128 KB here; 2^30 bits =
+      128 MB covers billions of grams) — broadcast cost is a constant of
+      the CONFIG, not of the eval suite;
+    - every train gram probes it with ``n_hashes`` positions via a
+      broadcast equi-join on the word index + codegen bit tests (all JVM,
+      no Python, no Bloom library): a gram survives only if ALL probes
+      hit, so the expensive exact gram join runs over the surviving
+      sliver of the corpus (true overlaps + the Bloom's false-positive
+      rate) instead of every train gram.
+
+    Bit positions are ``pmod(xxhash64(gram, seed), n_bits)`` — engine-
+    internal values (never oracle-compared; the oracle checks the EXACT
+    final output, which the no-false-negative property makes identical to
+    :func:`ngram_contamination`'s).
+    """
+    m = int(n_bits)
+    tg = _distinct_gram_rows(train, text_col, id_col, shingle_n, "train_id")
+    eg = _distinct_gram_rows(evals, text_col, id_col, shingle_n, "eval_id")
+
+    def positions(df: DataFrame) -> DataFrame:
+        out = df.withColumn(
+            "__seed",
+            F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])),
+        )
+        pos = F.pmod(F.xxhash64(F.col("gram"), F.col("__seed")), F.lit(m))
+        return out.withColumn("__w", F.shiftright(pos, 6)).withColumn(
+            "__b", (pos % 64).cast("int")
+        )
+
+    bitmap = (
+        positions(eg.select("gram").distinct())
+        .groupBy("__w")
+        .agg(
+            # expr: pyspark's shiftleft() only takes an INT shift amount
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __b)")).alias(
+                "__bits"
+            )
+        )
+    )
+    probes = positions(tg).join(F.broadcast(bitmap), "__w")
+    hit = F.expr("(shiftrightunsigned(__bits, __b) & 1) = 1")
+    cand = (
+        probes.filter(hit)
+        .groupBy("train_id", "gram")
+        .agg(F.count(F.lit(1)).alias("__h"))
+        .filter(F.col("__h") == n_hashes)  # ALL probes hit -> maybe present
+        .select("train_id", "gram")
+    )
+    return (
+        cand.join(eg, "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
 def decontaminate(
     train: DataFrame,
     evals: DataFrame,

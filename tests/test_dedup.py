@@ -189,3 +189,33 @@ def test_remove_duplicate_spans_shuffle_join_parity(spark):
     )
     assert a == b
     assert any(r["n_removed"] > 0 for r in a)  # the corpus must be dirty
+
+
+def test_bloom_contamination_equals_exact(spark):
+    """r10: the fixed-size Bloom prefilter path must produce IDENTICAL
+    pairs to the exact gram join — including with a deliberately tiny
+    bitmap (256 bits -> heavy false positives) where the exact verify
+    stage has to discard nearly every candidate."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        ngram_contamination,
+        ngram_contamination_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evals = docs.filter("doc_id % 20 = 0")
+    train = docs.filter("doc_id % 20 != 0")
+    exact = {
+        tuple(r)
+        for r in ngram_contamination(
+            train, evals, "text", "doc_id", shingle_n=5, min_shared=3
+        ).collect()
+    }
+    for bits in (1 << 20, 256):
+        bloom = {
+            tuple(r)
+            for r in ngram_contamination_bloom(
+                train, evals, "text", "doc_id", shingle_n=5, min_shared=3,
+                n_bits=bits,
+            ).collect()
+        }
+        assert bloom == exact, f"n_bits={bits}"
