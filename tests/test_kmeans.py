@@ -134,3 +134,41 @@ def test_unit_vector_zero_passthrough():
     assert unit_vector([0.0, 0.0]) == [0.0, 0.0]
     u = unit_vector([3.0, 4.0])
     assert u == [0.6, 0.8]
+
+
+def test_property_matches_numpy_replica(spark):
+    """Randomized vectors (seeded): the distributed trainer must equal an
+    independent numpy replica of the same quantized spherical Lloyd's —
+    seeds, per-iteration assignment, exact-integer mean updates, empty-cell
+    carry — centroid-for-centroid (third implementation after Spark and
+    the DuckDB oracle replay)."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        n, dim, cells, iters = 40 + case * 30, 6, 3, 2
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = kmeans_fit(df, dim=dim, n_cells=cells, n_iters=iters)
+
+        vq = np.trunc(np.array([r[1] for r in rows]) * (1 << 20))
+        order = sorted(
+            range(n),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        cents = vq[order[:cells]] / float(1 << 20)
+        for _ in range(iters):
+            norms = np.sqrt((cents * cents).sum(axis=1))
+            units = cents / np.where(norms == 0.0, 1.0, norms)[:, None]
+            assign = (vq @ units.T).argmax(axis=1)
+            for j in range(cells):
+                mask = assign == j
+                if mask.any():
+                    sx = vq[mask].sum(axis=0)
+                    cents[j] = sx / float(mask.sum() * (1 << 20))
+        assert got.centroids == [list(c) for c in cents], f"case {case}"
