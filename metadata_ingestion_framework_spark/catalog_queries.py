@@ -2176,6 +2176,8 @@ base AS (
          list_transform(CAST(embedding AS DOUBLE[]), x -> trunc(x * {q})) AS vq
   FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+          x -> x IS NULL OR isnan(x) OR abs(x) > 1099511627776.0)) = 0
 ),
 ordered AS (
   SELECT vec_id, vq,

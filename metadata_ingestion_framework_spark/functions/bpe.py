@@ -168,6 +168,10 @@ def bpe_tokenize(
             c = _apply_merge(c, l, r)
         return _split_repr(c)
 
-    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    # coalesce: NULL text must yield [] / 0, not NULL (size(NULL) is NULL
+    # under the sizeOfNull=false default, and the oracle emits 0 there)
+    words = F.expr(
+        f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z]+', 0)"
+    )
     out = df.withColumn(out_col, F.flatten(F.transform(words, per_word)))
     return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))

@@ -744,7 +744,11 @@ def ngram_contamination_bloom(
     """
     m = int(n_bits)
     tg = _distinct_gram_rows(train, text_col, id_col, shingle_n, "train_id")
-    eg = _distinct_gram_rows(evals, text_col, id_col, shingle_n, "eval_id")
+    # persist: the eval gram rows feed BOTH the bitmap build and the
+    # final exact-verify join — unpersisted, the Python gram kernel would
+    # run twice over the eval corpus (CLAUDE.md self-join rule); released
+    # via _persisted_deps / unpersist_deps
+    eg = _distinct_gram_rows(evals, text_col, id_col, shingle_n, "eval_id").persist()
 
     def positions(df: DataFrame) -> DataFrame:
         out = df.withColumn(
@@ -775,12 +779,14 @@ def ngram_contamination_bloom(
         .filter(F.col("__h") == n_hashes)  # ALL probes hit -> maybe present
         .select("train_id", "gram")
     )
-    return (
+    out = (
         cand.join(eg, "gram")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .filter(F.col("shared_grams") >= min_shared)
     )
+    out._persisted_deps = [eg]
+    return out
 
 
 def decontaminate(

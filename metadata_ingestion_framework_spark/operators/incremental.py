@@ -254,15 +254,23 @@ class MinhashSignatureStore:
         matter how big the store is. Hash buckets (the string-id
         fallback) spread any batch of >= n_buckets rows across EVERY
         bucket — the write degenerates to a full-store rewrite. Engine-
-        internal (never oracle-compared), so xxhash64 is fine here."""
+        internal (never oracle-compared), so xxhash64 is fine here.
+
+        LAYOUT NOTE (r10): the bucket switched from floor(double
+        division) to integral `div` — identical for ids in [0, 2^53) but
+        different for NEGATIVE ids (floor vs truncate); a pre-r10 store
+        containing negative ids must be rebuilt (write_sigs_snapshot),
+        or re-ingests of those ids would land in a different bucket than
+        their stored rows and ghost them."""
         id_type = dict(sigs.dtypes)[self.id_col]
         if id_type in ("tinyint", "smallint", "int", "bigint"):
             # Integral `div`, NOT floor(double division): for ids above
             # 2^53 the double rounds and can disagree with the exact
             # Python `cutoff_id // width` boundary in retire_ids_below,
             # dropping live rows / retaining retired ones.
+            q = self.id_col.replace("`", "``")
             bucket = F.expr(
-                f"CAST({self.id_col} AS BIGINT) div {int(self.sig_bucket_width)}"
+                f"CAST(`{q}` AS BIGINT) div {int(self.sig_bucket_width)}"
             )
         else:
             bucket = F.pmod(
@@ -439,17 +447,33 @@ class MinhashSignatureStore:
         ]
         if below:
             self.store.delete_partitions(self.SIGS, "sig_bucket", below)
-        kept_boundary = (
+        # Rewrite the boundary bucket only if it actually holds retired
+        # rows — a cutoff landing exactly on a bucket edge (the natural
+        # "drop buckets older than N" call) stays a true zero-rewrite
+        # single-version delete.
+        boundary_retired = (
             self.store.read(self.SIGS)
             .filter(
                 (F.col("sig_bucket") == boundary)
-                & (F.col(self.id_col) >= cutoff_id)
+                & (F.col(self.id_col) < cutoff_id)
             )
+            .limit(1)
+            .count()
+            > 0
         )
-        self.store.write_partition_delta(
-            kept_boundary, self.SIGS, "sig_bucket", [boundary]
-        )
-        self.rebuild_bands()
+        if boundary_retired:
+            kept_boundary = (
+                self.store.read(self.SIGS)
+                .filter(
+                    (F.col("sig_bucket") == boundary)
+                    & (F.col(self.id_col) >= cutoff_id)
+                )
+            )
+            self.store.write_partition_delta(
+                kept_boundary, self.SIGS, "sig_bucket", [boundary]
+            )
+        if below or boundary_retired:
+            self.rebuild_bands()
 
     def rebuild_bands(self) -> None:
         """Maintenance compaction: regenerate the band table from the sigs
@@ -604,6 +628,11 @@ class EmbeddingDedupStore:
         # data-blind random fallback. Must stay FIXED for the store's
         # lifetime — the cell partition layout is derived from it; retrain
         # => rebuild the store (same contract as re-sharding any store).
+        if centroids is not None and len(centroids) != n_cells:
+            raise ValueError(
+                f"centroids has {len(centroids)} cells, expected "
+                f"n_cells={n_cells}"
+            )
         self.centroids = (
             centroids
             if centroids is not None
@@ -623,8 +652,9 @@ class EmbeddingDedupStore:
         boundary), xxhash fallback for strings (no retention analog)."""
         id_type = dict(df.dtypes)[self.id_col]
         if id_type in ("tinyint", "smallint", "int", "bigint"):
+            q = self.id_col.replace("`", "``")
             bucket = F.expr(
-                f"CAST({self.id_col} AS BIGINT) div {int(self.vec_bucket_width)}"
+                f"CAST(`{q}` AS BIGINT) div {int(self.vec_bucket_width)}"
             )
         else:
             bucket = F.pmod(
@@ -746,10 +776,23 @@ class EmbeddingDedupStore:
             self.store.delete_partitions(
                 self.VECS, ["vec_bucket", "cell"], below
             )
-        kept_boundary = self.store.read(self.VECS).filter(
-            (F.col("vec_bucket") == boundary)
-            & (F.col(self.id_col) >= cutoff_id)
+        # Boundary rewrite only when it holds retired rows (see the sigs
+        # twin): an edge-aligned cutoff is a zero-rewrite single version.
+        boundary_retired = (
+            self.store.read(self.VECS)
+            .filter(
+                (F.col("vec_bucket") == boundary)
+                & (F.col(self.id_col) < cutoff_id)
+            )
+            .limit(1)
+            .count()
+            > 0
         )
-        self.store.write_partition_delta(
-            kept_boundary, self.VECS, ["vec_bucket", "cell"], [boundary]
-        )
+        if boundary_retired:
+            kept_boundary = self.store.read(self.VECS).filter(
+                (F.col("vec_bucket") == boundary)
+                & (F.col(self.id_col) >= cutoff_id)
+            )
+            self.store.write_partition_delta(
+                kept_boundary, self.VECS, ["vec_bucket", "cell"], [boundary]
+            )

@@ -77,11 +77,21 @@ def quantize_vectors(
 ) -> DataFrame:
     """(id, vq array<bigint>) with ``vq_i = trunc(x_i * quant)``.
 
-    Null / off-dim rows are dropped — training ignores dirty records (they
-    keep their NULL-cell behavior at serve time via ``ivf_assign``).
+    Null / off-dim / non-finite rows are dropped — training ignores dirty
+    records (they keep their NULL-cell behavior at serve time via
+    ``ivf_assign``). The finite check matters under ANSI mode: a NaN/Inf
+    (or absurd-magnitude) component would make the double->long CAST
+    throw instead of skip; |x| <= 2^40 keeps the product inside long
+    range. The DuckDB replay mirrors the same predicate.
     """
     v = F.col(vec_col)
-    return df.filter(v.isNotNull() & (F.size(v) == dim)).select(
+    finite = F.forall(
+        v,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) <= F.lit(float(1 << 40))),
+    )
+    return df.filter(v.isNotNull() & (F.size(v) == dim) & finite).select(
         F.col(id_col),
         F.transform(
             v, lambda x: (x.cast("double") * F.lit(float(quant))).cast("long")

@@ -177,12 +177,20 @@ def merge_apply(
         for c, ap in reversed(list(zip(clauses, applies))):
             if c.action == "update":
                 # set=None -> updateAll; partial set leaves other cols as
-                # target. updateAll only touches columns the update batch
-                # natively has — target-only columns stay (Delta parity).
+                # target. Under schema evolution, updateAll only touches
+                # columns the update batch natively has — target-only
+                # columns stay (Delta withSchemaEvolution parity). WITHOUT
+                # evolution the fallback must not fire: Delta rejects an
+                # updateAll whose source lacks target columns, and the
+                # unresolved `updates.<col>` reference keeps that loud
+                # analysis error instead of silently half-updating.
                 if c.set is None:
                     v = (
                         F.col(f"updates.{col_name}")
-                        if col_name in native_update_cols
+                        if (
+                            col_name in native_update_cols
+                            or not allow_schema_evolution
+                        )
                         else F.col(f"target.{col_name}")
                     )
                 elif col_name in c.set:

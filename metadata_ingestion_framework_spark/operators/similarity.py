@@ -399,6 +399,22 @@ def random_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]
     return cents
 
 
+def _resolve_centroids(
+    centroids: list[list[float]] | None, dim: int, n_cells: int, seed: int
+) -> list[list[float]]:
+    """Trained centroids or the random fallback; a trained list whose size
+    disagrees with n_cells would silently break probe-order / recall-full
+    semantics (e.g. recall_full probing 8 of 16 real cells) — error loudly
+    instead."""
+    if centroids is None:
+        return random_centroids(dim, n_cells, seed)
+    if len(centroids) != n_cells:
+        raise ValueError(
+            f"centroids has {len(centroids)} cells, expected n_cells={n_cells}"
+        )
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -423,7 +439,7 @@ def ivf_topk(
     ``centroids``: trained coarse quantizer (``kmeans_fit(...).unit_centroids``
     — operators/kmeans.py); None falls back to the data-blind random cells.
     """
-    cents = centroids if centroids is not None else random_centroids(dim, n_cells, seed)
+    cents = _resolve_centroids(centroids, dim, n_cells, seed)
     c = ivf_assign(corpus.select(id_col, vec_col), cents, vec_col)
 
     def cell_scores(col: Column) -> list[Column]:
@@ -490,7 +506,7 @@ def ivf_topk_int8(
         quantize_embeddings,
     )
 
-    cents = centroids if centroids is not None else random_centroids(dim, n_cells, seed)
+    cents = _resolve_centroids(centroids, dim, n_cells, seed)
     base = corpus.select(id_col, vec_col)
     # write-time layout at scale: codes+scale+cell persisted once; the float
     # column lives in a separate (rarely read) table/column chunk
@@ -648,7 +664,7 @@ def semantic_dedup(
     )
     from metadata_ingestion_framework_spark.operators.dedup import carry_deps
 
-    cents = centroids if centroids is not None else random_centroids(dim, n_cells, seed)
+    cents = _resolve_centroids(centroids, dim, n_cells, seed)
     cells = (
         ivf_assign(df.select(id_col, vec_col), cents, vec_col)
         .withColumnRenamed("__ivf_cell", "cell")
@@ -781,7 +797,7 @@ def ivf_recall(
     on a sampled query set to calibrate n_probe, then serve with
     ``ivf_topk``/``ivf_topk_int8`` at the chosen setting.
     """
-    cents = centroids if centroids is not None else random_centroids(dim, n_cells, seed)
+    cents = _resolve_centroids(centroids, dim, n_cells, seed)
     c = ivf_assign(corpus.select(id_col, vec_col), cents, vec_col)
 
     # full probe ORDER per query — same sort ivf_topk slices its probe

@@ -123,3 +123,15 @@ def test_property_matches_pure_python_reference(spark):
         expected = _ref_bpe(texts, 4)
         got = bpe_train(_docs(spark, texts), "text", k_merges=4)
         assert got == expected, f"case {case}: {texts!r}"
+
+
+def test_tokenize_null_text_counts_zero(spark):
+    """r10 code review: NULL text must tokenize to [] / 0 (the oracle's
+    COALESCE(n, 0) convention), not NULL."""
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, None)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, "text", k_merges=1)
+    rows = {r.doc_id: r for r in bpe_tokenize(df, merges, "text").collect()}
+    assert rows[1].bpe_tokens == [] and rows[1].n_bpe_tokens == 0
+    assert rows[0].n_bpe_tokens > 0

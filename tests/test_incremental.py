@@ -538,3 +538,34 @@ def test_embedding_store_with_trained_centroids(spark, tmp_path):
     # re-ingest of the same rows under a new run id: replay guard holds
     s2 = store.ingest(b1, "r1-replay")
     assert {r.vec_id for r in s2.collect()} == {r.vec_id for r in s1.collect()}
+
+
+def test_retire_edge_aligned_cutoff_is_single_version_zero_rewrite(
+    spark, tmp_path
+):
+    """r10 code review: a cutoff landing exactly on a bucket edge mints
+    ONE new version (the partition drop) and rewrites nothing — the
+    boundary bucket has no retired rows, so its rewrite is skipped."""
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        EmbeddingDedupStore,
+    )
+
+    store = EmbeddingDedupStore(
+        spark, str(tmp_path / "vecstore"), dim=8, n_cells=2, threshold=0.9,
+        vec_bucket_width=16,
+    )
+    store.ingest(_vecs(spark, [(i, _unit(i % 8)) for i in range(32)]), "r1")
+    v0 = store.store.current_version(store.VECS)
+    store.retire_ids_below(16)  # exactly the bucket-0/1 edge
+    v1 = store.store.current_version(store.VECS)
+    assert v1 == v0 + 1  # one version: the drop; no boundary rewrite
+    ids = sorted(
+        r.vec_id for r in store.store.read(store.VECS).select("vec_id").collect()
+    )
+    assert ids == list(range(16, 32))
+    # bucket-1 files carried by hard link (zero bytes rewritten)
+    p0 = store.store._version_path(store.VECS, v0)
+    p1 = store.store._version_path(store.VECS, v1)
+    assert _inodes(os.path.join(p1, "vec_bucket=1")) == _inodes(
+        os.path.join(p0, "vec_bucket=1")
+    )

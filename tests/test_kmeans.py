@@ -172,3 +172,30 @@ def test_property_matches_numpy_replica(spark):
                     sx = vq[mask].sum(axis=0)
                     cents[j] = sx / float(mask.sum() * (1 << 20))
         assert got.centroids == [list(c) for c in cents], f"case {case}"
+
+
+def test_nonfinite_components_are_dropped_not_fatal(spark):
+    """r10 code review: a NaN/Inf component must drop the row (dirty),
+    not blow up the ANSI double->long cast."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [float("nan"), 1.0]), (2, [float("inf"), 1.0]),
+         (3, [0.0, 1.0]), (4, [0.5, 0.5]), (5, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    m = kmeans_fit(df, dim=2, n_cells=2, n_iters=2)
+    out = kmeans_assignments(df, m)
+    assert {r.vec_id for r in out.collect()} == {0, 3, 4, 5}
+
+
+def test_centroid_count_mismatch_raises(spark):
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        ivf_recall,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    m = kmeans_fit(emb, dim=64, n_cells=4, n_iters=1)
+    with pytest.raises(ValueError, match="expected n_cells"):
+        ivf_recall(emb, q, dim=64, n_cells=8, centroids=m.unit_centroids)

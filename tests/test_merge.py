@@ -264,3 +264,22 @@ def test_versioned_store_append_merges_schema(spark, tmp_path):
     store.append(spark.createDataFrame([(3,)], "id int"), "t")
     got = {r.id: (r.v, r.score) for r in store.read("t").collect()}
     assert got == {1: ("a", None), 2: ("b", 5.0), 3: (None, None)}
+
+
+def test_scd1_no_evolution_missing_source_column_errors(spark):
+    """r10 code review: WITHOUT allow_schema_evolution, updateAll over an
+    update batch missing a target column must fail loudly (Delta rejects
+    it without autoMerge) — not silently half-update."""
+    import pyspark.sql.utils
+
+    import pytest as _pytest
+
+    from metadata_ingestion_framework_spark.operators.merge import scd1_merge
+
+    target = spark.createDataFrame(
+        [(1, "a", 1.5)], "id int, v string, score double"
+    )
+    updates = spark.createDataFrame([(1, "a2")], "id int, v string")
+    with _pytest.raises(Exception) as exc:
+        scd1_merge(target, updates, ["id"]).collect()
+    assert "score" in str(exc.value)
