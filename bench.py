@@ -98,7 +98,7 @@ HEADLINE_REPEATS = 2
 # 40 timed runs preceding it, so flagships now measure right after their
 # own warmup, where the number reflects the operator and not the queue
 # position.
-ACTION = "checksum_xxhash64_min_of_2_flagship_first_interleaved"
+ACTION = "checksum_xxhash64_min_of_2_flagship_first_interleaved_memo_cleared_per_rep"
 
 
 def run_query(spark, fn, sf_dir) -> tuple[float, int]:
