@@ -440,10 +440,13 @@ class MinhashSignatureStore:
         # Python `//` floors, which differs for negative cutoffs.
         boundary = -((-cutoff_id) // self.sig_bucket_width) if cutoff_id < 0 \
             else cutoff_id // self.sig_bucket_width
+        # which buckets exist = a directory listing (O(#partitions)
+        # metadata), NOT a distinct scan — at 100 TB the latter reads the
+        # whole store's bucket column
         below = [
-            r.sig_bucket
-            for r in sigs.select("sig_bucket").distinct()
-            .filter(F.col("sig_bucket") < boundary).collect()
+            int(v)
+            for v in self.store.partition_values(self.SIGS, "sig_bucket")
+            if v is not None and int(v) < boundary
         ]
         if below:
             self.store.delete_partitions(self.SIGS, "sig_bucket", below)
@@ -767,10 +770,12 @@ class EmbeddingDedupStore:
         # Python `//` floors, which differs for negative cutoffs.
         boundary = -((-cutoff_id) // self.vec_bucket_width) if cutoff_id < 0 \
             else cutoff_id // self.vec_bucket_width
+        # bucket inventory from the directory layout, not a data scan
+        # (see the sigs twin)
         below = [
-            r.vec_bucket
-            for r in vecs.select("vec_bucket").distinct()
-            .filter(F.col("vec_bucket") < boundary).collect()
+            int(v)
+            for v in self.store.partition_values(self.VECS, "vec_bucket")
+            if v is not None and int(v) < boundary
         ]
         if below:
             self.store.delete_partitions(

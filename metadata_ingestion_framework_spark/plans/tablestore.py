@@ -19,6 +19,7 @@ travel and are pruned with ``vacuum``.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +71,37 @@ class VersionedParquetStore:
 
     def _version_path(self, table: str, version: int) -> str:
         return os.path.join(self._dir(table), f"v={version:06d}")
+
+    def partition_values(
+        self, table: str, partition_col: str, version: int | None = None
+    ) -> list[str | None]:
+        """Top-level partition values of a version from the DIRECTORY
+        LAYOUT — O(#partitions) metadata, no data scan (the Delta-log /
+        file-listing answer to "which partitions exist"). At 100 TB a
+        ``SELECT DISTINCT partition_col`` is a full column read; retention
+        and maintenance paths should ask the layout instead. Values come
+        back UNESCAPED as strings (numeric callers cast); the Hive default
+        dir maps to None."""
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table} does not exist in {self.root}")
+        prefix = f"{partition_col}="
+        out: list[str | None] = []
+        for name in sorted(os.listdir(self._version_path(table, v))):
+            if not name.startswith(prefix):
+                continue
+            raw = name[len(prefix):]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                out.append(None)
+            else:
+                out.append(
+                    re.sub(
+                        "%([0-9A-Fa-f]{2})",
+                        lambda m: chr(int(m.group(1), 16)),
+                        raw,
+                    )
+                )
+        return out
 
     # -- IO -----------------------------------------------------------------
     def read(self, table: str, version: int | None = None) -> DataFrame:

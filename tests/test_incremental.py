@@ -569,3 +569,20 @@ def test_retire_edge_aligned_cutoff_is_single_version_zero_rewrite(
     assert _inodes(os.path.join(p1, "vec_bucket=1")) == _inodes(
         os.path.join(p0, "vec_bucket=1")
     )
+
+
+def test_partition_values_lists_layout_without_scan(spark, tmp_path):
+    """r10: partition_values answers 'which buckets exist' from the
+    directory layout — escaped values round-trip and the Hive default dir
+    maps to None."""
+    from metadata_ingestion_framework_spark.plans.tablestore import (
+        VersionedParquetStore,
+    )
+
+    store = VersionedParquetStore(spark, str(tmp_path / "pv"))
+    df = spark.createDataFrame(
+        [(1, "a=b"), (2, "plain"), (3, None)], "id int, k string"
+    )
+    store.write(df, "t", partition_by=["k"])
+    vals = store.partition_values("t", "k")
+    assert set(vals) == {"a=b", "plain", None}
