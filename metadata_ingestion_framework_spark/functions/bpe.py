@@ -96,15 +96,71 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_merge_loop(
+    word_counts: list[tuple[str, int]], k_merges: int
+) -> list[tuple[str, str, int]]:
+    """Classic list-based greedy BPE over an in-memory word-count table —
+    the same algorithm, tie-break (count desc, pair asc) and greedy
+    left-to-right merge as the distributed rounds, in pure Python."""
+    counts = dict(word_counts)
+    vocab = {w: list(w) + [EOW] for w in counts}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(k_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
 def bpe_train(
-    df: DataFrame, text_col: str = "text", k_merges: int = 8
+    df: DataFrame, text_col: str = "text", k_merges: int = 8,
+    driver_vocab_limit: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``k_merges`` BPE merges from the corpus. Returns the ordered
     merge table ``[(left, right, pair_count), ...]``.
 
     Stops early if the vocab runs out of adjacent pairs (degenerate
     corpora only — every real corpus has far more pairs than merges).
-    """
+
+    ``driver_vocab_limit``: the LARGE-K path (real vocabularies need
+    ~30k merges — one Spark round per merge does not scale in job count).
+    Pays the ONE corpus shuffle (word counts), collects the top-N words
+    by (count desc, word asc) — the bounded head that carries ~all the
+    corpus mass — and runs the merge loop driver-side with identical
+    tie-breaks. With N >= the distinct word count the result is exactly
+    the distributed rounds' (pytest-proven); a smaller N is the standard
+    truncated-vocab approximation (Sennrich trains on a word-count dict
+    that fits memory — public practice). None keeps the per-round
+    distributed path (bitwise oracle-replayable, used by the catalog)."""
+    if driver_vocab_limit is not None:
+        rows = (
+            bpe_word_table(df, text_col)
+            .orderBy(F.col("count").desc(), F.col("word").asc())
+            .limit(driver_vocab_limit)
+            .collect()
+        )
+        # r["count"], not r.count — Row.count is the tuple METHOD
+        return _bpe_merge_loop(
+            [(r["word"], r["count"]) for r in rows], k_merges
+        )
     vocab = bpe_word_table(df, text_col).persist()
     try:
         merges: list[tuple[str, str, int]] = []

@@ -135,3 +135,22 @@ def test_tokenize_null_text_counts_zero(spark):
     rows = {r.doc_id: r for r in bpe_tokenize(df, merges, "text").collect()}
     assert rows[1].bpe_tokens == [] and rows[1].n_bpe_tokens == 0
     assert rows[0].n_bpe_tokens > 0
+
+
+def test_driver_vocab_path_equals_distributed(spark):
+    """r10: the large-K driver-side path (collect word counts once, merge
+    loop in memory) equals the distributed per-round path exactly when
+    the vocab limit covers every distinct word; a 3000-merge run on the
+    driver path completes in one Spark job instead of 3000."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(100)
+    dist = bpe_train(docs, "text", k_merges=6)
+    drv = bpe_train(docs, "text", k_merges=6, driver_vocab_limit=10_000_000)
+    assert drv == dist
+    # large-K: one Spark job, no hang; the toy vocab fully merges and
+    # stops early (every word one symbol), merges stay well-formed
+    big = bpe_train(docs, "text", k_merges=300, driver_vocab_limit=10_000_000)
+    assert 50 < len(big) <= 300
+    assert all(isinstance(l, str) and isinstance(r, str) and c > 0
+               for l, r, c in big)
