@@ -415,6 +415,24 @@ def _resolve_centroids(
     return centroids
 
 
+def probe_cell_order(qvec: Column, cents: list[list[float]]) -> Column:
+    """Per-query FULL probe order: cell indices sorted by (dot score desc,
+    cell asc) — the expression every IVF consumer slices its n_probe list
+    from (ivf_topk / ivf_topk_int8 / ivf_recall / IvfIndex share it)."""
+    scores = F.array(
+        *[dot(qvec, F.array(*[F.lit(float(x)) for x in cent])) for cent in cents]
+    )
+    return F.transform(
+        F.array_sort(
+            F.transform(
+                scores,
+                lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+            )
+        ),
+        lambda st: st.getField("cell"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -442,24 +460,8 @@ def ivf_topk(
     cents = _resolve_centroids(centroids, dim, n_cells, seed)
     c = ivf_assign(corpus.select(id_col, vec_col), cents, vec_col)
 
-    def cell_scores(col: Column) -> list[Column]:
-        return [dot(col, F.array(*[F.lit(float(x)) for x in cent])) for cent in cents]
-
     # per-query probe list: indices of the n_probe highest-scoring cells
-    scores = F.array(*cell_scores(F.col("__qvec")))
-    probe = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(
-                    scores,
-                    lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
-                )
-            ),
-            lambda st: st.getField("cell"),
-        ),
-        1,
-        n_probe,
-    )
+    probe = F.slice(probe_cell_order(F.col("__qvec"), cents), 1, n_probe)
     q = (
         queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
         .withColumn("__ivf_cell", F.explode(probe))
@@ -515,24 +517,9 @@ def ivf_topk_int8(
         id_col, f"{vec_col}_q", f"{vec_col}_scale", "__ivf_cell"
     )
 
-    # per-query probe list: indices of the n_probe highest-scoring cells
-    # (identical construction to ivf_topk — the coarse quantizer is shared)
-    scores = F.array(
-        *[dot(F.col("__qvec"), F.array(*[F.lit(float(x)) for x in cent])) for cent in cents]
-    )
-    probe = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(
-                    scores,
-                    lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
-                )
-            ),
-            lambda st: st.getField("cell"),
-        ),
-        1,
-        n_probe,
-    )
+    # per-query probe list: identical construction to ivf_topk — the
+    # coarse quantizer is shared
+    probe = F.slice(probe_cell_order(F.col("__qvec"), cents), 1, n_probe)
     q = (
         queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
         .withColumn("__ivf_cell", F.explode(probe))
@@ -802,22 +789,9 @@ def ivf_recall(
 
     # full probe ORDER per query — same sort ivf_topk slices its probe
     # list from (score desc, cell index asc)
-    scores = F.array(
-        *[dot(F.col("__qvec"), F.array(*[F.lit(float(x)) for x in cent]))
-          for cent in cents]
-    )
-    cell_order = F.transform(
-        F.array_sort(
-            F.transform(
-                scores,
-                lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
-            )
-        ),
-        lambda st: st.getField("cell"),
-    )
     q = queries.select(
         query_id_col, F.col(vec_col).alias("__qvec")
-    ).withColumn("__order", cell_order)
+    ).withColumn("__order", probe_cell_order(F.col("__qvec"), cents))
 
     # one scored pass; __pos = 1-based rank of the corpus row's cell in
     # the query's probe order, so "probed at n_probe=p" == (__pos <= p)
