@@ -6,10 +6,18 @@ runs:
 
   - :func:`~.kmeans.kmeans_fit` trains the coarse quantizer (optionally
     on a bounded md5-ordered sample — FAISS practice);
-  - the corpus is written ONCE into a cell-partitioned
-    ``VersionedParquetStore`` layout (``cell=<j>/`` directories — the
-    layout whose file-level pruning ``tests/test_layout_pruning.py``
-    proves with corrupted-unprobed-file evidence);
+  - the corpus is written into a hierarchically partitioned
+    ``VersionedParquetStore`` layout (``vec_bucket=<b>/cell=<j>/`` — the
+    id-RANGE bucket on top is the INGEST/retention granularity, the IVF
+    cell inside is the SERVE granularity; partition pruning works on the
+    second level just as well, and ``tests/test_layout_pruning.py``-style
+    corrupted-unprobed-file evidence proves serving is file-level pruned);
+  - :meth:`IvfIndex.append` grows the index incrementally through
+    ``write_partition_delta`` on the batch ids' buckets — the
+    EmbeddingDedupStore machinery: a re-ingested id's old row lives in
+    the SAME bucket (bucket is a pure function of the id), so the bucket
+    rewrite both upserts the vector and vacates its old cell subdir, and
+    untouched buckets carry by hard link (ingest IO tracks the batch);
   - serving reads ONLY the probed cells: the per-query probe list is the
     shared :func:`~.similarity.probe_cell_order` expression, the store
     scan filters ``cell IN (<union of probed cells>)`` (directory
@@ -32,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metadata_ingestion_framework_spark.operators.kmeans import kmeans_fit
+from metadata_ingestion_framework_spark.operators.merge import scd1_merge
 from metadata_ingestion_framework_spark.operators.similarity import (
     cosine,
     ivf_assign,
@@ -54,6 +63,8 @@ class IvfIndex:
         n_iters: int = 3,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        vec_bucket_width: int = 8192,
+        n_buckets: int = 64,
     ):
         self.spark = spark
         self.root = root
@@ -63,6 +74,8 @@ class IvfIndex:
         self.n_iters = n_iters
         self.id_col = id_col
         self.vec_col = vec_col
+        self.vec_bucket_width = vec_bucket_width
+        self.n_buckets = n_buckets
         self._cent_path = os.path.join(root, "_centroids.json")
         self.centroids: list[list[float]] | None = None
         if os.path.exists(self._cent_path):
@@ -96,10 +109,10 @@ class IvfIndex:
                 f"centroids has {len(centroids)} cells, expected "
                 f"n_cells={self.n_cells}"
             )
-        assigned = ivf_assign(
-            corpus.select(self.id_col, self.vec_col), centroids, self.vec_col
-        ).withColumnRenamed("__ivf_cell", "cell")
-        self.store.write(assigned, self.VECS, partition_by=["cell"])
+        assigned = self._assign(corpus, centroids)
+        self.store.write(
+            assigned, self.VECS, partition_by=["vec_bucket", "cell"]
+        )
         tmp = self._cent_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -112,6 +125,53 @@ class IvfIndex:
             )
         os.replace(tmp, self._cent_path)  # atomic, like _CURRENT
         self.centroids = centroids
+
+    def _assign(self, batch: DataFrame, centroids) -> DataFrame:
+        """(id, vec, vec_bucket, cell) — the storage rows. Bucket is a
+        pure function of the id (integral-`div` range for numeric ids,
+        xxhash fallback for strings — the store-family convention)."""
+        out = ivf_assign(
+            batch.select(self.id_col, self.vec_col), centroids, self.vec_col
+        ).withColumnRenamed("__ivf_cell", "cell")
+        id_type = dict(out.dtypes)[self.id_col]
+        if id_type in ("tinyint", "smallint", "int", "bigint"):
+            q = self.id_col.replace("`", "``")
+            bucket = F.expr(
+                f"CAST(`{q}` AS BIGINT) div {int(self.vec_bucket_width)}"
+            )
+        else:
+            bucket = F.pmod(
+                F.xxhash64(F.col(self.id_col).cast("string")),
+                F.lit(self.n_buckets),
+            )
+        return out.withColumn("vec_bucket", bucket)
+
+    def append(self, batch: DataFrame) -> None:
+        """Incremental ingest: assign the batch with the FIXED centroids
+        and partition-delta only its ids' buckets (SCD1 on the id — a
+        re-delivered or re-embedded id replaces its row and vacates any
+        old cell subdir; every other bucket hard-links). Write cost
+        tracks the batch at any index size."""
+        if self.centroids is None:
+            raise FileNotFoundError(f"index at {self.root} is not built")
+        assigned = self._assign(batch, self.centroids)
+        touched_set = {
+            r.vec_bucket
+            for r in assigned.select("vec_bucket").distinct().collect()
+        }
+        touched = sorted(
+            (v for v in touched_set if v is not None), key=str
+        ) + ([None] if None in touched_set else [])
+        bucket_match = F.col("vec_bucket").isin(
+            [v for v in touched if v is not None]
+        )
+        if None in touched_set:
+            bucket_match = bucket_match | F.col("vec_bucket").isNull()
+        old_touched = self.store.read(self.VECS).filter(bucket_match)
+        merged = scd1_merge(old_touched, assigned, [self.id_col])
+        self.store.write_partition_delta(
+            merged, self.VECS, ["vec_bucket", "cell"], touched
+        )
 
     def topk(
         self,

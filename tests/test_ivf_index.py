@@ -66,7 +66,9 @@ def test_serve_scan_is_file_pruned(spark, tmp_path):
     vdir = idx.store._version_path(
         IvfIndex.VECS, idx.store.current_version(IvfIndex.VECS)
     )
-    files = glob.glob(os.path.join(vdir, f"cell={unprobed[0]}", "*.parquet"))
+    files = glob.glob(
+        os.path.join(vdir, "vec_bucket=*", f"cell={unprobed[0]}", "*.parquet")
+    )
     assert files
     for f in files:
         with open(f, "wb") as fh:
@@ -100,3 +102,71 @@ def test_unbuilt_index_errors(spark, tmp_path):
     idx = IvfIndex(spark, str(tmp_path / "empty"), dim=64)
     with pytest.raises(FileNotFoundError, match="not built"):
         idx.topk(_queries(spark))
+
+
+def test_append_grows_index_and_matches_full_rebuild(spark, tmp_path):
+    """r10: incremental append — batch buckets partition-delta in
+    (untouched buckets hard-link), a re-embedded id vacates its old cell,
+    and serving over build+append equals ivf_topk over the union corpus
+    with the same centroids."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(EMB)
+    seed = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10000)
+    )
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), dim=64, n_cells=8, vec_bucket_width=256
+    )
+    idx.build(seed)
+    v1 = idx.store.current_version(IvfIndex.VECS)
+    idx.append(batch)
+    v2 = idx.store.current_version(IvfIndex.VECS)
+    assert v2 == v1 + 1
+    # untouched seed bucket carried by hard link (batch ids live in
+    # bucket >= 10400//256; seed buckets are 0 and 1)
+    p1 = idx.store._version_path(IvfIndex.VECS, v1)
+    p2 = idx.store._version_path(IvfIndex.VECS, v2)
+
+    def inodes(path):
+        return {
+            os.stat(f).st_ino
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True)
+        }
+
+    assert inodes(os.path.join(p2, "vec_bucket=0")) == inodes(
+        os.path.join(p1, "vec_bucket=0")
+    )
+    # serving equals ivf_topk over the union with the same centroids
+    union = seed.unionByName(batch)
+    got = idx.topk(_queries(spark), k=10, n_probe=3)
+    exp = ivf_topk(
+        union, _queries(spark), dim=64, k=10, n_cells=8, n_probe=3,
+        centroids=idx.centroids,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    unpersist_deps(got)
+    # re-embed an existing id with a different vector: SCD1 upsert (one
+    # row), and its cell follows the new vector
+    old_row = idx.store.read(IvfIndex.VECS).filter("vec_id = 3").collect()[0]
+    moved = spark.createDataFrame(
+        [(3, [float(-x) for x in old_row[idx.vec_col]])],
+        f"vec_id long, {idx.vec_col} array<float>",
+    )
+    idx.append(moved)
+    rows = idx.store.read(IvfIndex.VECS).filter("vec_id = 3").collect()
+    assert len(rows) == 1
+    assert rows[0][idx.vec_col] != old_row[idx.vec_col]
+
+
+def test_append_before_build_errors(spark, tmp_path):
+    idx = IvfIndex(spark, str(tmp_path / "empty"), dim=64)
+    with pytest.raises(FileNotFoundError, match="not built"):
+        idx.append(_queries(spark).withColumnRenamed("query_id", "vec_id"))
