@@ -170,3 +170,64 @@ def test_append_before_build_errors(spark, tmp_path):
     idx = IvfIndex(spark, str(tmp_path / "empty"), dim=64)
     with pytest.raises(FileNotFoundError, match="not built"):
         idx.append(_queries(spark).withColumnRenamed("query_id", "vec_id"))
+
+
+@pytest.mark.slow
+def test_streaming_append_matches_batch_sequential(spark, tmp_path):
+    """Streaming face: micro-batched vectors through foreachBatch append
+    equal batch-sequential appends — same store versions shape, same
+    serving results."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+
+    emb = spark.read.parquet(EMB)
+    seed = emb.filter("vec_id < 300")
+    src = tmp_path / "vec_stream"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(((300, 350), (350, 400), (400, 450))):
+        emb.filter(f"vec_id >= {lo} AND vec_id < {hi}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+
+    stream_idx = IvfIndex(
+        spark, str(tmp_path / "ivf_stream"), dim=64, n_cells=8,
+        vec_bucket_width=64,
+    )
+    stream_idx.build(seed)
+
+    def sink(bdf, batch_id):
+        if bdf.count():
+            stream_idx.append(bdf)
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_idx = IvfIndex(
+        spark, str(tmp_path / "ivf_batch"), dim=64, n_cells=8,
+        vec_bucket_width=64,
+    )
+    batch_idx.build(seed, centroids=stream_idx.centroids)
+    for i in range(3):
+        batch_idx.append(spark.read.parquet(str(src / f"b{i}")))
+
+    assert (
+        stream_idx.store.read(IvfIndex.VECS).count()
+        == batch_idx.store.read(IvfIndex.VECS).count()
+        == 450
+    )
+    a = stream_idx.topk(_queries(spark), k=10, n_probe=2)
+    b = batch_idx.topk(_queries(spark), k=10, n_probe=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    unpersist_deps(a)
+    unpersist_deps(b)
