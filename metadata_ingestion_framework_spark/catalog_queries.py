@@ -3639,6 +3639,65 @@ FROM documents d LEFT JOIN cnt c USING (doc_id)
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy-hitter contract (operators/sketches.py,
+    Cormode & Muthukrishnan): word-TRIGRAM frequencies estimated from a
+    4x512 counter table (~27k distinct grams collide into 2k counters —
+    real overestimates, measured max ~= N/width across SFs). Contract per
+    the HLL convention — counter VALUES are engine-specific, so the
+    oracle recomputes the exact top-20 and checks the engine-independent
+    invariants: the one-sided guarantee (est >= true, a CMS theorem) and
+    the measured overestimate band (est - true <= 3*N/width; observed
+    ratio 0.91-1.06 across sf0.001/0.01/0.1)."""
+    from metadata_ingestion_framework_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    n3 = F.greatest(F.size(toks) - 2, F.lit(0))
+    tri = F.zip_with(
+        F.slice(toks, 1, n3),
+        F.zip_with(
+            F.slice(toks, 2, n3), F.slice(toks, 3, n3),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    grams = docs.select(F.explode(tri).alias("gram"))
+    depth, width = 4, 512
+    sketch = cms_build(grams, "gram", depth=depth, width=width)
+    true = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("true_n"))
+    top = true.orderBy(F.col("true_n").desc(), F.col("gram").asc()).limit(20)
+    est = cms_estimate(top, sketch, "gram", depth=depth, width=width)
+    total = grams.agg(F.count(F.lit(1)).alias("__n"))
+    return est.crossJoin(F.broadcast(total)).select(
+        "gram",
+        F.col("true_n").cast("bigint").alias("true_n"),
+        (F.col("cms_est") >= F.col("true_n")).alias("ge_ok"),
+        (
+            (F.col("cms_est") - F.col("true_n"))
+            <= 3.0 * F.col("__n") / width
+        ).alias("slack_ok"),
+    )
+
+
+ORACLE_CMS_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+g AS (
+  SELECT t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS gram
+  FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS true_n,
+       true AS ge_ok, true AS slack_ok
+FROM g GROUP BY gram
+ORDER BY true_n DESC, gram ASC LIMIT 20
+"""
+
+
 def q_top_ngrams(spark, sf_dir):
     """Vocab building: corpus-wide word-bigram counts, top 20 (occurrences,
     not per-doc distinct — BPE/vocab prep counts every occurrence).
@@ -4073,6 +4132,8 @@ QUERIES = {
     # oracle replays training AND the ordered-merge tokenization
     "decontaminate_bloom": q_decontaminate_bloom,  # r10 tail: fixed-size
     # Bloom prefilter path; must equal the exact operator (shared oracle)
+    "cms_heavy_hitters": q_cms_heavy_hitters,  # r10 tail: count-min
+    # sketch contract (one-sided guarantee + measured overestimate band)
     "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
     # green r8, unchanged since)
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -4197,6 +4258,7 @@ ORACLES = {
     "dup_clusters": ORACLE_DUP_CLUSTERS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "decontaminate_bloom": ORACLE_DECONTAMINATE,
+    "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "span_dedup": ORACLE_SPAN_DEDUP,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
