@@ -162,9 +162,9 @@ def bpe_train(
             [(r["word"], r["count"]) for r in rows], k_merges
         )
     vocab = bpe_word_table(df, text_col).persist()
+    current = vocab
     try:
         merges: list[tuple[str, str, int]] = []
-        current = vocab
         for _ in range(k_merges):
             top = (
                 _pair_counts(current)
@@ -188,9 +188,11 @@ def bpe_train(
             if current is not vocab:
                 current.unpersist()
             current = nxt
+    finally:
+        # an exception mid-round must release BOTH live persists — the
+        # current round's intermediate and the base vocab (ADVICE r10)
         if current is not vocab:
             current.unpersist()
-    finally:
         vocab.unpersist()
     return merges
 

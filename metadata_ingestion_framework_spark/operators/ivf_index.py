@@ -154,24 +154,30 @@ class IvfIndex:
         tracks the batch at any index size."""
         if self.centroids is None:
             raise FileNotFoundError(f"index at {self.root} is not built")
-        assigned = self._assign(batch, self.centroids)
-        touched_set = {
-            r.vec_bucket
-            for r in assigned.select("vec_bucket").distinct().collect()
-        }
-        touched = sorted(
-            (v for v in touched_set if v is not None), key=str
-        ) + ([None] if None in touched_set else [])
-        bucket_match = F.col("vec_bucket").isin(
-            [v for v in touched if v is not None]
-        )
-        if None in touched_set:
-            bucket_match = bucket_match | F.col("vec_bucket").isNull()
-        old_touched = self.store.read(self.VECS).filter(bucket_match)
-        merged = scd1_merge(old_touched, assigned, [self.id_col])
-        self.store.write_partition_delta(
-            merged, self.VECS, ["vec_bucket", "cell"], touched
-        )
+        # persist: the Arrow ivf_assign kernel is consumed twice (the
+        # touched-bucket collect and the merge write) — CLAUDE.md self-join
+        # rule, same as EmbeddingDedupStore.ingest (ADVICE r10)
+        assigned = self._assign(batch, self.centroids).persist()
+        try:
+            touched_set = {
+                r.vec_bucket
+                for r in assigned.select("vec_bucket").distinct().collect()
+            }
+            touched = sorted(
+                (v for v in touched_set if v is not None), key=str
+            ) + ([None] if None in touched_set else [])
+            bucket_match = F.col("vec_bucket").isin(
+                [v for v in touched if v is not None]
+            )
+            if None in touched_set:
+                bucket_match = bucket_match | F.col("vec_bucket").isNull()
+            old_touched = self.store.read(self.VECS).filter(bucket_match)
+            merged = scd1_merge(old_touched, assigned, [self.id_col])
+            self.store.write_partition_delta(
+                merged, self.VECS, ["vec_bucket", "cell"], touched
+            )
+        finally:
+            assigned.unpersist()
 
     def topk(
         self,

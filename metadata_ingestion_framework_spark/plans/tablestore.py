@@ -19,7 +19,6 @@ travel and are pruned with ``vacuum``.
 from __future__ import annotations
 
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +43,34 @@ def escape_partition_value(value: str) -> str:
     return "".join(
         f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch for ch in value
     )
+
+
+_HEX = frozenset("0123456789abcdefABCDEF")
+
+
+def unescape_partition_value(raw: str) -> str:
+    """Inverse of the Hive/Spark partition-name escaping. ``%XX``
+    sequences are BYTES of the escaped value, so the decode collects
+    bytes (literal chars as their UTF-8 bytes, each ``%XX`` as one byte)
+    and UTF-8-decodes the whole name at the end — a multi-byte value that
+    an engine escaped byte-wise round-trips instead of mojibaking into
+    per-byte ``chr()`` code points (ADVICE r10)."""
+    buf = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        ch = raw[i]
+        if (
+            ch == "%"
+            and i + 2 < n
+            and raw[i + 1] in _HEX
+            and raw[i + 2] in _HEX
+        ):
+            buf.append(int(raw[i + 1 : i + 3], 16))
+            i += 3
+        else:
+            buf.extend(ch.encode("utf-8"))
+            i += 1
+    return buf.decode("utf-8")
 
 
 class VersionedParquetStore:
@@ -94,13 +121,7 @@ class VersionedParquetStore:
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 out.append(None)
             else:
-                out.append(
-                    re.sub(
-                        "%([0-9A-Fa-f]{2})",
-                        lambda m: chr(int(m.group(1), 16)),
-                        raw,
-                    )
-                )
+                out.append(unescape_partition_value(raw))
         return out
 
     # -- IO -----------------------------------------------------------------
@@ -183,6 +204,45 @@ class VersionedParquetStore:
                     "partition-delta writes"
                 )
             carry.append(name)
+        # Validate the CARRIED sub-layout too, not just the first level: a
+        # prior version partitioned by the first column alone (or by
+        # different inner columns) would hard-link a mixed single/two-level
+        # version that only fails at a later read — refuse loudly like the
+        # top-level check does, in BOTH directions (declared cols deeper
+        # than the layout, or the layout deeper than the declared cols)
+        # (ADVICE r10). Metadata-only listing walk, O(#partition dirs),
+        # no data touched.
+        def _check_nesting(dirpath: str, level: int) -> None:
+            for entry in os.listdir(dirpath):
+                if entry.startswith((".", "_")):
+                    continue
+                full = os.path.join(dirpath, entry)
+                if level < len(part_cols):
+                    if not (
+                        os.path.isdir(full)
+                        and entry.startswith(f"{part_cols[level]}=")
+                    ):
+                        raise ValueError(
+                            f"table {table!r} v={cur} entry "
+                            f"{os.path.relpath(full, prev)!r} is not a "
+                            f"'{part_cols[level]}=' partition dir — the "
+                            "current version's nesting does not match "
+                            f"partition cols {part_cols}; rewrite it "
+                            "with write(..., partition_by=[...]) before "
+                            "using partition-delta writes"
+                        )
+                    _check_nesting(full, level + 1)
+                elif os.path.isdir(full):
+                    raise ValueError(
+                        f"table {table!r} v={cur} entry "
+                        f"{os.path.relpath(full, prev)!r} nests deeper "
+                        f"than the declared partition cols {part_cols} "
+                        "— layout mismatch; rewrite the table before "
+                        "using partition-delta writes"
+                    )
+
+        for name in carry:
+            _check_nesting(os.path.join(prev, name), 1)
         # NULL partition values land in the Hive default-partition dir —
         # a None in touched_values must match it, or the null partition
         # would be both rewritten and linked (duplicated). Non-null values
