@@ -233,3 +233,129 @@ def bpe_tokenize(
     )
     out = df.withColumn(out_col, F.flatten(F.transform(words, per_word)))
     return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
+
+
+def _encode_word_inorder(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Apply a merge table to ONE word with in-learning-order semantics in
+    time independent of the vocabulary size K.
+
+    Equivalent to the K nested ``replace`` calls of :func:`bpe_tokenize`
+    (and therefore to the DuckDB training/inference replay): processing
+    ranks in a NON-DECREASING floor order is exactly "for each merge in
+    learning order, greedy left-to-right merge pass" with the no-op merges
+    skipped — a pair the current merge CREATES whose rank is below the
+    floor stays unmerged, just as the already-finished earlier pass would
+    have left it. (The widely-published min-rank-loop encoder — Sennrich's
+    ``apply_bpe``/GPT-2 ``bpe()`` — drops the floor and so can re-merge
+    such resurrected earlier pairs; the two differ only on merge tables
+    where a later merge recreates an earlier pair. We keep training's
+    in-order semantics so inference == the training segmentation and the
+    cross-engine oracle stays bit-exact at any K.)
+
+    Cost: each applied merge removes >= 1 symbol, so <= len(word)
+    iterations of an O(len) min-rank scan — O(len^2) worst-case per word,
+    ~linear in practice, with NO dependence on K (the 30k-merge ceiling
+    that the nested-replace expression form cannot compile past)."""
+    syms = list(word) + [EOW]
+    floor = 0
+    while True:
+        best = -1
+        for a, b in zip(syms, syms[1:]):
+            rk = ranks.get((a, b), -1)
+            if rk >= floor and (best == -1 or rk < best):
+                best = rk
+        if best == -1:
+            return syms
+        # rank is unique per pair, so matching by rank==best during the
+        # greedy pass merges exactly the winning pair's occurrences
+        i, n, out = 0, len(syms), []
+        while i < n:
+            if (
+                i + 1 < n
+                and ranks.get((syms[i], syms[i + 1]), -1) == best
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        floor = best + 1
+
+
+def bpe_tokenize_fast(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Linear-time BPE inference for REAL vocabularies (VERDICT r10 item
+    1): value-identical to :func:`bpe_tokenize` (pytest-proven), but the
+    merge table is a broadcast dict driving an Arrow ``mapInPandas``
+    kernel instead of K nested Catalyst ``replace`` calls — a ~30k-merge
+    production vocabulary is a dict lookup here, where the expression
+    form is a 30k-deep tree that cannot compile.
+
+    Spark shape: map-only (no shuffle, no state); the merge table rides
+    the closure (~1 MB at 30k merges — broadcast-variable scale); per-task
+    distinct-word memo makes the per-word cost amortize across a corpus's
+    Zipfian word distribution. ``_widen_narrow_input`` upstream protects
+    parallelism on narrow scans (CLAUDE.md rule); on real multi-file
+    inputs the kernel inherits the scan's partitioning.
+    """
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _widen_narrow_input,
+    )
+
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(out_col, ArrayType(StringType()), False),
+            StructField(f"n_{out_col}", IntegerType(), False),
+        ]
+    )
+    word_re = _re.compile("[a-z]+")
+    in_cols = df.columns
+
+    def run(batches):
+        memo: dict[str, list[str]] = {}
+
+        def encode(word: str) -> list[str]:
+            toks = memo.get(word)
+            if toks is None:
+                toks = _encode_word_inorder(word, ranks)
+                memo[word] = toks
+            return toks
+
+        for pdf in batches:
+            toks_col, n_col = [], []
+            for text in pdf[text_col]:
+                # mirror regexp_extract_all(lower(coalesce(text,'')),'[a-z]+')
+                s = text.lower() if isinstance(text, str) else ""
+                toks: list[str] = []
+                for w in word_re.findall(s):
+                    toks.extend(encode(w))
+                toks_col.append(toks)
+                n_col.append(len(toks))
+            out = pdf[in_cols].copy()
+            out[out_col] = pd.Series(toks_col, dtype=object, index=pdf.index)
+            out[f"n_{out_col}"] = pd.Series(
+                n_col, dtype="int32", index=pdf.index
+            )
+            yield out
+
+    return _widen_narrow_input(df).mapInPandas(run, schema=schema)
