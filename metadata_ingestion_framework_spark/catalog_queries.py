@@ -1280,6 +1280,60 @@ FROM stats
 """
 
 
+def q_quality_model(spark, sf_dir):
+    """Model-based quality scoring (functions/quality_model.py, VERDICT
+    r10 item 4 — the fastText/CCNet hashed-bag-of-ngrams linear model):
+    word uni+bigrams hashed into 4096 buckets via the shared md5-64
+    primitive, scored against a broadcast integer weight vector in one
+    Arrow mapInPandas pass (map-only, zero shuffle). FULLY value-checked:
+    weights here are a pure hash of the feature index (md5_64('qw'||i) %
+    4096 - 2048), so DuckDB recomputes every bucket AND every weight
+    inline and the exact-BIGINT logit must match bit-for-bit. The float
+    sigmoid ``score`` is derived from these exact integers and excluded
+    from the hash (libm exp is engine-specific — the engine-specific-
+    value convention)."""
+    from metadata_ingestion_framework_spark.functions.quality_model import (
+        hashed_seed_weights,
+        quality_model_score,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_model_score(
+        docs, hashed_seed_weights("qw", 4096), bias=7, text_col="text"
+    )
+    return out.select("doc_id", "logit_q", "n_grams")
+
+
+ORACLE_QUALITY_MODEL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t[i + 1] AS gram
+  FROM toks, unnest(range(0, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+),
+f AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 16))::UBIGINT % 4096 AS idx
+  FROM g
+),
+s AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         SUM(CAST(('0x' || substr(md5('qw' || CAST(idx AS VARCHAR)), 1, 16))::UBIGINT % 4096 AS BIGINT) - 2048) AS wsum
+  FROM f GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(7 + COALESCE(s.wsum, 0) AS BIGINT) AS logit_q,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     docs = wide_t(spark, sf_dir, "documents")  # CPU-bound map: widen narrow scan
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
@@ -4052,7 +4106,8 @@ QUERIES = {
     # encoder (VERDICT r10 item 1), same replay oracle as bpe_tokenize
     "bpe_merges": q_bpe_merges,  # r10: BPE vocab training (NEW), full
     # DuckDB greedy-merge replay
-    "tfidf_top_terms": q_tfidf_top_terms,  # r6: keyword extraction
+    "quality_model": q_quality_model,  # r11 NEW: fastText/CCNet hashed
+    # bag-of-ngrams linear scorer (VERDICT r10 item 4), exact-BIGINT logit
     "pack_manifest": q_pack_manifest,  # r6: sequence-packing manifest
     "curation_v3": q_curation_v3,  # r8: mix-aware leakage-safe curation composite
     "curation_v2": q_curation_v2,  # r7: span-rewrite + perplexity + budget composite
@@ -4088,7 +4143,10 @@ QUERIES = {
     # quota_sample/token_budget/curation_v3 in-window), calibrate_scores
     # (rank-window shape stays in-window via quota_sample's two-stage
     # rank and window_dedup; percentile calibration also runs inside
-    # curation_v3). r10
+    # curation_v3), tfidf_top_terms (displaced by NEW quality_model —
+    # text family keeps heuristic_filters/repetition_stats/
+    # ngram_perplexity/pack_manifest in-window and tfidf's top-k-per-group
+    # window shape stays via quota_sample/window_dedup). r10
     # rotation (2): bpe_merges (NEW — BPE vocab training, VERDICT r9 item
     # 4) displaced top_ngrams (driver-green since r1, unchanged; its
     # bigram-count shape is literally round 1 of bpe_merges' pair
@@ -4170,6 +4228,8 @@ QUERIES = {
     "temperature_mix": q_temperature_mix,  # r11: displaced by bpe_tokenize
     "calibrate_scores": q_calibrate_scores,  # r11: displaced by
     # bpe_tokenize_fast (NEW)
+    "tfidf_top_terms": q_tfidf_top_terms,  # r11: displaced by
+    # quality_model (NEW)
     "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
     # green r8, unchanged since)
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -4284,6 +4344,7 @@ ORACLES = {
     "repetition_stats": ORACLE_REPETITION_STATS,
     "lang_id": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY_SCORE,
+    "quality_model": ORACLE_QUALITY_MODEL,
     "fingerprint": ORACLE_FINGERPRINT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
