@@ -166,6 +166,103 @@ def test_append_grows_index_and_matches_full_rebuild(spark, tmp_path):
     assert rows[0][idx.vec_col] != old_row[idx.vec_col]
 
 
+def test_cell_cap_bounds_partitions_and_serve_identical(spark, tmp_path):
+    """r11 (VERDICT r10 item 2): cells above cell_cap sub-split into
+    md5-bucketed children — partition sizes become bounded (max/mean
+    ratio tamed) while serve results stay IDENTICAL to the unsplit index
+    with the same centroids (the split balances partitions; it never
+    changes the candidate set)."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+
+    raw = spark.read.parquet(EMB)
+    # genuinely SKEWED corpus: 80% of the vectors share one embedding, so
+    # one IVF cell swallows ~400 rows (the real-corpus hot-cell shape)
+    hot = raw.filter("vec_id = 0").collect()[0].embedding
+    hot_lit = F.array(*[F.lit(float(x)) for x in hot]).cast("array<float>")
+    emb = raw.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") >= 100, hot_lit).otherwise(F.col("embedding")),
+    )
+    flat = IvfIndex(spark, str(tmp_path / "flat"), dim=64, n_cells=4)
+    flat.build(emb)
+    cap = 60
+    capped = IvfIndex(
+        spark, str(tmp_path / "capped"), dim=64, n_cells=4, cell_cap=cap
+    )
+    capped.build(emb, centroids=flat.centroids)
+    assert capped.cell_splits, "the hot cell must exceed cap=60"
+    hist = capped.cell_histogram().collect()
+    sizes = [r.n_vecs for r in hist]
+    assert max(sizes) <= int(1.5 * cap)  # bounded (md5 split slack)
+    flat_hist = [r.n_vecs for r in flat.cell_histogram().collect()]
+    assert max(flat_hist) > 300  # the skew is real before the split
+    assert max(sizes) / (sum(sizes) / len(sizes)) < max(flat_hist) / (
+        sum(flat_hist) / len(flat_hist)
+    )
+    # every split cell's children partition its rows exactly
+    by_cell: dict[int, int] = {}
+    for r in hist:
+        by_cell[r.cell] = by_cell.get(r.cell, 0) + r.n_vecs
+    assert sum(by_cell.values()) == 500
+    q = _queries(spark)
+    a = capped.topk(q, k=10, n_probe=3)
+    b = flat.topk(q, k=10, n_probe=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    unpersist_deps(a)
+    unpersist_deps(b)
+    # reload restores the split map and keeps serving
+    reopened = IvfIndex(
+        spark, str(tmp_path / "capped"), dim=64, n_cells=4, cell_cap=cap
+    )
+    assert reopened.cell_splits == capped.cell_splits
+    c = reopened.topk(q, k=5, n_probe=2)
+    assert c.count() > 0
+    unpersist_deps(c)
+
+
+def test_split_layout_append_upserts_and_vacates(spark, tmp_path):
+    """Append on a split layout: sub-cell is a pure function of
+    (cell, id), so a re-embedded id's partition-delta rewrite vacates its
+    old sub-cell dir and serving equals ivf_topk over the union corpus."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(EMB)
+    seed = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400")
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), dim=64, n_cells=4,
+        vec_bucket_width=256, cell_cap=50,
+    )
+    idx.build(seed)
+    assert idx.cell_splits
+    idx.append(batch)
+    got = idx.topk(_queries(spark), k=10, n_probe=3)
+    exp = ivf_topk(
+        emb, _queries(spark), dim=64, k=10, n_cells=4, n_probe=3,
+        centroids=idx.centroids,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    unpersist_deps(got)
+    # re-embed id 3 with the negated vector: exactly one row survives and
+    # the store holds it under its NEW cell/sub-cell only
+    old_row = idx.store.read(IvfIndex.VECS).filter("vec_id = 3").collect()[0]
+    moved = spark.createDataFrame(
+        [(3, [float(-x) for x in old_row[idx.vec_col]])],
+        f"vec_id long, {idx.vec_col} array<float>",
+    )
+    idx.append(moved)
+    rows = idx.store.read(IvfIndex.VECS).filter("vec_id = 3").collect()
+    assert len(rows) == 1
+    assert rows[0][idx.vec_col] != old_row[idx.vec_col]
+
+
 def test_append_before_build_errors(spark, tmp_path):
     idx = IvfIndex(spark, str(tmp_path / "empty"), dim=64)
     with pytest.raises(FileNotFoundError, match="not built"):

@@ -389,6 +389,75 @@ def probe_vecstore(spark, emb, replicas: int, workdir: str) -> dict:
     return out
 
 
+def probe_ivfsplit(spark, emb, replicas: int, workdir: str) -> dict:
+    """Does the r11 cell-cap sub-split keep the hot-cell partition BOUNDED
+    as a skewed corpus grows? (VERDICT r10 item 2.)
+
+    Skew shape: 80% of vectors share one embedding -> one IVF cell holds
+    ~80% of the corpus. At 1x and ``replicas``x we build a flat and a
+    capped index over identical data and fixed centroids (training cost
+    is probed separately) and time:
+
+    - ``build_flat`` / ``build_capped``: assignment + layout write;
+    - ``serve_hot`` on each: top-k with queries that probe the hot cell.
+
+    The recorded ``max_part`` is the decision metric: flat's hot
+    partition grows with the corpus (the 100 TB straggler); capped stays
+    <= ~cell_cap at any scale, so scan/rerank/delta tasks stay uniform.
+    """
+    import os
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.ivf_index import (
+        IvfIndex,
+    )
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        random_centroids,
+    )
+
+    hot = emb.orderBy("vec_id").limit(1).collect()[0].embedding
+    hot_lit = F.array(*[F.lit(float(x)) for x in hot]).cast("array<float>")
+    cents = random_centroids(64, 8)
+    cap = 1500
+    out: dict = {}
+    for tag, vecs in [
+        ("1x", emb), (f"{replicas}x", replicate_embeddings(emb, replicas))
+    ]:
+        skew = vecs.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 5 != 0, hot_lit).otherwise(
+                F.col("embedding")
+            ),
+        ).persist()
+        n = skew.count()
+        r: dict = {}
+        print(f"== ivfsplit {tag} ({n} vecs) ==", file=sys.stderr)
+        queries = skew.limit(8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        for kind, cell_cap in [("flat", None), ("capped", cap)]:
+            idx = IvfIndex(
+                spark, os.path.join(workdir, f"ivf_{kind}_{tag}"), dim=64,
+                n_cells=8, cell_cap=cell_cap,
+            )
+            timed(f"build_{kind}", lambda: (
+                idx.build(skew, centroids=cents), n)[-1], r)
+            hist = idx.cell_histogram().collect()
+            sizes = sorted((row.n_vecs for row in hist), reverse=True)
+            r[f"max_part_{kind}"] = {"sec": 0.0, "rows": sizes[0]}
+            def _serve():
+                topk = idx.topk(queries, k=10, n_probe=2)
+                c = topk.count()
+                unpersist_deps(topk)
+                return c
+            timed(f"serve_hot_{kind}", _serve, r)
+        skew.unpersist()
+        out[tag] = r
+    return out
+
+
 def probe_training(spark, docs, emb, replicas: int) -> dict:
     """Do the r10 iterative trainers scale linearly in the corpus?
 
@@ -595,6 +664,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--training":
         main_training(sys.argv[2:])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--ivfsplit":
+        main_ivfsplit(sys.argv[2:])
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     sys.path.insert(0, "/root/repo")
@@ -690,6 +762,67 @@ def main_vecstore(args: list[str]) -> None:
     _append_vecstore_md(result)
     print(json.dumps(result))
     spark.stop()
+
+
+def main_ivfsplit(args: list[str]) -> None:
+    import tempfile
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    replicas = int(args[1]) if len(args) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import t
+
+    spark = get_spark("scale_probe_ivfsplit")
+    emb = t(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory() as workdir:
+        phases = probe_ivfsplit(spark, emb, replicas, workdir)
+    tags = list(phases)
+    result = {
+        "probe": "ivf_cell_split_10x",
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "base": phases[tags[0]],
+        "scaled": phases[tags[1]],
+    }
+    result["growth"] = {
+        k: round(result["scaled"][k]["sec"] / max(result["base"][k]["sec"], 0.01), 1)
+        if not k.startswith("max_part_")
+        else round(result["scaled"][k]["rows"] / max(result["base"][k]["rows"], 1), 1)
+        for k in result["base"]
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    _append_ivfsplit_md(result)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def _append_ivfsplit_md(result: dict) -> None:
+    lines = [
+        "",
+        "## IVF hot-cell split probe (r11, 80%-skewed corpus grown "
+        f"{result['replicas']}x)",
+        "",
+        "claim under test (VERDICT r10 item 2): with cell_cap, the hot "
+        "cell sub-splits into md5-bucketed children, so the LARGEST "
+        "physical partition (`max_part_*`, rows) stays ~bounded by the "
+        "cap as the skewed corpus grows — flat's hot partition grows "
+        "with the corpus and becomes the straggler every probe hits. "
+        "Serve results are identical by construction (pytest).",
+        "",
+        "| phase | 1x sec (rows) | 10x sec (rows) | growth |",
+        "|---|---|---|---|",
+    ]
+    for k in result["base"]:
+        b, s = result["base"][k], result["scaled"][k]
+        lines.append(
+            f"| {k} | {b['sec']} ({b['rows']}) | {s['sec']} ({s['rows']}) "
+            f"| {result['growth'][k]}x |"
+        )
+    lines.append("")
+    with open("PROBE.md", "a") as f:
+        f.write("\n".join(lines))
 
 
 def _append_vecstore_md(result: dict) -> None:
