@@ -26,6 +26,10 @@ from metadata_ingestion_framework_spark.operators.merge import (
     scd2_merge,
     scd4_merge,
 )
+from metadata_ingestion_framework_spark.operators.sql_merge import (
+    parse_merge,
+    sql_merge,
+)
 from metadata_ingestion_framework_spark.operators.quantize import (
     dequantize,
     quantization_error_stats,
