@@ -161,3 +161,88 @@ def test_observe_stage_streaming_progress_metrics(spark, tmp_path):
     q.stop()
     assert observed == {"rows": 50, "id_sum": sum(range(50))}
     assert spark.table("obs_sink").count() == 40
+
+
+def test_streaming_listener_lands_status_and_facts(spark, tmp_path):
+    """r11 (VERDICT r10 item 5): a rate stream with an attached
+    PipelineStatusListener lands STARTED/RUNNING/TERMINATED status rows,
+    per-batch offset ranges, numInputRows facts, AND Dataset.observe
+    metrics — without any user code in the batch function."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from metadata_ingestion_framework_spark.streaming.listener import (
+        attach_pipeline_listener,
+    )
+
+    store = ObservabilityStore(spark, str(tmp_path / "obs_stream"))
+    qname = "obs_listener_rate_q"
+    listener = attach_pipeline_listener(
+        spark, store, "pipe-listener", query_names={qname}
+    )
+    try:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "200")
+            .load()
+            .observe("stage0", F.count(F.lit(1)).alias("rows"))
+            .select("value")
+        )
+        q = (
+            src.writeStream.format("memory")
+            .queryName(qname)
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt_listener")
+            )
+            .start()
+        )
+        try:
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                q.processAllAvailable()
+                progressed = any(
+                    p and p["numInputRows"] > 0 for p in q.recentProgress
+                )
+                if progressed:
+                    break
+                _time.sleep(0.5)
+            assert progressed, "rate stream never produced a non-empty batch"
+        finally:
+            q.stop()
+        # listener events are async — poll for the terminal row
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            st = {
+                r.status
+                for r in store.read_status().filter(
+                    "pipeline_id = 'pipe-listener'"
+                ).collect()
+            }
+            if {"STARTED", "RUNNING"} <= st and (
+                "TERMINATED" in st or "FAILED" in st
+            ):
+                break
+            _time.sleep(0.5)
+        assert {"STARTED", "RUNNING"} <= st and "TERMINATED" in st, st
+        running = store.read_status().filter(
+            "pipeline_id = 'pipe-listener' AND status = 'RUNNING' "
+            "AND endOffset IS NOT NULL"
+        )
+        assert running.count() > 0  # rate offsets surfaced as longs
+        facts = store.read_facts().filter("pipeline_id = 'pipe-listener'")
+        by_metric = {
+            r.metric for r in facts.select("metric").distinct().collect()
+        }
+        assert "numInputRows" in by_metric
+        assert "stage0.rows" in by_metric  # observe() landed via listener
+        # input facts agree with the observed count in total
+        tot = {
+            r.metric: r.s
+            for r in facts.groupBy("metric")
+            .agg(F.sum("value").alias("s"))
+            .collect()
+        }
+        assert tot["numInputRows"] == tot["stage0.rows"] > 0
+    finally:
+        spark.streams.removeListener(listener)
