@@ -3255,8 +3255,15 @@ def q_ann_recall(spark, sf_dir):
         emb, queries, dim=64, k=10, n_cells=8, probes=(2, 4),
         centroids=model.unit_centroids,
     )
-    wall = Window.partitionBy(F.lit(1))
-    ivf = r.select(
+    # query-set means as a 1-row agg broadcast back onto the Q contract
+    # rows — replaces the r10 global window (its foldable partitionBy
+    # literal was optimized out of the spec, tripping the unpartitioned-
+    # window warning on every bench run; VERDICT r10 nit)
+    means = r.agg(
+        F.avg("recall_p2").alias("__mean_p2"),
+        F.avg("recall_p4").alias("__mean_p4"),
+    )
+    ivf = r.crossJoin(F.broadcast(means)).select(
         "query_id",
         F.col("n_exact").cast("bigint").alias("n_exact"),
         "recall_full",
@@ -3266,8 +3273,8 @@ def q_ann_recall(spark, sf_dir):
         ).alias("mono_ok"),
         (F.col("recall_p2") >= 0.2).alias("bound_ok_p2"),
         (F.col("recall_p4") >= 0.5).alias("bound_ok_p4"),
-        (F.avg("recall_p2").over(wall) >= 0.3).alias("mean_ok_p2"),
-        (F.avg("recall_p4").over(wall) >= 0.5).alias("mean_ok_p4"),
+        (F.col("__mean_p2") >= 0.3).alias("mean_ok_p2"),
+        (F.col("__mean_p4") >= 0.5).alias("mean_ok_p4"),
     )
     # LSH face (same contract shape; 4 planes so buckets hold enough rows
     # for a meaningful recall curve on the synthetic data; measured m0/m2
