@@ -585,6 +585,181 @@ def probe_skew(spark, docs, tag: str) -> dict:
     return r
 
 
+def _aqe_skew_evidence(df) -> dict:
+    """Executed-plan evidence that AQE's skew-join mitigation fired:
+    traverses the ADAPTIVE plan (into query stages) summing the
+    AQEShuffleRead `numSkewedPartitions` / `numSkewedSplits` metrics, and
+    counts `skew=true` markers on the final SortMergeJoins."""
+    je = df._jdf.queryExecution().executedPlan()
+    out = {"numSkewedPartitions": 0, "numSkewedSplits": 0, "smj_skew_true": 0}
+    stack, seen = [je], set()
+    while stack:
+        n = stack.pop()
+        oid = n.toString()[:200] + str(n.id()) if hasattr(n, "id") else None
+        name = n.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            final = n.executedPlan()
+            out["smj_skew_true"] += final.toString().count("skew=true")
+            stack.append(final)
+        if name == "AQEShuffleReadExec":
+            m = n.metrics()
+            for key in ("numSkewedPartitions", "numSkewedSplits"):
+                if m.contains(key):
+                    v = m.apply(key).value()
+                    if v > 0:
+                        out[key] += v
+        if name.endswith("QueryStageExec"):
+            stack.append(n.plan())
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    _ = seen, oid
+    return out
+
+
+def probe_aqe_skew(spark, docs, replicas: int) -> dict:
+    """Does the engine COMPOSE with Spark's native AQE skew-join
+    mitigation (r11, VERDICT r10 item 6)? The hand-rolled skew answers
+    (salted joins, two-stage windows) cover the engine's own operators;
+    this proves a plain 90%-skewed SortMergeJoin through the engine's
+    session ALSO gets runtime-split by `spark.sql.adaptive.skewJoin` —
+    identical results, straggler partition split into many tasks.
+
+    Fixture: a generated 90%-one-key fact at 200k * replicas rows (the
+    sf0.1 documents corpus's dominant partition lands under ~10 MB,
+    below the scale where the split pays — measured: detection fires
+    reliably from tens of MB; thresholds here are probe-tuned to surface
+    the mechanism, production keeps the 256 MB default)."""
+    _ = docs
+    n_fact = 200_000 * replicas
+    fact = (
+        spark.range(0, n_fact)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("source"),
+            F.md5(F.col("id").cast("string")).alias("text"),
+            F.col("id").alias("doc_id"),
+        )
+        .persist()
+    )
+    fact.count()
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("source"),
+        (F.col("id") % 7).cast("long").alias("source_rank"),
+    )
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": None,  # per-run
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        # force the SMJ: a 10-row dim would broadcast and hide the skew
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    r: dict = {}
+    try:
+        for k, v in confs.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        results = {}
+        for mode, on in (("off", "false"), ("on", "true")):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", on)
+            # aggregate on a DIFFERENT key than the join: a same-key
+            # downstream would reuse the join's distribution, and AQE
+            # (correctly) refuses a skew split that adds a shuffle —
+            # re-keying is the realistic enrich-then-regroup shape
+            joined = (
+                fact.join(dim, "source")
+                .groupBy(F.pmod(F.col("doc_id"), F.lit(16)).alias("g"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg(F.length("text")).alias("avg_len"),
+                    F.avg("source_rank").alias("avg_rank"),
+                )
+            )
+            t0 = time.perf_counter()
+            rows = joined.collect()
+            sec = round(time.perf_counter() - t0, 2)
+            results[mode] = sorted(map(tuple, rows))
+            ev = _aqe_skew_evidence(joined)
+            r[f"join_{mode}"] = {"sec": sec, "rows": len(rows)}
+            r[f"evidence_{mode}"] = ev
+            print(f"  skewJoin={mode}: {sec}s evidence={ev}", file=sys.stderr)
+        r["results_identical"] = results["off"] == results["on"]
+        r["n_fact"] = n_fact
+    finally:
+        fact.unpersist()
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return r
+
+
+def main_aqeskew(args: list[str]) -> None:
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    replicas = int(args[1]) if len(args) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import t
+
+    spark = get_spark("scale_probe_aqeskew")
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "source",
+        F.when(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+                .cast("long"),
+                F.lit(10),
+            )
+            < 9,
+            F.lit("dominant"),
+        ).otherwise(F.col("source")),
+    )
+    result = {
+        "probe": "aqe_skew_join",
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "skew": "90pct_single_key",
+        **probe_aqe_skew(spark, docs, replicas),
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    ev_on, ev_off = result["evidence_on"], result["evidence_off"]
+    lines = [
+        "",
+        "## AQE skew-join probe (r11, 90%-single-key SMJ, "
+        f"{result['replicas']}x docs)",
+        "",
+        "claim under test (VERDICT r10 item 6): the engine's session "
+        "composes with Spark's NATIVE skew mitigation — with "
+        "`spark.sql.adaptive.skewJoin` on, the 90%-dominant join "
+        "partition is runtime-split (executed-plan AQEShuffleRead "
+        "metrics + `skew=true` SMJ markers), with identical results.",
+        "",
+        "| metric | skewJoin off | skewJoin on |",
+        "|---|---|---|",
+        f"| join wall sec | {result['join_off']['sec']} | {result['join_on']['sec']} |",
+        f"| numSkewedPartitions | {ev_off['numSkewedPartitions']} | {ev_on['numSkewedPartitions']} |",
+        f"| numSkewedSplits | {ev_off['numSkewedSplits']} | {ev_on['numSkewedSplits']} |",
+        f"| SortMergeJoin skew=true | {ev_off['smj_skew_true']} | {ev_on['smj_skew_true']} |",
+        f"| results identical | — | {result['results_identical']} |",
+        "",
+    ]
+    with open("PROBE.md", "a") as f:
+        f.write("\n".join(lines))
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main_skew(args: list[str]) -> None:
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     replicas = int(args[1]) if len(args) > 1 else 10
@@ -666,6 +841,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--ivfsplit":
         main_ivfsplit(sys.argv[2:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--aqeskew":
+        main_aqeskew(sys.argv[2:])
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
