@@ -80,6 +80,11 @@ EXTENDED = [
     "curation_v3",
     "kmeans_ivf",   # r10: trained coarse quantizer (training included)
     "bpe_merges",   # r10: BPE vocab training (8 iterative merge rounds)
+    "bpe_tokenize",       # r11: nested-replace inference (training incl.)
+    "bpe_tokenize_fast",  # r11: Arrow linear-time encoder (training incl.)
+    "quality_model",      # r11: hashed-ngram linear scorer (map-only)
+    "cms_heavy_hitters",  # r11: count-min sketch contract
+    "decontaminate_bloom",  # r11: Bloom-prefiltered decontamination
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

@@ -3682,6 +3682,97 @@ def q_bpe_tokenize_fast(spark, sf_dir):
     return out.select("doc_id", "n_bpe_tokens")
 
 
+def q_bpe_encode_ids(spark, sf_dir):
+    """Integer token-id encoding (functions/bpe.py::bpe_encode_ids, r11):
+    the full tokenizer surface — the linear-time greedy-merge kernel
+    composed with the deterministic broadcast vocab (</w>=0, a..z=1..26,
+    merge k -> 26+k). Value-checked via order-free exact-integer
+    aggregates per doc (count, sum, sum-of-squares of the ids): the
+    oracle replays training AND tokenization (the shared CTEs) and maps
+    symbols through the identical vocab built in SQL."""
+    from metadata_ingestion_framework_spark.functions.bpe import (
+        bpe_encode_ids,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bpe_encode_ids(docs, _bpe_model(spark, sf_dir), "text")
+    # explode + codegen'd agg, NOT a per-element HOF fold (CLAUDE.md
+    # hot-path rule); explode_outer keeps zero-token docs as n_ids=0 rows
+    ex = out.select(
+        "doc_id",
+        F.col("n_token_ids").cast("bigint").alias("n_ids"),
+        F.explode_outer("token_ids").alias("tid"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        ex.groupBy("doc_id", "n_ids")
+        .agg(
+            F.coalesce(F.sum(F.col("tid").cast("bigint")), zero).alias(
+                "sum_ids"
+            ),
+            F.coalesce(
+                F.sum((F.col("tid") * F.col("tid")).cast("bigint")), zero
+            ).alias("sumsq_ids"),
+        )
+        .select("doc_id", "n_ids", "sum_ids", "sumsq_ids")
+    )
+
+
+def _build_bpe_ids_oracle(k: int = 8) -> str:
+    """Training replay + tokenize replay + the vocab mapping in SQL."""
+    parts = list(_bpe_train_ctes(k))
+    parts.append(r"""
+docw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+r0 AS (
+  SELECT doc_id, regexp_replace(word, '(.)', '(\1)', 'g') || '(</w>)' AS repr
+  FROM docw
+)""")
+    for i in range(1, k + 1):
+        parts.append(f"""
+r{i} AS (
+  SELECT doc_id,
+         replace(repr, '(' || m.l || ')(' || m.r || ')',
+                 '(' || m.l || m.r || ')') AS repr
+  FROM r{i - 1}, m{i} m
+)""")
+    merge_vocab = " UNION ALL ".join(
+        f"SELECT l || r AS token, 26 + merge_rank AS tid FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"""
+vocab AS (
+  SELECT '</w>' AS token, 0 AS tid
+  UNION ALL SELECT chr(CAST(96 + i AS INTEGER)), CAST(i AS BIGINT) FROM range(1, 27) t(i)
+  UNION ALL {merge_vocab}
+),
+syms AS (
+  SELECT doc_id,
+         unnest(string_split(substr(repr, 2, length(repr) - 2), ')(')) AS sym
+  FROM r{k}
+),
+idagg AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v.tid) AS BIGINT) AS sm,
+         CAST(SUM(v.tid * v.tid) AS BIGINT) AS sq
+  FROM syms s JOIN vocab v ON v.token = s.sym
+  GROUP BY s.doc_id
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + """
+SELECT d.doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_ids,
+       CAST(COALESCE(a.sm, 0) AS BIGINT) AS sum_ids,
+       CAST(COALESCE(a.sq, 0) AS BIGINT) AS sumsq_ids
+FROM documents d LEFT JOIN idagg a USING (doc_id)
+"""
+    )
+
+
 def _build_bpe_tokenize_oracle(k: int = 8) -> str:
     """Training replay (shared CTE builder) + inference replay: per word,
     the char repr run through the k winning merges in order, then the
@@ -4105,7 +4196,8 @@ QUERIES = {
     "zorder_key": q_zorder_key,  # r7: Morton layout key, bit-exact oracle
     "stratified_sample": q_stratified_sample,
     "quota_sample": q_quota_sample,  # r8: per-source cap via two-stage rank
-    "det_shuffle": q_det_shuffle,  # r8: engine-stable global training order
+    "bpe_encode_ids": q_bpe_encode_ids,  # r11 NEW: integer token-id
+    # encoding (vocab replayed in SQL; exact-integer id aggregates)
     "bpe_tokenize": q_bpe_tokenize,  # r11: in-window (ADVICE r10) — full
     # DuckDB training+inference replay
     "token_budget": q_token_budget,  # r7: greedy per-source token-budget fill
@@ -4153,7 +4245,11 @@ QUERIES = {
     # curation_v3), tfidf_top_terms (displaced by NEW quality_model —
     # text family keeps heuristic_filters/repetition_stats/
     # ngram_perplexity/pack_manifest in-window and tfidf's top-k-per-group
-    # window shape stays via quota_sample/window_dedup). r10
+    # window shape stays via quota_sample/window_dedup), det_shuffle
+    # (displaced by NEW bpe_encode_ids — its hash_key60 md5-order
+    # primitive runs in-window inside quota_sample/token_budget's
+    # two-stage shard machinery and stratified_sample's md5 bucket rule;
+    # driver-green since r8, unchanged). r10
     # rotation (2): bpe_merges (NEW — BPE vocab training, VERDICT r9 item
     # 4) displaced top_ngrams (driver-green since r1, unchanged; its
     # bigram-count shape is literally round 1 of bpe_merges' pair
@@ -4237,6 +4333,7 @@ QUERIES = {
     # bpe_tokenize_fast (NEW)
     "tfidf_top_terms": q_tfidf_top_terms,  # r11: displaced by
     # quality_model (NEW)
+    "det_shuffle": q_det_shuffle,  # r11: displaced by bpe_encode_ids (NEW)
     "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
     # green r8, unchanged since)
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -4395,6 +4492,7 @@ ORACLES = {
     # the fast encoder is pytest-proven token-identical to bpe_tokenize at
     # any K — at the oracle's K it shares the replay oracle verbatim
     "bpe_tokenize_fast": _build_bpe_tokenize_oracle(),
+    "bpe_encode_ids": _build_bpe_ids_oracle(),
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "approx_distinct": ORACLE_APPROX_DISTINCT,
     "quantize_error": ORACLE_QUANTIZE_ERROR,

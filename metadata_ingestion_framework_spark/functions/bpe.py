@@ -235,6 +235,100 @@ def bpe_tokenize(
     return out.withColumn(f"n_{out_col}", F.size(F.col(out_col)))
 
 
+def bpe_vocab(merges: list[tuple[str, str, int]]) -> dict[str, int]:
+    """Deterministic token -> integer id table (the published build-vocab
+    convention: base alphabet first, then one id per merge in learning
+    order). Ids: ``</w>`` = 0, ``a``..``z`` = 1..26, merge k (1-based
+    rank) -> 26 + k. Trivially SQL-replayable, so id-level outputs stay
+    oracle-checkable."""
+    vocab = {EOW: 0}
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        vocab[ch] = i + 1
+    for k, (l, r, _) in enumerate(merges, start=1):
+        vocab[l + r] = 26 + k
+    return vocab
+
+
+def bpe_vocab_table(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """The :func:`bpe_vocab` mapping as a DataFrame (token, token_id) —
+    the artifact a serving stack ships next to the merge table."""
+    return spark.createDataFrame(
+        sorted(bpe_vocab(merges).items(), key=lambda kv: kv[1]),
+        "token string, token_id int",
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Text -> integer token ids (r11): the full tokenizer surface a
+    training pipeline feeds to a model — :func:`bpe_tokenize_fast`'s
+    linear-time greedy-merge kernel composed with the broadcast
+    :func:`bpe_vocab` lookup, one Arrow pass, map-only. Adds
+    ``{out_col} array<int>`` and ``n_{out_col} int``.
+
+    Every symbol the encoder can emit is in the vocab by construction
+    (base chars + merge outputs — merges only ever merge existing
+    symbols), so the lookup is total; non-``[a-z]`` text contributes no
+    tokens, same as the tokenize faces."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _widen_narrow_input,
+    )
+
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(out_col, ArrayType(IntegerType()), False),
+            StructField(f"n_{out_col}", IntegerType(), False),
+        ]
+    )
+    word_re = _re.compile("[a-z]+")
+    in_cols = df.columns
+
+    def run(batches):
+        memo: dict[str, list[int]] = {}
+
+        def encode(word: str) -> list[int]:
+            ids = memo.get(word)
+            if ids is None:
+                ids = [vocab[s] for s in _encode_word_inorder(word, ranks)]
+                memo[word] = ids
+            return ids
+
+        for pdf in batches:
+            ids_col, n_col = [], []
+            for text in pdf[text_col]:
+                s = text.lower() if isinstance(text, str) else ""
+                ids: list[int] = []
+                for w in word_re.findall(s):
+                    ids.extend(encode(w))
+                ids_col.append(ids)
+                n_col.append(len(ids))
+            out = pdf[in_cols].copy()
+            out[out_col] = pd.Series(ids_col, dtype=object, index=pdf.index)
+            out[f"n_{out_col}"] = pd.Series(
+                n_col, dtype="int32", index=pdf.index
+            )
+            yield out
+
+    return _widen_narrow_input(df).mapInPandas(run, schema=schema)
+
+
 def _encode_word_inorder(
     word: str, ranks: dict[tuple[str, str], int]
 ) -> list[str]:

@@ -236,6 +236,39 @@ def test_fast_encoder_null_and_nonalpha(spark):
     assert fast[1] == [] and fast[2] == []
 
 
+def test_vocab_ids_deterministic_and_total(spark):
+    """r11: vocab ids are a pure function of the merge table (</w>=0,
+    a..z=1..26, merge k -> 26+k) and cover every symbol the encoder can
+    emit — id encoding is tokenize + a total lookup."""
+    from metadata_ingestion_framework_spark.functions.bpe import (
+        bpe_encode_ids,
+        bpe_tokenize_fast,
+        bpe_vocab,
+        bpe_vocab_table,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(100)
+    merges = bpe_train(docs, "text", k_merges=8)
+    vocab = bpe_vocab(merges)
+    assert vocab["</w>"] == 0 and vocab["a"] == 1 and vocab["z"] == 26
+    assert len(vocab) == 27 + len(merges)
+    vt = {r.token: r.token_id for r in bpe_vocab_table(spark, merges).collect()}
+    assert vt == vocab
+    toks = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_tokenize_fast(docs, merges, "text").collect()
+    }
+    ids = {
+        r.doc_id: (r.token_ids, r.n_token_ids)
+        for r in bpe_encode_ids(docs, merges, "text").collect()
+    }
+    for d, (tid, n) in ids.items():
+        assert tid == [vocab[s] for s in toks[d]]
+        assert n == len(toks[d])
+
+
 def test_driver_vocab_path_equals_distributed(spark):
     """r10: the large-K driver-side path (collect word counts once, merge
     loop in memory) equals the distributed per-round path exactly when

@@ -22,6 +22,13 @@ below is therefore an environment limitation, not neglect; the semantics
 are executed through ``merge_apply`` whose SCD1/SCD2/SCD4 results are
 DuckDB-oracle-verified every round (scd1_merge / scd2_merge /
 scd4_history in CORRECTNESS_r*.json).
+
+Round 11 (2026-08-14) re-check: environment unchanged (same offline
+index, no delta jar in $SPARK_HOME/jars; install policy for this
+container forbids pip/apt). The quarterly retry stands for the next
+environment refresh. r11 also added the SQL face (operators/
+sql_merge.py) — on a Delta-enabled cluster the same parsed clause list
+feeds ``delta_merge_builder`` unchanged.
 """
 
 from __future__ import annotations
