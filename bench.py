@@ -83,6 +83,8 @@ EXTENDED = [
     "bpe_tokenize",       # r11: nested-replace inference (training incl.)
     "bpe_tokenize_fast",  # r11: Arrow linear-time encoder (training incl.)
     "quality_model",      # r11: hashed-ngram linear scorer (map-only)
+    "lang_id_model",      # r11: multiclass linear lang-id (map-only)
+    "bpe_encode_ids",     # r11: integer token-id encoding (training incl.)
     "cms_heavy_hitters",  # r11: count-min sketch contract
     "decontaminate_bloom",  # r11: Bloom-prefiltered decontamination
 ]

@@ -1280,6 +1280,77 @@ FROM stats
 """
 
 
+def q_lang_id_model(spark, sf_dir):
+    """Model-based language ID (functions/quality_model.py::
+    langid_model_score, r11): the fastText/CCNet multiclass linear
+    lang-id — one shared hashed-ngram bincount per doc, a broadcast
+    (n_langs x 4096) integer weight matrix, first-max argmax (score
+    desc, lang asc). FULLY value-checked: per-lang weights are a pure
+    hash of (lang, feature index), so DuckDB recomputes all four score
+    columns bit-for-bit AND the winner via the same total rule."""
+    from metadata_ingestion_framework_spark.functions.quality_model import (
+        hashed_seed_weights,
+        langid_model_score,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = {
+        lang: hashed_seed_weights(f"lw:{lang}:", 4096)
+        for lang in ("de", "en", "es", "fr")
+    }
+    out = langid_model_score(docs, weights, "text")
+    return out.select(
+        "doc_id", "score_de", "score_en", "score_es", "score_fr",
+        "pred_lang",
+    )
+
+
+ORACLE_LANG_ID_MODEL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t[i + 1] AS gram
+  FROM toks, unnest(range(0, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+),
+f AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 16))::UBIGINT % 4096 AS idx
+  FROM g
+),
+ls AS (
+  SELECT doc_id, lang,
+         SUM(CAST(('0x' || substr(md5('lw:' || lang || ':' || CAST(idx AS VARCHAR)), 1, 16))::UBIGINT % 4096 AS BIGINT) - 2048) AS s
+  FROM f CROSS JOIN (SELECT unnest(['de', 'en', 'es', 'fr']) AS lang) langs
+  GROUP BY doc_id, lang
+),
+agg AS (
+  SELECT doc_id,
+         MAX(CASE WHEN lang = 'de' THEN s END) AS sde,
+         MAX(CASE WHEN lang = 'en' THEN s END) AS sen,
+         MAX(CASE WHEN lang = 'es' THEN s END) AS ses,
+         MAX(CASE WHEN lang = 'fr' THEN s END) AS sfr
+  FROM ls GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.sde, 0) AS BIGINT) AS score_de,
+       CAST(COALESCE(a.sen, 0) AS BIGINT) AS score_en,
+       CAST(COALESCE(a.ses, 0) AS BIGINT) AS score_es,
+       CAST(COALESCE(a.sfr, 0) AS BIGINT) AS score_fr,
+       CASE
+         WHEN COALESCE(a.sde, 0) >= GREATEST(COALESCE(a.sde, 0), COALESCE(a.sen, 0), COALESCE(a.ses, 0), COALESCE(a.sfr, 0)) THEN 'de'
+         WHEN COALESCE(a.sen, 0) >= GREATEST(COALESCE(a.sen, 0), COALESCE(a.ses, 0), COALESCE(a.sfr, 0)) THEN 'en'
+         WHEN COALESCE(a.ses, 0) >= GREATEST(COALESCE(a.ses, 0), COALESCE(a.sfr, 0)) THEN 'es'
+         ELSE 'fr'
+       END AS pred_lang
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_quality_model(spark, sf_dir):
     """Model-based quality scoring (functions/quality_model.py, VERDICT
     r10 item 4 — the fastText/CCNet hashed-bag-of-ngrams linear model):
@@ -4182,7 +4253,8 @@ QUERIES = {
     "span_dedup": q_span_dedup,  # r7: duplicate token-span removal (rewrite)
     "semantic_dedup": q_semantic_dedup,  # r7: SemDeDup (IVF cells + components)
     "incremental_semantic": q_incremental_semantic,  # r7: cross-run semantic dedup
-    "lang_id": q_lang_id,  # r8: oracle tokenizer aligned to explicit ws class
+    "lang_id_model": q_lang_id_model,  # r11 NEW: fastText-shape multiclass
+    # linear lang-id, all four score columns + winner bit-exact
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
     "kmeans_ivf": q_kmeans_ivf,  # r10: trained coarse quantizer (NEW),
     # full DuckDB training replay
@@ -4249,7 +4321,11 @@ QUERIES = {
     # (displaced by NEW bpe_encode_ids — its hash_key60 md5-order
     # primitive runs in-window inside quota_sample/token_budget's
     # two-stage shard machinery and stratified_sample's md5 bucket rule;
-    # driver-green since r8, unchanged). r10
+    # driver-green since r8, unchanged), lang_id (displaced by NEW
+    # lang_id_model — the model-based upgrade of the same family; the
+    # heuristic face still runs in-window inside curation_pipeline's
+    # flagship composite and stays sweep-checked; driver-green r8-r10,
+    # unchanged this round). r10
     # rotation (2): bpe_merges (NEW — BPE vocab training, VERDICT r9 item
     # 4) displaced top_ngrams (driver-green since r1, unchanged; its
     # bigram-count shape is literally round 1 of bpe_merges' pair
@@ -4334,6 +4410,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,  # r11: displaced by
     # quality_model (NEW)
     "det_shuffle": q_det_shuffle,  # r11: displaced by bpe_encode_ids (NEW)
+    "lang_id": q_lang_id,  # r11: displaced by lang_id_model (NEW)
     "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
     # green r8, unchanged since)
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -4447,6 +4524,7 @@ ORACLES = {
     "heuristic_filters": ORACLE_HEURISTIC_FILTERS,
     "repetition_stats": ORACLE_REPETITION_STATS,
     "lang_id": ORACLE_LANG_ID,
+    "lang_id_model": ORACLE_LANG_ID_MODEL,
     "quality_score": ORACLE_QUALITY_SCORE,
     "quality_model": ORACLE_QUALITY_MODEL,
     "fingerprint": ORACLE_FINGERPRINT,

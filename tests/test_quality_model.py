@@ -111,6 +111,88 @@ def test_rejects_float_weights(spark):
         quality_model_score(df, np.ones(16, dtype=np.float64))
 
 
+def test_langid_model_matches_reference_and_tie_rule(spark):
+    """r11 multiclass face: per-lang integer scores equal the pure-Python
+    reference, and the winner follows the total first-max rule (score
+    desc, lang asc) — including the all-zero (no-gram) tie, which must
+    resolve to the first lang alphabetically on both engines."""
+    from metadata_ingestion_framework_spark.functions.quality_model import (
+        langid_model_score,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(60)
+    langs = ["de", "en", "es", "fr"]
+    weights = {
+        lang: hashed_seed_weights(f"lw:{lang}:", 512) for lang in langs
+    }
+    rows = {r.doc_id: r for r in langid_model_score(
+        docs, weights, n_features=512
+    ).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for d, r in rows.items():
+        scores = {
+            lang: _ref_logit(texts[d], weights[lang], 0) for lang in langs
+        }
+        for lang in langs:
+            assert r[f"score_{lang}"] == scores[lang], (d, lang)
+        best = max(sorted(scores), key=lambda g: (scores[g], ) )
+        # first-max: max score, ties to alphabetically-first lang
+        mx = max(scores.values())
+        expected = next(g for g in langs if scores[g] == mx)
+        assert r.pred_lang == expected, d
+    # no-gram doc: all scores zero -> 'de' (first lang)
+    empty = spark.createDataFrame([(99, "123 !!")], "doc_id int, text string")
+    er = langid_model_score(empty, weights, n_features=512).collect()[0]
+    assert er.pred_lang == "de"
+    assert all(er[f"score_{lang}"] == 0 for lang in langs)
+
+
+def test_langid_trained_multiclass_separates(spark):
+    """A tiny in-test softmax-trained weight set must classify held-in
+    marker sentences — the operator accepts arbitrary trained matrices,
+    not just the seed-hash vectors."""
+    from metadata_ingestion_framework_spark.functions.quality_model import (
+        _doc_grams,
+        langid_model_score,
+    )
+
+    n = 256
+    samples = {
+        "en": ["the house and the water", "and with the for that"],
+        "fr": ["le la les et pour avec", "dans le jardin et la maison"],
+    }
+
+    def feats(text):
+        v = np.zeros(n)
+        for g in _doc_grams(text):
+            v[_md5_64(g) % n] += 1.0
+        s = v.sum()
+        return v / s if s else v
+
+    langs = sorted(samples)
+    X = np.array([feats(t) for lang in langs for t in samples[lang]])
+    y = np.array([i for i, lang in enumerate(langs) for _ in samples[lang]])
+    W = np.zeros((len(langs), n))
+    for _ in range(300):
+        z = X @ W.T
+        z -= z.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        for i in range(len(langs)):
+            W[i] -= 0.5 * ((p[:, i] - (y == i)) @ X)
+    qw = {lang: quantize_weights(W[i], 20) for i, lang in enumerate(langs)}
+    df = spark.createDataFrame(
+        [(0, "the water and the house"), (1, "le jardin et la maison")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in langid_model_score(
+        df, qw, n_features=n
+    ).collect()}
+    assert got == {0: "en", 1: "fr"}
+
+
 def test_null_and_empty_text(spark):
     df = spark.createDataFrame(
         [(0, None), (1, ""), (2, "123 !!")], "doc_id int, text string"
