@@ -85,6 +85,7 @@ EXTENDED = [
     "quality_model",      # r11: hashed-ngram linear scorer (map-only)
     "lang_id_model",      # r11: multiclass linear lang-id (map-only)
     "bpe_encode_ids",     # r11: integer token-id encoding (training incl.)
+    "curation_v4",        # r11: model-gated curation composite
     "cms_heavy_hitters",  # r11: count-min sketch contract
     "decontaminate_bloom",  # r11: Bloom-prefiltered decontamination
 ]

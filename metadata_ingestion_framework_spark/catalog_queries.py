@@ -2803,6 +2803,123 @@ FROM cum WHERE cum_before < 2000
 """
 
 
+def q_curation_v4(spark, sf_dir):
+    """MODEL-gated curation composite (r11): the CCNet-shaped selection
+    flow — replaces heuristic gates with the trained-model machinery,
+    every stage exact-integer so the whole pipeline value-checks:
+
+    1. ONE-pass model gates (quality_model.py::model_gate_scores —
+       quality logit + 4-lang lang-id from one shared hashed-ngram
+       bincount; two chained single-model passes would re-serialize the
+       corpus through Arrow twice);
+    2. keep docs whose MODEL lang agrees with the labeled metadata lang
+       AND whose exact-integer logit clears the gate (logit_q >= 0 —
+       above the symmetric-weight average);
+    3. exact dedup among survivors (dedup.py::dedup_exact, min-id per
+       content, partial-aggregatable);
+    4. deterministic per-lang mix cut by the shared md5 bucket rule
+       (en 0.8, others 0.6).
+
+    ONE DuckDB oracle re-derives all four stages (both model replays +
+    ROW_NUMBER dedup + identical md5 bucket rule)."""
+    from metadata_ingestion_framework_spark.functions.quality_model import (
+        hashed_seed_weights,
+        model_gate_scores,
+    )
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        hash_bucket,
+        rate_threshold,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import dedup_exact
+
+    docs = wide_t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    gates = model_gate_scores(
+        docs,
+        hashed_seed_weights("qw", 4096),
+        {
+            lang: hashed_seed_weights(f"lw:{lang}:", 4096)
+            for lang in ("de", "en", "es", "fr")
+        },
+        bias=7,
+    )
+    kept = gates.filter(
+        (F.col("pred_lang") == F.col("lang")) & (F.col("logit_q") >= 0)
+    )
+    deduped = dedup_exact(kept, ["text"], "doc_id")
+    rate = F.when(
+        F.col("lang") == "en", F.lit(rate_threshold(0.8))
+    ).otherwise(F.lit(rate_threshold(0.6)))
+    mixed = deduped.filter(hash_bucket([F.col("doc_id")], salt="v4mix") < rate)
+    return mixed.select("doc_id", "lang", "source", "n_grams", "logit_q")
+
+
+ORACLE_CURATION_V4 = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t[i + 1] AS gram
+  FROM toks, unnest(range(0, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+),
+f AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 16))::UBIGINT % 4096 AS idx
+  FROM g
+),
+q AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         SUM(CAST(('0x' || substr(md5('qw' || CAST(idx AS VARCHAR)), 1, 16))::UBIGINT % 4096 AS BIGINT) - 2048) AS wsum
+  FROM f GROUP BY doc_id
+),
+ls AS (
+  SELECT doc_id, lang,
+         SUM(CAST(('0x' || substr(md5('lw:' || lang || ':' || CAST(idx AS VARCHAR)), 1, 16))::UBIGINT % 4096 AS BIGINT) - 2048) AS s
+  FROM f CROSS JOIN (SELECT unnest(['de', 'en', 'es', 'fr']) AS lang) langs
+  GROUP BY doc_id, lang
+),
+agg AS (
+  SELECT doc_id,
+         MAX(CASE WHEN lang = 'de' THEN s END) AS sde,
+         MAX(CASE WHEN lang = 'en' THEN s END) AS sen,
+         MAX(CASE WHEN lang = 'es' THEN s END) AS ses,
+         MAX(CASE WHEN lang = 'fr' THEN s END) AS sfr
+  FROM ls GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, d.lang, d.source, d.text,
+         CAST(COALESCE(q.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(7 + COALESCE(q.wsum, 0) AS BIGINT) AS logit_q,
+         CASE
+           WHEN COALESCE(a.sde, 0) >= GREATEST(COALESCE(a.sde, 0), COALESCE(a.sen, 0), COALESCE(a.ses, 0), COALESCE(a.sfr, 0)) THEN 'de'
+           WHEN COALESCE(a.sen, 0) >= GREATEST(COALESCE(a.sen, 0), COALESCE(a.ses, 0), COALESCE(a.sfr, 0)) THEN 'en'
+           WHEN COALESCE(a.ses, 0) >= GREATEST(COALESCE(a.ses, 0), COALESCE(a.sfr, 0)) THEN 'es'
+           ELSE 'fr'
+         END AS pred_lang
+  FROM documents d
+  LEFT JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN agg a ON a.doc_id = d.doc_id
+),
+kept AS (
+  SELECT * FROM base WHERE pred_lang = lang AND logit_q >= 0
+),
+deduped AS (
+  SELECT * FROM kept
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1
+)
+SELECT doc_id, lang, source, n_grams, logit_q
+FROM deduped
+WHERE ('0x' || substr(md5(concat_ws(chr(31), 'v4mix', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT % 1000000
+      < (CASE WHEN lang = 'en' THEN 800000 ELSE 600000 END)
+"""
+
+
 def q_curation_v3(spark, sf_dir):
     """Mix-aware, leakage-safe end-to-end curation (r8 — the r7 VERDICT
     stretch): proves the sampling + clustering operators COMPOSE into the
@@ -3329,7 +3446,12 @@ def q_ann_recall(spark, sf_dir):
     # query-set means as a 1-row agg broadcast back onto the Q contract
     # rows — replaces the r10 global window (its foldable partitionBy
     # literal was optimized out of the spec, tripping the unpartitioned-
-    # window warning on every bench run; VERDICT r10 nit)
+    # window warning on every bench run; VERDICT r10 nit). The agg adds a
+    # SECOND consumer of r, and the recall plan segment above ivf_recall's
+    # internal caches would recompute per consumer (the CLAUDE.md
+    # self-join rule — measured +2.7s at sf0.1) — persist the Q-row
+    # recall table itself and hand it out through the deps.
+    r = r.persist()
     means = r.agg(
         F.avg("recall_p2").alias("__mean_p2"),
         F.avg("recall_p4").alias("__mean_p4"),
@@ -3361,7 +3483,9 @@ def q_ann_recall(spark, sf_dir):
         (F.col("recall_m2") >= 0.05).alias("lsh_bound_ok_m2"),
     )
     out = ivf.join(F.broadcast(lsh), "query_id")  # Q-row contract faces
-    return carry_deps(carry_deps(out, r), s)
+    out = carry_deps(carry_deps(out, r), s)
+    out._persisted_deps = list(out._persisted_deps) + [r]
+    return out
 
 
 ORACLE_ANN_RECALL = """
@@ -4281,7 +4405,8 @@ QUERIES = {
     # bag-of-ngrams linear scorer (VERDICT r10 item 4), exact-BIGINT logit
     "pack_manifest": q_pack_manifest,  # r6: sequence-packing manifest
     "curation_v3": q_curation_v3,  # r8: mix-aware leakage-safe curation composite
-    "curation_v2": q_curation_v2,  # r7: span-rewrite + perplexity + budget composite
+    "curation_v4": q_curation_v4,  # r11 NEW: model-gated curation
+    # (one-pass dual-model gates + dedup + mix, fully value-checked)
     # multimodal decode contracts (r5: exact integer invariants vs DuckDB —
     # rotated INTO the driver window per VERDICT r4 item 3)
     "media_resize": q_media_resize,
@@ -4325,7 +4450,11 @@ QUERIES = {
     # lang_id_model — the model-based upgrade of the same family; the
     # heuristic face still runs in-window inside curation_pipeline's
     # flagship composite and stays sweep-checked; driver-green r8-r10,
-    # unchanged this round). r10
+    # unchanged this round), curation_v2 (displaced by NEW curation_v4 —
+    # the curation family keeps curation_v3 in-window plus the flagship
+    # curation_pipeline benched every round; v2's span-rewrite/perplexity
+    # stages keep their own in-window reps span_dedup/ngram_perplexity;
+    # driver-green r7-r10, unchanged this round). r10
     # rotation (2): bpe_merges (NEW — BPE vocab training, VERDICT r9 item
     # 4) displaced top_ngrams (driver-green since r1, unchanged; its
     # bigram-count shape is literally round 1 of bpe_merges' pair
@@ -4411,6 +4540,7 @@ QUERIES = {
     # quality_model (NEW)
     "det_shuffle": q_det_shuffle,  # r11: displaced by bpe_encode_ids (NEW)
     "lang_id": q_lang_id,  # r11: displaced by lang_id_model (NEW)
+    "curation_v2": q_curation_v2,  # r11: displaced by curation_v4 (NEW)
     "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
     # green r8, unchanged since)
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -4549,6 +4679,7 @@ ORACLES = {
     "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "curation_v2": ORACLE_CURATION_V2,
     "curation_v3": ORACLE_CURATION_V3,
+    "curation_v4": ORACLE_CURATION_V4,
     "ngram_perplexity": ORACLE_NGRAM_PERPLEXITY,
     "zorder_key": ORACLE_ZORDER_KEY,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,

@@ -160,6 +160,104 @@ def langid_model_score(
     return _widen_narrow_input(df).mapInPandas(run, schema=schema)
 
 
+def model_gate_scores(
+    df: DataFrame,
+    quality_weights,
+    langid_weights: dict[str, "object"],
+    bias: int = 0,
+    text_col: str = "text",
+    n_features: int | None = None,
+) -> DataFrame:
+    """Quality logit + multiclass lang-id in ONE Arrow pass (r11): both
+    models share the hashed-ngram feature space, so a curation pipeline
+    that gates on both should pay ONE tokenize+hash+bincount per doc,
+    not two chained Python stages each re-serializing the text — at
+    100 TB the second pass is a second full corpus read through Arrow.
+
+    Adds ``logit_q`` / ``n_grams`` (exact BIGINT, see
+    :func:`quality_model_score`) plus ``score_<lang>`` / ``pred_lang``
+    (see :func:`langid_model_score`); value-identical to running the two
+    single-model operators (pytest-proven)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _widen_narrow_input,
+    )
+
+    qw = np.asarray(quality_weights)
+    if not np.issubdtype(qw.dtype, np.integer):
+        raise TypeError(
+            "quality weights must be integer-quantized (quantize_weights)"
+        )
+    qw = qw.astype(np.int64)
+    langs = sorted(langid_weights)
+    mats = []
+    for lang in langs:
+        w = np.asarray(langid_weights[lang])
+        if not np.issubdtype(w.dtype, np.integer):
+            raise TypeError(
+                f"weights for {lang!r} must be integer-quantized"
+            )
+        mats.append(w.astype(np.int64))
+    W = np.stack(mats)
+    n = int(n_features) if n_features is not None else len(qw)
+    if len(qw) != n or W.shape[1] != n:
+        raise ValueError("quality/langid weights disagree on n_features")
+    bias = int(bias)
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("logit_q", LongType(), False),
+            StructField("n_grams", LongType(), False),
+        ]
+        + [StructField(f"score_{lang}", LongType(), False) for lang in langs]
+        + [StructField("pred_lang", StringType(), False)]
+    )
+    in_cols = df.columns
+
+    def run(batches):
+        for pdf in batches:
+            logits, counts, preds = [], [], []
+            lscores = [[] for _ in langs]
+            for text in pdf[text_col]:
+                grams = _doc_grams(text)
+                if grams:
+                    idxs = np.fromiter(
+                        (_md5_64(g) % n for g in grams),
+                        dtype=np.int64,
+                        count=len(grams),
+                    )
+                    x = np.bincount(idxs, minlength=n)  # ONE shared pass
+                    logit = bias + int(x @ qw)
+                    s = W @ x
+                else:
+                    logit = bias
+                    s = np.zeros(len(langs), dtype=np.int64)
+                logits.append(logit)
+                counts.append(len(grams))
+                preds.append(langs[int(np.argmax(s))])
+                for i in range(len(langs)):
+                    lscores[i].append(int(s[i]))
+            out = pdf[in_cols].copy()
+            out["logit_q"] = pd.Series(logits, dtype="int64", index=pdf.index)
+            out["n_grams"] = pd.Series(counts, dtype="int64", index=pdf.index)
+            for i, lang in enumerate(langs):
+                out[f"score_{lang}"] = pd.Series(
+                    lscores[i], dtype="int64", index=pdf.index
+                )
+            out["pred_lang"] = pd.Series(preds, dtype=object, index=pdf.index)
+            yield out
+
+    return _widen_narrow_input(df).mapInPandas(run, schema=schema)
+
+
 def quality_model_score(
     df: DataFrame,
     weights,

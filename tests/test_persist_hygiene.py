@@ -29,6 +29,9 @@ TWO_STAGE_QUERIES = [
     "cluster_split",
     "semantic_dedup",
     "curation_pipeline",
+    # r11: ann_recall persists the Q-row recall table itself (the means
+    # agg adds a second consumer) — the cache must ride _persisted_deps
+    "ann_recall",
 ]
 
 

@@ -137,7 +137,6 @@ def test_langid_model_matches_reference_and_tie_rule(spark):
         }
         for lang in langs:
             assert r[f"score_{lang}"] == scores[lang], (d, lang)
-        best = max(sorted(scores), key=lambda g: (scores[g], ) )
         # first-max: max score, ties to alphabetically-first lang
         mx = max(scores.values())
         expected = next(g for g in langs if scores[g] == mx)
@@ -191,6 +190,41 @@ def test_langid_trained_multiclass_separates(spark):
         df, qw, n_features=n
     ).collect()}
     assert got == {0: "en", 1: "fr"}
+
+
+def test_combined_gate_pass_equals_single_model_ops(spark):
+    """r11: model_gate_scores (one shared bincount) must be value-
+    identical to chaining quality_model_score + langid_model_score."""
+    from metadata_ingestion_framework_spark.functions.quality_model import (
+        langid_model_score,
+        model_gate_scores,
+        quality_model_score,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(80)
+    qw = hashed_seed_weights("qw", 1024)
+    lw = {lang: hashed_seed_weights(f"lw:{lang}:", 1024)
+          for lang in ("de", "en", "es", "fr")}
+    combined = {
+        r.doc_id: (r.logit_q, r.n_grams, r.score_de, r.score_en,
+                   r.score_es, r.score_fr, r.pred_lang)
+        for r in model_gate_scores(
+            docs, qw, lw, bias=7, n_features=1024
+        ).collect()
+    }
+    q = {r.doc_id: (r.logit_q, r.n_grams)
+         for r in quality_model_score(
+             docs, qw, bias=7, n_features=1024
+         ).collect()}
+    l = {r.doc_id: (r.score_de, r.score_en, r.score_es, r.score_fr,
+                    r.pred_lang)
+         for r in langid_model_score(docs, lw, n_features=1024).collect()}
+    assert set(combined) == set(q) == set(l)
+    for d, row in combined.items():
+        assert row[:2] == q[d], d
+        assert row[2:] == l[d], d
 
 
 def test_null_and_empty_text(spark):

@@ -592,10 +592,9 @@ def _aqe_skew_evidence(df) -> dict:
     counts `skew=true` markers on the final SortMergeJoins."""
     je = df._jdf.queryExecution().executedPlan()
     out = {"numSkewedPartitions": 0, "numSkewedSplits": 0, "smj_skew_true": 0}
-    stack, seen = [je], set()
+    stack = [je]
     while stack:
         n = stack.pop()
-        oid = n.toString()[:200] + str(n.id()) if hasattr(n, "id") else None
         name = n.getClass().getSimpleName()
         if name == "AdaptiveSparkPlanExec":
             final = n.executedPlan()
@@ -613,7 +612,6 @@ def _aqe_skew_evidence(df) -> dict:
         ch = n.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
-    _ = seen, oid
     return out
 
 
