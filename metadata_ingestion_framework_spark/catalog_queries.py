@@ -3484,7 +3484,7 @@ def q_ann_recall(spark, sf_dir):
     )
     out = ivf.join(F.broadcast(lsh), "query_id")  # Q-row contract faces
     out = carry_deps(carry_deps(out, r), s)
-    out._persisted_deps = list(out._persisted_deps) + [r]
+    out._persisted_deps = list(getattr(out, "_persisted_deps", ())) + [r]
     return out
 
 
@@ -3939,9 +3939,13 @@ r{i} AS (
     )
     parts.append(f"""
 vocab AS (
-  SELECT '</w>' AS token, 0 AS tid
-  UNION ALL SELECT chr(CAST(96 + i AS INTEGER)), CAST(i AS BIGINT) FROM range(1, 27) t(i)
-  UNION ALL {merge_vocab}
+  -- MIN(tid): ids identify token STRINGS — two merges producing the
+  -- same string share the first producer's id (bpe_vocab setdefault)
+  SELECT token, MIN(tid) AS tid FROM (
+    SELECT '</w>' AS token, 0 AS tid
+    UNION ALL SELECT chr(CAST(96 + i AS INTEGER)), CAST(i AS BIGINT) FROM range(1, 27) t(i)
+    UNION ALL {merge_vocab}
+  ) GROUP BY token
 ),
 syms AS (
   SELECT doc_id,

@@ -240,12 +240,17 @@ def bpe_vocab(merges: list[tuple[str, str, int]]) -> dict[str, int]:
     convention: base alphabet first, then one id per merge in learning
     order). Ids: ``</w>`` = 0, ``a``..``z`` = 1..26, merge k (1-based
     rank) -> 26 + k. Trivially SQL-replayable, so id-level outputs stay
-    oracle-checkable."""
+    oracle-checkable.
+
+    Ids identify token STRINGS, not merges: two distinct merges can
+    produce the same string (e.g. (a,bc) and (ab,c) both yield 'abc')
+    and must share ONE id — the FIRST (lowest-rank) producer wins, the
+    MIN(tid) dedup the oracle vocab CTE applies (r11 review)."""
     vocab = {EOW: 0}
     for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
         vocab[ch] = i + 1
     for k, (l, r, _) in enumerate(merges, start=1):
-        vocab[l + r] = 26 + k
+        vocab.setdefault(l + r, 26 + k)
     return vocab
 
 

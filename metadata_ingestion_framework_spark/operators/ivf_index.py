@@ -100,7 +100,12 @@ class IvfIndex:
                 int(k): int(v)
                 for k, v in meta.get("cell_splits", {}).items()
             }
-            self.cell_cap = meta.get("cell_cap", cell_cap)
+            # the CONSTRUCTOR's cap wins when given (a rebuild with a new
+            # or first cap must not be silently discarded by the stored
+            # null/old value — r11 review); reopening without a cap
+            # adopts the stored one
+            if cell_cap is None:
+                self.cell_cap = meta.get("cell_cap")
 
     def _part_cols(self) -> list[str]:
         """Physical layout: hot-cell-split indexes partition the second

@@ -63,12 +63,22 @@ _EQ_RE = re.compile(
 
 def _split_top(s: str, sep: str) -> list[str]:
     """Split on a top-level separator (',' or the word 'AND'), ignoring
-    separators nested inside parentheses."""
+    separators nested inside parentheses OR single-quoted string
+    literals ('' is the SQL escape for a quote inside a literal)."""
     out, depth, start, i, n = [], 0, 0, 0, len(s)
+    in_str = False
     upper = s.upper()
     while i < n:
         ch = s[i]
-        if ch == "(":
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":  # escaped quote
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -112,14 +122,26 @@ def parse_merge(statement: str) -> ParsedMerge:
         )
     talias = m["talias"] or m["target"]
     salias = m["salias"] or m["source"]
+    if talias == salias:
+        raise ValueError(
+            f"target and source aliases are both {talias!r} — "
+            "column references would be ambiguous"
+        )
+    # SINGLE-pass rewrite: sequential substitution corrupts statements
+    # whose source alias is literally 'target' (pass 1's output would be
+    # re-matched by pass 2 — r11 review)
+    _alias_re = re.compile(
+        rf"\b({re.escape(talias)}|{re.escape(salias)})\s*\."
+    )
 
     def rewrite(expr: str | None) -> str | None:
         """User aliases -> the engine's target./updates. aliases."""
         if expr is None:
             return None
-        expr = re.sub(rf"\b{re.escape(talias)}\s*\.", "target.", expr)
-        expr = re.sub(rf"\b{re.escape(salias)}\s*\.", "updates.", expr)
-        return expr.strip()
+        return _alias_re.sub(
+            lambda am: "target." if am.group(1) == talias else "updates.",
+            expr,
+        ).strip()
 
     join_keys: list[str] = []
     extras: list[str] = []

@@ -61,7 +61,9 @@ class PipelineStatusListener(StreamingQueryListener):
         self.store = store
         self.pipeline_id = pipeline_id
         self.query_names = set(query_names) if query_names else None
-        self._seen_runs: set[str] = set()
+        # runId -> query name, so the nameless TERMINATED event can be
+        # attributed to the same task_name as its STARTED/RUNNING rows
+        self._run_names: dict[str, str] = {}
 
     def _wants(self, name: str | None) -> bool:
         return self.query_names is None or name in self.query_names
@@ -69,18 +71,18 @@ class PipelineStatusListener(StreamingQueryListener):
     def onQueryStarted(self, event) -> None:
         if not self._wants(event.name):
             return
-        self._seen_runs.add(str(event.runId))
+        name = event.name or str(event.id)
+        self._run_names[str(event.runId)] = name
         self.store.write_status(
-            self.pipeline_id, event.name or str(event.id), "STARTED",
-            run_id=str(event.runId),
+            self.pipeline_id, name, "STARTED", run_id=str(event.runId)
         )
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
         if not self._wants(p.name):
             return
-        self._seen_runs.add(str(p.runId))
         task = p.name or str(p.id)
+        self._run_names[str(p.runId)] = task
         sources = list(p.sources or [])
         offsets = None
         if sources:
@@ -102,7 +104,7 @@ class PipelineStatusListener(StreamingQueryListener):
             batch_id=p.batchId,
             run_id=str(p.runId),
             message=json.dumps(
-                {s.description[:60]: s.endOffset for s in sources}
+                {(s.description or "")[:60]: s.endOffset for s in sources}
             )[:1000],
         )
         self.store.write_fact(
@@ -121,15 +123,19 @@ class PipelineStatusListener(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event) -> None:
-        # terminated events carry no query NAME — name-scoped listeners
-        # match on the runIds they saw start/progress instead, so another
-        # stream's termination in a shared session is not misattributed
-        if self.query_names is not None and str(event.runId) not in self._seen_runs:
+        # terminated events carry no query NAME — attribute through the
+        # runId -> name map built from start/progress events, so the
+        # terminal row correlates by task_name with the lifecycle rows
+        # and (for name-scoped listeners) another stream's termination
+        # in a shared session is not misattributed
+        run_id = str(event.runId)
+        name = self._run_names.pop(run_id, None)
+        if self.query_names is not None and name is None:
             return
         status = "FAILED" if event.exception else "TERMINATED"
         self.store.write_status(
-            self.pipeline_id, str(event.id), status,
-            run_id=str(event.runId),
+            self.pipeline_id, name or str(event.id), status,
+            run_id=run_id,
             message=(event.exception or "")[:1000],
         )
 

@@ -253,7 +253,7 @@ def test_vocab_ids_deterministic_and_total(spark):
     merges = bpe_train(docs, "text", k_merges=8)
     vocab = bpe_vocab(merges)
     assert vocab["</w>"] == 0 and vocab["a"] == 1 and vocab["z"] == 26
-    assert len(vocab) == 27 + len(merges)
+    assert len(vocab) <= 27 + len(merges)  # == unless merge strings collide
     vt = {r.token: r.token_id for r in bpe_vocab_table(spark, merges).collect()}
     assert vt == vocab
     toks = {
@@ -267,6 +267,19 @@ def test_vocab_ids_deterministic_and_total(spark):
     for d, (tid, n) in ids.items():
         assert tid == [vocab[s] for s in toks[d]]
         assert n == len(toks[d])
+
+
+def test_vocab_colliding_merge_strings_share_first_id():
+    """r11 review: ids identify token STRINGS — (b,c)+(a,bc) vs (ab,c)
+    both produce 'abc'; the first (lowest-rank) producer's id wins, and
+    the encoder/oracle agree because both dedupe the same way."""
+    from metadata_ingestion_framework_spark.functions.bpe import bpe_vocab
+
+    merges = [("b", "c", 5), ("a", "bc", 3), ("ab", "c", 2)]
+    vocab = bpe_vocab(merges)
+    assert vocab["bc"] == 27          # merge 1
+    assert vocab["abc"] == 28         # merge 2 — FIRST producer of 'abc'
+    assert len(vocab) == 27 + 2       # merge 3 collided, no new id
 
 
 def test_driver_vocab_path_equals_distributed(spark):

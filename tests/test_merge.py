@@ -434,3 +434,42 @@ def test_sql_merge_cross_named_keys_and_extra_predicate(spark):
     )
     got = {r.tid: r.v for r in out.collect()}
     assert got == {1: "A", 2: "b"}  # grp mismatch blocks uid=2
+
+
+def test_sql_merge_string_literals_and_adversarial_alias(spark):
+    """r11 review: separators inside quoted literals must not split, and
+    a source alias literally named 'target' must not be corrupted by the
+    alias rewrite."""
+    from metadata_ingestion_framework_spark.operators.sql_merge import (
+        parse_merge,
+        sql_merge,
+    )
+    import pytest as _pytest
+
+    t = spark.createDataFrame([(1, "old"), (2, "x")], "id int, v string")
+    u = spark.createDataFrame(
+        [(1, "a,b AND c"), (3, "new")], "id int, v string"
+    )
+    t.createOrReplaceTempView("sqlm_lit_t")
+    u.createOrReplaceTempView("sqlm_lit_u")
+    out = sql_merge(
+        spark,
+        """
+        MERGE INTO sqlm_lit_t AS t USING sqlm_lit_u AS target
+        ON t.id = target.id AND target.v <> 'x AND y'
+        WHEN MATCHED THEN UPDATE SET v = concat(target.v, ',tail')
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (target.id, 'i,j')
+        """,
+    )
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {1: "a,b AND c,tail", 2: "x", 3: "i,j"}
+    p = parse_merge(
+        "MERGE INTO a t USING b target ON t.k = target.k "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert p.join_keys == ["k"]
+    with _pytest.raises(ValueError, match="aliases are both"):
+        parse_merge(
+            "MERGE INTO a x USING b x ON x.k = x.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )

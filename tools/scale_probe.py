@@ -615,7 +615,7 @@ def _aqe_skew_evidence(df) -> dict:
     return out
 
 
-def probe_aqe_skew(spark, docs, replicas: int) -> dict:
+def probe_aqe_skew(spark, replicas: int) -> dict:
     """Does the engine COMPOSE with Spark's native AQE skew-join
     mitigation (r11, VERDICT r10 item 6)? The hand-rolled skew answers
     (salted joins, two-stage windows) cover the engine's own operators;
@@ -628,7 +628,6 @@ def probe_aqe_skew(spark, docs, replicas: int) -> dict:
     below the scale where the split pays — measured: detection fires
     reliably from tens of MB; thresholds here are probe-tuned to surface
     the mechanism, production keeps the 256 MB default)."""
-    _ = docs
     n_fact = 200_000 * replicas
     fact = (
         spark.range(0, n_fact)
@@ -703,31 +702,16 @@ def probe_aqe_skew(spark, docs, replicas: int) -> dict:
 
 
 def main_aqeskew(args: list[str]) -> None:
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     replicas = int(args[1]) if len(args) > 1 else 10
     sys.path.insert(0, "/root/repo")
     from metadata_ingestion_framework_spark import get_spark
-    from metadata_ingestion_framework_spark.catalog_queries import t
 
     spark = get_spark("scale_probe_aqeskew")
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "source",
-        F.when(
-            F.pmod(
-                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-                .cast("long"),
-                F.lit(10),
-            )
-            < 9,
-            F.lit("dominant"),
-        ).otherwise(F.col("source")),
-    )
     result = {
         "probe": "aqe_skew_join",
-        "sf_dir": sf_dir,
         "replicas": replicas,
         "skew": "90pct_single_key",
-        **probe_aqe_skew(spark, docs, replicas),
+        **probe_aqe_skew(spark, replicas),
     }
     with open("PROGRESS.jsonl", "a") as f:
         f.write(json.dumps(result) + "\n")
