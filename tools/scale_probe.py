@@ -487,6 +487,23 @@ def probe_training(spark, docs, emb, replicas: int) -> dict:
             kmeans_fit(e, dim=64, n_cells=8, n_iters=3, sample_limit=1000),
             1000)[-1], r)
         timed("bpe_train_8", lambda: len(bpe_train(d, "text", k_merges=8)), r)
+        # r11 map-only model scorers: growth should track data ~linearly
+        # (one Arrow bincount+matmul pass, no shuffle, no training)
+        from metadata_ingestion_framework_spark.functions.quality_model import (
+            hashed_seed_weights,
+            model_gate_scores,
+        )
+
+        qw = hashed_seed_weights("qw", 4096)
+        lw = {
+            lang: hashed_seed_weights(f"lw:{lang}:", 4096)
+            for lang in ("de", "en", "es", "fr")
+        }
+        timed(
+            "model_gate_scores",
+            lambda: model_gate_scores(d, qw, lw, bias=7).count(),
+            r,
+        )
         out[tag] = r
     return out
 
