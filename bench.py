@@ -86,6 +86,7 @@ EXTENDED = [
     "lang_id_model",      # r11: multiclass linear lang-id (map-only)
     "bpe_encode_ids",     # r11: integer token-id encoding (training incl.)
     "curation_v4",        # r11: model-gated curation composite
+    "profile_table",      # r11: one-pass per-column profiler
     "cms_heavy_hitters",  # r11: count-min sketch contract
     "decontaminate_bloom",  # r11: Bloom-prefiltered decontamination
 ]

@@ -1280,6 +1280,45 @@ FROM stats
 """
 
 
+def q_profile_table(spark, sf_dir):
+    """One-pass table profiler (functions/profiling.py::profile_table,
+    r11 — the data-quality face a metadata-driven loader runs before
+    promoting a landed batch): per-column n_rows / n_null / n_distinct
+    (exact) / min / max from ONE aggregation pass (N per-column
+    ``df.agg`` loops would be N full scans), exploded into the
+    one-row-per-column catalog shape. Profiled over orderable columns
+    whose string casts are engine-stable (bigint/string — double
+    formatting differs across engines, the documented exclusion)."""
+    from metadata_ingestion_framework_spark.functions.profiling import (
+        profile_table,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source"])
+
+
+ORACLE_PROFILE_TABLE = """
+SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT),
+       MIN(lang), MAX(lang)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(source) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT),
+       MIN(source), MAX(source)
+FROM documents
+"""
+
+
 def q_lang_id_model(spark, sf_dir):
     """Model-based language ID (functions/quality_model.py::
     langid_model_score, r11): the fastText/CCNet multiclass linear
@@ -4394,7 +4433,8 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,  # r11: in-window (ADVICE r10)
     "grouping_key": q_grouping_key,
     "zorder_key": q_zorder_key,  # r7: Morton layout key, bit-exact oracle
-    "stratified_sample": q_stratified_sample,
+    "profile_table": q_profile_table,  # r11 NEW: one-pass per-column
+    # data-quality profile (exact, cross-engine value-checked)
     "quota_sample": q_quota_sample,  # r8: per-source cap via two-stage rank
     "bpe_encode_ids": q_bpe_encode_ids,  # r11 NEW: integer token-id
     # encoding (vocab replayed in SQL; exact-integer id aggregates)
@@ -4458,7 +4498,10 @@ QUERIES = {
     # the curation family keeps curation_v3 in-window plus the flagship
     # curation_pipeline benched every round; v2's span-rewrite/perplexity
     # stages keep their own in-window reps span_dedup/ngram_perplexity;
-    # driver-green r7-r10, unchanged this round). r10
+    # driver-green r7-r10, unchanged this round), stratified_sample
+    # (displaced by NEW profile_table — its exact md5 bucket rule runs
+    # in-window VERBATIM inside curation_v4's mix cut and stays
+    # sweep-checked; driver-green since r2, unchanged). r10
     # rotation (2): bpe_merges (NEW — BPE vocab training, VERDICT r9 item
     # 4) displaced top_ngrams (driver-green since r1, unchanged; its
     # bigram-count shape is literally round 1 of bpe_merges' pair
@@ -4545,6 +4588,8 @@ QUERIES = {
     "det_shuffle": q_det_shuffle,  # r11: displaced by bpe_encode_ids (NEW)
     "lang_id": q_lang_id,  # r11: displaced by lang_id_model (NEW)
     "curation_v2": q_curation_v2,  # r11: displaced by curation_v4 (NEW)
+    "stratified_sample": q_stratified_sample,  # r11: displaced by
+    # profile_table (NEW)
     "fingerprint": q_fingerprint,  # r9: displaced by ann_recall (driver-
     # green r8, unchanged since)
     "epoch_roundtrip": q_epoch_roundtrip,
@@ -4699,6 +4744,7 @@ ORACLES = {
     "grouping_key": ORACLE_GROUPING_KEY,
     "det_sample": ORACLE_DET_SAMPLE,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "profile_table": ORACLE_PROFILE_TABLE,
     "top_ngrams": ORACLE_TOP_NGRAMS,
     "bpe_merges": _build_bpe_oracle(),
     "bpe_tokenize": _build_bpe_tokenize_oracle(),

@@ -1,0 +1,126 @@
+"""Table profiling — the data-quality face of a metadata-ingestion
+framework (reference adjacency: Utility.scala's identifyColumns /
+checkTable surface stops at existence; a metadata-driven loader also
+needs per-column content statistics to validate a landed batch).
+
+ONE aggregation pass produces every column's profile (the 100 TB rule:
+a per-column loop of ``df.agg`` is N full scans; this is one scan, one
+1-row partial-aggregated result), exploded into the long
+one-row-per-column shape catalogs store:
+
+    (column, n_rows, n_null, n_distinct, min_value, max_value)
+
+``n_distinct`` is EXACT by default (``count_distinct`` inside the same
+agg — Catalyst plans the multi-distinct via Expand, still one input
+scan); at 100 TB pass ``approximate=True`` for HLL
+``approx_count_distinct`` (one true pass, mergeable sketches) — the
+exact form exists because it is cross-engine value-checkable, the
+approximate form is the scale path (its error contract is the HLL
+convention, see ``approx_distinct`` in the catalog).
+
+``profile_drift`` joins two profiles for batch-over-batch validation
+(null-rate jumps, cardinality collapses, range shifts) — the check a
+metadata-driven ingest runs before promoting a landed version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approximate: bool = False,
+) -> DataFrame:
+    """One-pass per-column profile of ``cols`` (default: all columns).
+
+    Returns one row per column: ``column`` string, ``n_rows`` /
+    ``n_null`` / ``n_distinct`` bigint, ``min_value`` / ``max_value``
+    string (values cast to string so heterogeneous column types share
+    one schema — the catalog-table convention). NULL-only columns
+    profile to (n, n, 0, NULL, NULL)."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    n_distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approximate
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.extend(
+            [
+                F.count(F.col(c)).alias(f"__nn_{i}"),
+                n_distinct(c).alias(f"__nd_{i}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
+            ]
+        )
+    row = df.agg(*aggs)
+    profiles = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{i}"))
+                .cast("bigint")
+                .alias("n_null"),
+                F.col(f"__nd_{i}").cast("bigint").alias("n_distinct"),
+                F.col(f"__min_{i}").alias("min_value"),
+                F.col(f"__max_{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return row.select(F.explode(profiles).alias("p")).select("p.*")
+
+
+def profile_drift(
+    current: DataFrame, previous: DataFrame
+) -> DataFrame:
+    """Join two :func:`profile_table` outputs on ``column`` for
+    batch-over-batch validation: emits per-column deltas plus the
+    boolean drift flags an ingest gate checks (null-rate increase,
+    cardinality collapse to a constant, range shift). Both inputs are
+    #columns-row tables — broadcast scale by construction."""
+    cur = current.select(
+        "column",
+        F.col("n_rows").alias("cur_rows"),
+        F.col("n_null").alias("cur_null"),
+        F.col("n_distinct").alias("cur_distinct"),
+        F.col("min_value").alias("cur_min"),
+        F.col("max_value").alias("cur_max"),
+    )
+    prev = previous.select(
+        "column",
+        F.col("n_rows").alias("prev_rows"),
+        F.col("n_null").alias("prev_null"),
+        F.col("n_distinct").alias("prev_distinct"),
+        F.col("min_value").alias("prev_min"),
+        F.col("max_value").alias("prev_max"),
+    )
+    cur_null_rate = F.col("cur_null") / F.greatest(F.col("cur_rows"), F.lit(1))
+    prev_null_rate = F.col("prev_null") / F.greatest(
+        F.col("prev_rows"), F.lit(1)
+    )
+    return cur.join(F.broadcast(prev), "column", "full_outer").select(
+        "column",
+        "cur_rows", "prev_rows",
+        "cur_null", "prev_null",
+        "cur_distinct", "prev_distinct",
+        "cur_min", "prev_min", "cur_max", "prev_max",
+        (cur_null_rate > prev_null_rate).alias("null_rate_increased"),
+        (
+            (F.col("cur_distinct") <= 1) & (F.col("prev_distinct") > 1)
+        ).alias("cardinality_collapsed"),
+        (
+            (F.col("cur_min") != F.col("prev_min"))
+            | (F.col("cur_max") != F.col("prev_max"))
+        ).alias("range_shifted"),
+        (
+            F.col("cur_rows").isNull() | F.col("prev_rows").isNull()
+        ).alias("column_added_or_dropped"),
+    )

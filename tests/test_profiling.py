@@ -1,0 +1,90 @@
+"""Table profiler (functions/profiling.py, r11): one-pass per-column
+stats, NULL handling, approximate path, and batch-over-batch drift
+flags."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.functions.profiling import (
+    profile_drift,
+    profile_table,
+)
+
+
+def _fixture(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 1.5, None),
+            (2, "b", 2.5, None),
+            (3, "b", None, None),
+            (4, None, 4.5, None),
+        ],
+        "id int, k string, x double, dead string",
+    )
+
+
+def test_profile_exact_values(spark):
+    prof = {r.column: r for r in profile_table(_fixture(spark)).collect()}
+    assert set(prof) == {"id", "k", "x", "dead"}
+    assert all(r.n_rows == 4 for r in prof.values())
+    assert (prof["id"].n_null, prof["id"].n_distinct) == (0, 4)
+    assert (prof["id"].min_value, prof["id"].max_value) == ("1", "4")
+    assert (prof["k"].n_null, prof["k"].n_distinct) == (1, 2)
+    assert (prof["k"].min_value, prof["k"].max_value) == ("a", "b")
+    assert (prof["x"].n_null, prof["x"].n_distinct) == (1, 3)
+    # NULL-only column: (n, n, 0, NULL, NULL)
+    assert (prof["dead"].n_null, prof["dead"].n_distinct) == (4, 0)
+    assert prof["dead"].min_value is None and prof["dead"].max_value is None
+
+
+def test_profile_is_one_pass(spark):
+    """The profile must come from ONE aggregation over ONE scan — a
+    per-column agg loop is N full scans at 100 TB."""
+    plan = profile_table(
+        _fixture(spark), ["id", "k", "x"]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1  # single scan of the input
+
+
+def test_profile_approximate_path(spark):
+    prof = {
+        r.column: r
+        for r in profile_table(
+            _fixture(spark), ["id", "k"], approximate=True
+        ).collect()
+    }
+    # HLL is exact at these cardinalities; contract: within the rsd band
+    assert abs(prof["id"].n_distinct - 4) <= 1
+    assert abs(prof["k"].n_distinct - 2) <= 1
+    assert (prof["id"].min_value, prof["id"].max_value) == ("1", "4")
+
+
+def test_profile_empty_cols_rejected(spark):
+    with pytest.raises(ValueError, match="at least one column"):
+        profile_table(_fixture(spark), [])
+
+
+def test_profile_drift_flags(spark):
+    prev = profile_table(_fixture(spark), ["id", "k", "x"])
+    cur_df = spark.createDataFrame(
+        [
+            (5, "a", 9.5),
+            (6, None, 9.5),
+            (7, None, 9.5),
+            (8, None, 9.5),
+        ],
+        "id int, k string, x double",
+    )
+    cur = profile_table(cur_df, ["id", "k", "x"])
+    drift = {r.column: r for r in profile_drift(cur, prev).collect()}
+    assert drift["k"].null_rate_increased  # 1/4 -> 3/4
+    assert drift["x"].cardinality_collapsed  # 3 distinct -> 1
+    assert drift["id"].range_shifted  # 1..4 -> 5..8
+    assert not drift["id"].null_rate_increased
+    assert not any(r.column_added_or_dropped for r in drift.values())
+    # column drop detected via the full-outer join
+    cur2 = profile_table(cur_df, ["id", "k"])
+    d2 = {r.column: r for r in profile_drift(cur2, prev).collect()}
+    assert d2["x"].column_added_or_dropped
