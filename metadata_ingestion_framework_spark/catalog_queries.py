@@ -2854,8 +2854,13 @@ def q_curation_v4(spark, sf_dir):
     2. keep docs whose MODEL lang agrees with the labeled metadata lang
        AND whose exact-integer logit clears the gate (logit_q >= 0 —
        above the symmetric-weight average);
-    3. exact dedup among survivors (dedup.py::dedup_exact, min-id per
-       content, partial-aggregatable);
+    3. exact dedup among survivors — min-id per content via WINDOW over
+       a precomputed content hash, NOT dedup_exact's groupBy+self-join
+       (the self-join recomputes BOTH branches, which here means running
+       the Arrow gates kernel TWICE over the corpus — CLAUDE.md
+       self-join rule; the window form is one shuffle on the uniform
+       256-bit key and one kernel pass, and the text column is dropped
+       before the shuffle so only the skinny gated rows move);
     4. deterministic per-lang mix cut by the shared md5 bucket rule
        (en 0.8, others 0.6).
 
@@ -2869,7 +2874,7 @@ def q_curation_v4(spark, sf_dir):
         hash_bucket,
         rate_threshold,
     )
-    from metadata_ingestion_framework_spark.operators.dedup import dedup_exact
+    from metadata_ingestion_framework_spark.operators.dedup import dedup_window
 
     docs = wide_t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
@@ -2886,7 +2891,20 @@ def q_curation_v4(spark, sf_dir):
     kept = gates.filter(
         (F.col("pred_lang") == F.col("lang")) & (F.col("logit_q") >= 0)
     )
-    deduped = dedup_exact(kept, ["text"], "doc_id")
+    # dedup_exact's null-flag content-key encoding, computed ONCE so the
+    # heavy text column never reaches the dedup shuffle
+    content_key = F.sha2(
+        F.concat(
+            F.col("text").isNull().cast("string"),
+            F.coalesce(F.col("text"), F.lit("")),
+        ),
+        256,
+    )
+    skinny = kept.select(
+        "doc_id", "lang", "source", "n_grams", "logit_q",
+        content_key.alias("__ck"),
+    )
+    deduped = dedup_window(skinny, ["__ck"], ["doc_id"])
     rate = F.when(
         F.col("lang") == "en", F.lit(rate_threshold(0.8))
     ).otherwise(F.lit(rate_threshold(0.6)))
