@@ -225,6 +225,13 @@ def test_streaming_listener_lands_status_and_facts(spark, tmp_path):
                 break
             _time.sleep(0.5)
         assert {"STARTED", "RUNNING"} <= st and "TERMINATED" in st, st
+        # r11 review fix pinned: the nameless terminated event must be
+        # attributed to the SAME task_name as the lifecycle rows (via the
+        # listener's runId -> name map), so per-task queries see closure
+        terminated = store.read_status().filter(
+            "pipeline_id = 'pipe-listener' AND status = 'TERMINATED'"
+        ).collect()
+        assert terminated and all(r.task_name == qname for r in terminated)
         running = store.read_status().filter(
             "pipeline_id = 'pipe-listener' AND status = 'RUNNING' "
             "AND endOffset IS NOT NULL"
