@@ -24,6 +24,23 @@ from metadata_ingestion_framework_spark.functions.sampling import (
     hash_bucket,
     stratified_sample,
 )
+from metadata_ingestion_framework_spark.functions.bpe import (
+    bpe_encode_ids,
+    bpe_tokenize,
+    bpe_tokenize_fast,
+    bpe_train,
+    bpe_vocab,
+)
+from metadata_ingestion_framework_spark.functions.profiling import (
+    profile_drift,
+    profile_table,
+)
+from metadata_ingestion_framework_spark.functions.quality_model import (
+    langid_model_score,
+    model_gate_scores,
+    quality_model_score,
+    quantize_weights,
+)
 from metadata_ingestion_framework_spark.functions.timestamps import (
     clean_iso_timestamp,
     epoch_millis_to_timestamp,
@@ -56,4 +73,15 @@ __all__ = [
     "hash_bucket",
     "deterministic_sample",
     "stratified_sample",
+    "bpe_train",
+    "bpe_tokenize",
+    "bpe_tokenize_fast",
+    "bpe_encode_ids",
+    "bpe_vocab",
+    "quality_model_score",
+    "langid_model_score",
+    "model_gate_scores",
+    "quantize_weights",
+    "profile_table",
+    "profile_drift",
 ]

@@ -26,6 +26,7 @@ from metadata_ingestion_framework_spark.operators.merge import (
     scd2_merge,
     scd4_merge,
 )
+from metadata_ingestion_framework_spark.operators.ivf_index import IvfIndex
 from metadata_ingestion_framework_spark.operators.sql_merge import (
     parse_merge,
     sql_merge,

@@ -15,8 +15,14 @@ from metadata_ingestion_framework_spark.streaming.offsets import (
     offset_ranges_for_batch,
     recover_starting_offsets,
 )
+from metadata_ingestion_framework_spark.streaming.listener import (
+    PipelineStatusListener,
+    attach_pipeline_listener,
+)
 
 __all__ = [
+    "PipelineStatusListener",
+    "attach_pipeline_listener",
     "WriteStreamConfig",
     "process_output_stream",
     "process_output_stream_batch",
