@@ -50,6 +50,38 @@ from metadata_ingestion_framework_spark.operators.merge import scd1_merge
 from metadata_ingestion_framework_spark.plans.tablestore import VersionedParquetStore
 
 
+def _check_store_config(root: str, config: dict) -> None:
+    """Persist the LAYOUT-DEFINING store config beside the data on first
+    open and refuse a mismatched reopen (r11 review): a store reopened
+    with, e.g., a different ``sig_bucket_width`` would bucket re-ingested
+    ids away from their stored rows (silent ghosts — the exact class the
+    partition-delta design rules out), a different ``n_buckets`` would
+    prune away nearly every stored band row, and different centroids
+    would reassign cells under the stored layout. Same mechanism as
+    IvfIndex's ``_centroids.json``; tunable QUERY parameters (thresholds)
+    are deliberately excluded."""
+    path = os.path.join(root, "_config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+        if stored != config:
+            diff = sorted(
+                k
+                for k in set(stored) | set(config)
+                if stored.get(k) != config.get(k)
+            )
+            raise ValueError(
+                f"store at {root} was created with a different layout "
+                f"config (mismatched keys: {diff}); rebuild the store to "
+                "change layout-defining parameters"
+            )
+    else:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(config, f)
+        os.replace(tmp, path)
+
+
 def minhash_batch_drops(
     store_sigs: DataFrame | None,
     batch_sigs: DataFrame,
@@ -209,6 +241,19 @@ class MinhashSignatureStore:
         self.n_buckets = n_buckets
         self.sig_bucket_width = sig_bucket_width
         self._ledger_path = os.path.join(root, "_runs.json")
+        _check_store_config(
+            root,
+            {
+                "kind": "minhash_sigs",
+                "id_col": id_col,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                "token_hash": token_hash,
+                "n_buckets": n_buckets,
+                "sig_bucket_width": sig_bucket_width,
+            },
+        )
 
     # -- run ledger --------------------------------------------------------
     def ingested_runs(self) -> list[str]:
@@ -295,6 +340,11 @@ class MinhashSignatureStore:
         Returns None (store untouched) when ``run_id`` was already
         ingested. The store update is SCD1: a re-seen id's signature is
         replaced, not duplicated.
+
+        The result carries its persisted drop set via ``_persisted_deps``
+        — release with ``dedup.unpersist_deps(survivors)`` once consumed
+        (the releasable-state form; a long-running foreachBatch stream
+        would otherwise accumulate one pinned cache per micro-batch).
         """
         if run_id in self.ingested_runs():
             return None
@@ -302,7 +352,8 @@ class MinhashSignatureStore:
         new_bands = self._band_rows(sigs_new)
         store_sigs = store_bands = None
         batch_buckets: list = []
-        if self.store.exists(self.SIGS):
+        had_sigs = self.store.exists(self.SIGS)
+        if had_sigs:
             batch_ids = sigs_new.select(self.id_col)
             # exclude ids of THIS batch from the store side: for disjoint
             # runs a no-op, but it makes a replay (ledger lost / crash
@@ -320,13 +371,21 @@ class MinhashSignatureStore:
                 r.bucket
                 for r in new_bands.select("bucket").distinct().collect()
             ]
-            store_bands = (
-                self.store.read(self.BANDS)
-                .filter(F.col("bucket").isin(batch_buckets))
-                .join(batch_ids, self.id_col, "left_anti")
-            )
+            # BANDS can be absent with SIGS present (a first-ingest crash
+            # between the two writes, r11 review): heal by deriving the
+            # store side's bands in-plan (minhash_batch_drops does so when
+            # store_bands_df is None) and rebuilding the table below
+            if self.store.exists(self.BANDS):
+                store_bands = (
+                    self.store.read(self.BANDS)
+                    .filter(F.col("bucket").isin(batch_buckets))
+                    .join(batch_ids, self.id_col, "left_anti")
+                )
         # materialize the (tiny) drop set now: the survivor plan must stay
-        # valid after sigs_new unpersists at the end of this call
+        # valid after sigs_new unpersists at the end of this call.
+        # persist(), NOT localCheckpoint: checkpoint blocks free only via
+        # JVM GC — the caller releases via unpersist_deps(survivors)
+        # (CLAUDE.md releasable-state rule, r11 review)
         drops = minhash_batch_drops(
             store_sigs,
             sigs_new,
@@ -335,8 +394,10 @@ class MinhashSignatureStore:
             self.bands,
             self.jaccard_threshold,
             store_bands_df=store_bands,
-        ).localCheckpoint()
+        ).persist()
+        drops.count()  # materialize while sigs_new is still cached
         survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
+        survivors._persisted_deps = [drops]
 
         # durable state: SCD1-merge ALL batch signatures (dropped docs
         # included — see module docstring) and their band rows. The sigs
@@ -351,15 +412,27 @@ class MinhashSignatureStore:
         if not self.store.exists(self.SIGS):
             self.write_sigs_snapshot(scd1_merge(None, sigs_new, [self.id_col]))
         else:
-            sig_buckets = [
+            # NULL-safe bucket match (r11 review, mirroring the embedding
+            # twin): a plain isin never matches a stored NULL-bucket row,
+            # but the touched list maps None to the hive default dir —
+            # that directory would be rewritten WITHOUT its old rows
+            sig_bucket_set = {
                 r.sig_bucket
                 for r in sigs_new_b.select("sig_bucket").distinct().collect()
-            ]
+            }
+            sig_buckets = sorted(
+                (v for v in sig_bucket_set if v is not None), key=str
+            ) + ([None] if None in sig_bucket_set else [])
+            bucket_match = F.col("sig_bucket").isin(
+                [v for v in sig_buckets if v is not None]
+            )
+            if None in sig_bucket_set:
+                bucket_match = bucket_match | F.col("sig_bucket").isNull()
             # anti-join the batch ids out (their rows are replaced wholesale
             # — pure-insert merge, and replay-safe like the band path)
             old_touched_sigs = (
                 self.store.read(self.SIGS)
-                .filter(F.col("sig_bucket").isin(sig_buckets))
+                .filter(bucket_match)
                 .join(sigs_new.select(self.id_col), self.id_col, "left_anti")
             )
             merged_sigs = scd1_merge(old_touched_sigs, sigs_new_b, [self.id_col])
@@ -367,7 +440,17 @@ class MinhashSignatureStore:
                 merged_sigs, self.SIGS, "sig_bucket", sig_buckets
             )
         if not self.store.exists(self.BANDS):
-            self.store.write(new_bands, self.BANDS, partition_by=["bucket"])
+            if had_sigs:
+                # heal path (r11 review): SIGS pre-existed but BANDS was
+                # missing (first-ingest crash between the two writes) —
+                # writing only the BATCH's bands would leave every stored
+                # sig bandless forever; rebuild from the (now merged)
+                # sigs table instead.
+                self.rebuild_bands()
+            else:
+                self.store.write(
+                    new_bands, self.BANDS, partition_by=["bucket"]
+                )
         else:
             # PARTITION-DELTA band update (r8): only the batch's own buckets
             # can change, so merge and physically rewrite just those
@@ -619,7 +702,7 @@ class EmbeddingDedupStore:
         vec_bucket_width: int = 8192,
     ):
         from metadata_ingestion_framework_spark.operators.similarity import (
-            random_centroids,
+            _resolve_centroids,
         )
 
         self.spark = spark
@@ -628,22 +711,31 @@ class EmbeddingDedupStore:
         self.vec_col = vec_col
         self.threshold = threshold
         # Trained coarse quantizer (kmeans_fit(...).unit_centroids) or the
-        # data-blind random fallback. Must stay FIXED for the store's
-        # lifetime — the cell partition layout is derived from it; retrain
-        # => rebuild the store (same contract as re-sharding any store).
-        if centroids is not None and len(centroids) != n_cells:
-            raise ValueError(
-                f"centroids has {len(centroids)} cells, expected "
-                f"n_cells={n_cells}"
-            )
-        self.centroids = (
-            centroids
-            if centroids is not None
-            else random_centroids(dim, n_cells, seed)
-        )
+        # data-blind random fallback — resolved by the shared similarity.py
+        # helper (r11 review: the inline copy drifted from it). Must stay
+        # FIXED for the store's lifetime — the cell partition layout is
+        # derived from it; retrain => rebuild the store (same contract as
+        # re-sharding any store), enforced by the config check below.
+        self.centroids = _resolve_centroids(centroids, dim, n_cells, seed)
         self.n_buckets = n_buckets
         self.vec_bucket_width = vec_bucket_width
         self._ledger_path = os.path.join(root, "_runs.json")
+        _check_store_config(
+            root,
+            {
+                "kind": "embedding_vecs",
+                "id_col": id_col,
+                "dim": dim,
+                "n_cells": n_cells,
+                "n_buckets": n_buckets,
+                "vec_bucket_width": vec_bucket_width,
+                # plain floats: numpy scalars from a trained model would
+                # fail json serialization and bitwise comparison
+                "unit_centroids": [
+                    [float(x) for x in c] for c in self.centroids
+                ],
+            },
+        )
 
     ingested_runs = MinhashSignatureStore.ingested_runs
     _record_run = MinhashSignatureStore._record_run
@@ -678,27 +770,42 @@ class EmbeddingDedupStore:
     def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
         """Semantically dedup ``batch`` against the store and itself;
         merge its vectors in; return surviving batch rows (original
-        columns). None (store untouched) when ``run_id`` already ran."""
+        columns). None (store untouched) when ``run_id`` already ran.
+        The result carries its persisted drop set via ``_persisted_deps``
+        — release with ``dedup.unpersist_deps`` once consumed."""
         if run_id in self.ingested_runs():
             return None
         assigned = self._assign(batch).persist()
         store_pruned = store_all = None
         if self.store.exists(self.VECS):
             batch_ids = assigned.select(self.id_col)
-            batch_cells = [
+            batch_cell_set = {
                 r.cell for r in assigned.select("cell").distinct().collect()
-            ]
+            }
             store_all = self.store.read(self.VECS)
             # cell prune (directory-level on the partitioned layout) +
             # replay safety (a re-delivered batch must not collide with
-            # its own stored copy)
-            store_pruned = store_all.filter(
-                F.col("cell").isin(batch_cells)
-            ).join(batch_ids, self.id_col, "left_anti")
+            # its own stored copy). NULL-safe (r11 review): an
+            # unassignable vector's NULL cell never matches a plain isin,
+            # so a stored NULL-cell near-dup would silently survive —
+            # diverging from the full-rerun equivalence (intra-batch
+            # groupBy("cell") DOES group NULLs together)
+            cell_match = F.col("cell").isin(
+                [c for c in batch_cell_set if c is not None]
+            )
+            if None in batch_cell_set:
+                cell_match = cell_match | F.col("cell").isNull()
+            store_pruned = store_all.filter(cell_match).join(
+                batch_ids, self.id_col, "left_anti"
+            )
+        # persist(), NOT localCheckpoint (CLAUDE.md releasable-state rule,
+        # r11 review): the caller releases via unpersist_deps(survivors)
         drops = embedding_batch_drops(
             store_pruned, assigned, self.id_col, self.vec_col, self.threshold
-        ).localCheckpoint()
+        ).persist()
+        drops.count()  # materialize while assigned is still cached
         survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
+        survivors._persisted_deps = [drops]
         if store_all is None:
             self.store.write(
                 scd1_merge(None, assigned, [self.id_col]),

@@ -118,3 +118,93 @@ def test_ivf_append_releases_assigned_persist(spark, tmp_path):
         r.vec_id for r in idx.store.read(idx.VECS).select("vec_id").collect()
     )
     assert got == list(range(24))
+
+
+def test_minhash_store_heals_missing_bands_table(spark, tmp_path):
+    """r11 review: a first-ingest crash between the sigs and bands writes
+    leaves SIGS committed and BANDS absent — the retry (and any later
+    ingest) must heal by deriving the store side in-plan and rebuilding
+    the bands table, not raise FileNotFoundError."""
+    import shutil
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        MinhashSignatureStore,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and then naps " * 5
+    store = MinhashSignatureStore(
+        spark, str(tmp_path / "heal"), jaccard_threshold=0.5
+    )
+    docs1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    s1 = store.ingest(docs1, "r1")
+    s1.count()
+    unpersist_deps(s1)
+    # simulate the crash aftermath: BANDS table gone, SIGS intact
+    shutil.rmtree(str(tmp_path / "heal" / store.BANDS))
+    assert store.store.exists(store.SIGS)
+    assert not store.store.exists(store.BANDS)
+    # near-dup of the stored doc must STILL drop (store side derived
+    # in-plan), and the bands table must be rebuilt covering doc 1
+    docs2 = spark.createDataFrame(
+        [(2, base), (3, "entirely different unrelated words " * 10)],
+        "doc_id long, text string",
+    )
+    s2 = store.ingest(docs2, "r2")
+    got = {r.doc_id for r in s2.collect()}
+    unpersist_deps(s2)
+    assert got == {3}
+    bands = store.store.read(store.BANDS)
+    assert bands.filter("doc_id = 1").count() > 0  # rebuilt, not batch-only
+
+
+def test_store_config_guard_refuses_layout_drift(spark, tmp_path):
+    """r11 review: reopening a store with different LAYOUT-defining
+    parameters must refuse loudly — a silently different bucket width
+    ghosts re-ingested rows; different centroids reassign cells under
+    the stored layout."""
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        EmbeddingDedupStore,
+        MinhashSignatureStore,
+    )
+
+    root = str(tmp_path / "cfg_sig")
+    MinhashSignatureStore(spark, root, sig_bucket_width=8192)
+    MinhashSignatureStore(spark, root, sig_bucket_width=8192)  # same: ok
+    with pytest.raises(ValueError, match="sig_bucket_width"):
+        MinhashSignatureStore(spark, root, sig_bucket_width=1024)
+    vroot = str(tmp_path / "cfg_vec")
+    EmbeddingDedupStore(spark, vroot, dim=8, n_cells=4)
+    EmbeddingDedupStore(spark, vroot, dim=8, n_cells=4)  # same: ok
+    with pytest.raises(ValueError, match="unit_centroids|n_cells"):
+        EmbeddingDedupStore(spark, vroot, dim=8, n_cells=4, seed=99)
+
+
+def test_ingest_drop_cache_is_releasable(spark, tmp_path):
+    """r11 review (CLAUDE.md releasable-state rule): ingest's drop set is
+    a persist handed out via _persisted_deps — released, no cached RDD
+    survives (the old localCheckpoint pinned blocks until JVM GC)."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        MinhashSignatureStore,
+    )
+
+    store = MinhashSignatureStore(
+        spark, str(tmp_path / "rel"), jaccard_threshold=0.5
+    )
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta " * 6)],
+        "doc_id long, text string",
+    )
+    out = store.ingest(docs, "r1")
+    assert out.count() == 1
+    assert getattr(out, "_persisted_deps", None), "deps contract missing"
+    unpersist_deps(out)
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    leaked = {k: v for k, v in after.items() if k not in before}
+    assert not leaked, f"ingest leaked {len(leaked)} cached RDD(s)"

@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import pytest
 
+from metadata_ingestion_framework_spark.operators.dedup import (
+    unpersist_deps,
+)
 from metadata_ingestion_framework_spark.operators.incremental import (
     MinhashSignatureStore,
 )
@@ -42,6 +45,7 @@ def test_streaming_ingest_matches_batch_sequential(spark, tmp_path):
         out = stream_store.ingest(bdf, f"stream-run-{batch_id}")
         if out is not None:
             survivors[int(batch_id)] = {r.doc_id for r in out.collect()}
+            unpersist_deps(out)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -98,6 +102,8 @@ def test_streaming_ingest_restart_replays_ledger_safe(spark, tmp_path):
     def sink(bdf, batch_id):
         out = store.ingest(bdf, f"stream-run-{batch_id}")
         seen.append(out is not None)
+        if out is not None:
+            unpersist_deps(out)
 
     def run_once():
         q = (
@@ -171,6 +177,7 @@ def test_streaming_vector_ingest_matches_batch_sequential(spark, tmp_path):
         out = stream_store.ingest(bdf, f"stream-run-{batch_id}")
         if out is not None:
             survivors[int(batch_id)] = {r.vec_id for r in out.collect()}
+            unpersist_deps(out)
 
     stream = (
         spark.readStream.schema("vec_id long, embedding array<double>")

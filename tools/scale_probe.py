@@ -318,7 +318,14 @@ def probe_incremental(spark, docs, replicas: int, workdir: str) -> dict:
             r,
         )
         batch_sigs.unpersist()
-        timed("inc_ingest_e2e", lambda: store.ingest(batch, "probe-run").count(), r)
+        def _ingest_e2e():
+            out = store.ingest(batch, "probe-run")
+            n = out.count()
+            for dep in getattr(out, "_persisted_deps", ()):
+                dep.unpersist()
+            return n
+
+        timed("inc_ingest_e2e", _ingest_e2e, r)
 
         def _full():
             pairs = minhash_lsh_duplicates(
@@ -379,8 +386,14 @@ def probe_vecstore(spark, emb, replicas: int, workdir: str) -> dict:
             .persist()
         )
         batch.count()
-        timed("vec_ingest_e2e",
-              lambda: store.ingest(batch, "probe-run").count(), r)
+        def _vec_ingest_e2e():
+            out = store.ingest(batch, "probe-run")
+            n = out.count()
+            for dep in getattr(out, "_persisted_deps", ()):
+                dep.unpersist()
+            return n
+
+        timed("vec_ingest_e2e", _vec_ingest_e2e, r)
         batch.unpersist()
         timed("vec_retire", lambda: (
             store.retire_ids_below(width + width // 2),
