@@ -82,6 +82,88 @@ def _check_store_config(root: str, config: dict) -> None:
         os.replace(tmp, path)
 
 
+def range_bucket_expr(
+    df: DataFrame, id_col: str, width: int, n_buckets: int
+):
+    """Top-level partition key shared by every id-keyed store (sigs,
+    embedding vecs, IvfIndex): integral-``div`` RANGE buckets for numeric
+    ids (exact above 2^53, truncation matches ``retire``'s boundary
+    math; monotone ingest ids concentrate a batch into its own buckets
+    so delta writes stay O(batch)), xxhash fallback for string ids (no
+    retention analog — a range delete has no partition expression
+    there). One definition so the subtle invariants cannot drift between
+    the stores (r11 review)."""
+    id_type = dict(df.dtypes)[id_col]
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        q = id_col.replace("`", "``")
+        # Integral `div`, NOT floor(double division): for ids above 2^53
+        # the double rounds and can disagree with the exact Python
+        # boundary in retire_ids_below, dropping live rows / retaining
+        # retired ones.
+        return F.expr(f"CAST(`{q}` AS BIGINT) div {int(width)}")
+    return F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+
+
+def _retire_range_ids_below(
+    store: VersionedParquetStore,
+    table: str,
+    bucket_col: str,
+    bucket_width: int,
+    id_col: str,
+    cutoff_id: int,
+    part_cols,
+) -> bool:
+    """Shared zero-rewrite range retention (r11 review — the sigs and
+    embedding twins were ~70 copy-pasted lines whose subtle invariants
+    had already started to drift): drop whole id-range buckets below the
+    cutoff by NOT carrying them (``delete_partitions``), rewrite only a
+    boundary bucket that actually holds retired rows (edge-aligned
+    cutoffs stay single-version zero-rewrite). Bucket inventory comes
+    from the directory layout, never a data scan. Returns True when
+    anything was dropped or rewritten (callers chain maintenance, e.g.
+    ``rebuild_bands``)."""
+    if not store.exists(table):
+        return False
+    if dict(store.read(table).dtypes)[id_col] not in (
+        "tinyint", "smallint", "int", "bigint"
+    ):
+        raise NotImplementedError(
+            "retire_ids_below needs a numeric id (range-bucketed store); "
+            "this store's id column is hash-bucketed"
+        )
+    # Match Spark's integral `div` (truncate toward zero) exactly —
+    # Python `//` floors, which differs for negative cutoffs.
+    boundary = (
+        -((-cutoff_id) // bucket_width)
+        if cutoff_id < 0
+        else cutoff_id // bucket_width
+    )
+    below = [
+        int(v)
+        for v in store.partition_values(table, bucket_col)
+        if v is not None and int(v) < boundary
+    ]
+    if below:
+        store.delete_partitions(table, part_cols, below)
+    boundary_retired = (
+        store.read(table)
+        .filter(
+            (F.col(bucket_col) == boundary) & (F.col(id_col) < cutoff_id)
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+    if boundary_retired:
+        kept_boundary = store.read(table).filter(
+            (F.col(bucket_col) == boundary) & (F.col(id_col) >= cutoff_id)
+        )
+        store.write_partition_delta(
+            kept_boundary, table, part_cols, [boundary]
+        )
+    return bool(below or boundary_retired)
+
+
 def minhash_batch_drops(
     store_sigs: DataFrame | None,
     batch_sigs: DataFrame,
@@ -307,22 +389,12 @@ class MinhashSignatureStore:
         containing negative ids must be rebuilt (write_sigs_snapshot),
         or re-ingests of those ids would land in a different bucket than
         their stored rows and ghost them."""
-        id_type = dict(sigs.dtypes)[self.id_col]
-        if id_type in ("tinyint", "smallint", "int", "bigint"):
-            # Integral `div`, NOT floor(double division): for ids above
-            # 2^53 the double rounds and can disagree with the exact
-            # Python `cutoff_id // width` boundary in retire_ids_below,
-            # dropping live rows / retaining retired ones.
-            q = self.id_col.replace("`", "``")
-            bucket = F.expr(
-                f"CAST(`{q}` AS BIGINT) div {int(self.sig_bucket_width)}"
-            )
-        else:
-            bucket = F.pmod(
-                F.xxhash64(F.col(self.id_col).cast("string")),
-                F.lit(self.n_buckets),
-            )
-        return sigs.withColumn("sig_bucket", bucket)
+        return sigs.withColumn(
+            "sig_bucket",
+            range_bucket_expr(
+                sigs, self.id_col, self.sig_bucket_width, self.n_buckets
+            ),
+        )
 
     def write_sigs_snapshot(self, sigs: DataFrame) -> int:
         """Full sigs-table write in the store's canonical layout
@@ -509,56 +581,10 @@ class MinhashSignatureStore:
 
         Numeric-id stores only — string ids use hash buckets, where a
         range delete has no partition-level expression."""
-        if not self.store.exists(self.SIGS):
-            return
-        sigs = self.store.read(self.SIGS)
-        if dict(sigs.dtypes)[self.id_col] not in (
-            "tinyint", "smallint", "int", "bigint"
+        if _retire_range_ids_below(
+            self.store, self.SIGS, "sig_bucket", self.sig_bucket_width,
+            self.id_col, cutoff_id, "sig_bucket",
         ):
-            raise NotImplementedError(
-                "retire_ids_below needs a numeric id (range-bucketed sigs); "
-                "this store's id column is hash-bucketed"
-            )
-        # Match Spark's integral `div` (truncate toward zero) exactly —
-        # Python `//` floors, which differs for negative cutoffs.
-        boundary = -((-cutoff_id) // self.sig_bucket_width) if cutoff_id < 0 \
-            else cutoff_id // self.sig_bucket_width
-        # which buckets exist = a directory listing (O(#partitions)
-        # metadata), NOT a distinct scan — at 100 TB the latter reads the
-        # whole store's bucket column
-        below = [
-            int(v)
-            for v in self.store.partition_values(self.SIGS, "sig_bucket")
-            if v is not None and int(v) < boundary
-        ]
-        if below:
-            self.store.delete_partitions(self.SIGS, "sig_bucket", below)
-        # Rewrite the boundary bucket only if it actually holds retired
-        # rows — a cutoff landing exactly on a bucket edge (the natural
-        # "drop buckets older than N" call) stays a true zero-rewrite
-        # single-version delete.
-        boundary_retired = (
-            self.store.read(self.SIGS)
-            .filter(
-                (F.col("sig_bucket") == boundary)
-                & (F.col(self.id_col) < cutoff_id)
-            )
-            .limit(1)
-            .count()
-            > 0
-        )
-        if boundary_retired:
-            kept_boundary = (
-                self.store.read(self.SIGS)
-                .filter(
-                    (F.col("sig_bucket") == boundary)
-                    & (F.col(self.id_col) >= cutoff_id)
-                )
-            )
-            self.store.write_partition_delta(
-                kept_boundary, self.SIGS, "sig_bucket", [boundary]
-            )
-        if below or boundary_retired:
             self.rebuild_bands()
 
     def rebuild_bands(self) -> None:
@@ -745,18 +771,12 @@ class EmbeddingDedupStore:
         (``_with_sig_bucket``): integral-``div`` range buckets for numeric
         ids (exact above 2^53, consistent with ``retire_ids_below``'s
         boundary), xxhash fallback for strings (no retention analog)."""
-        id_type = dict(df.dtypes)[self.id_col]
-        if id_type in ("tinyint", "smallint", "int", "bigint"):
-            q = self.id_col.replace("`", "``")
-            bucket = F.expr(
-                f"CAST(`{q}` AS BIGINT) div {int(self.vec_bucket_width)}"
-            )
-        else:
-            bucket = F.pmod(
-                F.xxhash64(F.col(self.id_col).cast("string")),
-                F.lit(self.n_buckets),
-            )
-        return df.withColumn("vec_bucket", bucket)
+        return df.withColumn(
+            "vec_bucket",
+            range_bucket_expr(
+                df, self.id_col, self.vec_bucket_width, self.n_buckets
+            ),
+        )
 
     def _assign(self, batch: DataFrame) -> DataFrame:
         from metadata_ingestion_framework_spark.operators.similarity import ivf_assign
@@ -863,48 +883,7 @@ class EmbeddingDedupStore:
 
         Numeric-id stores only — string ids use hash buckets, where a
         range delete has no partition-level expression."""
-        if not self.store.exists(self.VECS):
-            return
-        vecs = self.store.read(self.VECS)
-        if dict(vecs.dtypes)[self.id_col] not in (
-            "tinyint", "smallint", "int", "bigint"
-        ):
-            raise NotImplementedError(
-                "retire_ids_below needs a numeric id (range-bucketed vecs); "
-                "this store's id column is hash-bucketed"
-            )
-        # Match Spark's integral `div` (truncate toward zero) exactly —
-        # Python `//` floors, which differs for negative cutoffs.
-        boundary = -((-cutoff_id) // self.vec_bucket_width) if cutoff_id < 0 \
-            else cutoff_id // self.vec_bucket_width
-        # bucket inventory from the directory layout, not a data scan
-        # (see the sigs twin)
-        below = [
-            int(v)
-            for v in self.store.partition_values(self.VECS, "vec_bucket")
-            if v is not None and int(v) < boundary
-        ]
-        if below:
-            self.store.delete_partitions(
-                self.VECS, ["vec_bucket", "cell"], below
-            )
-        # Boundary rewrite only when it holds retired rows (see the sigs
-        # twin): an edge-aligned cutoff is a zero-rewrite single version.
-        boundary_retired = (
-            self.store.read(self.VECS)
-            .filter(
-                (F.col("vec_bucket") == boundary)
-                & (F.col(self.id_col) < cutoff_id)
-            )
-            .limit(1)
-            .count()
-            > 0
+        _retire_range_ids_below(
+            self.store, self.VECS, "vec_bucket", self.vec_bucket_width,
+            self.id_col, cutoff_id, ["vec_bucket", "cell"],
         )
-        if boundary_retired:
-            kept_boundary = self.store.read(self.VECS).filter(
-                (F.col("vec_bucket") == boundary)
-                & (F.col(self.id_col) >= cutoff_id)
-            )
-            self.store.write_partition_delta(
-                kept_boundary, self.VECS, ["vec_bucket", "cell"], [boundary]
-            )

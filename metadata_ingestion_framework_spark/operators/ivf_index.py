@@ -225,22 +225,21 @@ class IvfIndex:
     def _assign(self, batch: DataFrame, centroids) -> DataFrame:
         """(id, vec, vec_bucket, cell) — the storage rows. Bucket is a
         pure function of the id (integral-`div` range for numeric ids,
-        xxhash fallback for strings — the store-family convention)."""
+        xxhash fallback for strings — the shared store-family helper,
+        incremental.py::range_bucket_expr)."""
+        from metadata_ingestion_framework_spark.operators.incremental import (
+            range_bucket_expr,
+        )
+
         out = ivf_assign(
             batch.select(self.id_col, self.vec_col), centroids, self.vec_col
         ).withColumnRenamed("__ivf_cell", "cell")
-        id_type = dict(out.dtypes)[self.id_col]
-        if id_type in ("tinyint", "smallint", "int", "bigint"):
-            q = self.id_col.replace("`", "``")
-            bucket = F.expr(
-                f"CAST(`{q}` AS BIGINT) div {int(self.vec_bucket_width)}"
-            )
-        else:
-            bucket = F.pmod(
-                F.xxhash64(F.col(self.id_col).cast("string")),
-                F.lit(self.n_buckets),
-            )
-        return out.withColumn("vec_bucket", bucket)
+        return out.withColumn(
+            "vec_bucket",
+            range_bucket_expr(
+                out, self.id_col, self.vec_bucket_width, self.n_buckets
+            ),
+        )
 
     def append(self, batch: DataFrame) -> None:
         """Incremental ingest: assign the batch with the FIXED centroids
