@@ -3143,7 +3143,7 @@ scored AS (
   FROM embeddings e CROSS JOIN q
 )
 SELECT query_id, vec_id, score,
-  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC NULLS LAST, vec_id ASC) AS rank
 FROM scored QUALIFY rank <= 10
 """
 
@@ -3194,7 +3194,7 @@ scored AS (
   FROM cb JOIN qb ON cb.bucket = qb.bucket
 )
 SELECT query_id, vec_id, score,
-  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC NULLS LAST, vec_id ASC) AS rank
 FROM scored QUALIFY rank <= 10
 """
 
@@ -3239,7 +3239,7 @@ scored AS (
   FROM cb JOIN qb ON cb.bucket = qb.bucket
 )
 SELECT query_id, vec_id, score,
-  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC NULLS LAST, vec_id ASC) AS rank
 FROM scored QUALIFY rank <= 10
 """
 
@@ -3304,7 +3304,7 @@ reranked AS (
   FROM cand
 )
 SELECT query_id, vec_id, score,
-  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC NULLS LAST, vec_id ASC) AS rank
 FROM reranked QUALIFY rank <= 10
 """
 
@@ -3397,7 +3397,7 @@ reranked AS (
   FROM survivors s JOIN base b ON b.vec_id = s.vec_id
 )
 SELECT query_id, vec_id, score,
-  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC NULLS LAST, vec_id ASC) AS rank
 FROM reranked QUALIFY rank <= {k}
 """
 
@@ -3559,7 +3559,7 @@ scored AS (
 ),
 topk AS (
   SELECT query_id, vec_id FROM scored
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) <= 10
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC NULLS LAST, vec_id ASC) <= 10
 )
 SELECT query_id,
   CAST(COUNT(*) AS BIGINT) AS n_exact,

@@ -187,24 +187,32 @@ def brute_force_topk(
             6,
         ).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc_nulls_last(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
 
-def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random unit hyperplanes (pure python, driver-side)."""
+def _random_unit_rows(dim: int, n: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit vectors (pure python, driver-side)
+    — the ONE generator behind both the LSH hyperplanes and the random
+    centroids (r11 review: two line-identical copies must stay bit-equal
+    for the cross-engine determinism story; one definition cannot drift)."""
     import random
 
     rng = random.Random(seed)
-    planes = []
-    for _ in range(n_planes):
+    rows = []
+    for _ in range(n):
         v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
         norm = sum(x * x for x in v) ** 0.5 or 1.0
-        planes.append([x / norm for x in v])
-    return planes
+        rows.append([x / norm for x in v])
+    return rows
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python, driver-side)."""
+    return _random_unit_rows(dim, n_planes, seed)
 
 
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
@@ -300,6 +308,15 @@ def lsh_topk(
     so no dedup stage is needed; cost scales the probed fraction from
     1/2^n_planes to (1+m)/2^n_planes of the corpus per query.
     """
+    if multi_probe > n_planes:
+        # XOR-ing bits beyond the plane count probes buckets >= 2^n_planes
+        # that can never hold a corpus row — recall silently plateaus while
+        # the caller believes they bought more probes; error loudly (the
+        # _resolve_centroids convention, r11 review)
+        raise ValueError(
+            f"multi_probe={multi_probe} exceeds n_planes={n_planes} — "
+            "only n_planes Hamming-1 neighbors exist"
+        )
     planes = random_hyperplanes(dim, n_planes, seed)
     c = with_lsh_buckets(corpus.select(id_col, vec_col), planes, vec_col)  # Arrow matmul
     q = queries.select(
@@ -318,7 +335,7 @@ def lsh_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc_nulls_last(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -388,15 +405,7 @@ def random_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]
     At scale, train real centroids with Spark ML KMeans over a sample and
     pass ``model.clusterCenters()`` — the query shape below is unchanged.
     """
-    import random
-
-    rng = random.Random(seed)
-    cents = []
-    for _ in range(n_cells):
-        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-        norm = sum(x * x for x in v) ** 0.5 or 1.0
-        cents.append([x / norm for x in v])
-    return cents
+    return _random_unit_rows(dim, n_cells, seed)
 
 
 def _resolve_centroids(
@@ -471,7 +480,7 @@ def ivf_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc_nulls_last(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -533,7 +542,7 @@ def ivf_topk_int8(
         F.round(cosine(deq, F.col("__qvec")), 6).alias("qscore"),
     )
     wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("qscore").desc(), F.col(id_col).asc()
+        F.col("qscore").desc_nulls_last(), F.col(id_col).asc()
     )
     survivors = (
         cand.withColumn("qrank", F.row_number().over(wq))
@@ -549,7 +558,7 @@ def ivf_topk_int8(
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
+        F.col("score").desc_nulls_last(), F.col(id_col).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -572,8 +581,6 @@ def embedding_near_duplicates(
     semantics stay engine-exact. Chunked matmul bounds memory at
     chunk x block, so a skewed block cannot OOM an executor.
     """
-    import pandas as pd
-
     id_type = dict(df.dtypes)[id_col]
     schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
     eps = 1e-6
@@ -705,7 +712,7 @@ def _nested_probe_recall(
     Python-stage output."""
     scored = scored.repartition(F.col(query_id_col)).persist()
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
+        F.col("score").desc_nulls_last(), F.col(id_col).asc()
     )
     exact_topk = (
         scored.withColumn("rank", F.row_number().over(w))
