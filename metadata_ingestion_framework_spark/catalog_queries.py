@@ -168,6 +168,17 @@ def _dec_sum_expr(expr, alias: str):
     return F.sum(expr.cast("decimal(18,4)")).cast("double").alias(alias)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine twin of the engine's ``cosine()`` (similarity.py):
+    sequential-fold ``list_dot_product`` with the SAME zero-denominator
+    guard — the engine returns 0.0 for a zero vector while an unguarded
+    twin emits NaN, which DuckDB ranks ABOVE every value under ``DESC``
+    and splits the hash on dirty data (r11 deferred finding 3). ``a`` /
+    ``b`` must be DOUBLE[] expressions (cast at the call site)."""
+    denom = f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    return f"CASE WHEN {denom} = 0 THEN 0.0 ELSE list_dot_product({a}, {b}) / {denom} END"
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / windows / sorts (SURVEY §2.5, §2.8, §2.9)
 # ---------------------------------------------------------------------------
@@ -2404,8 +2415,7 @@ cells AS MATERIALIZED (
 pairs AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+  WHERE ROUND({_cos_sql('a.v', 'b.v')}, 6)
         >= {tau}
 ),
 edges AS MATERIALIZED (
@@ -2543,8 +2553,7 @@ cells AS MATERIALIZED (SELECT vec_id, v, {first_max} AS cell FROM wg),
 pairs AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+  WHERE ROUND({_cos_sql('a.v', 'b.v')}, 6)
         >= {tau}
 ),
 batch AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 3),
@@ -3133,13 +3142,11 @@ def q_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=10)
 
 
-ORACLE_COSINE_TOPK = """
+ORACLE_COSINE_TOPK = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, e.vec_id,
-    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) /
-      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-       sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))), 6) AS score
+    ROUND({_cos_sql("CAST(e.embedding AS DOUBLE[])", "CAST(q.qvec AS DOUBLE[])")}, 6) AS score
   FROM embeddings e CROSS JOIN q
 )
 SELECT query_id, vec_id, score,
@@ -3188,9 +3195,7 @@ qb AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
        FROM cb WHERE vec_id < 5),
 scored AS (
   SELECT qb.query_id, cb.vec_id,
-    ROUND(list_dot_product(CAST(cb.embedding AS DOUBLE[]), CAST(qb.qvec AS DOUBLE[])) /
-      (sqrt(list_dot_product(CAST(cb.embedding AS DOUBLE[]), CAST(cb.embedding AS DOUBLE[]))) *
-       sqrt(list_dot_product(CAST(qb.qvec AS DOUBLE[]), CAST(qb.qvec AS DOUBLE[])))), 6) AS score
+    ROUND({_cos_sql("CAST(cb.embedding AS DOUBLE[])", "CAST(qb.qvec AS DOUBLE[])")}, 6) AS score
   FROM cb JOIN qb ON cb.bucket = qb.bucket
 )
 SELECT query_id, vec_id, score,
@@ -3233,9 +3238,7 @@ qb AS (SELECT query_id, qvec, unnest([{probes}]) AS bucket
              FROM cb WHERE vec_id < 5)),
 scored AS (
   SELECT qb.query_id, cb.vec_id,
-    ROUND(list_dot_product(CAST(cb.embedding AS DOUBLE[]), CAST(qb.qvec AS DOUBLE[])) /
-      (sqrt(list_dot_product(CAST(cb.embedding AS DOUBLE[]), CAST(cb.embedding AS DOUBLE[]))) *
-       sqrt(list_dot_product(CAST(qb.qvec AS DOUBLE[]), CAST(qb.qvec AS DOUBLE[])))), 6) AS score
+    ROUND({_cos_sql("CAST(cb.embedding AS DOUBLE[])", "CAST(qb.qvec AS DOUBLE[])")}, 6) AS score
   FROM cb JOIN qb ON cb.bucket = qb.bucket
 )
 SELECT query_id, vec_id, score,
@@ -3298,9 +3301,7 @@ cand AS (
 ),
 reranked AS (
   SELECT query_id, vec_id,
-    ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
-      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-       sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 6) AS score
+    ROUND({_cos_sql("CAST(embedding AS DOUBLE[])", "CAST(qvec AS DOUBLE[])")}, 6) AS score
   FROM cand
 )
 SELECT query_id, vec_id, score,
@@ -3392,8 +3393,7 @@ survivors AS (
 ),
 reranked AS (
   SELECT s.query_id, s.vec_id,
-    ROUND(list_dot_product(b.v, s.qvec) /
-      (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(s.qvec, s.qvec))), 6) AS score
+    ROUND({_cos_sql("b.v", "s.qvec")}, 6) AS score
   FROM survivors s JOIN base b ON b.vec_id = s.vec_id
 )
 SELECT query_id, vec_id, score,
@@ -3545,16 +3545,14 @@ def q_ann_recall(spark, sf_dir):
     return out
 
 
-ORACLE_ANN_RECALL = """
+ORACLE_ANN_RECALL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
   FROM embeddings WHERE vec_id < 8
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,
-    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qvec) /
-      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-       sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS score
+    ROUND({_cos_sql("CAST(e.embedding AS DOUBLE[])", "q.qvec")}, 6) AS score
   FROM embeddings e CROSS JOIN q
 ),
 topk AS (
@@ -3586,15 +3584,11 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_near_duplicates(emb, "label", threshold=0.35)
 
 
-ORACLE_EMBEDDING_NEARDUP = """
+ORACLE_EMBEDDING_NEARDUP = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+  ROUND({_cos_sql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.35
+WHERE ROUND({_cos_sql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 6) >= 0.35
 """
 
 

@@ -38,13 +38,14 @@ import os
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metadata_ingestion_framework_spark.functions.sampling import hash_key60
 from metadata_ingestion_framework_spark.operators.kmeans import kmeans_fit
 from metadata_ingestion_framework_spark.operators.merge import scd1_merge
 from metadata_ingestion_framework_spark.operators.similarity import (
+    _topk,
     cosine,
     ivf_assign,
     probe_cell_order,
@@ -323,13 +324,7 @@ class IvfIndex:
                     cosine(F.col(self.vec_col), F.col("__qvec")), 6
                 ).alias("score"),
             )
-            w = Window.partitionBy(query_id_col).orderBy(
-                F.col("score").desc(), F.col(self.id_col).asc()
-            )
-            out = (
-                scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-            )
+            out = _topk(scored, k, query_id_col, self.id_col)
             out._persisted_deps = [q]
             return out
         except Exception:

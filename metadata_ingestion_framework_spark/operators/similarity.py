@@ -13,6 +13,7 @@ precision (sequential left-fold -> deterministic).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,6 +43,27 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def _topk(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str,
+    id_col: str,
+    score_col: str = "score",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """THE per-query top-k window of the similarity family: rank 1..k by
+    (score desc NULLS LAST, id asc) — the one tiebreak convention every
+    serving face and every DuckDB oracle twin share (`DESC NULLS LAST` +
+    `vec_id ASC`). One definition so the five former copies cannot drift
+    (r11 deferred review finding 5)."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return scored.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
 
 
 def _fold_dot(row, plane) -> float:
@@ -187,11 +209,7 @@ def brute_force_topk(
             6,
         ).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc_nulls_last(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk(scored, k, query_id_col, id_col)
 
 
 def _random_unit_rows(dim: int, n: int, seed: int) -> list[list[float]]:
@@ -220,11 +238,32 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 
     JVM-expression form — one interpreted HOF dot per plane per row, so use
     it only on SMALL sides (the query set) or write-time layout jobs; bulk
-    corpus bucketing goes through ``with_lsh_buckets`` (Arrow matmul)."""
+    corpus bucketing goes through ``with_lsh_buckets`` (Arrow matmul).
+
+    Dirty rows (NULL vector, off-dim vs the planes, NULL/NaN elements)
+    yield a NULL bucket, matching ``with_lsh_buckets`` — the r11 deferred
+    finding 2: the old ``otherwise(0)`` swallowed the NULL projection and
+    silently filed every dirty row (and every null-embedding QUERY) into
+    bucket 0, making such a query equi-join the whole of bucket 0. A NULL
+    bucket instead drops out of the equi-join (no candidates), which is
+    the correct "no answer for a no-vector query" semantics.
+    """
+    inf = F.lit(float("inf"))
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         proj = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        # Explicit NaN/Inf guard first: Spark comparison semantics put NaN
+        # ABOVE every value, so a bare `proj > 0` would set the bit on a
+        # NaN projection while numpy clears it. A non-finite projection
+        # (NaN/Inf element against never-exactly-zero gaussian planes)
+        # maps to NULL; NULL proj (null/off-dim vector) matches no branch
+        # and stays NULL too; NULL + anything nulls the whole bucket.
+        bucket = bucket + (
+            F.when(F.isnan(proj) | (F.abs(proj) == inf), F.lit(None))
+            .when(proj > 0, F.lit(1 << i))
+            .when(proj <= 0, F.lit(0))
+            .cast("long")
+        )
     return bucket
 
 
@@ -335,8 +374,7 @@ def lsh_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc_nulls_last(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, k, query_id_col, id_col)
 
 
 def ivf_assign(
@@ -480,8 +518,7 @@ def ivf_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc_nulls_last(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, k, query_id_col, id_col)
 
 
 def ivf_topk_int8(
@@ -541,14 +578,10 @@ def ivf_topk_int8(
         "__qvec",
         F.round(cosine(deq, F.col("__qvec")), 6).alias("qscore"),
     )
-    wq = Window.partitionBy(query_id_col).orderBy(
-        F.col("qscore").desc_nulls_last(), F.col(id_col).asc()
-    )
-    survivors = (
-        cand.withColumn("qrank", F.row_number().over(wq))
-        .filter(F.col("qrank") <= k * rerank_factor)
-        .select(query_id_col, id_col, "__qvec")
-    )
+    survivors = _topk(
+        cand, k * rerank_factor, query_id_col, id_col,
+        score_col="qscore", rank_col="qrank",
+    ).select(query_id_col, id_col, "__qvec")
 
     # exact rerank: full-precision vectors only for the Q*k' survivors
     rer = base.join(F.broadcast(survivors), id_col)
@@ -557,10 +590,7 @@ def ivf_topk_int8(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc_nulls_last(), F.col(id_col).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, k, query_id_col, id_col)
 
 
 def embedding_near_duplicates(
@@ -580,10 +610,25 @@ def embedding_near_duplicates(
     slack; the authoritative ROUND(6) + threshold happens in Spark so the
     semantics stay engine-exact. Chunked matmul bounds memory at
     chunk x block, so a skewed block cannot OOM an executor.
+
+    Cross-engine exactness (r11 deferred finding 1): a BLAS cosine sitting
+    within summation error of a 6th-decimal ROUND boundary could round
+    differently from the sequential-fold convention the DuckDB oracle (and
+    the JVM ``cosine()`` expression) evaluates. Emitted pairs whose raw
+    cosine lies inside the error band of a half-step boundary are
+    re-computed with the strict fold — same op order as ``cosine()``:
+    ``fold(a·b) / (sqrt(fold(a·a)) * sqrt(fold(b·b)))``, 0.0 on a zero
+    denominator — so the double Spark rounds is bit-identical to the one
+    the oracle rounds. Same fix the LSH/IVF kernels got in r5; dirty rows
+    (NULL / off-dim / NaN-element vectors) never pair.
     """
     id_type = dict(df.dtypes)[id_col]
     schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
     eps = 1e-6
+
+    def fold_cosine(a, b) -> float:
+        denom = math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
+        return _fold_dot(a, b) / denom if denom != 0.0 else 0.0
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -593,9 +638,14 @@ def embedding_near_duplicates(
         # whole block on one dirty record (r5 ADVICE item 3)
         valid, m = _vec_matrix(pdf[vec_col].to_numpy())
         ids = pdf[id_col].to_numpy()[valid]
+        raw = m.copy()  # fold re-check needs the unnormalized vectors
         norms = np.sqrt((m * m).sum(axis=1))
         norms[norms == 0.0] = 1.0
         m /= norms[:, None]
+        # normalized rows have magnitude <= 1, so the BLAS-vs-fold cosine
+        # divergence is bounded by a dim-scaled machine-eps constant; only
+        # values within that band of a ROUND(6) half-step can flip
+        band = 32.0 * m.shape[1] * np.finfo(np.float64).eps if m.size else 0.0
         out_a, out_b, out_s = [], [], []
         chunk = 1024
         for lo in range(0, len(ids), chunk):
@@ -604,9 +654,14 @@ def embedding_near_duplicates(
             for r in range(lo, hi):
                 cols = np.nonzero(s[r - lo, r + 1:] >= threshold - eps)[0] + r + 1
                 if len(cols):
+                    svals = s[r - lo, cols].copy()
+                    t = svals * 1e6  # distance to the nearest x.5 boundary
+                    near = np.abs(t - np.floor(t) - 0.5) * 1e-6 <= band
+                    for j in np.nonzero(near)[0]:
+                        svals[j] = fold_cosine(raw[r], raw[cols[j]])
                     out_a.extend([ids[r]] * len(cols))
                     out_b.extend(ids[cols])
-                    out_s.extend(s[r - lo, cols])
+                    out_s.extend(svals)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
 
     cand = df.select(block_col, id_col, vec_col).groupBy(block_col).applyInPandas(pairs, schema)
@@ -801,14 +856,25 @@ def ivf_recall(
     ).withColumn("__order", probe_cell_order(F.col("__qvec"), cents))
 
     # one scored pass; __pos = 1-based rank of the corpus row's cell in
-    # the query's probe order, so "probed at n_probe=p" == (__pos <= p)
+    # the query's probe order, so "probed at n_probe=p" == (__pos <= p).
+    # Dirty rows (NULL cell from a null/off-dim vector, or a NULL probe
+    # order from a null-vector query) get the same 1<<30 "reachable only
+    # by the full scan" sentinel lsh_recall uses — a NULL __pos silently
+    # excluded them from every filter, including full probe, while the
+    # exact baseline window still ranked them, breaking the
+    # recall_full==1.0 theorem on dirty data (r11 deferred finding 4).
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.array_position(F.col("__order"), F.col("__ivf_cell")).alias("__pos"),
+        F.coalesce(
+            F.array_position(F.col("__order"), F.col("__ivf_cell")),
+            F.lit(1 << 30),
+        ).alias("__pos"),
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
     )
-    settings = [(f"recall_p{p}", p) for p in probes] + [("recall_full", n_cells)]
+    settings = [(f"recall_p{p}", p) for p in probes] + [
+        ("recall_full", 1 << 30)
+    ]
     return _nested_probe_recall(scored, k, settings, query_id_col, id_col)
 
 
