@@ -88,6 +88,14 @@ def _vec_matrix(vals, expected_dim: int | None = None):
     matching the null-propagation of the JVM HOF expressions these kernels
     replaced. Off-dim rows yielding NULL (rather than a shorter fold) is a
     documented fixed-dim precondition, not silent truncation.
+
+    Rows containing a non-finite element (NaN/±Inf) are dirty too (r12):
+    numpy comparisons treat NaN as never-greater while the JVM and DuckDB
+    rank NaN ABOVE everything, so letting such a row through gives each
+    consumer a different answer (``with_lsh_buckets`` used to clear the
+    bit where ``lsh_bucket`` now yields NULL). One central mask keeps the
+    contract uniform: NaN/Inf vectors get a NULL bucket / NULL cell and
+    never pair.
     """
     import numpy as np
 
@@ -107,6 +115,12 @@ def _vec_matrix(vals, expected_dim: int | None = None):
         if valid.any()
         else np.empty((0, expected_dim), dtype=np.float64)
     )
+    if m.size:
+        finite = np.isfinite(m).all(axis=1)
+        if not finite.all():
+            valid = valid.copy()
+            valid[np.nonzero(valid)[0][~finite]] = False
+            m = m[finite]
     return valid, m
 
 
@@ -141,6 +155,12 @@ def with_l2_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     Null rows emit a NULL norm instead of crashing the Arrow batch (r5
     ADVICE item 3); ragged lengths are fine — rows are stacked per length
     group, exactly like the JVM expression handles any array length.
+
+    A NON-FINITE norm (NaN/Inf element, or square-overflow) is emitted as
+    NULL too (r12, dirty-data fixture): the NaN case already degraded to
+    NULL through the pandas nullable array, but an Inf norm flowed into
+    ``inf/inf = NaN`` scores, and Spark ranks NaN ABOVE every real score —
+    a corrupt vector must rank LAST (NULL, desc_nulls_last), never first.
     """
     import numpy as np
 
@@ -166,7 +186,9 @@ def with_l2_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
                         continue
                     m = np.stack(list(vals[mask])).astype(np.float64)
                     sq = m * m
-                    res[mask] = np.sqrt(sq.cumsum(axis=1)[:, -1])
+                    norms = np.sqrt(sq.cumsum(axis=1)[:, -1])
+                    norms[~np.isfinite(norms)] = np.nan  # -> pd.NA below
+                    res[mask] = norms
             out[out_col] = res
             yield out
 
@@ -465,11 +487,22 @@ def _resolve_centroids(
 def probe_cell_order(qvec: Column, cents: list[list[float]]) -> Column:
     """Per-query FULL probe order: cell indices sorted by (dot score desc,
     cell asc) — the expression every IVF consumer slices its n_probe list
-    from (ivf_topk / ivf_topk_int8 / ivf_recall / IvfIndex share it)."""
+    from (ivf_topk / ivf_topk_int8 / ivf_recall / IvfIndex share it).
+
+    A dirty query vector (NULL, off-dim, NaN/Inf element) yields a NULL
+    order, so downstream ``explode(slice(...))`` drops the query instead
+    of probing an arbitrary NULL-sorted cell list — the IVF face of the
+    lsh_bucket NULL contract (r12; surfaced by the dirty-data fixture).
+    The double evaluation of ``scores`` is query-side only (Q is the
+    small broadcast side by design)."""
+    inf = F.lit(float("inf"))
     scores = F.array(
         *[dot(qvec, F.array(*[F.lit(float(x)) for x in cent])) for cent in cents]
     )
-    return F.transform(
+    dirty = F.exists(
+        scores, lambda s: s.isNull() | F.isnan(s) | (F.abs(s) == inf)
+    )
+    order = F.transform(
         F.array_sort(
             F.transform(
                 scores,
@@ -478,6 +511,7 @@ def probe_cell_order(qvec: Column, cents: list[list[float]]) -> Column:
         ),
         lambda st: st.getField("cell"),
     )
+    return F.when(~dirty, order)
 
 
 def ivf_topk(
