@@ -160,30 +160,31 @@ def main() -> None:
         load_avg_at_start = round(os.getloadavg()[0], 2)
     except OSError:  # pragma: no cover - platform without getloadavg
         load_avg_at_start = None
-    # Bounded settle-wait (r10, VERDICT r9 item 6): r9's driver bench ran
-    # at load 8.46 — above the repo's own contamination threshold. When the
-    # box is hot, wait (<= 60s, 5s steps) for the load to drain before
-    # timing; both samples and the wait are recorded so the floor is
-    # adjudicable either way.
+    # Load-aware settle (r12, VERDICT r11 item 3): both the r10 and r11
+    # driver runs timed at load > 1.9 and produced flagship readings the
+    # idle re-times refuted (3.57s vs 2.37s on identical code). The old
+    # 60s/threshold-2.0 wait was not enough for a winding-down Spark JVM,
+    # so poll until the 1-min load is < 1.0, bounded at 5 min; both
+    # samples and the wait are recorded so any reading is adjudicable.
     settle_wait_sec = 0
     load_avg_at_timing = load_avg_at_start
-    if load_avg_at_start is not None and load_avg_at_start > 2.0:
+    if load_avg_at_start is not None and load_avg_at_start >= 1.0:
         print(
-            f"# WARNING: load_avg_at_start={load_avg_at_start} > 2.0 — "
-            "settling up to 60s before timing",
+            f"# WARNING: load_avg_at_start={load_avg_at_start} >= 1.0 — "
+            "settling up to 300s before timing",
             file=sys.stderr,
         )
-        while settle_wait_sec < 60:
+        while settle_wait_sec < 300:
             time.sleep(5)
             settle_wait_sec += 5
             load_avg_at_timing = round(os.getloadavg()[0], 2)
-            if load_avg_at_timing <= 2.0:
+            if load_avg_at_timing < 1.0:
                 break
         print(
             f"# settled {settle_wait_sec}s: load {load_avg_at_start} -> "
             f"{load_avg_at_timing}"
             + (" (still hot — numbers are environment-suspect)"
-               if load_avg_at_timing > 2.0 else ""),
+               if load_avg_at_timing >= 1.0 else ""),
             file=sys.stderr,
         )
     from metadata_ingestion_framework_spark import get_spark

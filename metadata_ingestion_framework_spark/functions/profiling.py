@@ -85,7 +85,15 @@ def profile_drift(
     batch-over-batch validation: emits per-column deltas plus the
     boolean drift flags an ingest gate checks (null-rate increase,
     cardinality collapse to a constant, range shift). Both inputs are
-    #columns-row tables — broadcast scale by construction."""
+    #columns-row tables — broadcast scale by construction.
+
+    Range comparison is PER-TYPE (r12, VERDICT r11 item 5): when both
+    sides' min/max strings ``try_cast`` to double the comparison is
+    numeric (so an int-profiled 9 and a double-profiled 9.0 batch do
+    not false-positive, and ordering-based gates built on top see 9 <
+    10, not "9" > "10"); otherwise it falls back to null-safe string
+    equality. Every flag is a real boolean — a NULL-only column (NULL
+    min/max both sides) reads ``range_shifted = false``, not NULL."""
     cur = current.select(
         "column",
         F.col("n_rows").alias("cur_rows"),
@@ -106,20 +114,33 @@ def profile_drift(
     prev_null_rate = F.col("prev_null") / F.greatest(
         F.col("prev_rows"), F.lit(1)
     )
+    nums = {
+        s: F.col(s).try_cast("double") for s in
+        ("cur_min", "prev_min", "cur_max", "prev_max")
+    }
+    numeric = F.lit(True)
+    for s, n in nums.items():
+        numeric = numeric & (n.isNotNull() | F.col(s).isNull())
+    num_shift = (~nums["cur_min"].eqNullSafe(nums["prev_min"])) | (
+        ~nums["cur_max"].eqNullSafe(nums["prev_max"])
+    )
+    str_shift = (~F.col("cur_min").eqNullSafe(F.col("prev_min"))) | (
+        ~F.col("cur_max").eqNullSafe(F.col("prev_max"))
+    )
     return cur.join(F.broadcast(prev), "column", "full_outer").select(
         "column",
         "cur_rows", "prev_rows",
         "cur_null", "prev_null",
         "cur_distinct", "prev_distinct",
         "cur_min", "prev_min", "cur_max", "prev_max",
-        (cur_null_rate > prev_null_rate).alias("null_rate_increased"),
-        (
-            (F.col("cur_distinct") <= 1) & (F.col("prev_distinct") > 1)
+        F.coalesce(cur_null_rate > prev_null_rate, F.lit(False)).alias(
+            "null_rate_increased"
+        ),
+        F.coalesce(
+            (F.col("cur_distinct") <= 1) & (F.col("prev_distinct") > 1),
+            F.lit(False),
         ).alias("cardinality_collapsed"),
-        (
-            (F.col("cur_min") != F.col("prev_min"))
-            | (F.col("cur_max") != F.col("prev_max"))
-        ).alias("range_shifted"),
+        F.when(numeric, num_shift).otherwise(str_shift).alias("range_shifted"),
         (
             F.col("cur_rows").isNull() | F.col("prev_rows").isNull()
         ).alias("column_added_or_dropped"),

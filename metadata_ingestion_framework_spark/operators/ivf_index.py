@@ -96,6 +96,27 @@ class IvfIndex:
                     f"index at {root} was built with dim={meta['dim']}, "
                     f"n_cells={meta['n_cells']}"
                 )
+            # layout-defining knobs are part of the persisted identity
+            # (r12, ADVICE r11): reopening with a different
+            # vec_bucket_width would bucket re-ingested ids away from
+            # their stored rows — stale duplicate vectors topk scores
+            # directly, the ghost class embedding stores do not
+            # tolerate. Same contract as incremental._check_store_config.
+            layout = {
+                "vec_bucket_width": vec_bucket_width,
+                "n_buckets": n_buckets,
+                "id_col": id_col,
+                "vec_col": vec_col,
+            }
+            bad = sorted(
+                k for k, v in layout.items() if k in meta and meta[k] != v
+            )
+            if bad:
+                raise ValueError(
+                    f"index at {root} was built with a different layout "
+                    f"config (mismatched keys: {bad}); rebuild the index "
+                    "to change layout-defining parameters"
+                )
             self.centroids = meta["unit_centroids"]
             self.cell_splits = {
                 int(k): int(v)
@@ -217,6 +238,10 @@ class IvfIndex:
                     "cell_splits": {
                         str(k): v for k, v in self.cell_splits.items()
                     },
+                    "vec_bucket_width": self.vec_bucket_width,
+                    "n_buckets": self.n_buckets,
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
                 },
                 f,
             )
@@ -335,15 +360,23 @@ class IvfIndex:
         """Diagnostic: rows per physical cell partition (``cell_part``
         for split layouts, ``cell`` otherwise) plus the true IVF cell —
         the balance report `build(cell_cap=...)` is judged by. A
-        column-pruned count-only scan (partition columns come from the
-        directory layout; no vector bytes are read)."""
+        count-only scan over PARTITION columns only (r12, ADVICE r11):
+        under a split layout the true cell is derived from the
+        ``cell_part`` directory value (``"<cell>"`` or
+        ``"<cell>#<sub>"``), so no data column — vector bytes least of
+        all — is read from parquet on either layout."""
         df = self.store.read(self.VECS)
-        part = (
-            F.col("cell_part") if self.cell_splits else F.col("cell").cast("string")
-        )
+        if self.cell_splits:
+            part = F.col("cell_part")
+            cell = F.split_part(
+                F.col("cell_part"), F.lit("#"), F.lit(1)
+            ).cast("int")
+        else:
+            part = F.col("cell").cast("string")
+            cell = F.col("cell")
         return (
             df.groupBy(
-                part.alias("cell_part"), F.col("cell").alias("cell")
+                part.alias("cell_part"), cell.alias("cell")
             )
             .agg(F.count(F.lit(1)).alias("n_vecs"))
         )

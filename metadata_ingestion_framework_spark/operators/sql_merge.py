@@ -61,6 +61,10 @@ _EQ_RE = re.compile(
 )
 
 
+# a complete single-quoted SQL literal, '' being the in-literal escape
+_STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
 def _split_top(s: str, sep: str) -> list[str]:
     """Split on a top-level separator (',' or the word 'AND'), ignoring
     separators nested inside parentheses OR single-quoted string
@@ -133,15 +137,26 @@ def parse_merge(statement: str) -> ParsedMerge:
     _alias_re = re.compile(
         rf"\b({re.escape(talias)}|{re.escape(salias)})\s*\."
     )
+    _repl = lambda am: "target." if am.group(1) == talias else "updates."  # noqa: E731
 
     def rewrite(expr: str | None) -> str | None:
-        """User aliases -> the engine's target./updates. aliases."""
+        """User aliases -> the engine's target./updates. aliases.
+
+        String-literal-aware like ``_split_top`` (r12, ADVICE r11): an
+        alias-shaped prefix INSIDE a quoted literal — e.g.
+        ``VALUES ('u.k pending')`` with source alias ``u`` — must pass
+        through verbatim, not become ``'updates.k pending'``. Literals
+        (with ``''`` escapes) are carved out and only the gaps between
+        them are substituted."""
         if expr is None:
             return None
-        return _alias_re.sub(
-            lambda am: "target." if am.group(1) == talias else "updates.",
-            expr,
-        ).strip()
+        out, pos = [], 0
+        for lm in _STR_LIT_RE.finditer(expr):
+            out.append(_alias_re.sub(_repl, expr[pos:lm.start()]))
+            out.append(lm.group(0))
+            pos = lm.end()
+        out.append(_alias_re.sub(_repl, expr[pos:]))
+        return "".join(out).strip()
 
     join_keys: list[str] = []
     extras: list[str] = []

@@ -50,6 +50,16 @@ class PipelineStatusListener(StreamingQueryListener):
     ``query_names``: restrict to specific ``queryName``s (None = all
     queries in the session — production default; tests sharing a session
     scope to their own stream).
+
+    Offset-range column mapping (r12, ADVICE r11): ``STATUS_SCHEMA`` is
+    the reference's Kafka-shaped table, but progress events describe
+    arbitrary sources, so ``topic`` carries the truncated source
+    DESCRIPTION and ``partition`` carries the source INDEX within the
+    query — documented convention, not a claim that either is a real
+    Kafka coordinate (a multi-partition Kafka source is one row here;
+    its per-partition detail stays in the JSON message). The RUNNING
+    message JSON is keyed by ``"<source index>:<description[:60]>"`` so
+    two sources sharing a 60-char description prefix cannot collide.
     """
 
     def __init__(
@@ -104,7 +114,10 @@ class PipelineStatusListener(StreamingQueryListener):
             batch_id=p.batchId,
             run_id=str(p.runId),
             message=json.dumps(
-                {(s.description or "")[:60]: s.endOffset for s in sources}
+                {
+                    f"{i}:{(s.description or '')[:60]}": s.endOffset
+                    for i, s in enumerate(sources)
+                }
             )[:1000],
         )
         self.store.write_fact(

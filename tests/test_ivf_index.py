@@ -96,6 +96,15 @@ def test_reload_serves_without_retraining(spark, tmp_path):
     # mismatched config refuses to open
     with pytest.raises(ValueError, match="built with"):
         IvfIndex(spark, root, dim=64, n_cells=16)
+    # layout-defining knobs are guarded too (r12, ADVICE r11): a
+    # different vec_bucket_width would bucket re-ingested ids away from
+    # their stored rows, leaving stale duplicates topk scores directly
+    with pytest.raises(ValueError, match="layout"):
+        IvfIndex(spark, root, dim=64, n_cells=8, vec_bucket_width=1024)
+    with pytest.raises(ValueError, match="layout"):
+        IvfIndex(spark, root, dim=64, n_cells=8, n_buckets=32)
+    with pytest.raises(ValueError, match="layout"):
+        IvfIndex(spark, root, dim=64, n_cells=8, id_col="other_id")
 
 
 def test_unbuilt_index_errors(spark, tmp_path):

@@ -468,6 +468,16 @@ def test_sql_merge_string_literals_and_adversarial_alias(spark):
         "WHEN MATCHED THEN UPDATE SET *"
     )
     assert p.join_keys == ["k"]
+    # r12 (ADVICE r11): an alias-shaped prefix INSIDE a quoted literal
+    # must survive the rewrite verbatim — 'u.k pending' with source
+    # alias u used to come out as 'updates.k pending'
+    p2 = parse_merge(
+        "MERGE INTO a t USING b u ON t.k = u.k "
+        "WHEN NOT MATCHED THEN INSERT (k, note) VALUES (u.k, 'u.k pending')"
+    )
+    ins = p2.clauses[0]
+    assert ins.set["note"] == "'u.k pending'"
+    assert ins.set["k"] == "updates.k"
     with _pytest.raises(ValueError, match="aliases are both"):
         parse_merge(
             "MERGE INTO a x USING b x ON x.k = x.k "

@@ -88,3 +88,34 @@ def test_profile_drift_flags(spark):
     cur2 = profile_table(cur_df, ["id", "k"])
     d2 = {r.column: r for r in profile_drift(cur2, prev).collect()}
     assert d2["x"].column_added_or_dropped
+
+
+def test_profile_drift_typed_ranges(spark):
+    """r12 (VERDICT r11 item 5): range comparison is numeric when both
+    sides cast — a 9 -> 10 shift is a shift (lexically "9" > "10" and an
+    equal value formatted differently is NOT a shift) — and a NULL-only
+    column yields real false flags, not NULL."""
+    prev = profile_table(
+        spark.createDataFrame(
+            [(1, 9, None), (2, 3, None)], "id int, v int, dead string"
+        )
+    )
+    cur = profile_table(
+        spark.createDataFrame(
+            [(1, 10, None), (2, 3, None)], "id int, v int, dead string"
+        )
+    )
+    drift = {r.column: r for r in profile_drift(cur, prev).collect()}
+    assert drift["v"].range_shifted  # max 9 -> 10, numeric not lexical
+    assert drift["dead"].range_shifted is False  # NULL-only: false, not NULL
+    assert drift["dead"].null_rate_increased is False
+    assert drift["dead"].cardinality_collapsed is False
+    assert drift["id"].range_shifted is False
+    # equal numeric values in different representations are NOT a shift:
+    # int-profiled 9 vs double-profiled 9.0
+    prev_d = profile_table(
+        spark.createDataFrame([(9.0,), (3.0,)], "v double")
+    )
+    cur_i = profile_table(spark.createDataFrame([(9,), (3,)], "v int"))
+    d2 = {r.column: r for r in profile_drift(cur_i, prev_d).collect()}
+    assert d2["v"].range_shifted is False
