@@ -30,6 +30,8 @@ from metadata_ingestion_framework_spark.functions.bpe import (
     bpe_tokenize_fast,
     bpe_train,
     bpe_vocab,
+    load_bpe_model,
+    save_bpe_model,
 )
 from metadata_ingestion_framework_spark.functions.profiling import (
     profile_drift,
@@ -78,6 +80,8 @@ __all__ = [
     "bpe_tokenize_fast",
     "bpe_encode_ids",
     "bpe_vocab",
+    "save_bpe_model",
+    "load_bpe_model",
     "quality_model_score",
     "langid_model_score",
     "model_gate_scores",

@@ -263,6 +263,89 @@ def bpe_vocab_table(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
     )
 
 
+# --- tokenizer persistence (r12, VERDICT r11 item 6) ----------------------
+# A 100 TB pipeline trains the tokenizer ONCE and reuses it across runs and
+# streams; the merge table + vocab are versioned artifacts, not per-session
+# state. Persisted through VersionedParquetStore (immutable versions,
+# atomic _CURRENT repoint, time travel back to the vocab any past run
+# encoded with) and config-guarded like the r11 dedup stores: the stored
+# convention (EOW marker, base alphabet, id rule) is part of the artifact's
+# identity — token ids from a different convention silently mis-decode.
+
+BPE_MERGES_TABLE = "bpe_merges"
+BPE_VOCAB_TABLE = "bpe_vocab"
+_BPE_STORE_CONFIG = {
+    "format": "bpe",
+    "format_version": 1,
+    "eow": EOW,
+    "alphabet": "abcdefghijklmnopqrstuvwxyz",
+    "id_rule": "eow=0,alpha=1..26,merge_k=26+k,first-producer-wins",
+}
+
+
+def save_bpe_model(spark, root: str, merges: list[tuple[str, str, int]]) -> int:
+    """Persist the trained tokenizer (ordered merge table + derived vocab
+    table) as one new store version; returns the version number. A retrain
+    is a new immutable version — readers mid-encode keep their snapshot,
+    and ``load_bpe_model(version=...)`` time-travels to the vocab any
+    earlier corpus was encoded with."""
+    import os
+
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        _check_store_config,
+    )
+    from metadata_ingestion_framework_spark.plans.tablestore import (
+        VersionedParquetStore,
+    )
+
+    os.makedirs(root, exist_ok=True)
+    _check_store_config(root, _BPE_STORE_CONFIG)
+    store = VersionedParquetStore(spark, root)
+    v = store.write(bpe_merge_table(spark, merges), BPE_MERGES_TABLE)
+    store.write(bpe_vocab_table(spark, merges), BPE_VOCAB_TABLE)
+    return v
+
+
+def load_bpe_model(
+    spark, root: str, version: int | None = None
+) -> list[tuple[str, str, int]]:
+    """The ordered merge list back from a :func:`save_bpe_model` store —
+    feeds :func:`bpe_tokenize_fast` / :func:`bpe_encode_ids` exactly like
+    the in-session training output (save/load round-trip is pytest-proven
+    token-identical). The collect is vocab-scale (k_merges rows), the
+    bounded-driver-table pattern. Refuses a root written under a
+    different tokenizer convention."""
+    import json
+    import os
+
+    path = os.path.join(root, "_config.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no BPE model at {root}")
+    with open(path) as f:
+        stored = json.load(f)
+    if stored != _BPE_STORE_CONFIG:
+        diff = sorted(
+            k
+            for k in set(stored) | set(_BPE_STORE_CONFIG)
+            if stored.get(k) != _BPE_STORE_CONFIG.get(k)
+        )
+        raise ValueError(
+            f"store at {root} holds a different tokenizer convention "
+            f"(mismatched keys: {diff})"
+        )
+    from metadata_ingestion_framework_spark.plans.tablestore import (
+        VersionedParquetStore,
+    )
+
+    rows = (
+        VersionedParquetStore(spark, root)
+        .read(BPE_MERGES_TABLE, version)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    return [(r.lhs, r.rhs, int(r.pair_count)) for r in rows]
+
+
 def bpe_encode_ids(
     df: DataFrame,
     merges: list[tuple[str, str, int]],

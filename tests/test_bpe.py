@@ -299,3 +299,51 @@ def test_driver_vocab_path_equals_distributed(spark):
     assert 50 < len(big) <= 300
     assert all(isinstance(l, str) and isinstance(r, str) and c > 0
                for l, r, c in big)
+
+
+def test_save_load_roundtrip_encodes_identically(spark, tmp_path):
+    """r12 (VERDICT r11 item 6): train-save-reload-encode must equal the
+    in-session encode exactly — the tokenizer is a versioned cross-run
+    artifact, not per-session state. Also: retrain writes a NEW version
+    (time travel back to v1 works), and a foreign-convention root is
+    refused."""
+    import pytest
+
+    from metadata_ingestion_framework_spark.functions.bpe import (
+        bpe_encode_ids,
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    docs = _docs(spark, ["low low low", "lower lower", "newest widest"])
+    merges = bpe_train(docs, "text", k_merges=5)
+    root = str(tmp_path / "tok")
+    assert save_bpe_model(spark, root, merges) == 1
+    reloaded = load_bpe_model(spark, root)
+    assert reloaded == merges
+    in_session = {
+        r.doc_id: (r.token_ids, r.n_token_ids)
+        for r in bpe_encode_ids(docs, merges).collect()
+    }
+    from_store = {
+        r.doc_id: (r.token_ids, r.n_token_ids)
+        for r in bpe_encode_ids(docs, reloaded).collect()
+    }
+    assert from_store == in_session
+    # retrain -> new version; v1 still loadable (time travel)
+    merges2 = bpe_train(docs, "text", k_merges=2)
+    assert save_bpe_model(spark, root, merges2) == 2
+    assert load_bpe_model(spark, root) == merges2
+    assert load_bpe_model(spark, root, version=1) == merges
+    # convention guard: a root with a different _config.json is refused
+    import json
+    import os
+
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "_config.json"), "w") as f:
+        json.dump({"format": "something-else"}, f)
+    with pytest.raises(ValueError, match="convention"):
+        load_bpe_model(spark, bad)
+    with pytest.raises(FileNotFoundError, match="no BPE model"):
+        load_bpe_model(spark, str(tmp_path / "missing"))
