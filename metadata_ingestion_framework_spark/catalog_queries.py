@@ -2528,14 +2528,19 @@ def q_incremental_semantic(spark, sf_dir):
     return out
 
 
-def _build_incremental_semantic_oracle(
-    dim: int = 64, n_cells: int = 8, tau: float = 0.35
+def _semantic_pairs_sql(
+    dim: int = 64, n_cells: int = 8, tau: float = 0.35, seed: int = 7
 ) -> str:
+    """Standalone (id_a, id_b) semantic near-dup pair query: literal
+    centroids + first-max argmax cells + guarded ROUND(6) cosine within
+    cells — the cell-blocked pair set EmbeddingDedupStore verifies
+    against. Shared by the incremental_semantic oracle and the
+    curation_incremental composite (r12)."""
     from metadata_ingestion_framework_spark.operators.similarity import (
         random_centroids,
     )
 
-    cents = random_centroids(dim, n_cells, seed=7)
+    cents = random_centroids(dim, n_cells, seed=seed)
     score_exprs = ", ".join(
         f"list_dot_product(v, {_sql_vec(c)}) AS s{i}" for i, c in enumerate(cents)
     )
@@ -2549,13 +2554,19 @@ WITH base AS (
 ),
 sc AS (SELECT vec_id, v, {score_exprs} FROM base),
 wg AS (SELECT *, {greatest} AS __g FROM sc),
-cells AS MATERIALIZED (SELECT vec_id, v, {first_max} AS cell FROM wg),
-pairs AS MATERIALIZED (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE ROUND({_cos_sql('a.v', 'b.v')}, 6)
-        >= {tau}
-),
+cells AS MATERIALIZED (SELECT vec_id, v, {first_max} AS cell FROM wg)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE ROUND({_cos_sql('a.v', 'b.v')}, 6)
+      >= {tau}
+"""
+
+
+def _build_incremental_semantic_oracle(
+    dim: int = 64, n_cells: int = 8, tau: float = 0.35
+) -> str:
+    return f"""
+WITH pairs AS MATERIALIZED ({_semantic_pairs_sql(dim, n_cells, tau)}),
 batch AS (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 3),
 dropped AS (
   SELECT id_b AS vec_id FROM pairs WHERE id_b % 4 = 3
@@ -2921,8 +2932,13 @@ def q_curation_v4(spark, sf_dir):
     return mixed.select("doc_id", "lang", "source", "n_grams", "logit_q")
 
 
-ORACLE_CURATION_V4 = """
-WITH toks AS (
+# The model-gate replay CTE block (toks -> ... -> base): per-doc quality
+# logit + 4-lang argmax over documents, the exact model_gate_scores
+# conventions (md5 hashed-ngram features, BIGINT sums, first-max ==
+# lang-asc tie rule). Shared by ORACLE_CURATION_V4 and the r12
+# curation_incremental composite — the gates are per-doc pure, so both
+# compute them over the full table and restrict afterwards.
+_MODEL_GATE_CTES = """toks AS (
   SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS t
   FROM documents
 ),
@@ -2971,7 +2987,14 @@ base AS (
   FROM documents d
   LEFT JOIN q ON q.doc_id = d.doc_id
   LEFT JOIN agg a ON a.doc_id = d.doc_id
-),
+)"""
+
+# the shared md5 mix-cut predicate (en 0.8, others 0.6) — v4 conventions
+_V4_MIX_WHERE = """('0x' || substr(md5(concat_ws(chr(31), 'v4mix', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT % 1000000
+      < (CASE WHEN lang = 'en' THEN 800000 ELSE 600000 END)"""
+
+ORACLE_CURATION_V4 = f"""
+WITH {_MODEL_GATE_CTES},
 kept AS (
   SELECT * FROM base WHERE pred_lang = lang AND logit_q >= 0
 ),
@@ -2981,8 +3004,163 @@ deduped AS (
 )
 SELECT doc_id, lang, source, n_grams, logit_q
 FROM deduped
-WHERE ('0x' || substr(md5(concat_ws(chr(31), 'v4mix', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT % 1000000
-      < (CASE WHEN lang = 'en' THEN 800000 ELSE 600000 END)
+WHERE {_V4_MIX_WHERE}
+"""
+
+
+def q_curation_incremental(spark, sf_dir):
+    """Incremental end-to-end curation (r12, VERDICT r11 item 4): the
+    REPEATED-ingestion production shape every single-corpus composite
+    (curation_v2/v3/v4) leaves untested — a NEW batch (doc_id % 4 == 3)
+    arrives against an already-ingested corpus (doc_id % 4 < 3) and must
+    survive, in the real cost order:
+
+    1. text near-dup dedup against the store's signatures
+       (incremental.py::minhash_batch_drops — the exact join
+       MinhashSignatureStore.ingest runs; md5 token hash, threshold 0.5);
+    2. semantic dedup against the store's embedding cells
+       (incremental.py::embedding_batch_drops — the
+       EmbeddingDedupStore.ingest join; aligned doc_id == vec_id,
+       threshold 0.35);
+    3. ONE-pass model gates on the dedup survivors only
+       (quality_model.py::model_gate_scores — dedup first, so the Arrow
+       kernel never pays for rows a cheaper stage already dropped);
+    4. the shared per-lang md5 mix cut (en 0.8, others 0.6 — the
+       curation_v4 rule verbatim).
+
+    Emits the batch's full DECISION TABLE — one row per dedup survivor
+    with the exact-BIGINT logit, the predicted lang, and the gate/mix
+    verdicts as boolean columns (``final_keep`` is the selection) — the
+    audit artifact a production incremental run records, and a far
+    stronger value check than the filtered form: at this corpus's gate
+    pass-rates a kept-rows-only output is ~1 row, so every model value
+    on every survivor would go unchecked.
+
+    Oracle = full-union rerun equality (the incremental_dedup
+    convention): both drop sets are recomputed from the whole corpus's
+    pair sets under temporal-then-min-id precedence, composed with the
+    curation_v4 model replay (per-doc pure, so the oracle computes gates
+    over all documents and restricts at the end). Lifecycle across real
+    filesystem stores: tests/test_incremental.py::
+    test_curation_incremental_lifecycle."""
+    from metadata_ingestion_framework_spark.functions.quality_model import (
+        hashed_seed_weights,
+        model_gate_scores,
+    )
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        hash_bucket,
+        rate_threshold,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        carry_deps,
+        minhash_signatures,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        embedding_batch_drops,
+        minhash_batch_drops,
+    )
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        ivf_assign,
+        random_centroids,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    store_docs = docs.filter(F.col("doc_id") % 4 < 3)
+    batch_docs = docs.filter(F.col("doc_id") % 4 == 3)
+
+    # stage 1: text near-dups vs the store (both sig tables feed the
+    # band join on two branches — persist, CLAUDE.md self-join rule)
+    store_sigs = minhash_signatures(
+        store_docs, "text", "doc_id", token_hash="md5"
+    ).persist()
+    batch_sigs = minhash_signatures(
+        batch_docs, "text", "doc_id", token_hash="md5"
+    ).persist()
+    text_drops = minhash_batch_drops(
+        store_sigs, batch_sigs, "doc_id", jaccard_threshold=0.5
+    )
+
+    # stage 2: semantic near-dups vs the store's cells
+    emb = t(spark, sf_dir, "embeddings")
+    cents = random_centroids(64, 8, seed=7)
+    cells = (
+        ivf_assign(emb.select("vec_id", "embedding"), cents)
+        .withColumnRenamed("__ivf_cell", "cell")
+        .persist()
+    )
+    sem_drops = embedding_batch_drops(
+        cells.filter(F.col("vec_id") % 4 < 3),
+        cells.filter(F.col("vec_id") % 4 == 3),
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+    ).withColumnRenamed("vec_id", "doc_id")
+
+    survivors = batch_docs.join(text_drops, "doc_id", "left_anti").join(
+        sem_drops, "doc_id", "left_anti"
+    )
+
+    # stage 3+4: model gates + mix on the deduped batch only
+    gates = model_gate_scores(
+        survivors,
+        hashed_seed_weights("qw", 4096),
+        {
+            lang: hashed_seed_weights(f"lw:{lang}:", 4096)
+            for lang in ("de", "en", "es", "fr")
+        },
+        bias=7,
+    )
+    gate_pass = (F.col("pred_lang") == F.col("lang")) & (
+        F.col("logit_q") >= 0
+    )
+    rate = F.when(
+        F.col("lang") == "en", F.lit(rate_threshold(0.8))
+    ).otherwise(F.lit(rate_threshold(0.6)))
+    mix_pass = hash_bucket([F.col("doc_id")], salt="v4mix") < rate
+    out = gates.select(
+        "doc_id", "lang", "pred_lang", "n_grams", "logit_q",
+        gate_pass.alias("gate_pass"),
+        (gate_pass & mix_pass).alias("final_keep"),
+    )
+    out = carry_deps(carry_deps(out, text_drops), sem_drops)
+    out._persisted_deps = list(getattr(out, "_persisted_deps", ())) + [
+        store_sigs, batch_sigs, cells,
+    ]
+    return out
+
+
+def _build_curation_incremental_oracle() -> str:
+    """Full-union rerun + model replay: tpairs/spairs recompute BOTH drop
+    sets from the whole corpus (the incremental convention — store rows
+    always beat batch rows, min id wins within the batch), survivors
+    intersect them, and the shared model-gate CTE block + v4 mix cut
+    finish the selection."""
+    return f"""
+WITH tpairs AS MATERIALIZED ({_minhash_oracle_sql(threshold=0.5)}),
+spairs AS MATERIALIZED ({_semantic_pairs_sql()}),
+batch AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+tdropped AS (
+  SELECT id_b AS doc_id FROM tpairs WHERE id_b % 4 = 3
+  UNION
+  SELECT id_a AS doc_id FROM tpairs WHERE id_a % 4 = 3 AND id_b % 4 <> 3
+),
+sdropped AS (
+  SELECT id_b AS doc_id FROM spairs WHERE id_b % 4 = 3
+  UNION
+  SELECT id_a AS doc_id FROM spairs WHERE id_a % 4 = 3 AND id_b % 4 <> 3
+),
+survivors AS (
+  SELECT doc_id FROM batch
+  WHERE doc_id NOT IN (SELECT doc_id FROM tdropped)
+    AND doc_id NOT IN (SELECT doc_id FROM sdropped)
+),
+{_MODEL_GATE_CTES}
+SELECT doc_id, lang, pred_lang, n_grams, logit_q,
+  (pred_lang = lang AND logit_q >= 0) AS gate_pass,
+  (pred_lang = lang AND logit_q >= 0
+   AND {_V4_MIX_WHERE}) AS final_keep
+FROM base
+WHERE doc_id IN (SELECT doc_id FROM survivors)
 """
 
 
@@ -3176,6 +3354,8 @@ def _sql_vec(v: list[float]) -> str:
 # needs _sql_vec at call time
 ORACLE_SEMANTIC_DEDUP = _build_semantic_dedup_oracle()
 ORACLE_INCREMENTAL_SEMANTIC = _build_incremental_semantic_oracle()
+# built here, after _sql_vec — the builder embeds literal centroid vectors
+ORACLE_CURATION_INCREMENTAL = _build_curation_incremental_oracle()
 
 
 def _build_lsh_topk_oracle() -> str:
@@ -4431,7 +4611,9 @@ QUERIES = {
     # value-checks the Bloom prefilter against the same SQL
     "span_dedup": q_span_dedup,  # r7: duplicate token-span removal (rewrite)
     "semantic_dedup": q_semantic_dedup,  # r7: SemDeDup (IVF cells + components)
-    "incremental_semantic": q_incremental_semantic,  # r7: cross-run semantic dedup
+    "curation_incremental": q_curation_incremental,  # r12 NEW (VERDICT r11
+    # item 4): repeated-ingestion curation composite — both incremental
+    # batch-drop joins + model gates + mix, full-union rerun oracle
     "lang_id_model": q_lang_id_model,  # r11 NEW: fastText-shape multiclass
     # linear lang-id, all four score columns + winner bit-exact
     "ivf_topk_int8": q_ivf_topk_int8,  # r6: quantized scan + exact rerank
@@ -4482,7 +4664,14 @@ QUERIES = {
     # skew mitigation (r6 oracles; first driver-window pass this round —
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
-    # --- position 51+ (driver-verified green in earlier rounds). r11
+    # --- position 51+ (driver-verified green in earlier rounds). r12
+    # rotation (VERDICT r11 item 4): NEW curation_incremental displaced
+    # incremental_semantic — named, family-redundant, driver-green since
+    # r7, unchanged this round except the shared-oracle refactor: its
+    # embedding_batch_drops join and its full-union-rerun oracle pair set
+    # (_semantic_pairs_sql) now run VERBATIM inside curation_incremental
+    # in-window, so the identical machinery keeps being value-checked;
+    # incremental_dedup stays in-window for the minhash face. r11
     # rotation (ADVICE r10 medium + VERDICT item 1): bpe_tokenize,
     # decontaminate_bloom, cms_heavy_hitters pulled IN-window (new in r10
     # but shipped tail-only), plus NEW bpe_tokenize_fast. Displaced —
@@ -4585,6 +4774,9 @@ QUERIES = {
     # Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
+    "incremental_semantic": q_incremental_semantic,  # r12: displaced by
+    # curation_incremental (NEW — runs the same embedding_batch_drops
+    # join and oracle pair set in-window; see window comment)
     "cosine_topk": q_cosine_topk,  # r10: displaced by kmeans_ivf (see
     # window comment)
     "top_ngrams": q_top_ngrams,  # r10: displaced by bpe_merges (see
@@ -4741,6 +4933,7 @@ ORACLES = {
     "curation_v2": ORACLE_CURATION_V2,
     "curation_v3": ORACLE_CURATION_V3,
     "curation_v4": ORACLE_CURATION_V4,
+    "curation_incremental": ORACLE_CURATION_INCREMENTAL,
     "ngram_perplexity": ORACLE_NGRAM_PERPLEXITY,
     "zorder_key": ORACLE_ZORDER_KEY,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
