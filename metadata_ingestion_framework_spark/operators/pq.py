@@ -1,0 +1,249 @@
+"""Product quantization (PQ) ANN — Jégou/Douze/Schmid 2011, public
+methodology: split each vector into ``m`` subspaces, quantize every
+subvector to one of ``k`` sub-codebook entries, and score queries against
+the CODES (asymmetric distance computation, ADC) instead of the vectors.
+
+North-star extension (no reference analogue; BASELINE.json). This is the
+memory-scale path past ``ivf_topk_int8``: int8 stores 1 byte per DIM
+(64 B for dim=64), PQ stores 1 byte per SUBSPACE (m=4 -> 4 B) — a 16x
+further compression, which at 100 TB decides whether the scored scan fits
+in cluster memory at all.
+
+Spark shape — the part that matters at scale:
+
+- **The corpus-side scoring is pure codegen.** A query carries its ADC
+  lookup table (m small arrays of the query-subvector x codebook-entry
+  dots, built once per query row on the tiny broadcast side); each
+  (query, corpus) pair's score is m ``element_at`` lookups + a fixed
+  left-associated add chain over the CODES column — no vector bytes are
+  read, no Python touches the corpus side, and whole-stage codegen keeps
+  the scan JVM-side end to end.
+- **Encoding is the same Arrow argmax kernel family as ``ivf_assign``**
+  (one BLAS matmul per subspace per batch, borderline rows re-folded to
+  the exact sequential dot), so codes are bit-reproducible cross-engine:
+  the DuckDB oracle re-derives every code with the literal-centroid
+  GREATEST/first-max CASE pattern and every ADC score with
+  ``list_dot_product`` on the same slices — the whole pipeline
+  value-checks, not just a recall bound.
+- **Exact rerank on the survivors** (the ``ivf_topk_int8`` shape): the
+  top ``k * rerank_factor`` by ADC join back to full-precision vectors
+  (broadcast Q*k' ids) and the final top-k uses the engine's
+  ``round(cosine, 6)`` with the shared (score desc, id asc) tiebreak —
+  so ``rerank_factor`` covering the corpus makes PQ EXACTLY the
+  brute-force answer (pytest-proven theorem, the recall anchor).
+
+Dirty-vector contract (shared with the whole family via ``_vec_matrix``):
+NULL / off-dim / non-finite vectors encode to NULL codes, score NULL
+(ranked last), and can never displace a real match; a dirty QUERY vector
+yields a NULL LUT and returns only NULL-scored rows.
+
+Conventions: sub-codebooks are UNIT rows from the shared deterministic
+generator (``_random_unit_rows``) or trained per-subspace with
+``kmeans_fit`` (``pq_train``); assignment is FIRST-max dot argmax
+(``array_position``-compatible); slices are 1-based on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+from metadata_ingestion_framework_spark.operators.similarity import (
+    _fold_dot,
+    _fold_vs_blas_err,
+    _random_unit_rows,
+    _topk,
+    _vec_matrix,
+    cosine,
+    dot,
+)
+
+
+def pq_codebooks(
+    dim: int, m: int = 4, k: int = 8, seed: int = 7
+) -> list[list[list[float]]]:
+    """Deterministic unit sub-codebooks: ``m`` codebooks of ``k`` entries
+    over ``dim/m`` dims each (k-means stand-in — train real ones with
+    :func:`pq_train`; the query shape is identical either way)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} is not divisible by m={m} subspaces")
+    return [
+        _random_unit_rows(dim // m, k, seed + 1000 * j) for j in range(m)
+    ]
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 3,
+    sample_limit: int | None = None,
+) -> list[list[list[float]]]:
+    """Train the ``m`` sub-codebooks with per-subspace k-means
+    (:func:`kmeans_fit` on the sliced subvectors — m bounded driver
+    rounds of the proven trainer, each collecting only a k x dim/m
+    centroid table). The returned unit centroids drop straight into
+    :func:`pq_encode` / :func:`pq_topk`."""
+    from metadata_ingestion_framework_spark.operators.kmeans import kmeans_fit
+
+    if dim % m:
+        raise ValueError(f"dim={dim} is not divisible by m={m} subspaces")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub")
+        )
+        model = kmeans_fit(
+            sliced, id_col, "__sub", sub, k, n_iters,
+            sample_limit=sample_limit,
+        )
+        books.append(model.unit_centroids)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Append ``out_col`` = the m-entry code array (0-based argmax per
+    subspace). One Arrow batch pays m BLAS matmuls; borderline rows
+    (top-2 scores within the summation-error band) re-fold to the exact
+    sequential dot, so codes match the JVM/DuckDB first-max convention
+    bit-for-bit (the ``ivf_assign`` machinery, per subspace). Dirty rows
+    emit NULL."""
+    import numpy as np
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _widen_narrow_input,
+    )
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dim = m * sub
+    mats = [
+        np.asarray(cb, dtype=np.float64).T for cb in codebooks
+    ]  # (sub, k) each
+    abs_mats = [np.abs(x) for x in mats]
+    schema = StructType(
+        corpus.schema.fields + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            res = [None] * len(pdf)
+            if len(pdf):
+                valid, mtx = _vec_matrix(pdf[vec_col].to_numpy(), dim)
+                if valid.any():
+                    codes = np.empty((mtx.shape[0], m), dtype=np.int32)
+                    for j in range(m):
+                        sl = mtx[:, j * sub : (j + 1) * sub]
+                        scores = sl @ mats[j]  # (n, k)
+                        cells = scores.argmax(axis=1)
+                        if scores.shape[1] > 1:
+                            err = _fold_vs_blas_err(np.abs(sl), abs_mats[j])
+                            part = np.partition(scores, -2, axis=1)
+                            close = part[:, -1] - part[:, -2] <= 2.0 * err.max(axis=1)
+                            for r in np.nonzero(close)[0]:
+                                exact = [
+                                    _fold_dot(sl[r], mats[j][:, c])
+                                    for c in range(scores.shape[1])
+                                ]
+                                cells[r] = int(np.argmax(exact))
+                        codes[:, j] = cells
+                    rows = codes.tolist()
+                    it = iter(rows)
+                    res = [next(it) if v else None for v in valid]
+            out[out_col] = pd.Series(res, dtype=object)
+            yield out
+
+    return _widen_narrow_input(corpus).mapInPandas(run, schema=schema)
+
+
+def _adc_score(
+    codes_col: Column, lut_cols: list[Column], round_to: int = 6
+) -> Column:
+    """ADC score: m ``element_at`` lookups + a FIXED left-associated add
+    chain (j = 0..m-1), matching the oracle's ``l0 + l1 + ... + l(m-1)``
+    expression term-for-term — pure codegen arithmetic over the codes
+    column, the corpus-side hot path."""
+    acc = None
+    for j, lut in enumerate(lut_cols):
+        term = F.element_at(lut, F.element_at(codes_col, j + 1) + F.lit(1))
+        acc = term if acc is None else acc + term
+    return F.round(acc, round_to)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 8,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via PQ/ADC + exact rerank.
+
+    Scale path: at write time the corpus is encoded ONCE and the scored
+    scan reads only (id, m-byte codes); each query broadcasts with its
+    LUT (m arrays of k doubles, built from ``dot`` on the small side);
+    the candidate stage is a map-side broadcast join + codegen ADC; only
+    the Q*k' survivor ids shuffle back for the full-precision rerank.
+    ``rerank_factor`` trades recall for rerank cost — covering the
+    corpus makes the answer exactly brute force (the pytest theorem).
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks(dim, m, k_codes, seed)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    base = corpus.select(id_col, vec_col)
+    coded = pq_encode(base, codebooks, vec_col).select(id_col, "pq_codes")
+
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    lut_names = []
+    for j, cb in enumerate(codebooks):
+        q_sub = F.slice(F.col("__qvec"), j * sub + 1, sub)
+        lut = F.array(
+            *[dot(q_sub, F.array(*[F.lit(float(x)) for x in entry])) for entry in cb]
+        )
+        name = f"__lut{j}"
+        q = q.withColumn(name, lut)
+        lut_names.append(name)
+
+    cand = coded.join(F.broadcast(q), F.lit(True)).select(
+        query_id_col,
+        id_col,
+        "__qvec",
+        _adc_score(F.col("pq_codes"), [F.col(n) for n in lut_names]).alias(
+            "qscore"
+        ),
+    )
+    survivors = _topk(
+        cand, k * rerank_factor, query_id_col, id_col,
+        score_col="qscore", rank_col="qrank",
+    ).select(query_id_col, id_col, "__qvec")
+
+    rer = base.join(F.broadcast(survivors), id_col)
+    scored = rer.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    return _topk(scored, k, query_id_col, id_col)
