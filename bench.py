@@ -89,6 +89,8 @@ EXTENDED = [
     "profile_table",      # r11: one-pass per-column profiler
     "cms_heavy_hitters",  # r11: count-min sketch contract
     "decontaminate_bloom",  # r11: Bloom-prefiltered decontamination
+    "pq_topk",              # r12: product-quantization ADC + rerank
+    "curation_incremental",  # r12: repeated-ingestion curation composite
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

@@ -302,6 +302,27 @@ class IvfIndex:
         finally:
             assigned.unpersist()
 
+    def retire_ids_below(self, cutoff_id: int) -> None:
+        """Retention/lifecycle delete (r12 — completes the index's store
+        lifecycle alongside build/append/compact): drop every vector with
+        ``id < cutoff_id``. ``vec_bucket`` is the id-RANGE key, so whole
+        buckets below the cutoff are simply not carried into the new
+        version (zero bytes rewritten; survivors hard-link, old versions
+        stay time-travelable until vacuum) and only the boundary bucket
+        is rewritten, filtered — the shared
+        ``incremental._retire_range_ids_below`` machinery the dedup
+        stores use. Expiry is PHYSICAL: stored vectors are scored
+        directly by ``topk``, the ghost-intolerant class. Numeric-id
+        indexes only (string ids hash-bucket; no range expression)."""
+        from metadata_ingestion_framework_spark.operators.incremental import (
+            _retire_range_ids_below,
+        )
+
+        _retire_range_ids_below(
+            self.store, self.VECS, "vec_bucket", self.vec_bucket_width,
+            self.id_col, cutoff_id, self._part_cols(),
+        )
+
     def topk(
         self,
         queries: DataFrame,

@@ -337,3 +337,71 @@ def test_streaming_append_matches_batch_sequential(spark, tmp_path):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     unpersist_deps(a)
     unpersist_deps(b)
+
+
+def test_retire_ids_below_zero_rewrite_and_serve(spark, tmp_path):
+    """r12: retention completes the index lifecycle — buckets below the
+    cutoff drop by not being carried (surviving buckets hard-link:
+    zero-rewrite), the boundary bucket is rewritten filtered, retired ids
+    vanish from topk (physical expiry — the ghost-intolerant class), and
+    serving equals ivf_topk over the surviving corpus with the same
+    centroids."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(EMB)
+    idx = IvfIndex(
+        spark, str(tmp_path / "ivf"), dim=64, n_cells=8, vec_bucket_width=128
+    )
+    idx.build(emb)
+    v1 = idx.store.current_version(IvfIndex.VECS)
+    cutoff = 300  # bucket 0/1 drop whole, bucket 2 (256..383) is boundary
+    idx.retire_ids_below(cutoff)
+    v2 = idx.store.current_version(IvfIndex.VECS)
+    assert v2 == v1 + 1
+    p1 = idx.store._version_path(IvfIndex.VECS, v1)
+    p2 = idx.store._version_path(IvfIndex.VECS, v2)
+
+    def inodes(path):
+        return {
+            os.stat(f).st_ino
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True)
+        }
+
+    assert not glob.glob(os.path.join(p2, "vec_bucket=0"))  # dropped
+    assert not glob.glob(os.path.join(p2, "vec_bucket=1"))
+    # surviving bucket 3 carried by hard link, boundary bucket 2 rewritten
+    assert inodes(os.path.join(p2, "vec_bucket=3")) == inodes(
+        os.path.join(p1, "vec_bucket=3")
+    )
+    assert inodes(os.path.join(p2, "vec_bucket=2")).isdisjoint(
+        inodes(os.path.join(p1, "vec_bucket=2"))
+    )
+    ids = {
+        r.vec_id
+        for r in idx.store.read(IvfIndex.VECS).select("vec_id").collect()
+    }
+    assert min(ids) >= cutoff
+    # serving == ivf_topk over the survivors; no retired id surfaces
+    survivors = emb.filter(F.col("vec_id") >= cutoff)
+    got = idx.topk(_queries(spark), k=10, n_probe=8)
+    exp = ivf_topk(
+        survivors, _queries(spark), dim=64, k=10, n_cells=8, n_probe=8,
+        centroids=idx.centroids,
+    )
+    rows = got.collect()
+    assert all(r.vec_id >= cutoff for r in rows)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, exp.collect()))
+    unpersist_deps(got)
+    # old version stays time-travelable until vacuum
+    old_ids = {
+        r.vec_id
+        for r in idx.store.read(IvfIndex.VECS, version=v1)
+        .select("vec_id").collect()
+    }
+    assert min(old_ids) < cutoff
