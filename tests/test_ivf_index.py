@@ -362,7 +362,8 @@ def test_retire_ids_below_zero_rewrite_and_serve(spark, tmp_path):
     cutoff = 300  # bucket 0/1 drop whole, bucket 2 (256..383) is boundary
     idx.retire_ids_below(cutoff)
     v2 = idx.store.current_version(IvfIndex.VECS)
-    assert v2 == v1 + 1
+    # up to two versions: the whole-bucket drop + the boundary rewrite
+    assert v1 < v2 <= v1 + 2
     p1 = idx.store._version_path(IvfIndex.VECS, v1)
     p2 = idx.store._version_path(IvfIndex.VECS, v2)
 
