@@ -324,14 +324,13 @@ def load_bpe_model(
     with open(path) as f:
         stored = json.load(f)
     if stored != _BPE_STORE_CONFIG:
-        diff = sorted(
-            k
-            for k in set(stored) | set(_BPE_STORE_CONFIG)
-            if stored.get(k) != _BPE_STORE_CONFIG.get(k)
+        from metadata_ingestion_framework_spark.operators.incremental import (
+            _config_diff,
         )
+
         raise ValueError(
             f"store at {root} holds a different tokenizer convention "
-            f"(mismatched keys: {diff})"
+            f"(mismatched keys: {_config_diff(stored, _BPE_STORE_CONFIG)})"
         )
     from metadata_ingestion_framework_spark.plans.tablestore import (
         VersionedParquetStore,

@@ -88,12 +88,17 @@ def profile_drift(
     #columns-row tables — broadcast scale by construction.
 
     Range comparison is PER-TYPE (r12, VERDICT r11 item 5): when both
-    sides' min/max strings ``try_cast`` to double the comparison is
-    numeric (so an int-profiled 9 and a double-profiled 9.0 batch do
+    sides' min/max strings ``try_cast`` to DECIMAL(38,18) the comparison
+    is numeric (so an int-profiled 9 and a double-profiled 9.0 batch do
     not false-positive, and ordering-based gates built on top see 9 <
     10, not "9" > "10"); otherwise it falls back to null-safe string
-    equality. Every flag is a real boolean — a NULL-only column (NULL
-    min/max both sides) reads ``range_shifted = false``, not NULL."""
+    equality. DECIMAL, not double (r12 review): a double cast collapses
+    bigints above 2^53, so a real 9007199254740992 -> ...93 shift would
+    read false — DECIMAL(38,18) holds every 64-bit integer exactly (its
+    stated precision floor is 1e-18: numeric values differing only below
+    atto-scale compare equal). Every flag is a real boolean — a
+    NULL-only column (NULL min/max both sides) reads ``range_shifted =
+    false``, not NULL."""
     cur = current.select(
         "column",
         F.col("n_rows").alias("cur_rows"),
@@ -115,7 +120,7 @@ def profile_drift(
         F.col("prev_rows"), F.lit(1)
     )
     nums = {
-        s: F.col(s).try_cast("double") for s in
+        s: F.col(s).try_cast("decimal(38,18)") for s in
         ("cur_min", "prev_min", "cur_max", "prev_max")
     }
     numeric = F.lit(True)

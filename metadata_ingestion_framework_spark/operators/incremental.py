@@ -50,6 +50,18 @@ from metadata_ingestion_framework_spark.operators.merge import scd1_merge
 from metadata_ingestion_framework_spark.plans.tablestore import VersionedParquetStore
 
 
+def _config_diff(stored: dict, config: dict) -> list[str]:
+    """Keys whose values differ between a stored ``_config.json`` and the
+    caller's config — THE comparison every config-guarded store uses
+    (shared with bpe.load_bpe_model; r12 review: two inline copies of
+    this diff had already appeared)."""
+    return sorted(
+        k
+        for k in set(stored) | set(config)
+        if stored.get(k) != config.get(k)
+    )
+
+
 def _check_store_config(root: str, config: dict) -> None:
     """Persist the LAYOUT-DEFINING store config beside the data on first
     open and refuse a mismatched reopen (r11 review): a store reopened
@@ -65,11 +77,7 @@ def _check_store_config(root: str, config: dict) -> None:
         with open(path) as f:
             stored = json.load(f)
         if stored != config:
-            diff = sorted(
-                k
-                for k in set(stored) | set(config)
-                if stored.get(k) != config.get(k)
-            )
+            diff = _config_diff(stored, config)
             raise ValueError(
                 f"store at {root} was created with a different layout "
                 f"config (mismatched keys: {diff}); rebuild the store to "

@@ -117,6 +117,18 @@ class IvfIndex:
                     f"config (mismatched keys: {bad}); rebuild the index "
                     "to change layout-defining parameters"
                 )
+            missing = [k for k in layout if k not in meta]
+            if missing:
+                # pre-r12 meta lacks the layout keys: BACKFILL with this
+                # open's values so the guard is armed from now on —
+                # skipping absent keys would leave the legacy index
+                # reopenable under any layout forever (r12 review). The
+                # first guarded open states the assumption durably.
+                meta.update({k: layout[k] for k in missing})
+                tmp = self._cent_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(tmp, self._cent_path)
             self.centroids = meta["unit_centroids"]
             self.cell_splits = {
                 int(k): int(v)

@@ -114,13 +114,20 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    output_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = the m-entry code array (0-based argmax per
     subspace). One Arrow batch pays m BLAS matmuls; borderline rows
     (top-2 scores within the summation-error band) re-fold to the exact
     sequential dot, so codes match the JVM/DuckDB first-max convention
     bit-for-bit (the ``ivf_assign`` machinery, per subspace). Dirty rows
-    emit NULL."""
+    (and finite rows whose scores overflow to Inf/NaN) emit NULL.
+
+    ``output_cols``: restrict the OUTPUT to these input columns + the
+    codes (r12 review: mapInPandas output is fixed by the declared
+    schema, so without this the encode pass would serialize the full
+    embedding back out of the Python worker only for the caller to drop
+    it — ~100x the bytes the codes need)."""
     import numpy as np
 
     from metadata_ingestion_framework_spark.operators.dedup import (
@@ -134,21 +141,30 @@ def pq_encode(
         np.asarray(cb, dtype=np.float64).T for cb in codebooks
     ]  # (sub, k) each
     abs_mats = [np.abs(x) for x in mats]
-    schema = StructType(
-        corpus.schema.fields + [StructField(out_col, ArrayType(IntegerType()))]
+    kept = (
+        [f for f in corpus.schema.fields if f.name in set(output_cols)]
+        if output_cols is not None
+        else list(corpus.schema.fields)
     )
+    schema = StructType(kept + [StructField(out_col, ArrayType(IntegerType()))])
+    kept_names = [f.name for f in kept]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf.copy()
+            out = pdf[kept_names].copy()
             res = [None] * len(pdf)
             if len(pdf):
                 valid, mtx = _vec_matrix(pdf[vec_col].to_numpy(), dim)
                 if valid.any():
                     codes = np.empty((mtx.shape[0], m), dtype=np.int32)
+                    finite = np.ones(mtx.shape[0], dtype=bool)
                     for j in range(m):
                         sl = mtx[:, j * sub : (j + 1) * sub]
                         scores = sl @ mats[j]  # (n, k)
+                        # overflow-to-Inf/NaN scores from FINITE inputs
+                        # -> NULL codes (the family's dirty contract;
+                        # argmax over NaN/Inf is garbage — r12 review)
+                        finite &= np.isfinite(scores).all(axis=1)
                         cells = scores.argmax(axis=1)
                         if scores.shape[1] > 1:
                             err = _fold_vs_blas_err(np.abs(sl), abs_mats[j])
@@ -161,7 +177,10 @@ def pq_encode(
                                 ]
                                 cells[r] = int(np.argmax(exact))
                         codes[:, j] = cells
-                    rows = codes.tolist()
+                    rows = [
+                        c if f else None
+                        for c, f in zip(codes.tolist(), finite)
+                    ]
                     it = iter(rows)
                     res = [next(it) if v else None for v in valid]
             out[out_col] = pd.Series(res, dtype=object)
@@ -214,7 +233,7 @@ def pq_topk(
     sub = len(codebooks[0][0])
 
     base = corpus.select(id_col, vec_col)
-    coded = pq_encode(base, codebooks, vec_col).select(id_col, "pq_codes")
+    coded = pq_encode(base, codebooks, vec_col, output_cols=[id_col])
 
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
     lut_names = []
@@ -227,10 +246,13 @@ def pq_topk(
         q = q.withColumn(name, lut)
         lut_names.append(name)
 
-    cand = coded.join(F.broadcast(q), F.lit(True)).select(
+    # SKINNY candidate payload (CLAUDE.md rule; r12 review): the ADC rows
+    # that flow through the per-query top-k shuffle carry only
+    # (query_id, id, qscore) — the full-precision __qvec re-attaches to
+    # the Q*k' survivors from the tiny broadcast query side afterwards
+    cand = coded.join(F.broadcast(q.drop("__qvec")), F.lit(True)).select(
         query_id_col,
         id_col,
-        "__qvec",
         _adc_score(F.col("pq_codes"), [F.col(n) for n in lut_names]).alias(
             "qscore"
         ),
@@ -238,9 +260,11 @@ def pq_topk(
     survivors = _topk(
         cand, k * rerank_factor, query_id_col, id_col,
         score_col="qscore", rank_col="qrank",
-    ).select(query_id_col, id_col, "__qvec")
+    ).select(query_id_col, id_col)
 
-    rer = base.join(F.broadcast(survivors), id_col)
+    rer = base.join(F.broadcast(survivors), id_col).join(
+        F.broadcast(q.select(query_id_col, "__qvec")), query_id_col
+    )
     scored = rer.select(
         query_id_col,
         id_col,

@@ -335,7 +335,16 @@ def with_lsh_buckets(
                     band = _fold_vs_blas_err(np.abs(m), abs_plane_mat)
                     for r, pi in zip(*np.nonzero(np.abs(proj) <= band)):
                         proj[r, pi] = _fold_dot(m[r], plane_mat[:, pi])
-                    res[valid] = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+                    # FINITE-input vectors can still overflow a projection
+                    # to ±Inf (huge magnitudes x gaussian planes) — the
+                    # JVM lsh_bucket nulls those, so the Arrow path must
+                    # too or the two paths diverge row-for-row (r12
+                    # review): mask them back to NULL instead of letting
+                    # `inf > 0` set the bit / NaN clear it
+                    vals = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+                    buckets = pd.array(vals, dtype="Int64")
+                    buckets[~np.isfinite(proj).all(axis=1)] = None
+                    res[valid] = buckets
             out[out_col] = res
             yield out
 
@@ -452,7 +461,14 @@ def ivf_assign(
                                 for j in range(scores.shape[1])
                             ]
                             cells[r] = int(np.argmax(exact))
-                    res[valid] = cells.astype(np.int32)
+                    # overflow-to-Inf/NaN scores from FINITE inputs get a
+                    # NULL cell — the corpus-side twin of
+                    # probe_cell_order's dirty-query rule (r12 review:
+                    # argmax over a row containing NaN/Inf is garbage and
+                    # diverges from the JVM first-max convention)
+                    out_cells = pd.array(cells.astype(np.int32), dtype="Int32")
+                    out_cells[~np.isfinite(scores).all(axis=1)] = None
+                    res[valid] = out_cells
             out["__ivf_cell"] = res
             yield out
 

@@ -406,3 +406,30 @@ def test_retire_ids_below_zero_rewrite_and_serve(spark, tmp_path):
         .select("vec_id").collect()
     }
     assert min(old_ids) < cutoff
+
+
+def test_legacy_meta_backfilled_on_open(spark, tmp_path):
+    """r12 review: a pre-r12 index (meta without the layout keys) must
+    not stay guard-exempt forever — the first open backfills the meta
+    with its constructor values, and a later mismatched reopen is then
+    refused."""
+    import json
+
+    emb = spark.read.parquet(EMB)
+    root = str(tmp_path / "ivf")
+    IvfIndex(spark, root, dim=64, n_cells=8).build(emb)
+    # simulate the legacy format: strip the layout keys from the meta
+    meta_path = os.path.join(root, "_centroids.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    for k in ("vec_bucket_width", "n_buckets", "id_col", "vec_col"):
+        meta.pop(k)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    # legacy open succeeds (nothing to compare) and backfills
+    IvfIndex(spark, root, dim=64, n_cells=8, vec_bucket_width=4096)
+    with open(meta_path) as f:
+        assert json.load(f)["vec_bucket_width"] == 4096
+    # the guard is now armed: the original width no longer opens
+    with pytest.raises(ValueError, match="layout"):
+        IvfIndex(spark, root, dim=64, n_cells=8, vec_bucket_width=8192)

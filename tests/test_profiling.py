@@ -119,3 +119,13 @@ def test_profile_drift_typed_ranges(spark):
     cur_i = profile_table(spark.createDataFrame([(9,), (3,)], "v int"))
     d2 = {r.column: r for r in profile_drift(cur_i, prev_d).collect()}
     assert d2["v"].range_shifted is False
+    # above 2^53 a double cast collapses adjacent bigints — the DECIMAL
+    # comparison must still see the shift (r12 review)
+    big_prev = profile_table(
+        spark.createDataFrame([(9007199254740992,), (0,)], "v long")
+    )
+    big_cur = profile_table(
+        spark.createDataFrame([(9007199254740993,), (0,)], "v long")
+    )
+    d3 = {r.column: r for r in profile_drift(big_cur, big_prev).collect()}
+    assert d3["v"].range_shifted is True
