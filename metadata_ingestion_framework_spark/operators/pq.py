@@ -56,10 +56,13 @@ from metadata_ingestion_framework_spark.operators.similarity import (
     _fold_dot,
     _fold_vs_blas_err,
     _random_unit_rows,
+    _resolve_centroids,
     _topk,
     _vec_matrix,
     cosine,
     dot,
+    ivf_assign,
+    probe_cell_order,
 )
 
 
@@ -251,6 +254,98 @@ def pq_topk(
     # (query_id, id, qscore) — the full-precision __qvec re-attaches to
     # the Q*k' survivors from the tiny broadcast query side afterwards
     cand = coded.join(F.broadcast(q.drop("__qvec")), F.lit(True)).select(
+        query_id_col,
+        id_col,
+        _adc_score(F.col("pq_codes"), [F.col(n) for n in lut_names]).alias(
+            "qscore"
+        ),
+    )
+    survivors = _topk(
+        cand, k * rerank_factor, query_id_col, id_col,
+        score_col="qscore", rank_col="qrank",
+    ).select(query_id_col, id_col)
+
+    rer = base.join(F.broadcast(survivors), id_col).join(
+        F.broadcast(q.select(query_id_col, "__qvec")), query_id_col
+    )
+    scored = rer.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    return _topk(scored, k, query_id_col, id_col)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN index shape (Jégou et al. 2011; the
+    FAISS `IVFx,PQy` family) — IVF cell pruning bounds WHICH rows are
+    scored, PQ codes bound the BYTES each scored row costs. The two
+    single-axis operators compose verbatim:
+
+    - corpus side: ONE pass chains :func:`ivf_assign` (cell) and
+      :func:`pq_encode` (codes); the stored/scanned row is
+      (id, cell, m bytes) — at 100 TB this is the layout written once
+      at ingest, cell-partitioned like ``IvfIndex``, and a query's scan
+      touches n_probe/n_cells of the corpus at ~m bytes per row;
+    - query side: the probe list (:func:`probe_cell_order`, the exact
+      ivf_topk slice) and the ADC LUTs ride the same small broadcast
+      row — LUTs are computed BEFORE the probe-cell explode so each
+      query pays the m x k dots once, not once per probed cell;
+    - candidates: equi-join on the probed cell (the bounded-key shuffle
+      shape), codegen ADC, per-query top k*rerank_factor — SKINNY
+      (query_id, id, qscore) rows through the window;
+    - exact rerank of the broadcast survivors (round(cosine, 6), the
+      shared tiebreak).
+
+    Dirty contract composes too: a dirty corpus vector gets a NULL cell
+    (never joins); a dirty query gets a NULL probe order (drops out).
+    Every stage is oracle-replayable — cells, codes, probe lists, LUT
+    scores, rerank — so the catalog checks VALUES, not a recall bound.
+    """
+    cents = _resolve_centroids(centroids, dim, n_cells, seed)
+    if codebooks is None:
+        codebooks = pq_codebooks(dim, m, k_codes, seed)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    base = corpus.select(id_col, vec_col)
+    celled = ivf_assign(base, cents, vec_col)
+    coded = pq_encode(
+        celled, codebooks, vec_col, output_cols=[id_col, "__ivf_cell"]
+    )
+
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    lut_names = []
+    for j, cb in enumerate(codebooks):
+        q_sub = F.slice(F.col("__qvec"), j * sub + 1, sub)
+        lut = F.array(
+            *[dot(q_sub, F.array(*[F.lit(float(x)) for x in entry])) for entry in cb]
+        )
+        name = f"__lut{j}"
+        q = q.withColumn(name, lut)
+        lut_names.append(name)
+    probe = F.slice(probe_cell_order(F.col("__qvec"), cents), 1, n_probe)
+    probed = q.withColumn("__ivf_cell", F.explode(probe))
+
+    cand = coded.join(
+        F.broadcast(probed.drop("__qvec")), "__ivf_cell"
+    ).select(
         query_id_col,
         id_col,
         _adc_score(F.col("pq_codes"), [F.col(n) for n in lut_names]).alias(

@@ -161,3 +161,45 @@ def test_dim_not_divisible_rejected(spark):
         pq_codebooks(DIM, 3, KC)
     with pytest.raises(ValueError, match="divisible"):
         pq_train(_corpus(spark, n=4), dim=DIM, m=3, k=KC)
+
+
+def test_ivfpq_full_probe_full_rerank_is_exact(spark):
+    """IVF-PQ composition anchor: probing EVERY cell with a rerank factor
+    covering the corpus makes the composed index exactly the brute-force
+    answer (candidates = corpus, rerank = exact scoring)."""
+    from metadata_ingestion_framework_spark.operators.pq import ivfpq_topk
+
+    corpus = _corpus(spark)
+    queries = _queries(spark, corpus)
+    n = corpus.count()
+    got = ivfpq_topk(
+        corpus, queries, dim=DIM, n_cells=4, n_probe=4, m=M, k_codes=KC,
+        k=5, rerank_factor=(n // 5) + 1,
+    )
+    want = _exact_topk(corpus, queries, 5)
+    g = {(r.query_id, r.rank): (r.vec_id, r.score) for r in got.collect()}
+    w = {(r.query_id, r.rank): (r.vec_id, r.score) for r in want.collect()}
+    assert g == w
+
+
+def test_ivfpq_prunes_and_drops_dirty_queries(spark):
+    """At n_probe=1 only the query's own cell joins (the self row always
+    survives — it shares the query's cell and codes); a NULL-vector query
+    has a NULL probe order and returns no rows at all."""
+    from metadata_ingestion_framework_spark.operators.pq import ivfpq_topk
+
+    corpus = _corpus(spark)
+    queries = spark.createDataFrame(
+        [(0, corpus.filter("vec_id = 0").collect()[0].embedding), (99, None)],
+        "query_id long, embedding array<double>",
+    )
+    out = ivfpq_topk(
+        corpus, queries, dim=DIM, n_cells=4, n_probe=1, m=M, k_codes=KC,
+        k=3, rerank_factor=2,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert 99 not in by_q  # NULL probe order: dropped, not bucket-0
+    ranked = sorted(by_q[0], key=lambda r: r.rank)
+    assert ranked[0].vec_id == 0 and ranked[0].score == 1.0
