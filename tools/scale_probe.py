@@ -156,6 +156,34 @@ def probe(spark, docs, emb, tag: str) -> dict:
         r,
     )
 
+    # --- r12 PQ family: encode (per-subspace Arrow argmax), codes-only
+    # ADC serve, and the IVF-PQ composition (cell equi-join + ADC)
+    from metadata_ingestion_framework_spark.operators.pq import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    books = pq_codebooks(64, 4, 8)
+    timed(
+        "pq_encode_corpus",
+        lambda: pq_encode(emb, books, output_cols=["vec_id"]).count(),
+        r,
+    )
+    timed(
+        "pq_topk_total",
+        lambda: pq_topk(emb, queries, dim=64, m=4, k_codes=8, k=10,
+                        rerank_factor=4).count(),
+        r,
+    )
+    timed(
+        "ivfpq_topk_total",
+        lambda: ivfpq_topk(emb, queries, dim=64, n_cells=8, n_probe=2,
+                           m=4, k_codes=8, k=10, rerank_factor=4).count(),
+        r,
+    )
+
     # --- r6 text/training-data operators (explode + codegen agg paths)
     from metadata_ingestion_framework_spark.functions.text import (
         pack_manifest,
