@@ -469,3 +469,129 @@ def test_model_gate_dirty(spark, dirty):
     )
     assert rows[4]["n_grams"] == 0
     assert rows[4]["pred_lang"] == rows[5]["pred_lang"]
+
+
+# ---------------------------------------------------------------------------
+# tokenizer / chunking / span / decontamination / join families (r12 round-2)
+# ---------------------------------------------------------------------------
+
+def test_bpe_dirty(spark, dirty):
+    """The tokenizer surfaces treat NULL / empty / whitespace text as the
+    empty document: training never crashes on them, both encode faces
+    emit [] (0 tokens, 0 ids), and clean docs are unaffected."""
+    from metadata_ingestion_framework_spark.functions.bpe import (
+        bpe_encode_ids,
+        bpe_tokenize_fast,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(dirty["docs"])
+    merges = bpe_train(docs, "text", k_merges=3)
+    assert merges  # trained from the clean rows despite the dirty ones
+    toks = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_tokenize_fast(docs, merges).collect()
+    }
+    ids = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_encode_ids(docs, merges).collect()
+    }
+    for d in (4, 5, 6):  # NULL, '', whitespace-only
+        assert toks[d] == [] and ids[d] == []
+    assert toks[0] and len(ids[0]) == len(toks[0])
+
+
+def test_chunk_and_span_dirty(spark, dirty):
+    """chunk_passages emits no chunk for token-less docs (NULL/empty/
+    whitespace) instead of empty-string chunks; remove_duplicate_spans
+    keeps every row — NULL text passes through as NULL, whitespace
+    normalizes to '', and the clean exact-dup pair still rewrites."""
+    from metadata_ingestion_framework_spark.functions.text import chunk_passages
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(dirty["docs"])
+    chunk_ids = {r.doc_id for r in chunk_passages(docs, "text", "doc_id").collect()}
+    assert chunk_ids.isdisjoint({4, 5, 6, 10})
+    assert 0 in chunk_ids
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, "text", "doc_id", span_w=3).collect()}
+    assert set(out) == {r[0] for r in DOC_ROWS}  # every row survives
+    assert out[4].clean_text is None and out[4].n_removed == 0
+    assert out[6].clean_text == ""  # whitespace-only normalizes
+    # doc 1 is an exact dup of doc 0: its 3-token spans all occurred
+    # earlier (in doc 0), so the rewrite empties it
+    assert out[0].n_removed == 0 and out[1].n_removed > 0
+
+
+def test_decontamination_dirty(spark, dirty):
+    """NULL/short texts have no 3-grams on either side: they contaminate
+    nothing and nothing contaminates them; the real overlap still fires."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    docs = spark.read.parquet(dirty["docs"])
+    train = docs.filter(F.col("doc_id") < 5)       # includes NULL-text 4
+    evals = docs.filter(F.col("doc_id") >= 5)      # '', ws, 'a', NULLs...
+    evals = evals.unionByName(
+        spark.createDataFrame(
+            [(200, "quick brown fox jumps over", "en", "web")],
+            "doc_id long, text string, lang string, source string",
+        )
+    )
+    pairs = ngram_contamination(train, evals, "text", "doc_id", shingle_n=3).collect()
+    flat = {(r[0], r[1]) for r in pairs}
+    eval_hits = {e for _, e in flat}
+    assert eval_hits == {200}  # only the genuinely overlapping eval doc
+    train_hits = {t for t, _ in flat}
+    assert 4 not in train_hits  # NULL-text train doc shares nothing
+
+
+def test_asof_join_dirty_keys_and_ts(spark):
+    """as_of_join: NULL join keys never match (plain equi-join semantics
+    on the key), a NULL left timestamp matches nothing, and a NULL right
+    timestamp is never 'most recent' — left rows always survive with
+    NULL payload."""
+    from metadata_ingestion_framework_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100.0), (2, None, 100.0), (3, "u1", None)],
+        "event_id long, user_id string, ts double",
+    )
+    right = spark.createDataFrame(
+        [(10, "u1", 50.0, 5.0), (11, None, 60.0, 6.0), (12, "u1", None, 7.0)],
+        "event_id long, user_id string, ts double, value double",
+    )
+    out = {
+        r.event_id: r
+        for r in as_of_join(
+            left, right, ["user_id"], "ts", "ts",
+            right_cols=["event_id", "value"],
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].event_id_r == 10 and out[1].value_r == 5.0
+    assert out[2].event_id_r is None  # NULL key: no match
+    assert out[3].event_id_r is None  # NULL left ts: no match
+
+
+def test_range_join_dirty_bounds(spark):
+    """range_join_pairs: NULL or inverted interval bounds produce no
+    pairs (F.sequence would DESCEND on inverted ranges — the guard drops
+    them); clean overlaps still join."""
+    from metadata_ingestion_framework_spark.operators.joins import (
+        range_join_pairs,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, None, 10.0), (3, 5.0, None), (4, 8.0, 2.0)],
+        "l_id long, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(10, 1.0, 3.0)], "r_id long, rs double, re double"
+    )
+    out = range_join_pairs(
+        left, right, "l_id", "r_id", "ls", "le", "rs", "re", bucket_width=5.0
+    ).collect()
+    assert {(r.l_id, r.r_id) for r in out} == {(1, 10)}
