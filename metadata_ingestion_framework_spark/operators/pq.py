@@ -366,3 +366,88 @@ def ivfpq_topk(
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
     )
     return _topk(scored, k, query_id_col, id_col)
+
+
+# --- codebook persistence (r12) --------------------------------------------
+# Like the BPE tokenizer, PQ codebooks are train-once cross-run artifacts:
+# codes written at ingest are only decodable against the EXACT codebooks
+# that produced them, so the books version through VersionedParquetStore
+# (parquet doubles round-trip float64 exactly) behind a config guard that
+# refuses a root trained under a different (dim, m, k) geometry.
+
+PQ_BOOKS_TABLE = "pq_codebooks"
+
+
+def save_pq_model(
+    spark, root: str, codebooks: list[list[list[float]]]
+) -> int:
+    """Persist the trained sub-codebooks as one new store version;
+    returns the version. Retraining writes a NEW version — codes encoded
+    under the old books stay decodable via
+    ``load_pq_model(version=...)`` time travel."""
+    import os
+
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        _check_store_config,
+    )
+    from metadata_ingestion_framework_spark.plans.tablestore import (
+        VersionedParquetStore,
+    )
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    os.makedirs(root, exist_ok=True)
+    _check_store_config(
+        root, {"format": "pq", "dim": m * sub, "m": m, "k": k}
+    )
+    rows = [
+        (j, c, [float(x) for x in entry])
+        for j, cb in enumerate(codebooks)
+        for c, entry in enumerate(cb)
+    ]
+    df = spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
+    return VersionedParquetStore(spark, root).write(df, PQ_BOOKS_TABLE)
+
+
+def load_pq_model(
+    spark, root: str, version: int | None = None
+) -> list[list[list[float]]]:
+    """The sub-codebooks back from a :func:`save_pq_model` store —
+    bit-identical float64 (pytest-proven code-identical re-encode).
+    Bounded driver collect (m x k rows)."""
+    import json
+    import os
+
+    from metadata_ingestion_framework_spark.plans.tablestore import (
+        VersionedParquetStore,
+    )
+
+    path = os.path.join(root, "_config.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no PQ model at {root}")
+    with open(path) as f:
+        stored = json.load(f)
+    if stored.get("format") != "pq":
+        from metadata_ingestion_framework_spark.operators.incremental import (
+            _config_diff,
+        )
+
+        raise ValueError(
+            f"store at {root} is not a PQ codebook store "
+            f"(mismatched keys: {_config_diff(stored, {'format': 'pq'})})"
+        )
+    rows = (
+        VersionedParquetStore(spark, root)
+        .read(PQ_BOOKS_TABLE, version)
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    books: list[list[list[float]]] = []
+    for r in rows:
+        while len(books) <= r.subspace:
+            books.append([])
+        books[r.subspace].append(list(r.centroid))
+    return books

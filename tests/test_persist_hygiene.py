@@ -32,6 +32,11 @@ TWO_STAGE_QUERIES = [
     # r11: ann_recall persists the Q-row recall table itself (the means
     # agg adds a second consumer) — the cache must ride _persisted_deps
     "ann_recall",
+    # r12: the incremental composite persists two signature tables + the
+    # cell assignment and carries both batch-drop sets' deps
+    "curation_incremental",
+    "incremental_dedup",
+    "incremental_semantic",
 ]
 
 

@@ -203,3 +203,35 @@ def test_ivfpq_prunes_and_drops_dirty_queries(spark):
     assert 99 not in by_q  # NULL probe order: dropped, not bucket-0
     ranked = sorted(by_q[0], key=lambda r: r.rank)
     assert ranked[0].vec_id == 0 and ranked[0].score == 1.0
+
+
+def test_codebook_save_load_roundtrip(spark, tmp_path):
+    """Codebooks persist bit-identically (parquet float64 round-trip):
+    re-encoding under the reloaded books yields the exact same codes;
+    retrain = new version with time travel; foreign roots refused."""
+    import pytest as _pytest
+
+    from metadata_ingestion_framework_spark.operators.pq import (
+        load_pq_model,
+        pq_train,
+        save_pq_model,
+    )
+
+    corpus = _corpus(spark)
+    books = pq_train(corpus, dim=DIM, m=M, k=KC, n_iters=2)
+    root = str(tmp_path / "pq")
+    assert save_pq_model(spark, root, books) == 1
+    reloaded = load_pq_model(spark, root)
+    assert reloaded == books  # float64-exact
+    a = {r.vec_id: list(r.pq_codes) for r in pq_encode(corpus, books).collect()}
+    b = {r.vec_id: list(r.pq_codes) for r in pq_encode(corpus, reloaded).collect()}
+    assert a == b
+    books2 = pq_codebooks(DIM, M, KC, seed=99)
+    assert save_pq_model(spark, root, books2) == 2
+    assert load_pq_model(spark, root) == books2
+    assert load_pq_model(spark, root, version=1) == books
+    # geometry guard: a different (m, k) refuses the same root
+    with _pytest.raises(ValueError, match="layout"):
+        save_pq_model(spark, root, pq_codebooks(DIM, M, KC + 4))
+    with _pytest.raises(FileNotFoundError, match="no PQ model"):
+        load_pq_model(spark, str(tmp_path / "missing"))
