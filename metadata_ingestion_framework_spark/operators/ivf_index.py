@@ -70,6 +70,8 @@ class IvfIndex:
         vec_bucket_width: int = 8192,
         n_buckets: int = 64,
         cell_cap: int | None = None,
+        pq_m: int | None = None,
+        pq_k: int = 8,
     ):
         self.spark = spark
         self.root = root
@@ -82,6 +84,16 @@ class IvfIndex:
         self.vec_bucket_width = vec_bucket_width
         self.n_buckets = n_buckets
         self.cell_cap = cell_cap
+        # PQ face (r12): pq_m sub-codebooks of pq_k entries each — the
+        # codes ride the SAME cell-partitioned rows as the vectors, so
+        # the ADC scan pays the identical partition pruning but reads
+        # only the m-byte codes column (parquet columnar pruning), and
+        # the rerank re-reads (id, vec) from the probed partitions only.
+        if pq_m is not None and dim % pq_m:
+            raise ValueError(f"dim={dim} is not divisible by pq_m={pq_m}")
+        self.pq_m = pq_m
+        self.pq_k = pq_k
+        self.codebooks: list[list[list[float]]] | None = None
         # cell -> n_children for cells split at build time (r11, VERDICT
         # r10 item 2): fixed for the index's lifetime like the centroids
         # (re-balance => rebuild, the standard re-cluster contract)
@@ -116,6 +128,28 @@ class IvfIndex:
                     f"index at {root} was built with a different layout "
                     f"config (mismatched keys: {bad}); rebuild the index "
                     "to change layout-defining parameters"
+                )
+            stored_books = meta.get("pq_codebooks")
+            if stored_books is not None:
+                # PQ geometry is layout too: codes in the store are only
+                # decodable against the books that produced them
+                if pq_m is not None and (
+                    pq_m != len(stored_books)
+                    or pq_k != len(stored_books[0])
+                ):
+                    raise ValueError(
+                        f"index at {root} was built with "
+                        f"pq_m={len(stored_books)}, "
+                        f"pq_k={len(stored_books[0])}; rebuild to change "
+                        "PQ geometry"
+                    )
+                self.codebooks = stored_books
+                self.pq_m = len(stored_books)
+                self.pq_k = len(stored_books[0])
+            elif pq_m is not None:
+                raise ValueError(
+                    f"index at {root} was built WITHOUT PQ codes; rebuild "
+                    "with pq_m to add them"
                 )
             missing = [k for k in layout if k not in meta]
             if missing:
@@ -216,6 +250,16 @@ class IvfIndex:
                 f"centroids has {len(centroids)} cells, expected "
                 f"n_cells={self.n_cells}"
             )
+        if self.pq_m is not None and self.codebooks is None:
+            from metadata_ingestion_framework_spark.operators.pq import (
+                pq_train,
+            )
+
+            self.codebooks = pq_train(
+                corpus, self.dim, self.pq_m, self.pq_k,
+                id_col=self.id_col, vec_col=self.vec_col,
+                n_iters=self.n_iters, sample_limit=sample_limit,
+            )
         assigned = self._assign(corpus, centroids)
         self.cell_splits = {}
         if self.cell_cap is not None:
@@ -254,6 +298,7 @@ class IvfIndex:
                     "n_buckets": self.n_buckets,
                     "id_col": self.id_col,
                     "vec_col": self.vec_col,
+                    "pq_codebooks": self.codebooks,
                 },
                 f,
             )
@@ -272,12 +317,19 @@ class IvfIndex:
         out = ivf_assign(
             batch.select(self.id_col, self.vec_col), centroids, self.vec_col
         ).withColumnRenamed("__ivf_cell", "cell")
-        return out.withColumn(
+        out = out.withColumn(
             "vec_bucket",
             range_bucket_expr(
                 out, self.id_col, self.vec_bucket_width, self.n_buckets
             ),
         )
+        if self.codebooks is not None:
+            from metadata_ingestion_framework_spark.operators.pq import (
+                pq_encode,
+            )
+
+            out = pq_encode(out, self.codebooks, self.vec_col)
+        return out
 
     def append(self, batch: DataFrame) -> None:
         """Incremental ingest: assign the batch with the FIXED centroids
@@ -376,6 +428,108 @@ class IvfIndex:
                 part_filter = F.col("cell").isin(probed)
             c = self.store.read(self.VECS).filter(part_filter)
             scored = c.join(F.broadcast(q), "cell").select(
+                query_id_col,
+                self.id_col,
+                F.round(
+                    cosine(F.col(self.vec_col), F.col("__qvec")), 6
+                ).alias("score"),
+            )
+            out = _topk(scored, k, query_id_col, self.id_col)
+            out._persisted_deps = [q]
+            return out
+        except Exception:
+            q.unpersist()
+            raise
+
+    def topk_adc(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 2,
+        rerank_factor: int = 4,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """PQ-accelerated serve (r12): the same partition-pruned probe as
+        :meth:`topk`, but the probed scan first ranks candidates by the
+        codegen ADC score over the m-byte ``pq_codes`` COLUMN (parquet
+        columnar pruning — the full-precision vector bytes are read only
+        for the Q*k' rerank survivors, from the same probed partitions).
+        With ``rerank_factor`` covering the probed candidates this equals
+        :meth:`topk` exactly (pytest theorem); at realistic factors it
+        trades a bounded recall loss for reading ~dim*8/m fewer bytes per
+        scanned row — the scan-bandwidth knob a 100 TB index tunes.
+
+        Requires a ``pq_m``-built index."""
+        from metadata_ingestion_framework_spark.operators.pq import (
+            _adc_score,
+        )
+        from metadata_ingestion_framework_spark.operators.similarity import (
+            dot,
+        )
+
+        if self.centroids is None:
+            raise FileNotFoundError(f"index at {self.root} is not built")
+        if self.codebooks is None:
+            raise ValueError(
+                f"index at {self.root} has no PQ codes (build with pq_m)"
+            )
+        sub = self.dim // len(self.codebooks)
+        q = queries.select(
+            query_id_col, F.col(self.vec_col).alias("__qvec")
+        )
+        lut_names = []
+        for j, cb in enumerate(self.codebooks):
+            q_sub = F.slice(F.col("__qvec"), j * sub + 1, sub)
+            lut = F.array(
+                *[
+                    dot(q_sub, F.array(*[F.lit(float(x)) for x in entry]))
+                    for entry in cb
+                ]
+            )
+            name = f"__lut{j}"
+            q = q.withColumn(name, lut)
+            lut_names.append(name)
+        q = q.withColumn(
+            "cell",
+            F.explode(
+                F.slice(
+                    probe_cell_order(F.col("__qvec"), self.centroids),
+                    1,
+                    n_probe,
+                )
+            ),
+        ).persist()  # consumed thrice: probed collect, ADC join, rerank
+        try:
+            probed = [r.cell for r in q.select("cell").distinct().collect()]
+            if self.cell_splits:
+                part_filter = F.col("cell_part").isin(
+                    self._expand_probed(probed)
+                )
+            else:
+                part_filter = F.col("cell").isin(probed)
+            scan = self.store.read(self.VECS).filter(part_filter)
+            # ADC stage: reads (id, cell, pq_codes) — no vector bytes
+            cand = scan.select(self.id_col, "cell", "pq_codes").join(
+                F.broadcast(q.drop("__qvec")), "cell"
+            ).select(
+                query_id_col,
+                self.id_col,
+                _adc_score(
+                    F.col("pq_codes"), [F.col(n) for n in lut_names]
+                ).alias("qscore"),
+            )
+            survivors = _topk(
+                cand, k * rerank_factor, query_id_col, self.id_col,
+                score_col="qscore", rank_col="qrank",
+            ).select(query_id_col, self.id_col)
+            # rerank: (id, vec) from the same probed partitions only
+            rer = scan.select(self.id_col, self.vec_col).join(
+                F.broadcast(survivors), self.id_col
+            ).join(
+                F.broadcast(q.select(query_id_col, "__qvec").distinct()),
+                query_id_col,
+            )
+            scored = rer.select(
                 query_id_col,
                 self.id_col,
                 F.round(

@@ -433,3 +433,84 @@ def test_legacy_meta_backfilled_on_open(spark, tmp_path):
     # the guard is now armed: the original width no longer opens
     with pytest.raises(ValueError, match="layout"):
         IvfIndex(spark, root, dim=64, n_cells=8, vec_bucket_width=8192)
+
+
+def test_pq_face_serve_and_reload(spark, tmp_path):
+    """r12: the PQ-coded serving face — topk_adc with a rerank factor
+    covering the probed candidates equals topk exactly (same probe, same
+    rerank scoring); a reopened index adopts the stored codebooks and
+    serves identically; geometry mismatches and PQ-less indexes error."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+
+    emb = spark.read.parquet(EMB)
+    root = str(tmp_path / "ivfpq")
+    idx = IvfIndex(spark, root, dim=64, n_cells=8, pq_m=4, pq_k=8)
+    idx.build(emb)
+    assert idx.codebooks is not None and len(idx.codebooks) == 4
+    q = _queries(spark)
+    exact = idx.topk(q, k=10, n_probe=2)
+    baseline = sorted(map(tuple, exact.collect()))
+    unpersist_deps(exact)
+    # covering rerank factor: ADC keeps every probed candidate -> exact
+    adc = idx.topk_adc(q, k=10, n_probe=2, rerank_factor=100)
+    got = sorted(map(tuple, adc.collect()))
+    unpersist_deps(adc)
+    assert got == baseline
+    # modest factor still returns k rows per query with the self row first
+    adc2 = idx.topk_adc(q, k=5, n_probe=2, rerank_factor=2)
+    rows = adc2.collect()
+    unpersist_deps(adc2)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        assert min(rs, key=lambda r: r.rank).vec_id == qid  # self first
+    # reload adopts the stored books and serves identically
+    reopened = IvfIndex(spark, root, dim=64, n_cells=8)
+    assert reopened.codebooks == idx.codebooks
+    again = reopened.topk_adc(q, k=10, n_probe=2, rerank_factor=100)
+    assert sorted(map(tuple, again.collect())) == baseline
+    unpersist_deps(again)
+    # geometry guard + PQ-less guard
+    with pytest.raises(ValueError, match="PQ geometry"):
+        IvfIndex(spark, root, dim=64, n_cells=8, pq_m=8)
+    plain_root = str(tmp_path / "plain")
+    plain = IvfIndex(spark, plain_root, dim=64, n_cells=8)
+    plain.build(emb)
+    with pytest.raises(ValueError, match="no PQ codes"):
+        plain.topk_adc(q)
+    with pytest.raises(ValueError, match="WITHOUT PQ"):
+        IvfIndex(spark, plain_root, dim=64, n_cells=8, pq_m=4)
+
+
+def test_pq_face_append_keeps_codes(spark, tmp_path):
+    """Appended batches are encoded with the FIXED stored codebooks, so
+    serve-after-append equals a fresh rebuild's ADC serve over the union
+    (same centroids, same books)."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+
+    emb = spark.read.parquet(EMB)
+    seed = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400")
+    idx = IvfIndex(
+        spark, str(tmp_path / "inc"), dim=64, n_cells=8, pq_m=4, pq_k=8
+    )
+    idx.build(seed)
+    idx.append(batch)
+    got = idx.topk_adc(_queries(spark), k=10, n_probe=3, rerank_factor=4)
+    g = sorted(map(tuple, got.collect()))
+    unpersist_deps(got)
+    full = IvfIndex(
+        spark, str(tmp_path / "full"), dim=64, n_cells=8, pq_m=4, pq_k=8
+    )
+    full.codebooks = idx.codebooks  # same quantizers -> same index
+    full.build(emb, centroids=idx.centroids)
+    want = full.topk_adc(_queries(spark), k=10, n_probe=3, rerank_factor=4)
+    w = sorted(map(tuple, want.collect()))
+    unpersist_deps(want)
+    assert g == w
