@@ -4789,6 +4789,70 @@ WHERE ('0x' || substr(md5(concat_ws(chr(31), 'cur1', CAST(doc_id AS VARCHAR))), 
 
 
 ORACLE_CURATION_PIPELINE = _build_curation_oracle()
+def q_bm25_topk(spark, sf_dir):
+    """Lexical BM25 retrieval (operators/retrieval.py::bm25_topk, r12):
+    the text-side twin of the ANN family — inverted-index postings
+    (bounded term-key shuffles), broadcast query terms, order-free
+    DECIMAL(18,6) per-(query, doc) accumulation of 6-decimal term
+    contributions, family tiebreak. The oracle mirrors every expression
+    (double-cast literals — bare DuckDB float literals are DECIMALs and
+    would change the arithmetic type) including the exact
+    long-sum/count avgdl."""
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=10)
+
+
+ORACLE_BM25_TOPK = """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, toks, len(toks) AS dl FROM docs),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+  FROM docs WHERE doc_id < 3
+),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(SUM(CAST(ROUND(
+      ln(CAST(1.0 AS DOUBLE)
+         + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+           / (d.df + CAST(0.5 AS DOUBLE)))
+      * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      / (CAST(t.tf AS DOUBLE)
+         + CAST(1.2 AS DOUBLE)
+           * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+              + CAST(0.75 AS DOUBLE) * t.dl / s.avgdl))
+    , 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM tf t
+  JOIN dfreq d USING (term)
+  JOIN qterms q USING (term)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+)
+SELECT query_id, doc_id, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY score DESC NULLS LAST, doc_id ASC) AS rank
+FROM scored QUALIFY rank <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4812,7 +4876,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,  # r7: backward as-of join vs native DuckDB ASOF
-    "range_join": q_range_join,  # r7: bucketed interval-overlap join
+    "bm25_topk": q_bm25_topk,  # r12 NEW: lexical BM25 retrieval —
+    # inverted-index postings, order-free decimal accumulation
     # LLM-data-pipeline family (no driver rows in r1 — keep well inside 50)
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
@@ -4881,7 +4946,13 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r12
-    # rotation (3): NEW ivfpq_topk displaced cluster_split — named,
+    # rotation (4): NEW bm25_topk displaced range_join — named,
+    # family-redundant (the specialized-join family keeps asof_join
+    # in-window; range_join driver-green r7-r11, unchanged this round,
+    # its bucketed interval shape stays sweep-checked), and bm25's
+    # posting/idf machinery supersedes the tail tfidf_top_terms ranking
+    # shape as the text-retrieval representative.
+    # r12 rotation (3): NEW ivfpq_topk displaced cluster_split — named,
     # family-redundant (the cluster family keeps dup_clusters in-window
     # AND curation_v3 runs cluster_safe_split VERBATIM in-window, so the
     # leakage-safe split machinery stays driver-value-checked twice
@@ -5010,6 +5081,8 @@ QUERIES = {
     "cluster_split": q_cluster_split,  # r12: displaced by ivfpq_topk
     # (NEW — see window comment; cluster_safe_split runs verbatim inside
     # in-window curation_v3)
+    "range_join": q_range_join,  # r12: displaced by bm25_topk (NEW —
+    # see window comment; asof_join keeps the family in-window)
     "cosine_topk": q_cosine_topk,  # r10: displaced by kmeans_ivf (see
     # window comment)
     "top_ngrams": q_top_ngrams,  # r10: displaced by bpe_merges (see
@@ -5178,6 +5251,7 @@ ORACLES = {
     "ivf_topk_int8": ORACLE_IVF_TOPK_INT8,
     "pq_topk": ORACLE_PQ_TOPK,
     "ivfpq_topk": ORACLE_IVFPQ_TOPK,
+    "bm25_topk": ORACLE_BM25_TOPK,
     "kmeans_ivf": _build_kmeans_oracle(),
     "ann_recall": ORACLE_ANN_RECALL,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,

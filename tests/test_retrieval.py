@@ -1,0 +1,83 @@
+"""BM25 lexical retrieval (operators/retrieval.py): hand-checked scoring,
+self-retrieval, determinism across partitionings (the order-free decimal
+accumulation), and the dirty-text contract."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.retrieval import bm25_topk
+
+DOCS = [
+    (0, "spark engine spark"),          # tf(spark)=2
+    (1, "spark data pipeline"),
+    (2, "duck database engine"),
+    (3, "entirely unrelated words here"),
+    (4, None),                           # dirty: NULL text
+    (5, ""),                             # dirty: empty
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _q(spark, text, qid=100):
+    return spark.createDataFrame([(qid, text)], "query_id long, text string")
+
+
+def test_hand_checked_scores(spark):
+    """Single-term query 'spark': df=2, N=6; idf = ln(1 + 4.5/2.5);
+    doc 0 (tf=2, dl=3) and doc 1 (tf=1, dl=3) hand-compute exactly
+    through the 6-decimal term rounding."""
+    out = {
+        r.doc_id: (r.score, r.rank)
+        for r in bm25_topk(_docs(spark), _q(spark, "spark"), k=10).collect()
+    }
+    n, df, k1, b = 6, 2, 1.2, 0.75
+    avgdl = (3 + 3 + 3 + 4 + 0 + 0) / 6.0
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def w(tf, dl):
+        return round(idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)), 6)
+
+    assert set(out) == {0, 1}
+    assert out[0] == (w(2, 3), 1)
+    assert out[1] == (w(1, 3), 2)
+
+
+def test_self_retrieval_first(spark):
+    docs = _docs(spark)
+    queries = docs.filter("doc_id in (0, 2)").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = bm25_topk(docs, queries, k=3).collect()
+    top = {r.query_id: r.doc_id for r in out if r.rank == 1}
+    assert top == {0: 0, 2: 2}
+
+
+def test_multi_term_sum_is_order_free(spark):
+    """Repartitioning the corpus must not move a single score ulp — the
+    per-(query, doc) sum is exact DECIMAL of 6-decimal terms."""
+    docs = _docs(spark)
+    q = _q(spark, "spark engine data")
+    a = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    b = sorted(map(tuple, bm25_topk(docs.repartition(7), q, k=10).collect()))
+    assert a == b and len(a) >= 3
+
+
+def test_dirty_text_contract(spark):
+    """NULL/empty corpus docs have no postings (never retrieved); a
+    query with no [a-z] tokens returns no rows; query terms absent from
+    the corpus contribute nothing."""
+    docs = _docs(spark)
+    out = bm25_topk(docs, _q(spark, "spark engine"), k=10).collect()
+    assert {r.doc_id for r in out}.isdisjoint({4, 5})
+    assert bm25_topk(docs, _q(spark, "12345 !!!"), k=10).count() == 0
+    assert bm25_topk(docs, _q(spark, None), k=10).count() == 0
+    # unknown term alongside a known one: same result as the known alone
+    known = {(r.doc_id, r.score) for r in bm25_topk(docs, _q(spark, "spark"), k=10).collect()}
+    mixed = {(r.doc_id, r.score) for r in bm25_topk(docs, _q(spark, "spark zzzgibberish"), k=10).collect()}
+    assert known == mixed
