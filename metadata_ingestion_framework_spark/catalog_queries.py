@@ -4802,7 +4802,10 @@ def q_bm25_topk(spark, sf_dir):
         bm25_topk,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # wide_t: the postings build is a regex-tokenize per row — scan
+    # parallelism follows BYTES, not CPU cost (CLAUDE.md), so the narrow
+    # single-file input round-robins to defaultParallelism first
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "text")
     queries = docs.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), "text"
     )
