@@ -36,6 +36,16 @@ from metadata_ingestion_framework_spark.operators.quantize import (
     quantization_error_stats,
     quantize_embeddings,
 )
+from metadata_ingestion_framework_spark.operators.pq import (
+    ivfpq_topk,
+    load_pq_model,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+    pq_train,
+    save_pq_model,
+)
+from metadata_ingestion_framework_spark.operators.retrieval import bm25_topk
 from metadata_ingestion_framework_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
@@ -70,6 +80,14 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "embedding_near_duplicates",
+    "pq_codebooks",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "ivfpq_topk",
+    "save_pq_model",
+    "load_pq_model",
+    "bm25_topk",
     "quantize_embeddings",
     "dequantize",
     "quantization_error_stats",
