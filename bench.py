@@ -91,6 +91,8 @@ EXTENDED = [
     "decontaminate_bloom",  # r11: Bloom-prefiltered decontamination
     "pq_topk",              # r12: product-quantization ADC + rerank
     "curation_incremental",  # r12: repeated-ingestion curation composite
+    "ivfpq_topk",           # r12: IVF-PQ composed index
+    "bm25_topk",            # r12: lexical BM25 retrieval
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3
