@@ -3468,11 +3468,17 @@ corpus AS (SELECT vec_id, embedding, {first_max} AS cell FROM withg),
 qscored AS (SELECT vec_id AS query_id, embedding AS qvec, * EXCLUDE (vec_id, embedding)
             FROM scored_cells WHERE vec_id < 5),
 qcells AS (
+  -- drop dirty QUERIES (any NULL/NaN/Inf cell score) entirely: the
+  -- engine's probe_cell_order yields a NULL probe order when ANY score
+  -- is non-finite and the explode drops the query; NULLS LAST spelled
+  -- per the repo ordering rule (r12 review — latent on clean testdata)
   SELECT query_id, cell FROM (
     SELECT query_id, cell,
-      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS rn
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cscore DESC NULLS LAST, cell ASC) AS rn,
+      MIN(CASE WHEN isfinite(cscore) THEN 1 ELSE 0 END)
+        OVER (PARTITION BY query_id) AS allfin
     FROM ({cell_scores_union})
-  ) WHERE rn <= {n_probe}
+  ) WHERE rn <= {n_probe} AND allfin = 1
 ),
 q AS (SELECT query_id, qvec FROM qscored),
 cand AS (
@@ -3545,11 +3551,17 @@ deq AS (SELECT vec_id, cell,
 qscored AS (SELECT vec_id AS query_id, v AS qvec, * EXCLUDE (vec_id, v)
             FROM scored_cells WHERE vec_id < 5),
 qcells AS (
+  -- drop dirty QUERIES (any NULL/NaN/Inf cell score) entirely: the
+  -- engine's probe_cell_order yields a NULL probe order when ANY score
+  -- is non-finite and the explode drops the query; NULLS LAST spelled
+  -- per the repo ordering rule (r12 review — latent on clean testdata)
   SELECT query_id, cell FROM (
     SELECT query_id, cell,
-      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS rn
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cscore DESC NULLS LAST, cell ASC) AS rn,
+      MIN(CASE WHEN isfinite(cscore) THEN 1 ELSE 0 END)
+        OVER (PARTITION BY query_id) AS allfin
     FROM ({cell_scores_union})
-  ) WHERE rn <= {n_probe}
+  ) WHERE rn <= {n_probe} AND allfin = 1
 ),
 q AS (SELECT query_id, qvec FROM qscored),
 cand AS (
@@ -3762,11 +3774,17 @@ corpus AS MATERIALIZED (SELECT vec_id, cell, {code_exprs} FROM wg),
 qscored AS (SELECT vec_id AS query_id, v AS qv, * EXCLUDE (vec_id, v)
             FROM csc WHERE vec_id < 5),
 qcells AS (
+  -- drop dirty QUERIES (any NULL/NaN/Inf cell score) entirely: the
+  -- engine's probe_cell_order yields a NULL probe order when ANY score
+  -- is non-finite and the explode drops the query; NULLS LAST spelled
+  -- per the repo ordering rule (r12 review — latent on clean testdata)
   SELECT query_id, cell FROM (
     SELECT query_id, cell,
-      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS rn
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cscore DESC NULLS LAST, cell ASC) AS rn,
+      MIN(CASE WHEN isfinite(cscore) THEN 1 ELSE 0 END)
+        OVER (PARTITION BY query_id) AS allfin
     FROM ({cell_scores_union})
-  ) WHERE rn <= {n_probe}
+  ) WHERE rn <= {n_probe} AND allfin = 1
 ),
 q AS MATERIALIZED (SELECT query_id, qv, {lut_exprs} FROM qscored),
 cand AS (

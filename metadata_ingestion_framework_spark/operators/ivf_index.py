@@ -71,7 +71,7 @@ class IvfIndex:
         n_buckets: int = 64,
         cell_cap: int | None = None,
         pq_m: int | None = None,
-        pq_k: int = 8,
+        pq_k: int | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -92,6 +92,9 @@ class IvfIndex:
         if pq_m is not None and dim % pq_m:
             raise ValueError(f"dim={dim} is not divisible by pq_m={pq_m}")
         self.pq_m = pq_m
+        # None = adopt the stored geometry on reopen / default 8 at build
+        # (the cell_cap convention — r12 second review: a defaulted pq_k
+        # used to spuriously reject reopening a non-default-k index)
         self.pq_k = pq_k
         self.codebooks: list[list[list[float]]] | None = None
         # cell -> n_children for cells split at build time (r11, VERDICT
@@ -132,10 +135,10 @@ class IvfIndex:
             stored_books = meta.get("pq_codebooks")
             if stored_books is not None:
                 # PQ geometry is layout too: codes in the store are only
-                # decodable against the books that produced them
-                if pq_m is not None and (
-                    pq_m != len(stored_books)
-                    or pq_k != len(stored_books[0])
+                # decodable against the books that produced them. Only
+                # EXPLICITLY-given values are compared (None adopts)
+                if (pq_m is not None and pq_m != len(stored_books)) or (
+                    pq_k is not None and pq_k != len(stored_books[0])
                 ):
                     raise ValueError(
                         f"index at {root} was built with "
@@ -255,6 +258,8 @@ class IvfIndex:
                 pq_train,
             )
 
+            if self.pq_k is None:
+                self.pq_k = 8
             self.codebooks = pq_train(
                 corpus, self.dim, self.pq_m, self.pq_k,
                 id_col=self.id_col, vec_col=self.vec_col,
@@ -314,22 +319,31 @@ class IvfIndex:
             range_bucket_expr,
         )
 
-        out = ivf_assign(
-            batch.select(self.id_col, self.vec_col), centroids, self.vec_col
-        ).withColumnRenamed("__ivf_cell", "cell")
-        out = out.withColumn(
+        if self.codebooks is not None:
+            # FUSED cell+codes kernel: one Arrow pass instead of two
+            # (r12 second review — the chained form serialized every
+            # vector through Python twice on the ingest hot path)
+            from metadata_ingestion_framework_spark.operators.pq import (
+                ivfpq_assign_encode,
+            )
+
+            out = ivfpq_assign_encode(
+                batch.select(self.id_col, self.vec_col),
+                centroids,
+                self.codebooks,
+                self.vec_col,
+            ).withColumnRenamed("__ivf_cell", "cell")
+        else:
+            out = ivf_assign(
+                batch.select(self.id_col, self.vec_col), centroids,
+                self.vec_col,
+            ).withColumnRenamed("__ivf_cell", "cell")
+        return out.withColumn(
             "vec_bucket",
             range_bucket_expr(
                 out, self.id_col, self.vec_bucket_width, self.n_buckets
             ),
         )
-        if self.codebooks is not None:
-            from metadata_ingestion_framework_spark.operators.pq import (
-                pq_encode,
-            )
-
-            out = pq_encode(out, self.codebooks, self.vec_col)
-        return out
 
     def append(self, batch: DataFrame) -> None:
         """Incremental ingest: assign the batch with the FIXED centroids
@@ -461,10 +475,9 @@ class IvfIndex:
 
         Requires a ``pq_m``-built index."""
         from metadata_ingestion_framework_spark.operators.pq import (
+            _adc_rerank,
             _adc_score,
-        )
-        from metadata_ingestion_framework_spark.operators.similarity import (
-            dot,
+            _attach_luts,
         )
 
         if self.centroids is None:
@@ -477,18 +490,7 @@ class IvfIndex:
         q = queries.select(
             query_id_col, F.col(self.vec_col).alias("__qvec")
         )
-        lut_names = []
-        for j, cb in enumerate(self.codebooks):
-            q_sub = F.slice(F.col("__qvec"), j * sub + 1, sub)
-            lut = F.array(
-                *[
-                    dot(q_sub, F.array(*[F.lit(float(x)) for x in entry]))
-                    for entry in cb
-                ]
-            )
-            name = f"__lut{j}"
-            q = q.withColumn(name, lut)
-            lut_names.append(name)
+        q, lut_names = _attach_luts(q, self.codebooks, sub)
         q = q.withColumn(
             "cell",
             F.explode(
@@ -518,25 +520,15 @@ class IvfIndex:
                     F.col("pq_codes"), [F.col(n) for n in lut_names]
                 ).alias("qscore"),
             )
-            survivors = _topk(
-                cand, k * rerank_factor, query_id_col, self.id_col,
-                score_col="qscore", rank_col="qrank",
-            ).select(query_id_col, self.id_col)
-            # rerank: (id, vec) from the same probed partitions only
-            rer = scan.select(self.id_col, self.vec_col).join(
-                F.broadcast(survivors), self.id_col
-            ).join(
-                F.broadcast(q.select(query_id_col, "__qvec").distinct()),
-                query_id_col,
+            # shared ADC tail; rerank reads (id, vec) from the SAME
+            # probed partitions only
+            out = _adc_rerank(
+                cand,
+                scan.select(self.id_col, self.vec_col),
+                q.select(query_id_col, "__qvec").distinct(),
+                k, rerank_factor,
+                self.id_col, self.vec_col, query_id_col,
             )
-            scored = rer.select(
-                query_id_col,
-                self.id_col,
-                F.round(
-                    cosine(F.col(self.vec_col), F.col("__qvec")), 6
-                ).alias("score"),
-            )
-            out = _topk(scored, k, query_id_col, self.id_col)
             out._persisted_deps = [q]
             return out
         except Exception:

@@ -61,7 +61,6 @@ from metadata_ingestion_framework_spark.operators.similarity import (
     _vec_matrix,
     cosine,
     dot,
-    ivf_assign,
     probe_cell_order,
 )
 
@@ -110,6 +109,42 @@ def pq_train(
         )
         books.append(model.unit_centroids)
     return books
+
+
+def _check_geometry(dim: int, codebooks: list[list[list[float]]]) -> tuple[int, int]:
+    """(m, sub) from the codebooks, validated against ``dim`` (r12 second
+    review: a geometry mismatch used to fail SILENTLY — every row masked
+    off-dim, NULL codes, NULL LUT entries — and the rerank then returned
+    plausible rows with arbitrary recall)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if m * sub != dim:
+        raise ValueError(
+            f"codebooks cover {m} x {sub} = {m * sub} dims, expected dim={dim}"
+        )
+    return m, sub
+
+
+def _argmax_refold(sl, mat, abs_mat):
+    """First-max dot argmax with the borderline sequential re-fold (the
+    shared ivf_assign convention): returns (int32 cells, finite row
+    mask). ONE definition for the cell kernel, the per-subspace code
+    kernel, and the fused assign+encode kernel."""
+    import numpy as np
+
+    scores = sl @ mat
+    finite = np.isfinite(scores).all(axis=1)
+    cells = scores.argmax(axis=1)
+    if scores.shape[1] > 1:
+        err = _fold_vs_blas_err(np.abs(sl), abs_mat)
+        part = np.partition(scores, -2, axis=1)
+        close = part[:, -1] - part[:, -2] <= 2.0 * err.max(axis=1)
+        for r in np.nonzero(close)[0]:
+            exact = [
+                _fold_dot(sl[r], mat[:, c]) for c in range(scores.shape[1])
+            ]
+            cells[r] = int(np.argmax(exact))
+    return cells.astype(np.int32), finite
 
 
 def pq_encode(
@@ -163,22 +198,11 @@ def pq_encode(
                     finite = np.ones(mtx.shape[0], dtype=bool)
                     for j in range(m):
                         sl = mtx[:, j * sub : (j + 1) * sub]
-                        scores = sl @ mats[j]  # (n, k)
                         # overflow-to-Inf/NaN scores from FINITE inputs
                         # -> NULL codes (the family's dirty contract;
                         # argmax over NaN/Inf is garbage — r12 review)
-                        finite &= np.isfinite(scores).all(axis=1)
-                        cells = scores.argmax(axis=1)
-                        if scores.shape[1] > 1:
-                            err = _fold_vs_blas_err(np.abs(sl), abs_mats[j])
-                            part = np.partition(scores, -2, axis=1)
-                            close = part[:, -1] - part[:, -2] <= 2.0 * err.max(axis=1)
-                            for r in np.nonzero(close)[0]:
-                                exact = [
-                                    _fold_dot(sl[r], mats[j][:, c])
-                                    for c in range(scores.shape[1])
-                                ]
-                                cells[r] = int(np.argmax(exact))
+                        cells, fin = _argmax_refold(sl, mats[j], abs_mats[j])
+                        finite &= fin
                         codes[:, j] = cells
                     rows = [
                         c if f else None
@@ -204,6 +228,135 @@ def _adc_score(
         term = F.element_at(lut, F.element_at(codes_col, j + 1) + F.lit(1))
         acc = term if acc is None else acc + term
     return F.round(acc, round_to)
+
+
+def _attach_luts(
+    q: DataFrame, codebooks: list[list[list[float]]], sub: int
+) -> tuple[DataFrame, list[str]]:
+    """Attach the per-query ADC lookup tables (``__lut<j>`` = the k dots
+    of the query's j-th subvector against codebook j) to the small query
+    side — THE one definition the three serving faces share (pq_topk /
+    ivfpq_topk / IvfIndex.topk_adc; r12 second review: three verbatim
+    copies had already appeared)."""
+    lut_names = []
+    for j, cb in enumerate(codebooks):
+        q_sub = F.slice(F.col("__qvec"), j * sub + 1, sub)
+        lut = F.array(
+            *[
+                dot(q_sub, F.array(*[F.lit(float(x)) for x in entry]))
+                for entry in cb
+            ]
+        )
+        name = f"__lut{j}"
+        q = q.withColumn(name, lut)
+        lut_names.append(name)
+    return q, lut_names
+
+
+def _adc_rerank(
+    cand: DataFrame,
+    vectors: DataFrame,
+    qvecs: DataFrame,
+    k: int,
+    rerank_factor: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The shared ADC tail: per-query top ``k * rerank_factor`` of the
+    SKINNY (query_id, id, qscore) candidates, then the exact
+    ``round(cosine, 6)`` rerank of the broadcast survivors against
+    ``vectors`` (full-precision side) and ``qvecs`` (one row per query).
+    One definition so the qscore/rerank conventions cannot drift across
+    the serving faces."""
+    survivors = _topk(
+        cand, k * rerank_factor, query_id_col, id_col,
+        score_col="qscore", rank_col="qrank",
+    ).select(query_id_col, id_col)
+    rer = vectors.join(F.broadcast(survivors), id_col).join(
+        F.broadcast(qvecs), query_id_col
+    )
+    scored = rer.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    return _topk(scored, k, query_id_col, id_col)
+
+
+def ivfpq_assign_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    output_cols: list[str] | None = None,
+) -> DataFrame:
+    """FUSED cell assignment + PQ encoding: ONE Arrow pass computes both
+    ``__ivf_cell`` and ``pq_codes`` (r12 second review: chaining
+    ``ivf_assign`` then ``pq_encode`` serializes every full-precision
+    vector through Python twice — on the build/append/ingest hot path
+    that is 2x the corpus Arrow traffic for the same math). Cells and
+    codes are bit-identical to the chained kernels (same
+    ``_argmax_refold``, same ``_vec_matrix`` dirty mask; pytest-proven
+    on clean AND dirty rows): dirty rows emit NULL for both, a
+    non-finite CELL score nulls the cell, a non-finite SUBSPACE score
+    nulls the codes."""
+    import numpy as np
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _widen_narrow_input,
+    )
+
+    cent_mat = np.asarray(centroids, dtype=np.float64).T  # (dim, n_cells)
+    abs_cent = np.abs(cent_mat)
+    dim = cent_mat.shape[0]
+    m, sub = _check_geometry(dim, codebooks)
+    mats = [np.asarray(cb, dtype=np.float64).T for cb in codebooks]
+    abs_mats = [np.abs(x) for x in mats]
+    kept = (
+        [f for f in corpus.schema.fields if f.name in set(output_cols)]
+        if output_cols is not None
+        else list(corpus.schema.fields)
+    )
+    schema = StructType(
+        kept
+        + [
+            StructField("__ivf_cell", IntegerType()),
+            StructField("pq_codes", ArrayType(IntegerType())),
+        ]
+    )
+    kept_names = [f.name for f in kept]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[kept_names].copy()
+            cell_res = pd.array([None] * len(pdf), dtype="Int32")
+            code_res = [None] * len(pdf)
+            if len(pdf):
+                valid, mtx = _vec_matrix(pdf[vec_col].to_numpy(), dim)
+                if valid.any():
+                    cells, cfin = _argmax_refold(mtx, cent_mat, abs_cent)
+                    out_cells = pd.array(cells, dtype="Int32")
+                    out_cells[~cfin] = None
+                    cell_res[valid] = out_cells
+                    codes = np.empty((mtx.shape[0], m), dtype=np.int32)
+                    finite = np.ones(mtx.shape[0], dtype=bool)
+                    for j in range(m):
+                        sl = mtx[:, j * sub : (j + 1) * sub]
+                        cj, fin = _argmax_refold(sl, mats[j], abs_mats[j])
+                        finite &= fin
+                        codes[:, j] = cj
+                    rows = [
+                        c if f else None
+                        for c, f in zip(codes.tolist(), finite)
+                    ]
+                    it = iter(rows)
+                    code_res = [next(it) if v else None for v in valid]
+            out["__ivf_cell"] = cell_res
+            out["pq_codes"] = pd.Series(code_res, dtype=object)
+            yield out
+
+    return _widen_narrow_input(corpus).mapInPandas(run, schema=schema)
 
 
 def pq_topk(
@@ -232,22 +385,13 @@ def pq_topk(
     """
     if codebooks is None:
         codebooks = pq_codebooks(dim, m, k_codes, seed)
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
+    m, sub = _check_geometry(dim, codebooks)
 
     base = corpus.select(id_col, vec_col)
     coded = pq_encode(base, codebooks, vec_col, output_cols=[id_col])
 
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    lut_names = []
-    for j, cb in enumerate(codebooks):
-        q_sub = F.slice(F.col("__qvec"), j * sub + 1, sub)
-        lut = F.array(
-            *[dot(q_sub, F.array(*[F.lit(float(x)) for x in entry])) for entry in cb]
-        )
-        name = f"__lut{j}"
-        q = q.withColumn(name, lut)
-        lut_names.append(name)
+    q, lut_names = _attach_luts(q, codebooks, sub)
 
     # SKINNY candidate payload (CLAUDE.md rule; r12 review): the ADC rows
     # that flow through the per-query top-k shuffle carry only
@@ -260,20 +404,10 @@ def pq_topk(
             "qscore"
         ),
     )
-    survivors = _topk(
-        cand, k * rerank_factor, query_id_col, id_col,
-        score_col="qscore", rank_col="qrank",
-    ).select(query_id_col, id_col)
-
-    rer = base.join(F.broadcast(survivors), id_col).join(
-        F.broadcast(q.select(query_id_col, "__qvec")), query_id_col
+    return _adc_rerank(
+        cand, base, q.select(query_id_col, "__qvec"), k, rerank_factor,
+        id_col, vec_col, query_id_col,
     )
-    scored = rer.select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
-    )
-    return _topk(scored, k, query_id_col, id_col)
 
 
 def ivfpq_topk(
@@ -298,9 +432,9 @@ def ivfpq_topk(
     scored, PQ codes bound the BYTES each scored row costs. The two
     single-axis operators compose verbatim:
 
-    - corpus side: ONE pass chains :func:`ivf_assign` (cell) and
-      :func:`pq_encode` (codes); the stored/scanned row is
-      (id, cell, m bytes) — at 100 TB this is the layout written once
+    - corpus side: ONE fused Arrow pass (:func:`ivfpq_assign_encode`)
+      computes cell AND codes — the stored/scanned row is
+      (id, cell, m bytes); at 100 TB this is the layout written once
       at ingest, cell-partitioned like ``IvfIndex``, and a query's scan
       touches n_probe/n_cells of the corpus at ~m bytes per row;
     - query side: the probe list (:func:`probe_cell_order`, the exact
@@ -321,25 +455,15 @@ def ivfpq_topk(
     cents = _resolve_centroids(centroids, dim, n_cells, seed)
     if codebooks is None:
         codebooks = pq_codebooks(dim, m, k_codes, seed)
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
+    m, sub = _check_geometry(dim, codebooks)
 
     base = corpus.select(id_col, vec_col)
-    celled = ivf_assign(base, cents, vec_col)
-    coded = pq_encode(
-        celled, codebooks, vec_col, output_cols=[id_col, "__ivf_cell"]
+    coded = ivfpq_assign_encode(
+        base, cents, codebooks, vec_col, output_cols=[id_col]
     )
 
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    lut_names = []
-    for j, cb in enumerate(codebooks):
-        q_sub = F.slice(F.col("__qvec"), j * sub + 1, sub)
-        lut = F.array(
-            *[dot(q_sub, F.array(*[F.lit(float(x)) for x in entry])) for entry in cb]
-        )
-        name = f"__lut{j}"
-        q = q.withColumn(name, lut)
-        lut_names.append(name)
+    q, lut_names = _attach_luts(q, codebooks, sub)
     probe = F.slice(probe_cell_order(F.col("__qvec"), cents), 1, n_probe)
     probed = q.withColumn("__ivf_cell", F.explode(probe))
 
@@ -352,20 +476,10 @@ def ivfpq_topk(
             "qscore"
         ),
     )
-    survivors = _topk(
-        cand, k * rerank_factor, query_id_col, id_col,
-        score_col="qscore", rank_col="qrank",
-    ).select(query_id_col, id_col)
-
-    rer = base.join(F.broadcast(survivors), id_col).join(
-        F.broadcast(q.select(query_id_col, "__qvec")), query_id_col
+    return _adc_rerank(
+        cand, base, q.select(query_id_col, "__qvec"), k, rerank_factor,
+        id_col, vec_col, query_id_col,
     )
-    scored = rer.select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
-    )
-    return _topk(scored, k, query_id_col, id_col)
 
 
 # --- codebook persistence (r12) --------------------------------------------

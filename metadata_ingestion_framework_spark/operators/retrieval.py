@@ -66,21 +66,35 @@ def bm25_topk(
         F.col(id_col), _terms(text_col).alias("__toks")
     ).withColumn("__dl", F.size("__toks"))
 
-    # corpus stats as a broadcast 1-row agg (in-DAG, no driver collect).
-    # avgdl = exact LONG sum / exact count -> ONE double division, so it
-    # is order-free and bit-identical cross-engine (built-in AVG on
-    # integral inputs accumulates DOUBLES partials — order-dependent)
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("__n_docs"),
-        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
-    )
-
     tf = (
         docs.select(id_col, "__dl", F.explode("__toks").alias("term"))
         .groupBy(id_col, "__dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # corpus stats as a broadcast 1-row agg (in-DAG, no driver collect).
+    # Total tokens come from the tf AGGREGATE (sum of tf == sum of dl —
+    # its exchange is already built for dfreq/postings, so this adds NO
+    # second tokenize pass; r12 review: an agg over `docs` re-ran the
+    # per-row regex for the whole corpus) and n_docs from an id-only
+    # column scan (token-less docs count in the denominator). avgdl =
+    # exact LONG sum / exact count -> ONE double division, order-free
+    # and bit-identical cross-engine (built-in AVG on integral inputs
+    # accumulates DOUBLE partials — order-dependent).
+    n_docs_df = corpus.select(id_col).agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    stats = (
+        tf.agg(F.sum("tf").alias("__total"))
+        .crossJoin(n_docs_df)
+        .select(
+            "__n_docs",
+            (F.col("__total").cast("double") / F.col("__n_docs")).alias(
+                "__avgdl"
+            ),
+        )
+    )
     postings = tf.join(dfreq, "term").crossJoin(F.broadcast(stats))
 
     qterms = queries.select(
