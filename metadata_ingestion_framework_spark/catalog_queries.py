@@ -3951,8 +3951,28 @@ def q_ann_recall(spark, sf_dir):
         ).alias("lsh_mono_ok"),
         (F.col("recall_m2") >= 0.05).alias("lsh_bound_ok_m2"),
     )
-    out = ivf.join(F.broadcast(lsh), "query_id")  # Q-row contract faces
-    out = carry_deps(carry_deps(out, r), s)
+    # PQ face (r12 — closes the recall contract for every ANN family:
+    # IVF / LSH / PQ): settings are nested RERANK factors; recall_full is
+    # the no-compression scan and must be exactly 1.0 (same theorem, same
+    # shared _nested_probe_recall engine). Measured rf1/rf2 floors 0.1
+    # across sf0.001/0.01/0.1 (deterministic untrained codebooks) ->
+    # 0.05 bound with margin.
+    from metadata_ingestion_framework_spark.operators.pq import pq_recall
+
+    p = pq_recall(emb, queries, dim=64, k=10, m=4, k_codes=8, factors=(1, 2))
+    pqf = p.select(
+        "query_id",
+        F.col("recall_full").alias("pq_recall_full"),
+        (
+            (F.col("recall_rf1") <= F.col("recall_rf2"))
+            & (F.col("recall_rf2") <= F.col("recall_full"))
+        ).alias("pq_mono_ok"),
+        (F.col("recall_rf2") >= 0.05).alias("pq_bound_ok_rf2"),
+    )
+    out = ivf.join(F.broadcast(lsh), "query_id").join(
+        F.broadcast(pqf), "query_id"
+    )  # Q-row contract faces
+    out = carry_deps(carry_deps(carry_deps(out, r), s), p)
     out._persisted_deps = list(getattr(out, "_persisted_deps", ())) + [r]
     return out
 
@@ -3981,7 +4001,10 @@ SELECT query_id,
   true AS mean_ok_p4,
   CAST(1.0 AS DOUBLE) AS lsh_recall_full,
   true AS lsh_mono_ok,
-  true AS lsh_bound_ok_m2
+  true AS lsh_bound_ok_m2,
+  CAST(1.0 AS DOUBLE) AS pq_recall_full,
+  true AS pq_mono_ok,
+  true AS pq_bound_ok_rf2
 FROM topk GROUP BY query_id
 """
 

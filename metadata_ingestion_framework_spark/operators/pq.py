@@ -48,7 +48,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
@@ -480,6 +480,69 @@ def ivfpq_topk(
         cand, base, q.select(query_id_col, "__qvec"), k, rerank_factor,
         id_col, vec_col, query_id_col,
     )
+
+
+def pq_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 8,
+    factors: tuple[int, ...] = (1, 2),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Per-query recall@k of the PQ/ADC index vs the exact cosine top-k —
+    the :func:`similarity.ivf_recall` twin for the PQ family, closing the
+    recall-contract story for every ANN face (IVF / LSH / PQ).
+    ``factors`` are RERANK-FACTOR settings: ``pq_topk(rerank_factor=f)``
+    keeps the per-query top ``k*f`` by ADC score, and those survivor sets
+    are NESTED in ``f`` (one total qscore ordering), so the shared
+    ``_nested_probe_recall`` engine serves every setting from ONE scored
+    pass — ``__pos`` = the pair's per-query ADC rank, and the setting's
+    candidate set is exactly ``__pos <= k*f``.
+
+    The two family theorems hold: recall is monotone in ``f`` (candidate
+    superset + rerank), and ``recall_full`` (unbounded ``__pos`` — the
+    degenerate no-compression scan) is EXACTLY 1.0, bit-for-bit, because
+    the exact baseline scores with the identical ``round(cosine, 6)``
+    expression the rerank uses."""
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        _nested_probe_recall,
+    )
+
+    if codebooks is None:
+        codebooks = pq_codebooks(dim, m, k_codes, seed)
+    m, sub = _check_geometry(dim, codebooks)
+    coded = pq_encode(corpus.select(id_col, vec_col), codebooks, vec_col)
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    q, lut_names = _attach_luts(q, codebooks, sub)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__qscore").desc_nulls_last(), F.col(id_col).asc()
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            _adc_score(
+                F.col("pq_codes"), [F.col(n) for n in lut_names]
+            ).alias("__qscore"),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("__pos", F.row_number().over(w))
+        .drop("__qscore")
+    )
+    settings = [(f"recall_rf{f}", k * f) for f in factors] + [
+        ("recall_full", 1 << 30)
+    ]
+    return _nested_probe_recall(scored, k, settings, query_id_col, id_col)
 
 
 # --- codebook persistence (r12) --------------------------------------------

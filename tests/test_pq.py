@@ -235,3 +235,27 @@ def test_codebook_save_load_roundtrip(spark, tmp_path):
         save_pq_model(spark, root, pq_codebooks(DIM, M, KC + 4))
     with _pytest.raises(FileNotFoundError, match="no PQ model"):
         load_pq_model(spark, str(tmp_path / "missing"))
+
+
+def test_pq_recall_theorems(spark):
+    """The two recall-contract theorems for the PQ face: monotone in the
+    rerank factor (nested ADC-rank candidate sets) and recall_full ==
+    1.0 exactly (the unbounded scan reranks with the identical
+    round(cosine,6) expression the exact baseline uses)."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.pq import pq_recall
+
+    corpus = _corpus(spark)
+    queries = _queries(spark, corpus, ids=(0, 5, 12))
+    out = pq_recall(
+        corpus, queries, dim=DIM, k=5, m=M, k_codes=KC, factors=(1, 2)
+    )
+    rows = out.collect()
+    unpersist_deps(out)
+    assert len(rows) == 3
+    for r in rows:
+        assert r["recall_full"] == 1.0, r
+        assert r["recall_rf1"] <= r["recall_rf2"] <= r["recall_full"]
+        assert r["n_exact"] == 5

@@ -184,6 +184,20 @@ def probe(spark, docs, emb, tag: str) -> dict:
         r,
     )
 
+    # --- r12 BM25: postings build + broadcast-term query at 10x corpus
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    bm25_queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    timed(
+        "bm25_topk_total",
+        lambda: bm25_topk(docs, bm25_queries, k=10).count(),
+        r,
+    )
+
     # --- r6 text/training-data operators (explode + codegen agg paths)
     from metadata_ingestion_framework_spark.functions.text import (
         pack_manifest,
