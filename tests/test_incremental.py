@@ -694,3 +694,26 @@ def test_curation_incremental_lifecycle(spark, tmp_path):
     assert sig_ids == {1, 2, 3, 4, 11, 12, 13, 14, 15}
     vec_ids = {r.vec_id for r in estore.store.read(estore.VECS).select("vec_id").collect()}
     assert vec_ids == {1, 2, 3, 4, 11, 12, 13, 14, 15}
+
+
+def test_store_ingest_dirty_text_contract(spark, tmp_path):
+    """Token-less docs (NULL/empty/whitespace text) have no signature:
+    they always SURVIVE ingest (they cannot duplicate anything), are
+    never stored, and therefore never defend — a documented semantic of
+    signature-based dedup state, pinned so it cannot silently change."""
+    store = MinhashSignatureStore(
+        spark, str(tmp_path / "sig"), jaccard_threshold=0.5
+    )
+    r1 = _docs(spark, [(1, BASE), (2, None), (3, ""), (4, "   \n ")])
+    s1 = store.ingest(r1, "run-1")
+    assert {r.doc_id for r in s1.collect()} == {1, 2, 3, 4}
+    stored = {
+        r.doc_id
+        for r in store.store.read(store.SIGS).select("doc_id").collect()
+    }
+    assert stored == {1}  # only the real signature persists
+    # run 2: the clean dup drops against the store; a new NULL-text doc
+    # still survives (nothing can defend against a doc with no content)
+    r2 = _docs(spark, [(11, BASE), (12, None)])
+    s2 = store.ingest(r2, "run-2")
+    assert {r.doc_id for r in s2.collect()} == {12}
