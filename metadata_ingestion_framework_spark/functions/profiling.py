@@ -33,6 +33,7 @@ def profile_table(
     df: DataFrame,
     cols: list[str] | None = None,
     approximate: bool = False,
+    include_dtype: bool = False,
 ) -> DataFrame:
     """One-pass per-column profile of ``cols`` (default: all columns).
 
@@ -40,7 +41,12 @@ def profile_table(
     ``n_null`` / ``n_distinct`` bigint, ``min_value`` / ``max_value``
     string (values cast to string so heterogeneous column types share
     one schema — the catalog-table convention). NULL-only columns
-    profile to (n, n, 0, NULL, NULL)."""
+    profile to (n, n, 0, NULL, NULL).
+
+    ``include_dtype`` adds the column's Spark ``dtype`` string (a plan
+    constant, no scan cost); :func:`profile_drift` uses it when present
+    to gate the numeric range comparison on the PROFILED type instead of
+    on whether the min/max strings happen to look numeric (ADVICE r12)."""
     cols = list(cols) if cols is not None else list(df.columns)
     if not cols:
         raise ValueError("profile_table needs at least one column")
@@ -60,6 +66,7 @@ def profile_table(
             ]
         )
     row = df.agg(*aggs)
+    dtypes = dict(df.dtypes)
     profiles = F.array(
         *[
             F.struct(
@@ -71,11 +78,18 @@ def profile_table(
                 F.col(f"__nd_{i}").cast("bigint").alias("n_distinct"),
                 F.col(f"__min_{i}").alias("min_value"),
                 F.col(f"__max_{i}").alias("max_value"),
+                *([F.lit(dtypes[c]).alias("dtype")] if include_dtype else []),
             )
             for i, c in enumerate(cols)
         ]
     )
     return row.select(F.explode(profiles).alias("p")).select("p.*")
+
+
+# dtype strings whose stringified min/max compare correctly as numbers
+_NUMERIC_DTYPE_RE = (
+    r"^(tinyint|smallint|int|bigint|float|double|decimal\(.*\))$"
+)
 
 
 def profile_drift(
@@ -98,7 +112,18 @@ def profile_drift(
     stated precision floor is 1e-18: numeric values differing only below
     atto-scale compare equal). Every flag is a real boolean — a
     NULL-only column (NULL min/max both sides) reads ``range_shifted =
-    false``, not NULL."""
+    false``, not NULL.
+
+    Two ADVICE-r12 refinements: (1) when both profiles carry the
+    optional ``dtype`` column (``profile_table(include_dtype=True)``)
+    the numeric path is gated on the PROFILED dtype — a STRING column
+    whose values happen to look numeric ('0123' vs '123') compares as
+    strings and correctly reads shifted; dtype-less profiles keep the
+    try_cast heuristic (numeric-string caveat applies). (2) an added or
+    dropped column reads ``range_shifted = false`` — the range did not
+    shift, the column appeared/vanished, and that is exactly what
+    ``column_added_or_dropped`` signals."""
+    typed = "dtype" in current.columns and "dtype" in previous.columns
     cur = current.select(
         "column",
         F.col("n_rows").alias("cur_rows"),
@@ -106,6 +131,7 @@ def profile_drift(
         F.col("n_distinct").alias("cur_distinct"),
         F.col("min_value").alias("cur_min"),
         F.col("max_value").alias("cur_max"),
+        *([F.col("dtype").alias("cur_dtype")] if typed else []),
     )
     prev = previous.select(
         "column",
@@ -114,6 +140,7 @@ def profile_drift(
         F.col("n_distinct").alias("prev_distinct"),
         F.col("min_value").alias("prev_min"),
         F.col("max_value").alias("prev_max"),
+        *([F.col("dtype").alias("prev_dtype")] if typed else []),
     )
     cur_null_rate = F.col("cur_null") / F.greatest(F.col("cur_rows"), F.lit(1))
     prev_null_rate = F.col("prev_null") / F.greatest(
@@ -126,12 +153,18 @@ def profile_drift(
     numeric = F.lit(True)
     for s, n in nums.items():
         numeric = numeric & (n.isNotNull() | F.col(s).isNull())
+    if typed:
+        # gate on the PROFILED dtype, not on value shape (ADVICE r12):
+        # a string column of digit-strings must compare as strings
+        for side in ("cur_dtype", "prev_dtype"):
+            numeric = numeric & F.col(side).rlike(_NUMERIC_DTYPE_RE)
     num_shift = (~nums["cur_min"].eqNullSafe(nums["prev_min"])) | (
         ~nums["cur_max"].eqNullSafe(nums["prev_max"])
     )
     str_shift = (~F.col("cur_min").eqNullSafe(F.col("prev_min"))) | (
         ~F.col("cur_max").eqNullSafe(F.col("prev_max"))
     )
+    added_dropped = F.col("cur_rows").isNull() | F.col("prev_rows").isNull()
     return cur.join(F.broadcast(prev), "column", "full_outer").select(
         "column",
         "cur_rows", "prev_rows",
@@ -145,8 +178,8 @@ def profile_drift(
             (F.col("cur_distinct") <= 1) & (F.col("prev_distinct") > 1),
             F.lit(False),
         ).alias("cardinality_collapsed"),
-        F.when(numeric, num_shift).otherwise(str_shift).alias("range_shifted"),
-        (
-            F.col("cur_rows").isNull() | F.col("prev_rows").isNull()
-        ).alias("column_added_or_dropped"),
+        F.when(added_dropped, F.lit(False))
+        .otherwise(F.when(numeric, num_shift).otherwise(str_shift))
+        .alias("range_shifted"),
+        added_dropped.alias("column_added_or_dropped"),
     )

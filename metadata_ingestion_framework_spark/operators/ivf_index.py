@@ -160,7 +160,23 @@ class IvfIndex:
                 # open's values so the guard is armed from now on —
                 # skipping absent keys would leave the legacy index
                 # reopenable under any layout forever (r12 review). The
-                # first guarded open states the assumption durably.
+                # first guarded open states the assumption durably —
+                # LOUDLY (ADVICE r12): if THIS open's values differ from
+                # the original build's, the guard is durably armed with
+                # wrong values (future correct opens rejected, wrong
+                # ones accepted), and only the operator can verify the
+                # assumption against the build job's config.
+                import warnings
+
+                warnings.warn(
+                    f"index at {self.root} predates layout metadata; "
+                    f"backfilling {missing} from THIS open's values "
+                    f"({ {k: layout[k] for k in missing} }). Verify these "
+                    "match the original build config — a mismatched "
+                    "backfill durably arms the layout guard with wrong "
+                    "values.",
+                    stacklevel=2,
+                )
                 meta.update({k: layout[k] for k in missing})
                 tmp = self._cent_path + ".tmp"
                 with open(tmp, "w") as f:

@@ -125,6 +125,23 @@ def _check_geometry(dim: int, codebooks: list[list[list[float]]]) -> tuple[int, 
     return m, sub
 
 
+def _kept_fields(corpus: DataFrame, output_cols: list[str] | None):
+    """Resolve ``output_cols`` against the corpus schema, RAISING on
+    unknown names (ADVICE r12: the set-intersection filter silently
+    dropped typos, changing the output schema with the failure surfacing
+    only at a far-downstream select). None keeps every input column."""
+    if output_cols is None:
+        return list(corpus.schema.fields)
+    names = {f.name for f in corpus.schema.fields}
+    unknown = sorted(set(output_cols) - names)
+    if unknown:
+        raise ValueError(
+            f"output_cols {unknown} not in corpus columns {sorted(names)}"
+        )
+    keep = set(output_cols)
+    return [f for f in corpus.schema.fields if f.name in keep]
+
+
 def _argmax_refold(sl, mat, abs_mat):
     """First-max dot argmax with the borderline sequential re-fold (the
     shared ivf_assign convention): returns (int32 cells, finite row
@@ -179,11 +196,7 @@ def pq_encode(
         np.asarray(cb, dtype=np.float64).T for cb in codebooks
     ]  # (sub, k) each
     abs_mats = [np.abs(x) for x in mats]
-    kept = (
-        [f for f in corpus.schema.fields if f.name in set(output_cols)]
-        if output_cols is not None
-        else list(corpus.schema.fields)
-    )
+    kept = _kept_fields(corpus, output_cols)
     schema = StructType(kept + [StructField(out_col, ArrayType(IntegerType()))])
     kept_names = [f.name for f in kept]
 
@@ -313,11 +326,7 @@ def ivfpq_assign_encode(
     m, sub = _check_geometry(dim, codebooks)
     mats = [np.asarray(cb, dtype=np.float64).T for cb in codebooks]
     abs_mats = [np.abs(x) for x in mats]
-    kept = (
-        [f for f in corpus.schema.fields if f.name in set(output_cols)]
-        if output_cols is not None
-        else list(corpus.schema.fields)
-    )
+    kept = _kept_fields(corpus, output_cols)
     schema = StructType(
         kept
         + [

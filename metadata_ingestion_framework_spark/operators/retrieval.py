@@ -38,9 +38,14 @@ from metadata_ingestion_framework_spark.operators.similarity import _topk
 
 def _terms(text_col: str):
     # Spark's regexp_extract_all defaults to capture-group 1; a plain
-    # pattern needs the explicit 0 (DuckDB's defaults to the full match)
-    return F.expr(
-        f"regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z]+', 0)"
+    # pattern needs the explicit 0 (DuckDB's defaults to the full match).
+    # Column arguments throughout (ADVICE r12): interpolating the raw
+    # name into an F.expr SQL string broke (or silently mis-resolved)
+    # column names needing backticks — spaces, dots, keywords.
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit("[a-z]+"),
+        F.lit(0),
     )
 
 

@@ -426,8 +426,15 @@ def test_legacy_meta_backfilled_on_open(spark, tmp_path):
         meta.pop(k)
     with open(meta_path, "w") as f:
         json.dump(meta, f)
-    # legacy open succeeds (nothing to compare) and backfills
-    IvfIndex(spark, root, dim=64, n_cells=8, vec_bucket_width=4096)
+    # legacy open succeeds (nothing to compare) and backfills — LOUDLY
+    # (ADVICE r12): the operator must be told the guard is being armed
+    # from this open's values, since a wrong assumption is durable
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        IvfIndex(spark, root, dim=64, n_cells=8, vec_bucket_width=4096)
+    assert any("backfilling" in str(w.message) for w in caught)
     with open(meta_path) as f:
         assert json.load(f)["vec_bucket_width"] == 4096
     # the guard is now armed: the original width no longer opens

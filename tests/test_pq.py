@@ -163,6 +163,18 @@ def test_dim_not_divisible_rejected(spark):
         pq_train(_corpus(spark, n=4), dim=DIM, m=3, k=KC)
 
 
+def test_unknown_output_cols_rejected(spark):
+    """ADVICE r12: a typo in output_cols must raise at the call site, not
+    silently narrow the output schema."""
+    corpus = _corpus(spark, n=4)
+    books = pq_codebooks(DIM, M, KC)
+    with pytest.raises(ValueError, match="output_cols"):
+        pq_encode(corpus, books, output_cols=["vec_id", "vec_idd"])
+    # valid restriction still works
+    out = pq_encode(corpus, books, output_cols=["vec_id"])
+    assert set(out.columns) == {"vec_id", "pq_codes"}
+
+
 def test_ivfpq_full_probe_full_rerank_is_exact(spark):
     """IVF-PQ composition anchor: probing EVERY cell with a rerank factor
     covering the corpus makes the composed index exactly the brute-force

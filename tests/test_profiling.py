@@ -129,3 +129,48 @@ def test_profile_drift_typed_ranges(spark):
     )
     d3 = {r.column: r for r in profile_drift(big_cur, big_prev).collect()}
     assert d3["v"].range_shifted is True
+
+
+def test_profile_drift_dtype_gated(spark):
+    """ADVICE r12: with include_dtype profiles, the numeric comparison is
+    gated on the PROFILED dtype — digit-looking STRING values compare as
+    strings ('0123' != '123' IS a shift even though both cast to 123) —
+    and an added/dropped column reads range_shifted=false (the signal is
+    column_added_or_dropped, not a spurious range flag)."""
+    prev = profile_table(
+        spark.createDataFrame([("0123",), ("9",)], "v string"),
+        include_dtype=True,
+    )
+    cur = profile_table(
+        spark.createDataFrame([("123",), ("9",)], "v string"),
+        include_dtype=True,
+    )
+    d = {r.column: r for r in profile_drift(cur, prev).collect()}
+    assert d["v"].range_shifted is True  # string-compared: '0123' != '123'
+    # the same values WITHOUT dtype metadata fall back to the try_cast
+    # heuristic and read numeric-equal (the documented caveat)
+    prev_h = profile_table(spark.createDataFrame([("0123",), ("9",)], "v string"))
+    cur_h = profile_table(spark.createDataFrame([("123",), ("9",)], "v string"))
+    dh = {r.column: r for r in profile_drift(cur_h, prev_h).collect()}
+    assert dh["v"].range_shifted is False
+    # typed numeric columns still compare numerically through the gate
+    p_i = profile_table(
+        spark.createDataFrame([(9,), (3,)], "v int"), include_dtype=True
+    )
+    c_i = profile_table(
+        spark.createDataFrame([(10,), (3,)], "v int"), include_dtype=True
+    )
+    di = {r.column: r for r in profile_drift(c_i, p_i).collect()}
+    assert di["v"].range_shifted is True  # 9 -> 10, not lexical "9" > "10"
+    assert di["v"].dtype if hasattr(di["v"], "dtype") else True
+    # added/dropped: range_shifted is FALSE, flagged only by added_or_dropped
+    wide = profile_table(
+        spark.createDataFrame([(1, "a")], "id int, extra string"),
+        include_dtype=True,
+    )
+    narrow = profile_table(
+        spark.createDataFrame([(1,)], "id int"), include_dtype=True
+    )
+    dd = {r.column: r for r in profile_drift(narrow, wide).collect()}
+    assert dd["extra"].column_added_or_dropped is True
+    assert dd["extra"].range_shifted is False
