@@ -30,7 +30,7 @@ agree on what a "word" is.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metadata_ingestion_framework_spark.operators.similarity import _topk
@@ -107,6 +107,14 @@ def bm25_topk(
         F.explode(F.array_distinct(_terms(text_col))).alias("term"),
     )
 
+    return _score_qterms(postings, qterms, k, k1, b, query_id_col, id_col)
+
+
+def _term_score(k1: float, b: float):
+    """The per-(doc, term) BM25 contribution over columns ``tf`` / ``df``
+    / ``__dl`` / ``__n_docs`` / ``__avgdl`` — ONE definition shared by
+    the per-call :func:`bm25_topk` and the :class:`Bm25Index` serve face,
+    so the serve==rebuild equality holds expression-for-expression."""
     tf_d = F.col("tf").cast("double")
     idf = F.log(
         F.lit(1.0)
@@ -116,15 +124,418 @@ def bm25_topk(
     norm = tf_d + F.lit(k1) * (
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
     )
-    term_score = idf * (tf_d * F.lit(k1 + 1.0)) / norm
+    return idf * (tf_d * F.lit(k1 + 1.0)) / norm
 
+
+def _score_qterms(
+    postings: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    query_id_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared scoring tail: broadcast the (query, term) rows into the
+    postings, accumulate 6-decimal term contributions as DECIMAL(18,6)
+    (order-free exact sum), family tiebreak top-k."""
     scored = (
         postings.join(F.broadcast(qterms), "term")
         .groupBy(query_id_col, id_col)
         .agg(
             F.sum(
-                F.round(term_score, 6).cast("decimal(18,6)")
+                F.round(_term_score(k1, b), 6).cast("decimal(18,6)")
             ).cast("double").alias("score")
         )
     )
     return _topk(scored, k, query_id_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Persistent BM25 index (r13, VERDICT r12 item 1)
+# ---------------------------------------------------------------------------
+#
+# bm25_topk rebuilds postings + document frequencies + corpus stats on
+# every call; at 100 TB the index build IS the job. Bm25Index is the
+# lexical twin of IvfIndex: build once into a hierarchically partitioned
+# VersionedParquetStore, append incrementally through hard-link partition
+# deltas, retire by id range, serve partition-pruned — value-identical to
+# a fresh bm25_topk over the same corpus (the serve==rebuild convention).
+#
+# Layout (the embedding-store playbook, incremental.py):
+#   postings:   doc_bucket=<b>/term_bucket=<t>/  (doc_id, term, tf, __dl)
+#   doc_stats:  doc_bucket=<b>/                  (doc_id, __dl)
+#   bucket_stats: unpartitioned n_buckets-row    (doc_bucket, n_docs, total_dl)
+#
+# - doc_bucket = id-RANGE bucket (pure function of the id): a re-ingested
+#   doc's OLD postings live in the same top-level dirs its new ones land
+#   in, so the bucket rewrite both upserts and vacates stale terms, and
+#   monotone ingest ids concentrate a batch into its own buckets (delta
+#   write cost tracks the batch, not the index).
+# - term_bucket = xxhash64(term) % n_term_buckets: the SERVE granularity.
+#   A query's terms map to a bounded set of term buckets, and the serve
+#   scan filters on the partition column — directory pruning opens a
+#   |query terms| / n_term_buckets fraction of each doc bucket, the
+#   n_probe/n_cells analogue for text.
+# - df is NOT materialized: every posting row of a query term lives in
+#   that term's (pruned) buckets, so the serve pass derives exact df from
+#   the rows it already scans — always fresh, no merge bookkeeping, no
+#   ghost class (the minhash-bands "candidates-only" tolerance argument,
+#   but exact).
+# - N / avgdl ARE materialized, per doc bucket: exact integer (n_docs,
+#   total_dl) sums recomputed ONLY for touched buckets at append and
+#   summed at serve (n_buckets rows) — order-free by construction, so
+#   serve's avgdl is bit-identical to bm25_topk's long-sum/count.
+
+
+def term_bucket_expr(term_col, n_term_buckets: int):
+    """Partition key of a posting row: engine-side hash (xxhash64) of the
+    term, modulo the bucket count. Engine-specific by design (the oracle
+    contract is serve == fresh bm25_topk, never the bucket values)."""
+    return F.pmod(F.xxhash64(term_col), F.lit(n_term_buckets))
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    doc_bucket_width: int,
+    n_buckets: int,
+    n_term_buckets: int,
+) -> DataFrame:
+    """ONE tokenize pass -> the partitioned posting rows
+    ``(doc_id, term, tf, __dl, doc_bucket, term_bucket)``. Token-less
+    (NULL/empty) docs produce no posting rows — they still count in N
+    via ``doc_stats_of``."""
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        range_bucket_expr,
+    )
+
+    toks = docs.select(
+        F.col(id_col), _terms(text_col).alias("__toks")
+    ).withColumn("__dl", F.size("__toks"))
+    tf = (
+        toks.select(id_col, "__dl", F.explode("__toks").alias("term"))
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.withColumn(
+        "doc_bucket",
+        range_bucket_expr(tf, id_col, doc_bucket_width, n_buckets),
+    ).withColumn("term_bucket", term_bucket_expr(F.col("term"), n_term_buckets))
+
+
+def doc_stats_of(
+    ids: DataFrame,
+    postings: DataFrame,
+    id_col: str,
+    doc_bucket_width: int,
+    n_buckets: int,
+) -> DataFrame:
+    """``(doc_id, __dl, doc_bucket)`` for EVERY doc in ``ids`` — derived
+    from the postings (no second tokenize pass; ``__dl`` rides every
+    posting row) left-joined so token-less docs appear with ``__dl = 0``
+    (they count in N and avgdl's denominator — the bm25_topk
+    contract)."""
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        range_bucket_expr,
+    )
+
+    dls = postings.groupBy(id_col).agg(F.min("__dl").alias("__dl"))
+    out = (
+        ids.select(id_col)
+        .join(dls, id_col, "left")
+        .withColumn("__dl", F.coalesce(F.col("__dl"), F.lit(0)))
+    )
+    return out.withColumn(
+        "doc_bucket",
+        range_bucket_expr(out, id_col, doc_bucket_width, n_buckets),
+    )
+
+
+def bucket_stats_of(doc_stats: DataFrame) -> DataFrame:
+    """Per-doc-bucket exact corpus stats ``(doc_bucket, n_docs,
+    total_dl)`` — BIGINT sums, so any partial recomputation (touched
+    buckets only) composes to the same global N / avgdl as a full
+    rebuild."""
+    return doc_stats.groupBy("doc_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__dl").cast("bigint").alias("total_dl"),
+    )
+
+
+def merge_postings(
+    old_postings: DataFrame,
+    batch_postings: DataFrame,
+    batch_ids: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Upsert semantics for a multi-row-per-doc table: ALL of a
+    re-ingested doc's old posting rows are dropped (anti-join on the doc
+    id — an SCD1 on (doc, term) would leave stale rows for terms the new
+    text no longer contains) and the batch's rows take their place."""
+    return old_postings.join(
+        batch_ids.select(id_col), id_col, "left_anti"
+    ).unionByName(batch_postings)
+
+
+def serve_topk(
+    postings: DataFrame,
+    bucket_stats: DataFrame,
+    queries: DataFrame,
+    n_term_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The serve dataflow over ALREADY-BUILT index tables — shared by
+    :meth:`Bm25Index.topk` (where the ``term_bucket`` filter becomes
+    partition-directory pruning on the store scan) and the catalog's
+    in-memory emulation (where it is a plain filter; identical values
+    either way, which is exactly the pruning contract).
+
+    Returns ``(query_id, doc_id, score, rank)`` == ``bm25_topk`` over
+    the corpus the index holds. The result carries ``_persisted_deps``
+    (release with ``unpersist_deps``)."""
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(F.array_distinct(_terms(text_col))).alias("term"),
+    ).persist()  # consumed twice: bucket collect + the scoring join
+    try:
+        tbs = [
+            r.tb
+            for r in qterms.select(
+                term_bucket_expr(F.col("term"), n_term_buckets).alias("tb")
+            )
+            .distinct()
+            .collect()
+        ]  # bounded driver collect: <= distinct query terms values
+        pruned = postings.filter(F.col("term_bucket").isin(tbs))
+        # exact term filter BEFORE df: collisions share a bucket, so the
+        # pruned scan still holds foreign terms — join the (tiny,
+        # distinct) query-term list first, then derive df from rows the
+        # pass already reads. Persist: consumed by dfreq AND the scoring
+        # join (self-join rule) — skinny (id, term, tf, __dl).
+        posts_q = pruned.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        ).select(id_col, "term", "tf", "__dl").persist()
+        dfreq = posts_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        stats = bucket_stats.agg(
+            F.sum("n_docs").cast("bigint").alias("__n_docs"),
+            (
+                F.sum("total_dl").cast("double")
+                / F.sum("n_docs").cast("double")
+            ).alias("__avgdl"),
+        )
+        full = posts_q.join(F.broadcast(dfreq), "term").crossJoin(
+            F.broadcast(stats)
+        )
+        out = _score_qterms(full, qterms, k, k1, b, query_id_col, id_col)
+        out._persisted_deps = [qterms, posts_q]
+        return out
+    except Exception:
+        qterms.unpersist()
+        raise
+
+
+class Bm25Index:
+    """Persistent incremental BM25 index over a ``VersionedParquetStore``
+    (r13) — build / append / retire_ids_below / topk, the IvfIndex
+    lifecycle for lexical retrieval. See the module-section comment for
+    the layout rationale; the layout-defining config is guarded exactly
+    like the dedup stores (``_check_store_config``), with query-time
+    knobs (k, k1, b) deliberately excluded."""
+
+    POSTINGS = "postings"
+    DOC_STATS = "doc_stats"
+    BUCKET_STATS = "bucket_stats"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        doc_bucket_width: int = 8192,
+        n_buckets: int = 64,
+        n_term_buckets: int = 64,
+    ):
+        from metadata_ingestion_framework_spark.operators.incremental import (
+            _check_store_config,
+        )
+        from metadata_ingestion_framework_spark.plans.tablestore import (
+            VersionedParquetStore,
+        )
+
+        self.spark = spark
+        self.root = root
+        self.store = VersionedParquetStore(spark, root)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.doc_bucket_width = doc_bucket_width
+        self.n_buckets = n_buckets
+        self.n_term_buckets = n_term_buckets
+        _check_store_config(
+            root,
+            {
+                "id_col": id_col,
+                "text_col": text_col,
+                "doc_bucket_width": doc_bucket_width,
+                "n_buckets": n_buckets,
+                "n_term_buckets": n_term_buckets,
+            },
+        )
+
+    # -- building ---------------------------------------------------------
+    def _postings(self, batch: DataFrame) -> DataFrame:
+        return build_postings(
+            batch, self.id_col, self.text_col,
+            self.doc_bucket_width, self.n_buckets, self.n_term_buckets,
+        )
+
+    def _part_filter(self, touched_set):
+        vals = [v for v in touched_set if v is not None]
+        m = F.col("doc_bucket").isin(vals)
+        if None in touched_set:
+            m = m | F.col("doc_bucket").isNull()
+        return m
+
+    def build(self, corpus: DataFrame) -> None:
+        """One tokenize pass writes the postings; doc stats derive from
+        the WRITTEN postings (read-back — no second tokenize) plus an
+        id-only corpus scan for token-less docs."""
+        self.store.write(
+            self._postings(corpus),
+            self.POSTINGS,
+            partition_by=["doc_bucket", "term_bucket"],
+        )
+        stats = doc_stats_of(
+            corpus.select(self.id_col),
+            self.store.read(self.POSTINGS),
+            self.id_col, self.doc_bucket_width, self.n_buckets,
+        )
+        self.store.write(stats, self.DOC_STATS, partition_by=["doc_bucket"])
+        self.store.write(
+            bucket_stats_of(self.store.read(self.DOC_STATS)),
+            self.BUCKET_STATS,
+        )
+
+    def append(self, batch: DataFrame) -> None:
+        """Incremental ingest: partition-delta ONLY the batch ids' doc
+        buckets (old rows of re-ingested ids vacate in the same rewrite;
+        untouched buckets hard-link), then recompute bucket stats for the
+        touched buckets alone — write cost tracks the batch at any index
+        size."""
+        if not self.store.exists(self.POSTINGS):
+            return self.build(batch)
+        posts_b = self._postings(batch).persist()
+        stats_b = doc_stats_of(
+            batch.select(self.id_col), posts_b,
+            self.id_col, self.doc_bucket_width, self.n_buckets,
+        ).persist()  # consumed: touched collect + postings anti + scd1 merge
+        try:
+            touched_set = {
+                r.doc_bucket
+                for r in stats_b.select("doc_bucket").distinct().collect()
+            }
+            touched = sorted(
+                (v for v in touched_set if v is not None), key=str
+            ) + ([None] if None in touched_set else [])
+            match = self._part_filter(touched_set)
+            merged_posts = merge_postings(
+                self.store.read(self.POSTINGS).filter(match),
+                posts_b, stats_b, self.id_col,
+            )
+            self.store.write_partition_delta(
+                merged_posts, self.POSTINGS,
+                ["doc_bucket", "term_bucket"], touched,
+            )
+            from metadata_ingestion_framework_spark.operators.merge import (
+                scd1_merge,
+            )
+
+            merged_stats = scd1_merge(
+                self.store.read(self.DOC_STATS).filter(match),
+                stats_b, [self.id_col],
+            )
+            self.store.write_partition_delta(
+                merged_stats, self.DOC_STATS, ["doc_bucket"], touched
+            )
+            # bucket stats: recompute touched rows from the WRITTEN doc
+            # stats (partition-pruned read of the fresh version), carry
+            # the rest — BIGINT sums compose exactly
+            fresh = bucket_stats_of(
+                self.store.read(self.DOC_STATS).filter(match)
+            )
+            keep = self.store.read(self.BUCKET_STATS).filter(
+                ~F.coalesce(self._part_filter(touched_set), F.lit(False))
+            )
+            self.store.write(keep.unionByName(fresh), self.BUCKET_STATS)
+        finally:
+            posts_b.unpersist()
+            stats_b.unpersist()
+
+    def retire_ids_below(self, cutoff_id: int) -> None:
+        """Retention: drop every doc with ``id < cutoff_id`` — whole
+        id-range buckets below the cutoff are simply not carried (zero
+        bytes rewritten), only the boundary bucket rewrites filtered
+        (the shared ``_retire_range_ids_below`` machinery). BM25 is
+        ghost-intolerant three ways (stale postings score directly, stale
+        doc-stats skew N/avgdl, stale df would too) — which is why df is
+        derived, and postings + doc stats + bucket stats all retire in
+        one call. Numeric-id stores only."""
+        from metadata_ingestion_framework_spark.operators.incremental import (
+            _retire_range_ids_below,
+        )
+
+        changed_p = _retire_range_ids_below(
+            self.store, self.POSTINGS, "doc_bucket", self.doc_bucket_width,
+            self.id_col, cutoff_id, ["doc_bucket", "term_bucket"],
+        )
+        changed_s = _retire_range_ids_below(
+            self.store, self.DOC_STATS, "doc_bucket", self.doc_bucket_width,
+            self.id_col, cutoff_id, ["doc_bucket"],
+        )
+        if not (changed_p or changed_s):
+            return
+        boundary = (
+            -((-cutoff_id) // self.doc_bucket_width)
+            if cutoff_id < 0
+            else cutoff_id // self.doc_bucket_width
+        )
+        keep = self.store.read(self.BUCKET_STATS).filter(
+            F.col("doc_bucket") > boundary
+        )
+        fresh = bucket_stats_of(
+            self.store.read(self.DOC_STATS).filter(
+                F.col("doc_bucket") == boundary
+            )
+        )
+        self.store.write(keep.unionByName(fresh), self.BUCKET_STATS)
+
+    # -- serving ----------------------------------------------------------
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """Partition-pruned BM25 top-k == ``bm25_topk`` over the indexed
+        corpus: the ``term_bucket`` filter prunes the store scan to the
+        query terms' directories, df derives from the pruned rows, N /
+        avgdl sum the bucket-stats table. Release the returned frame's
+        ``_persisted_deps`` when done."""
+        if not self.store.exists(self.POSTINGS):
+            raise FileNotFoundError(f"index at {self.root} is not built")
+        return serve_topk(
+            self.store.read(self.POSTINGS),
+            self.store.read(self.BUCKET_STATS),
+            queries, self.n_term_buckets,
+            text_col=self.text_col, id_col=self.id_col,
+            query_id_col=query_id_col, k=k, k1=k1, b=b,
+        )

@@ -1,0 +1,243 @@
+"""Persistent BM25 index (operators/retrieval.py::Bm25Index, r13):
+build/append/retire/serve lifecycle — serve row-equal to a fresh
+bm25_topk at every stage (the test_ivf_index serve==rebuild convention),
+re-ingest vacates stale postings, term-bucket file pruning evidence,
+hard-link delta evidence, and the config guard."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.dedup import unpersist_deps
+from metadata_ingestion_framework_spark.operators.retrieval import (
+    Bm25Index,
+    bm25_topk,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+# small width so the ~500-doc fixture spans several buckets
+W, NB, NTB = 128, 16, 16
+
+
+def _docs(spark):
+    return spark.read.parquet(DOCS).select("doc_id", "text")
+
+
+def _queries(spark, docs):
+    return docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+
+
+def _idx(spark, tmp_path, name="bm25"):
+    return Bm25Index(
+        spark, str(tmp_path / name),
+        doc_bucket_width=W, n_buckets=NB, n_term_buckets=NTB,
+    )
+
+
+def _rows(df):
+    out = sorted(map(tuple, df.collect()))
+    unpersist_deps(df)
+    return out
+
+
+def test_build_serve_equals_fresh_bm25(spark, tmp_path):
+    docs = _docs(spark)
+    idx = _idx(spark, tmp_path)
+    idx.build(docs)
+    q = _queries(spark, docs)
+    got = _rows(idx.topk(q, k=10))
+    want = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_append_new_and_reingested_docs(spark, tmp_path):
+    """Two-run lifecycle: build on 3/4 of the corpus, append the last
+    quarter PLUS re-ingestions of already-stored docs with CHANGED text.
+    Serve must equal a fresh rebuild over the updated corpus — in
+    particular the re-ingested docs' OLD terms must have vacated (an
+    old-text-only query term no longer retrieves them)."""
+    docs = _docs(spark)
+    stored = docs.filter(F.col("doc_id") % 4 < 3)
+    fresh_batch = docs.filter(F.col("doc_id") % 4 == 3)
+    reingest = (
+        docs.filter(F.col("doc_id") % 16 == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzrefreshed")))
+    )
+    batch = fresh_batch.unionByName(reingest)
+
+    idx = _idx(spark, tmp_path)
+    idx.build(stored)
+    idx.append(batch)
+
+    merged = (
+        stored.join(reingest.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(fresh_batch)
+        .unionByName(reingest)
+    )
+    q = _queries(spark, merged).unionByName(
+        spark.createDataFrame([(900, "zzrefreshed")], "query_id long, text string")
+    )
+    got = _rows(idx.topk(q, k=10))
+    want = sorted(map(tuple, bm25_topk(merged, q, k=10).collect()))
+    assert got == want and len(got) > 0
+    # the marker term retrieves exactly the re-ingested docs
+    marker = {r[1] for r in got if r[0] == 900}
+    assert marker == {
+        r.doc_id for r in reingest.select("doc_id").limit(10).collect()
+    } or len(marker) == 10
+
+
+def test_append_deltas_hard_link_untouched_buckets(spark, tmp_path):
+    """Ingest IO must track the batch: a batch confined to high doc ids
+    touches only its own id-range buckets — every other bucket's posting
+    files carry into the new version as the SAME inodes."""
+    docs = _docs(spark)
+    idx = _idx(spark, tmp_path)
+    idx.build(docs.filter(F.col("doc_id") < 384))
+    v1 = idx.store.current_version(Bm25Index.POSTINGS)
+    idx.append(docs.filter(F.col("doc_id") >= 384))
+    v2 = idx.store.current_version(Bm25Index.POSTINGS)
+    assert v2 == v1 + 1
+    p1 = idx.store._version_path(Bm25Index.POSTINGS, v1)
+    p2 = idx.store._version_path(Bm25Index.POSTINGS, v2)
+    touched = {f"doc_bucket={b}" for b in range(384 // W, NB)}
+    untouched = [
+        d for d in os.listdir(p1)
+        if d.startswith("doc_bucket=") and d not in touched
+    ]
+    assert untouched, "fixture should span several buckets"
+    for d in untouched:
+        old = {
+            os.stat(f).st_ino
+            for f in glob.glob(os.path.join(p1, d, "**", "*.parquet"),
+                               recursive=True)
+        }
+        new = {
+            os.stat(f).st_ino
+            for f in glob.glob(os.path.join(p2, d, "**", "*.parquet"),
+                               recursive=True)
+        }
+        assert new == old, f"untouched {d} was rewritten"
+
+
+def test_retire_ids_below(spark, tmp_path):
+    """Retention: buckets below the cutoff drop without a rewrite; serve
+    equals a fresh index over the survivors (N/avgdl/df all shrink)."""
+    docs = _docs(spark)
+    idx = _idx(spark, tmp_path)
+    idx.build(docs)
+    cutoff = 2 * W + 7  # mid-bucket: drops buckets 0-1, rewrites bucket 2
+    idx.retire_ids_below(cutoff)
+    kept = docs.filter(F.col("doc_id") >= cutoff)
+    q = _queries(spark, docs)  # query ids < 3 are retired docs' text — fine
+    got = _rows(idx.topk(q, k=10))
+    want = sorted(map(tuple, bm25_topk(kept, q, k=10).collect()))
+    assert got == want and len(got) > 0
+    p = idx.store._version_path(
+        Bm25Index.POSTINGS,
+        idx.store.current_version(Bm25Index.POSTINGS),
+    )
+    assert not any(
+        d.startswith(("doc_bucket=0", "doc_bucket=1"))
+        for d in os.listdir(p)
+    )
+
+
+def test_serve_scan_is_term_bucket_pruned(spark, tmp_path):
+    """Corrupt every posting file of term buckets the query does NOT
+    probe: the pruned serve path never opens them and still answers
+    identically; a full-store scan fails on the corruption."""
+    docs = _docs(spark)
+    idx = _idx(spark, tmp_path)
+    idx.build(docs)
+
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        _terms,
+        term_bucket_expr,
+    )
+
+    # a NARROW query (first term of the first doc) probes few buckets,
+    # leaving populated unprobed buckets to corrupt
+    term = (
+        docs.orderBy("doc_id")
+        .select(F.explode(_terms("text")).alias("t"))
+        .first()
+        .t
+    )
+    q = spark.createDataFrame([(50, term)], "query_id long, text string")
+    want = _rows(idx.topk(q, k=10))
+
+    probed = {
+        r.tb
+        for r in q.select(
+            F.explode(F.array_distinct(_terms("text"))).alias("term")
+        )
+        .select(term_bucket_expr(F.col("term"), NTB).alias("tb"))
+        .distinct()
+        .collect()
+    }
+    unprobed = set(range(NTB)) - probed
+    assert unprobed, "fixture queries should not cover every term bucket"
+    p = idx.store._version_path(
+        Bm25Index.POSTINGS,
+        idx.store.current_version(Bm25Index.POSTINGS),
+    )
+    # corrupt ONE populated unprobed bucket, picked to not be the
+    # first-listed file (read.parquet infers the schema from that footer
+    # even before any scan — the ivf-test convention)
+    n_corrupted = 0
+    for tb in sorted(unprobed, reverse=True):
+        files = glob.glob(
+            os.path.join(p, "doc_bucket=*", f"term_bucket={tb}", "*.parquet")
+        )
+        if not files:
+            continue
+        for f in files:
+            with open(f, "wb") as fh:
+                fh.write(b"corrupt")
+        n_corrupted = len(files)
+        break
+    assert n_corrupted > 0
+    got = _rows(idx.topk(q, k=10))
+    assert got == want
+    with pytest.raises(Exception):
+        idx.store.read(Bm25Index.POSTINGS).count()
+
+
+def test_tokenless_docs_count_in_stats(spark, tmp_path):
+    """NULL/empty docs have no postings but must count in N and avgdl —
+    serve equality against bm25_topk (which counts them via its id-only
+    scan) proves the doc_stats/bucket_stats path carries them."""
+    docs = spark.createDataFrame(
+        [(0, "spark engine spark"), (1, "spark data"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    idx = _idx(spark, tmp_path)
+    idx.build(docs)
+    q = spark.createDataFrame([(9, "spark")], "query_id long, text string")
+    got = _rows(idx.topk(q, k=10))
+    want = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    assert got == want and len(got) == 2
+
+
+def test_config_guard(spark, tmp_path):
+    idx = _idx(spark, tmp_path)
+    idx.build(_docs(spark).limit(50))
+    # same config reopens fine
+    _idx(spark, tmp_path)
+    with pytest.raises(ValueError, match="layout"):
+        Bm25Index(
+            spark, str(tmp_path / "bm25"),
+            doc_bucket_width=W, n_buckets=NB, n_term_buckets=NTB * 2,
+        )
+    with pytest.raises(FileNotFoundError):
+        Bm25Index(
+            spark, str(tmp_path / "other"),
+            doc_bucket_width=W, n_buckets=NB, n_term_buckets=NTB,
+        ).topk(_queries(spark, _docs(spark)))
