@@ -1,0 +1,100 @@
+"""URL-level curation (r13, VERDICT r12 item 4) — the first stage every
+public web-corpus pipeline (C4, CCNet, RefinedWeb — public methodology)
+runs BEFORE content dedup: canonicalize the URL, drop exact URL
+duplicates, then cap per-domain (the existing ``quota_sample``).
+
+North-star extension (no reference analogue; BASELINE.json).
+
+Everything is CODEGEN string/array expressions — no UDF, no shuffle
+beyond the dedup's own groupBy — and every rule is mirrored
+regex-for-regex in the DuckDB oracle twin (``parse_url`` deliberately
+avoided: it is Hive/Java-specific and not cross-engine checkable).
+
+Normalization rules (the standard canonicalization set):
+
+- trim, strip the ``#fragment``;
+- scheme and host:port lowercase (scheme ``HTTPS`` == ``https``);
+- default ports stripped (``:80`` for http, ``:443`` for https);
+- trailing slashes stripped from the path;
+- tracking parameters dropped (``utm_*``, ``gclid``, ``fbclid``,
+  ``ref``), remaining query params sorted byte-wise and rejoined —
+  param ORDER never distinguishes two URLs;
+- a URL with no ``scheme://`` is dirty -> NULL (never dedups with
+  anything, the family's NULL-propagation contract).
+
+The per-element HOF work is bounded by the query-param count (a handful
+per URL), not a hot inner loop — the CLAUDE.md HOF cost rule does not
+bite here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tracking params every major pipeline strips; anchored full-key match
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|ref)="
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical form of ``url`` as a single codegen expression; NULL for
+    NULL/scheme-less input."""
+    u = F.regexp_replace(F.trim(F.col(url) if isinstance(url, str) else url),
+                         r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme != "",
+        F.concat(scheme, F.lit("://"), host, path, qpart),
+    )
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host without port or a leading ``www.`` — the
+    per-domain quota key (``quota_sample`` composes on this)."""
+    u = F.regexp_replace(F.trim(F.col(url) if isinstance(url, str) else url),
+                         _SCHEME_RE, "")
+    host = F.lower(F.regexp_extract(u, r"^([^/:?#]*)", 1))
+    return F.when(
+        host != "", F.regexp_replace(host, r"^www\.", "")
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str, keep_norm: bool = False
+) -> DataFrame:
+    """Exact URL dedup on the CANONICAL form: one survivor per normalized
+    URL, first-occurrence rule (min id — the ``dedup_exact`` argmin
+    convention via the shared ``dedup_window``). NULL-normalized (dirty)
+    URLs never group together: they are kept as-is, each its own row
+    (the NULL-key contract — a billion scheme-less rows must not collapse
+    into one survivor)."""
+    from metadata_ingestion_framework_spark.operators.dedup import dedup_window
+
+    norm = df.withColumn("__url_norm", normalize_url(url_col))
+    clean = dedup_window(
+        norm.filter(F.col("__url_norm").isNotNull()),
+        ["__url_norm"], [id_col],
+    )
+    out = clean.unionByName(norm.filter(F.col("__url_norm").isNull()))
+    return out if keep_norm else out.drop("__url_norm")

@@ -408,24 +408,42 @@ def simhash_duplicates(
     block -> equi-join per block, then verify true Hamming distance via
     bit_count(xor). Shuffle key = (block_idx, block_value): bounded, uniform.
     """
-    width = 64 // blocks
     # persisted for the same reason as the minhash signatures: the self-join
     # consumes both branches and would run the Python stage twice otherwise
     fps = simhash(df, text_col, id_col, token_hash=token_hash).persist()
+    out = hamming_banded_pairs(fps, "simhash", id_col, max_hamming, blocks)
+    out._persisted_deps = [fps]  # release via unpersist_deps(out)
+    return out
+
+
+def hamming_banded_pairs(
+    fps: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Block-permutation candidate join + exact Hamming verify over ANY
+    64-bit fingerprint column — the simhash machinery factored out (r13)
+    so the perceptual image hashes (multimodal.py::image_hashes) reuse it
+    verbatim. Callers should persist ``fps`` (the self-join consumes both
+    branches). Pigeonhole exactness requires ``max_hamming <= blocks-1``.
+    """
+    width = 64 // blocks
     blocked = fps.select(
         id_col,
-        "simhash",
+        fp_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("blk"),
-                    F.shiftright(F.col("simhash"), i * width)
+                    F.shiftright(F.col(fp_col), i * width)
                     .bitwiseAND(F.lit((1 << width) - 1)).alias("blk_val"),
                 )
                 for i in range(blocks)
             ])
         ).alias("b"),
-    ).select(id_col, "simhash", "b.blk", "b.blk_val")
+    ).select(id_col, fp_col, "b.blk", "b.blk_val")
     a, b = blocked.alias("a"), blocked.alias("b")
     # Verify BEFORE dedup: the Hamming check is a codegen'd bit_count on the
     # already-joined row, so it streams through the join output without a
@@ -434,16 +452,14 @@ def simhash_duplicates(
     # true pairs (measured 28M raw -> 215k true at a 10x replica probe);
     # dedup-first shuffled all 28M, filter-first shuffles <= 4 rows per
     # true pair (one per matching block).
-    out = (
+    return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.blk_val") == F.col("b.blk_val"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+                F.bit_count(F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    out._persisted_deps = [fps]  # release via unpersist_deps(out)
-    return out
 
 
 def ngram_jaccard_pairs_prefix(
