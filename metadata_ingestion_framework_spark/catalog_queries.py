@@ -5026,6 +5026,117 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level curation (functions/urls.py::normalize_url + url_dedup,
+    r13, VERDICT r12 item 4): the stage C4/CCNet/RefinedWeb run BEFORE
+    content dedup. A deterministic url column is synthesized from doc_id
+    (the dirty-fixture precedent) with every normalization hazard on
+    display — mixed-case schemes/hosts, default and non-default ports,
+    trailing slashes, tracking params, unsorted query params, fragments,
+    scheme-less and NULL dirty rows — then the operator dedups on the
+    canonical form (first-occurrence min-id rule; dirty rows all kept).
+    The oracle rebuilds the SAME urls and replays the normalization
+    regex-for-regex, so every surviving (doc_id, url_norm) string is
+    value-checked cross-engine."""
+    from metadata_ingestion_framework_spark.functions.urls import url_dedup
+
+    d = F.col("doc_id")
+    key = F.pmod(d, F.lit(40)).cast("string")
+    qvariant = F.element_at(
+        F.array(
+            F.concat(F.lit("utm_source=feed&id="), key),
+            F.concat(F.lit("id="), key, F.lit("&b=2")),
+            F.concat(F.lit("b=2&id="), key),
+            F.lit(""),
+        ),
+        (F.pmod(d, F.lit(4)) + 1).cast("int"),
+    )
+    built = F.concat(
+        F.element_at(
+            F.array(F.lit("http"), F.lit("https"), F.lit("HTTPS")),
+            (F.pmod(d, F.lit(3)) + 1).cast("int"),
+        ),
+        F.lit("://"),
+        F.lit("WWW.Example"), F.pmod(d, F.lit(7)).cast("string"), F.lit(".com"),
+        F.element_at(
+            F.array(F.lit(":80"), F.lit(":443"), F.lit(":8080"), F.lit(""), F.lit("")),
+            (F.pmod(d, F.lit(5)) + 1).cast("int"),
+        ),
+        F.lit("/Articles/"), key,
+        F.when(F.pmod(d, F.lit(4)) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(qvariant != "", F.concat(F.lit("?"), qvariant)).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(6)) == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+    url = (
+        F.when(F.pmod(d, F.lit(25)) == 19, F.lit(None).cast("string"))
+        .when(F.pmod(d, F.lit(25)) == 7, F.lit("example.com/no-scheme"))
+        .otherwise(built)
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return url_dedup(docs, "url", "doc_id", keep_norm=True).select(
+        "doc_id", F.col("__url_norm").alias("url_norm")
+    )
+
+
+ORACLE_URL_DEDUP = r"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 = 19 THEN NULL
+         WHEN doc_id % 25 = 7 THEN 'example.com/no-scheme'
+         ELSE
+      ['http','https','HTTPS'][(doc_id % 3) + 1] || '://' ||
+      'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+      [':80', ':443', ':8080', '', ''][(doc_id % 5) + 1] ||
+      '/Articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      CASE WHEN q = '' THEN '' ELSE '?' || q END ||
+      CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END
+    END AS url
+  FROM (
+    SELECT doc_id,
+      ['utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR),
+       'id=' || CAST(doc_id % 40 AS VARCHAR) || '&b=2',
+       'b=2&id=' || CAST(doc_id % 40 AS VARCHAR),
+       ''][(doc_id % 4) + 1] AS q
+    FROM documents)
+),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+  FROM (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM urls)
+),
+pieces AS (
+  SELECT doc_id, url, scheme,
+    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+    regexp_replace(regexp_extract(regexp_replace(rest, '^[^/?]*', ''), '^([^?]*)', 1), '/+$', '') AS path,
+    list_sort(list_filter(
+      string_split(regexp_extract(regexp_replace(rest, '^[^/?]*', ''), '\?(.*)$', 1), '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|ref)=')
+    )) AS params
+  FROM parts
+),
+norm AS (
+  SELECT doc_id,
+    CASE WHEN scheme IS NULL OR scheme = '' THEN NULL ELSE
+      scheme || '://' ||
+      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+           ELSE hostport END ||
+      path ||
+      CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+    END AS url_norm
+  FROM pieces
+)
+SELECT doc_id, url_norm FROM (
+  SELECT doc_id, url_norm,
+    CASE WHEN url_norm IS NULL THEN TRUE
+         ELSE doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) END AS kept
+  FROM norm
+) WHERE kept
+"""
+
+
 def q_bm25_index_serve(spark, sf_dir):
     """Persistent-BM25-index serve math (operators/retrieval.py::
     Bm25Index / serve_topk, r13) emulated over in-memory tables — the
@@ -5168,7 +5279,9 @@ QUERIES = {
     # index merge+serve math (vacate semantics, term-bucket pruning,
     # per-bucket stats composition) == fresh bm25 over the merged corpus
     # LLM-data-pipeline family (no driver rows in r1 — keep well inside 50)
-    "dedup_exact": q_dedup_exact,
+    "url_dedup": q_url_dedup,  # r13 NEW: URL canonicalization + exact
+    # url dedup (the C4/CCNet pre-content-dedup stage), every surviving
+    # canonical string value-checked regex-for-regex
     "dedup_minhash": q_dedup_minhash,
     "incremental_dedup": q_incremental_dedup,  # r7: cross-run dedup vs store
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -5236,7 +5349,12 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r13
-    # rotation (2): NEW media_dedup displaced media_resize — named,
+    # rotation (3): NEW url_dedup displaced dedup_exact — named,
+    # family-redundant (url_dedup IS normalized-key exact dedup: the same
+    # first-occurrence min-id rule through the same dedup_window operator
+    # that window_dedup keeps in-window; dedup_exact driver-green since
+    # r1, unchanged this round, stays sweep-checked).
+    # r13 rotation (2): NEW media_dedup displaced media_resize — named,
     # family-redundant (media_dedup decodes the same real BMP payloads
     # and replays the same pixel-generation + dst*src//out index math in
     # its oracle, so the decode contract stays value-checked in-window;
@@ -5379,6 +5497,9 @@ QUERIES = {
     # (NEW — see window comment; grouping_key keeps the family in-window)
     "media_resize": q_media_resize,  # r13: displaced by media_dedup (NEW —
     # see window comment; same decode contract re-exercised in-window)
+    "dedup_exact": q_dedup_exact,  # r13: displaced by url_dedup (NEW —
+    # see window comment; the first-occurrence argmin rule stays
+    # in-window via window_dedup AND inside url_dedup itself)
     "incremental_semantic": q_incremental_semantic,  # r12: displaced by
     # curation_incremental (NEW — runs the same embedding_batch_drops
     # join and oracle pair set in-window; see window comment)
@@ -5524,6 +5645,7 @@ ORACLES = {
     "quality_model": ORACLE_QUALITY_MODEL,
     "fingerprint": ORACLE_FINGERPRINT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "url_dedup": ORACLE_URL_DEDUP,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
