@@ -2134,6 +2134,97 @@ FROM tr JOIN ev ON len(list_intersect(tr.grams, ev.grams)) >= 3
 """
 
 
+def q_decontam_triage(spark, sf_dir):
+    """BM25-gated decontamination triage (operators/retrieval.py::
+    contamination_triage, r13, VERDICT r12 item 6): per eval doc, the
+    top-50 BM25 train candidates, exact 5-gram overlap verified ONLY on
+    those pairs — the production contamination-REVIEW composite (the
+    exact gate stays authoritative; tests/test_retrieval.py proves triage
+    flags the identical pair set on this fixture). The oracle composes
+    the bm25_topk twin (over the train split) with the decontaminate
+    gram-intersect CTEs, so candidates, ranks, and shared-gram counts are
+    all value-checked."""
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        contamination_triage,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_triage(
+        train, evals, "text", "doc_id", k=50, shingle_n=5, min_shared=3
+    )
+
+
+ORACLE_DECONTAM_TRIAGE = r"""
+WITH tdocs AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents WHERE doc_id % 20 <> 0
+),
+dl AS (SELECT doc_id, toks, len(toks) AS dl FROM tdocs),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT doc_id AS eval_id,
+    unnest(list_distinct(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))) AS term
+  FROM documents WHERE doc_id % 20 = 0
+),
+scored AS (
+  SELECT q.eval_id, t.doc_id,
+    CAST(SUM(CAST(ROUND(
+      ln(CAST(1.0 AS DOUBLE)
+         + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+           / (d.df + CAST(0.5 AS DOUBLE)))
+      * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      / (CAST(t.tf AS DOUBLE)
+         + CAST(1.2 AS DOUBLE)
+           * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+              + CAST(0.75 AS DOUBLE) * t.dl / s.avgdl))
+    , 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM tf t
+  JOIN dfreq d USING (term)
+  JOIN qterms q USING (term)
+  CROSS JOIN stats s
+  GROUP BY q.eval_id, t.doc_id
+),
+cand AS (
+  SELECT eval_id, doc_id AS train_id, rank FROM (
+    SELECT eval_id, doc_id, ROW_NUMBER() OVER (PARTITION BY eval_id
+      ORDER BY score DESC NULLS LAST, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 50
+),
+g AS (
+  SELECT doc_id,
+    list_distinct([
+      array_to_string(toks[i:i+4], ' ')
+      FOR i IN range(1, greatest(len(toks) - 4, 0) + 1)
+    ]) AS grams
+  FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS toks
+    FROM documents
+  )
+)
+SELECT c.train_id, c.eval_id,
+  CAST(len(list_intersect(tg.grams, eg.grams)) AS BIGINT) AS shared_grams,
+  c.rank
+FROM cand c
+JOIN g tg ON tg.doc_id = c.train_id
+JOIN g eg ON eg.doc_id = c.eval_id
+WHERE len(list_intersect(tg.grams, eg.grams)) >= 3
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (operators/joins.py::as_of_join): every click
     event picks the user's most recent purchase at-or-before the click
@@ -5288,9 +5379,9 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,  # r7: transitive cluster resolution
     "ivfpq_topk": q_ivfpq_topk,  # r12 NEW: IVF-PQ composed index (cell
     # pruning x code compression), every stage value-replayed
-    "decontaminate_bloom": q_decontaminate_bloom,  # r11: in-window (ADVICE
-    # r10) — shares the exact path's oracle verbatim, so this row
-    # value-checks the Bloom prefilter against the same SQL
+    "decontam_triage": q_decontam_triage,  # r13 NEW: BM25-gated
+    # contamination review — candidates, ranks, and shared-gram counts
+    # all value-checked via the composed bm25+gram-intersect oracle
     "span_dedup": q_span_dedup,  # r7: duplicate token-span removal (rewrite)
     "semantic_dedup": q_semantic_dedup,  # r7: SemDeDup (IVF cells + components)
     "curation_incremental": q_curation_incremental,  # r12 NEW (VERDICT r11
@@ -5349,7 +5440,13 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r13
-    # rotation (3): NEW url_dedup displaced dedup_exact — named,
+    # rotation (4): NEW decontam_triage displaced decontaminate_bloom —
+    # named, family-redundant (triage's oracle embeds the SAME
+    # gram-intersect CTEs, so the exact-overlap machinery stays
+    # value-checked in-window on the restricted pair set; the Bloom
+    # prefilter variant shares tail decontaminate's oracle verbatim,
+    # driver-green r11-r12, unchanged this round).
+    # r13 rotation (3): NEW url_dedup displaced dedup_exact — named,
     # family-redundant (url_dedup IS normalized-key exact dedup: the same
     # first-occurrence min-id rule through the same dedup_window operator
     # that window_dedup keeps in-window; dedup_exact driver-green since
@@ -5500,6 +5597,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,  # r13: displaced by url_dedup (NEW —
     # see window comment; the first-occurrence argmin rule stays
     # in-window via window_dedup AND inside url_dedup itself)
+    "decontaminate_bloom": q_decontaminate_bloom,  # r13: displaced by
+    # decontam_triage (NEW — see window comment; shares the exact path's
+    # oracle verbatim with tail decontaminate, driver-green r11-r12)
     "incremental_semantic": q_incremental_semantic,  # r12: displaced by
     # curation_incremental (NEW — runs the same embedding_batch_drops
     # join and oracle pair set in-window; see window comment)
@@ -5654,6 +5754,7 @@ ORACLES = {
     "dup_clusters": ORACLE_DUP_CLUSTERS,
     "decontaminate": ORACLE_DECONTAMINATE,
     "decontaminate_bloom": ORACLE_DECONTAMINATE,
+    "decontam_triage": ORACLE_DECONTAM_TRIAGE,
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "span_dedup": ORACLE_SPAN_DEDUP,
     "asof_join": ORACLE_ASOF_JOIN,

@@ -81,3 +81,42 @@ def test_dirty_text_contract(spark):
     known = {(r.doc_id, r.score) for r in bm25_topk(docs, _q(spark, "spark"), k=10).collect()}
     mixed = {(r.doc_id, r.score) for r in bm25_topk(docs, _q(spark, "spark zzzgibberish"), k=10).collect()}
     assert known == mixed
+
+
+def test_contamination_triage_flags_full_set_on_fixture(spark):
+    """r13: the BM25-gated review restricted to top-k candidates must
+    flag the IDENTICAL pair set as the authoritative exact gate on the
+    fixture (contaminated pairs share many terms, so retrieval ranks
+    them well inside k=50 — the calibration behind the catalog query's
+    setting), with the shared-gram counts unchanged and the BM25 rank
+    attached."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        ngram_contamination,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        contamination_triage,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    full = {
+        (r.train_id, r.eval_id): r.shared_grams
+        for r in ngram_contamination(
+            train, evals, "text", "doc_id", shingle_n=5, min_shared=3
+        ).collect()
+    }
+    tri = {
+        (r.train_id, r.eval_id): (r.shared_grams, r.rank)
+        for r in contamination_triage(
+            train, evals, k=50, shingle_n=5, min_shared=3
+        ).collect()
+    }
+    assert {p: sg for p, (sg, _) in tri.items()} == full and len(full) > 0
+    assert all(1 <= rank <= 50 for _, rank in tri.values())
+    # a tighter k CAN miss pairs — triage is a review tool, the exact
+    # operator stays the gate (this is the documented contract)
+    tri5 = contamination_triage(train, evals, k=5, shingle_n=5, min_shared=3)
+    assert tri5.count() <= len(full)
