@@ -6,6 +6,11 @@ whole-stage codegen; Python UDFs appear only where semantics force them
 (free-text per-match hashing) and then as Arrow-batched pandas UDFs.
 """
 
+from metadata_ingestion_framework_spark.functions.urls import (
+    normalize_url,
+    url_dedup,
+    url_host,
+)
 from metadata_ingestion_framework_spark.functions.hashing import (
     hash_it,
     hash_it_complete,
@@ -56,6 +61,9 @@ from metadata_ingestion_framework_spark.functions.transforms import (
 )
 
 __all__ = [
+    "normalize_url",
+    "url_dedup",
+    "url_host",
     "hash_it",
     "hash_it_complete",
     "hash_numerical_it",

@@ -7,6 +7,7 @@ from metadata_ingestion_framework_spark.operators.cdc import (
 from metadata_ingestion_framework_spark.operators.dedup import (
     dedup_exact,
     dedup_window,
+    hamming_banded_pairs,
     minhash_lsh_duplicates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -45,7 +46,15 @@ from metadata_ingestion_framework_spark.operators.pq import (
     pq_train,
     save_pq_model,
 )
-from metadata_ingestion_framework_spark.operators.retrieval import bm25_topk
+from metadata_ingestion_framework_spark.operators.multimodal import (
+    image_hashes,
+    image_near_duplicates,
+)
+from metadata_ingestion_framework_spark.operators.retrieval import (
+    Bm25Index,
+    bm25_topk,
+    contamination_triage,
+)
 from metadata_ingestion_framework_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
@@ -71,6 +80,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "unpersist_deps",
+    "hamming_banded_pairs",
+    "image_hashes",
+    "image_near_duplicates",
     "MergeClause",
     "merge_apply",
     "scd1_merge",
@@ -88,6 +100,8 @@ __all__ = [
     "save_pq_model",
     "load_pq_model",
     "bm25_topk",
+    "Bm25Index",
+    "contamination_triage",
     "quantize_embeddings",
     "dequantize",
     "quantization_error_stats",

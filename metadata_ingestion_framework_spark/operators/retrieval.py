@@ -241,10 +241,16 @@ def doc_stats_of(
         range_bucket_expr,
     )
 
-    dls = postings.groupBy(id_col).agg(F.min("__dl").alias("__dl"))
+    # eqNullSafe join key (CLAUDE.md): a NULL-id doc HAS posting rows
+    # (groupBy groups NULL keys) — a plain equi-join would miss them and
+    # silently zero its dl, skewing avgdl away from the fresh-bm25 value
+    dls = postings.groupBy(id_col).agg(F.min("__dl").alias("__dl")).select(
+        F.col(id_col).alias("__dls_id"), "__dl"
+    )
     out = (
         ids.select(id_col)
-        .join(dls, id_col, "left")
+        .join(dls, F.col(id_col).eqNullSafe(F.col("__dls_id")), "left")
+        .drop("__dls_id")
         .withColumn("__dl", F.coalesce(F.col("__dl"), F.lit(0)))
     )
     return out.withColumn(
@@ -304,6 +310,7 @@ def serve_topk(
         F.col(query_id_col),
         F.explode(F.array_distinct(_terms(text_col))).alias("term"),
     ).persist()  # consumed twice: bucket collect + the scoring join
+    posts_q = None
     try:
         tbs = [
             r.tb
@@ -338,6 +345,8 @@ def serve_topk(
         return out
     except Exception:
         qterms.unpersist()
+        if posts_q is not None:
+            posts_q.unpersist()
         raise
 
 
@@ -506,8 +515,10 @@ class Bm25Index:
             if cutoff_id < 0
             else cutoff_id // self.doc_bucket_width
         )
+        # NULL-bucket rows (NULL-id docs) are never range-retired — keep
+        # their stats too, or serve's N/avgdl would drift from a rebuild
         keep = self.store.read(self.BUCKET_STATS).filter(
-            F.col("doc_bucket") > boundary
+            (F.col("doc_bucket") > boundary) | F.col("doc_bucket").isNull()
         )
         fresh = bucket_stats_of(
             self.store.read(self.DOC_STATS).filter(

@@ -226,6 +226,40 @@ def test_tokenless_docs_count_in_stats(spark, tmp_path):
     assert got == want and len(got) == 2
 
 
+def test_null_id_docs_survive_lifecycle(spark, tmp_path):
+    """A NULL-id doc buckets to the Hive default partition: it must count
+    in N/avgdl, serve identically to bm25_topk, and SURVIVE a range
+    retirement (NULL ids are never range-retired — including their
+    bucket-stats row, the r13 review fix)."""
+    docs = spark.createDataFrame(
+        [(0, "spark engine"), (1, "spark data"), (None, "spark ghost doc"),
+         (300, "spark late")],
+        "doc_id long, text string",
+    )
+    def rows(df):
+        out = [tuple(r) for r in df.collect()]
+        unpersist_deps(df)
+        return sorted(out, key=lambda r: (r[0], r[1] is None, r[1] or 0))
+
+    idx = _idx(spark, tmp_path)
+    idx.build(docs)
+    q = spark.createDataFrame([(9, "spark")], "query_id long, text string")
+    want = sorted(
+        map(tuple, bm25_topk(docs, q, k=10).collect()),
+        key=lambda r: (r[0], r[1] is None, r[1] or 0),
+    )
+    assert rows(idx.topk(q, k=10)) == want
+    idx.retire_ids_below(100)
+    kept = docs.filter(F.col("doc_id").isNull() | (F.col("doc_id") >= 100))
+    got2 = rows(idx.topk(q, k=10))
+    want2 = sorted(
+        map(tuple, bm25_topk(kept, q, k=10).collect()),
+        key=lambda r: (r[0], r[1] is None, r[1] or 0),
+    )
+    assert got2 == want2
+    assert any(r[1] is None for r in got2)  # the NULL-id doc survived
+
+
 def test_config_guard(spark, tmp_path):
     idx = _idx(spark, tmp_path)
     idx.build(_docs(spark).limit(50))

@@ -880,6 +880,120 @@ def _append_skew_md(result: dict) -> None:
         f.write("\n".join(lines))
 
 
+
+
+def replicate_docs_fast(spark, docs, n: int, base: int):
+    """ONE-scan replication for the big tiers: crossJoin with a replica
+    range instead of an n-way union (at 100x a 100-branch union is its
+    own plan pathology — one scan, ids offset per replica, text lightly
+    perturbed so replicas are near- not exact-dups)."""
+    if n == 1:
+        return docs
+    reps = spark.range(n).toDF("__rep")
+    return (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * F.lit(base))
+        .withColumn(
+            "text",
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.col("text"), F.lit(" replica "),
+                    F.col("__rep").cast("string"),
+                )
+            ),
+        )
+        .drop("__rep")
+    )
+
+
+def probe_buildscale(spark, docs, tiers) -> dict:
+    """100x tier (r13, VERDICT r12 item 5): the two cheapest-per-row
+    BUILD paths whose 100 TB claims rest on bounded uniform shuffle keys
+    — the minhash band build and the bm25 postings build. Per tier:
+    stage wall seconds, output rows, and the shuffle-key skew (max and
+    mean rows per key) that decides whether the claim survives — a key
+    whose max grows super-linearly is a straggler at 1000 executors."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        build_postings,
+    )
+
+    base = docs.count()
+    out: dict = {}
+    for n in tiers:
+        tag = f"{n}x"
+        r: dict = {}
+        print(f"== buildscale {tag} ==", file=sys.stderr)
+        d = replicate_docs_fast(spark, docs, n, base)
+        sigs = minhash_signatures(d, "text", "doc_id").persist()
+        timed("minhash_sig_kernel", lambda: sigs.count(), r)
+        bands = minhash_bands(sigs, "doc_id").persist()
+        timed("minhash_band_build", lambda: bands.count(), r)
+        sk = bands.groupBy("band", "band_hash").count().agg(
+            F.max("count").alias("mx"), F.avg("count").alias("mean")
+        ).collect()[0]
+        r["band_key_skew"] = {
+            "max_rows_per_key": int(sk.mx),
+            "mean_rows_per_key": round(float(sk.mean), 2),
+        }
+        bands.unpersist()
+        sigs.unpersist()
+        posts = build_postings(d, "doc_id", "text", 8192, 64, 64).persist()
+        timed("bm25_postings_build", lambda: posts.count(), r)
+        tk = posts.groupBy("term").count().agg(
+            F.max("count").alias("mx"), F.avg("count").alias("mean")
+        ).collect()[0]
+        pk = posts.groupBy("doc_bucket", "term_bucket").count().agg(
+            F.max("count").alias("mx"), F.avg("count").alias("mean")
+        ).collect()[0]
+        r["term_key_skew"] = {
+            "max_rows_per_key": int(tk.mx),
+            "mean_rows_per_key": round(float(tk.mean), 2),
+        }
+        r["postings_partition_skew"] = {
+            "max_rows_per_partition": int(pk.mx),
+            "mean_rows_per_partition": round(float(pk.mean), 2),
+        }
+        posts.unpersist()
+        out[tag] = r
+    return out
+
+
+def main_buildscale(args: list[str]) -> None:
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    tiers = [int(x) for x in args[1].split(",")] if len(args) > 1 else [1, 10, 100]
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import t
+
+    spark = get_spark("scale_probe_buildscale")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tiersr = probe_buildscale(spark, docs, tiers)
+    stage_names = ["minhash_sig_kernel", "minhash_band_build", "bm25_postings_build"]
+    growth = {}
+    tags = [f"{n}x" for n in tiers]
+    for a, b in zip(tags, tags[1:]):
+        growth[f"{a}->{b}"] = {
+            k: round(
+                tiersr[b][k]["sec"] / max(tiersr[a][k]["sec"], 0.01), 1
+            )
+            for k in stage_names
+        }
+    result = {
+        "probe": "buildscale_tiered",
+        "sf_dir": sf_dir,
+        "tiers": tiersr,
+        "growth_per_tier": growth,
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         main_incremental(sys.argv[2:])
@@ -898,6 +1012,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--aqeskew":
         main_aqeskew(sys.argv[2:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--buildscale":
+        main_buildscale(sys.argv[2:])
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
