@@ -93,6 +93,10 @@ EXTENDED = [
     "curation_incremental",  # r12: repeated-ingestion curation composite
     "ivfpq_topk",           # r12: IVF-PQ composed index
     "bm25_topk",            # r12: lexical BM25 retrieval
+    "bm25_index_serve",     # r13: persistent BM25 index merge+serve math
+    "media_dedup",          # r13: perceptual image dedup (dHash banding)
+    "url_dedup",            # r13: URL canonicalization + exact dedup
+    "decontam_triage",      # r13: BM25-gated contamination review
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

@@ -437,7 +437,12 @@ class Bm25Index:
         buckets (old rows of re-ingested ids vacate in the same rewrite;
         untouched buckets hard-link), then recompute bucket stats for the
         touched buckets alone — write cost tracks the batch at any index
-        size."""
+        size.
+
+        NULL ids are NOT an identity: merge keys never match on NULL
+        (SQL MERGE semantics, the scd1_merge convention), so a NULL-id
+        row in the batch APPENDS a new doc rather than replacing a
+        stored NULL-id row."""
         if not self.store.exists(self.POSTINGS):
             return self.build(batch)
         posts_b = self._postings(batch).persist()

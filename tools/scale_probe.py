@@ -11,6 +11,7 @@ Run: python tools/scale_probe.py [sf_dir] [replicas]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -994,6 +995,112 @@ def main_buildscale(args: list[str]) -> None:
     spark.stop()
 
 
+
+
+def probe_bm25index(spark, docs, workdir: str) -> dict:
+    """Bm25Index amortization probe (r13): the whole point of the
+    persistent index is that bm25_topk pays the postings+df+stats build
+    EVERY call while the index pays it once and serves pruned. Measures,
+    same session: per-call bm25_topk (min of 2), one-time build, warm
+    pruned serve (min of 2), and an incremental append of a ~1% batch —
+    the serve and append numbers are what a 100 TB deployment pays per
+    query / per ingest."""
+    import shutil
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        Bm25Index,
+        bm25_topk,
+    )
+
+    r: dict = {}
+    docs = docs.persist()
+    n = docs.count()
+    queries = docs.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+
+    def percall():
+        out = bm25_topk(docs, queries, k=10)
+        c = out.count()
+        unpersist_deps(out)
+        return c
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        percall()
+        times.append(time.perf_counter() - t0)
+    r["bm25_topk_per_call"] = {"sec": round(min(times), 2)}
+
+    root = os.path.join(workdir, "bm25idx")
+    shutil.rmtree(root, ignore_errors=True)
+    idx = Bm25Index(spark, root, doc_bucket_width=8192, n_buckets=64,
+                    n_term_buckets=64)
+    cut = int(n * 0.99)
+    t0 = time.perf_counter()
+    idx.build(docs.filter(F.col("doc_id") < cut))
+    r["index_build_once"] = {"sec": round(time.perf_counter() - t0, 2)}
+
+    def serve():
+        out = idx.topk(queries, k=10)
+        c = out.count()
+        unpersist_deps(out)
+        return c
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        serve()
+        times.append(time.perf_counter() - t0)
+    r["index_serve_warm"] = {"sec": round(min(times), 2)}
+
+    t0 = time.perf_counter()
+    idx.append(docs.filter(F.col("doc_id") >= cut))
+    r["append_1pct_batch"] = {"sec": round(time.perf_counter() - t0, 2)}
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        serve()
+        times.append(time.perf_counter() - t0)
+    r["index_serve_after_append"] = {"sec": round(min(times), 2)}
+    r["serve_speedup_vs_per_call"] = round(
+        r["bm25_topk_per_call"]["sec"] / max(r["index_serve_warm"]["sec"], 0.01), 1
+    )
+    docs.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return r
+
+
+def main_bm25index(args: list[str]) -> None:
+    import tempfile
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    replicas = int(args[1]) if len(args) > 1 else 1
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import t
+
+    spark = get_spark("scale_probe_bm25index")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    if replicas > 1:
+        docs = replicate_docs_fast(spark, docs, replicas, docs.count())
+    workdir = tempfile.mkdtemp(prefix="bm25_probe_")
+    result = {
+        "probe": "bm25index_amortization",
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "stages": probe_bm25index(spark, docs, workdir),
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         main_incremental(sys.argv[2:])
@@ -1015,6 +1122,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--buildscale":
         main_buildscale(sys.argv[2:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--bm25index":
+        main_bm25index(sys.argv[2:])
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
