@@ -5163,7 +5163,11 @@ def q_url_dedup(spark, sf_dir):
         .when(F.pmod(d, F.lit(25)) == 7, F.lit("example.com/no-scheme"))
         .otherwise(built)
     )
-    docs = t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    # wide_t (r13 review): the ~12-regex canonicalization is a CPU-heavy
+    # map on a narrow scan — round-robin to defaultParallelism first
+    docs = wide_t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
     return url_dedup(docs, "url", "doc_id", keep_norm=True).select(
         "doc_id", F.col("__url_norm").alias("url_norm")
     )

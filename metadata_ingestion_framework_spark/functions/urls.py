@@ -85,16 +85,31 @@ def url_dedup(
 ) -> DataFrame:
     """Exact URL dedup on the CANONICAL form: one survivor per normalized
     URL, first-occurrence rule (min id — the ``dedup_exact`` argmin
-    convention via the shared ``dedup_window``). NULL-normalized (dirty)
-    URLs never group together: they are kept as-is, each its own row
-    (the NULL-key contract — a billion scheme-less rows must not collapse
-    into one survivor)."""
-    from metadata_ingestion_framework_spark.operators.dedup import dedup_window
+    convention, same asc-nulls-first tiebreak as ``dedup_window``).
+    NULL-normalized (dirty) URLs never dedup: every one is kept (the
+    NULL-key contract — a billion scheme-less rows must not collapse
+    into one survivor).
+
+    ONE scan, ONE shuffle (r13 review): the earlier clean/dirty
+    union-of-filters form re-ran the scan + the ~12-regex
+    canonicalization once per branch. Instead a single window keeps
+    ``rn == 1`` for canonical groups and EVERYTHING for NULL groups; the
+    NULL window partition is salted by the id so a 100 TB pile of dirty
+    rows does not serialize into one window task (the kept predicate
+    ignores rn for them, so the salt affects only parallelism)."""
+    from pyspark.sql import Window
 
     norm = df.withColumn("__url_norm", normalize_url(url_col))
-    clean = dedup_window(
-        norm.filter(F.col("__url_norm").isNotNull()),
-        ["__url_norm"], [id_col],
+    salt = F.when(
+        F.col("__url_norm").isNull(),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
     )
-    out = clean.unionByName(norm.filter(F.col("__url_norm").isNull()))
+    w = Window.partitionBy(F.col("__url_norm"), salt).orderBy(
+        F.col(id_col).asc()
+    )
+    out = (
+        norm.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__url_norm").isNull() | (F.col("__rn") == 1))
+        .drop("__rn")
+    )
     return out if keep_norm else out.drop("__url_norm")
