@@ -4335,6 +4335,75 @@ LEFT JOIN nbrs n USING (media_id)
 """
 
 
+def q_media_dedup_incremental(spark, sf_dir):
+    """Incremental perceptual image dedup (operators/incremental.py::
+    image_hash_batch_drops — the exact join ImageHashStore.ingest runs;
+    r13): images with media_id % 4 < 3 play the already-ingested
+    fingerprint store, the rest arrive as the new batch. Surviving batch
+    ids under temporal-then-min-id precedence must equal the greedy
+    full-union rerun — which is what the oracle computes from the
+    all-images banded pair set (hashes replayed from the generation
+    formulas, the media_dedup convention)."""
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        image_hash_batch_drops,
+    )
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        image_hashes,
+    )
+
+    media = _real_media(spark, sf_dir).filter(F.col("kind") == "image")
+    store = media.filter(F.col("media_id") % 4 < 3)
+    batch = media.filter(F.col("media_id") % 4 == 3)
+    store_fps = image_hashes(store).persist()
+    batch_fps = image_hashes(batch).persist()
+    drops = image_hash_batch_drops(
+        store_fps, batch_fps, "media_id", "dhash", max_hamming=3
+    )
+    out = batch.select("media_id").join(drops, "media_id", "left_anti")
+    out._persisted_deps = [store_fps, batch_fps]
+    return out
+
+
+ORACLE_MEDIA_DEDUP_INCREMENTAL = """
+WITH img AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 12 AS w,
+         4 + (doc_id // 3) % 12 AS h
+  FROM documents
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 3 = 0
+),
+dgrid AS (
+  SELECT media_id, k.k,
+    (media_id*7 + (((k.k // 8) * h) // 8)*13 + ((( k.k % 8    ) * w) // 9)*17) % 256 AS bl,
+    (media_id*7 + (((k.k // 8) * h) // 8)*13 + ((((k.k % 8)+1 ) * w) // 9)*17) % 256 AS br
+  FROM img, generate_series(0, 63) k(k)
+),
+dh AS (
+  SELECT media_id,
+    CAST(SUM(CASE WHEN 299*br + 587*((br+29)%256) + 114*((br+58)%256)
+                > 299*bl + 587*((bl+29)%256) + 114*((bl+58)%256)
+        THEN (1::UBIGINT << k)::HUGEINT ELSE 0::HUGEINT END) AS UBIGINT) AS dh_u
+  FROM dgrid GROUP BY media_id
+),
+blk AS (
+  SELECT media_id, dh_u, i.i, (dh_u >> (i.i * 16)) & 65535 AS bv,
+         media_id % 4 = 3 AS is_batch
+  FROM dh, generate_series(0, 3) i(i)
+),
+dropped AS (
+  SELECT DISTINCT a.media_id
+  FROM blk a JOIN blk b
+    ON a.i = b.i AND a.bv = b.bv AND a.media_id <> b.media_id
+   AND a.is_batch
+   AND (NOT b.is_batch OR b.media_id < a.media_id)
+  WHERE bit_count(xor(a.dh_u, b.dh_u)) <= 3
+)
+SELECT media_id FROM img
+WHERE media_id % 4 = 3
+  AND media_id NOT IN (SELECT media_id FROM dropped)
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Media decode CONTRACT (VERDICT r4 item 3): real BMP/WAV/BMV decode
     reduced to exact integer invariants — pixel/sample sums, element counts,
@@ -5387,7 +5456,9 @@ QUERIES = {
     # contamination review — candidates, ranks, and shared-gram counts
     # all value-checked via the composed bm25+gram-intersect oracle
     "span_dedup": q_span_dedup,  # r7: duplicate token-span removal (rewrite)
-    "semantic_dedup": q_semantic_dedup,  # r7: SemDeDup (IVF cells + components)
+    "media_dedup_incremental": q_media_dedup_incremental,  # r13 NEW:
+    # cross-run perceptual image dedup (the ImageHashStore ingest join),
+    # full-union precedence rerun oracle
     "curation_incremental": q_curation_incremental,  # r12 NEW (VERDICT r11
     # item 4): repeated-ingestion curation composite — both incremental
     # batch-drop joins + model gates + mix, full-union rerun oracle
@@ -5444,7 +5515,14 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r13
-    # rotation (4): NEW decontam_triage displaced decontaminate_bloom —
+    # rotation (5): NEW media_dedup_incremental displaced semantic_dedup
+    # — named, family-redundant (the embedding-dedup family keeps
+    # curation_incremental — whose embedding_batch_drops join runs the
+    # same store-ingest shape — plus dup_clusters and the ann_recall
+    # faces in-window; SemDeDup's cell-blocked kernel is the
+    # embedding_batch_drops kernel, driver-green r7-r12, unchanged this
+    # round, stays sweep-checked).
+    # r13 rotation (4): NEW decontam_triage displaced decontaminate_bloom —
     # named, family-redundant (triage's oracle embeds the SAME
     # gram-intersect CTEs, so the exact-overlap machinery stays
     # value-checked in-window on the restricted pair set; the Bloom
@@ -5604,6 +5682,10 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,  # r13: displaced by
     # decontam_triage (NEW — see window comment; shares the exact path's
     # oracle verbatim with tail decontaminate, driver-green r11-r12)
+    "semantic_dedup": q_semantic_dedup,  # r13: displaced by
+    # media_dedup_incremental (NEW — see window comment; the embedding
+    # dedup family keeps curation_incremental's embedding_batch_drops,
+    # dup_clusters, and the ann_recall/pq faces in-window)
     "incremental_semantic": q_incremental_semantic,  # r12: displaced by
     # curation_incremental (NEW — runs the same embedding_batch_drops
     # join and oracle pair set in-window; see window comment)
@@ -5811,6 +5893,7 @@ ORACLES = {
     # synthesize_real_media generation formulas via generate_series
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_dedup": ORACLE_MEDIA_DEDUP,
+    "media_dedup_incremental": ORACLE_MEDIA_DEDUP_INCREMENTAL,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frames": ORACLE_MEDIA_FRAMES,
 }

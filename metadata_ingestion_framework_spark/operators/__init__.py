@@ -27,6 +27,14 @@ from metadata_ingestion_framework_spark.operators.merge import (
     scd2_merge,
     scd4_merge,
 )
+from metadata_ingestion_framework_spark.operators.incremental import (
+    EmbeddingDedupStore,
+    ImageHashStore,
+    MinhashSignatureStore,
+    embedding_batch_drops,
+    image_hash_batch_drops,
+    minhash_batch_drops,
+)
 from metadata_ingestion_framework_spark.operators.ivf_index import IvfIndex
 from metadata_ingestion_framework_spark.operators.sql_merge import (
     parse_merge,
@@ -101,6 +109,12 @@ __all__ = [
     "load_pq_model",
     "bm25_topk",
     "Bm25Index",
+    "ImageHashStore",
+    "MinhashSignatureStore",
+    "EmbeddingDedupStore",
+    "image_hash_batch_drops",
+    "minhash_batch_drops",
+    "embedding_batch_drops",
     "contamination_triage",
     "quantize_embeddings",
     "dequantize",

@@ -895,3 +895,222 @@ class EmbeddingDedupStore:
             self.store, self.VECS, "vec_bucket", self.vec_bucket_width,
             self.id_col, cutoff_id, ["vec_bucket", "cell"],
         )
+
+
+def image_hash_batch_drops(
+    store_fps: DataFrame | None,
+    batch_fps: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Batch ids to DROP under perceptual (Hamming) temporal-then-min-id
+    precedence — the image twin of :func:`minhash_batch_drops` /
+    :func:`embedding_batch_drops` (r13):
+
+        drop batch X  iff  hamming(X, Y) <= max_hamming for some stored
+                           Y (any id), or some batch Y with Y.id < X.id.
+
+    Candidates come from the 16-bit block-permutation equi-join
+    (``dedup.hamming_banded_pairs`` machinery — pigeonhole-exact for
+    ``max_hamming <= blocks-1``), with the codegen ``bit_count`` verify
+    BEFORE any distinct shuffle. Bands are DERIVED from the stored
+    fingerprints on the fly (a 64-bit fp explodes to 4 block rows —
+    unlike minhash there is no band table to persist or rebuild, so the
+    store has no candidates-only ghost surface at all).
+
+    NULL-id batch rows never win a precedence comparison against other
+    batch rows (NULL < id is NULL) but still drop against stored
+    partners. Returns a 1-column DataFrame ``(id_col,)``.
+    """
+    width = 64 // blocks
+    b = batch_fps.select(
+        F.col(id_col), F.col(hash_col), F.lit(True).alias("__new")
+    )
+    if store_fps is None:
+        u = b
+    else:
+        u = b.unionByName(
+            store_fps.select(
+                F.col(id_col), F.col(hash_col), F.lit(False).alias("__new")
+            )
+        )
+    blocked = u.select(
+        id_col,
+        hash_col,
+        "__new",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col(hash_col), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("blk_val"),
+                )
+                for i in range(blocks)
+            ])
+        ).alias("bb"),
+    ).select(id_col, hash_col, "__new", "bb.blk", "bb.blk_val")
+    a, o = blocked.filter(F.col("__new")).alias("a"), blocked.alias("o")
+    precedence = (~F.col("o.__new")) | (
+        F.col(f"o.{id_col}") < F.col(f"a.{id_col}")
+    )
+    return (
+        a.join(
+            o,
+            (F.col("a.blk") == F.col("o.blk"))
+            & (F.col("a.blk_val") == F.col("o.blk_val"))
+            & precedence,
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"o.{hash_col}"))
+            ).alias("__hamming"),
+        )
+        .filter(F.col("__hamming") <= max_hamming)
+        .select(id_col)
+        .distinct()
+    )
+
+
+class ImageHashStore:
+    """Durable cross-run PERCEPTUAL image dedup state (r13) — the media
+    twin of :class:`MinhashSignatureStore` (text) and
+    :class:`EmbeddingDedupStore` (vectors): a recurring ingest dedups
+    today's images against every image ever seen without re-hashing the
+    corpus.
+
+    One table: ``fps`` = (id, dhash, ahash, fp_bucket), partitioned by
+    the id-RANGE ``fp_bucket`` (the shared store-family key): ingest's
+    partition-delta touched set is the batch ids' buckets (re-ingested
+    ids land home and their old fingerprints vacate in the rewrite),
+    retention is a zero-rewrite bucket drop. Stored fingerprints are the
+    VERIFY source (Hamming is computed against them directly), so ghosts
+    are correctness bugs — which the id-range vacate rules out — and
+    there is no derived candidate table to rebuild (bands explode from
+    the fp at query time).
+
+    Dropped (deduped-away) images keep their fingerprints, same as both
+    sibling stores: a future near-dup of a dropped image must still
+    drop. Undecodable payloads have no fingerprint: they always survive
+    and are never stored (the simhash no-tokens rule).
+    """
+
+    FPS = "fps"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        id_col: str = "media_id",
+        payload_col: str = "payload",
+        hash_col: str = "dhash",
+        max_hamming: int = 3,
+        blocks: int = 4,
+        n_buckets: int = 64,
+        fp_bucket_width: int = 8192,
+    ):
+        self.spark = spark
+        self.store = VersionedParquetStore(spark, root)
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.hash_col = hash_col
+        self.max_hamming = max_hamming
+        self.blocks = blocks
+        self.n_buckets = n_buckets
+        self.fp_bucket_width = fp_bucket_width
+        self._ledger_path = os.path.join(root, "_runs.json")
+        # hash_col/blocks shape WHICH fingerprints are stored and how
+        # candidates band — mismatched reopens would verify new batches
+        # against incomparable state; max_hamming is a tunable query
+        # threshold and deliberately excluded
+        _check_store_config(
+            root,
+            {
+                "kind": "image_fps",
+                "id_col": id_col,
+                "hash_col": hash_col,
+                "blocks": blocks,
+                "n_buckets": n_buckets,
+                "fp_bucket_width": fp_bucket_width,
+            },
+        )
+
+    ingested_runs = MinhashSignatureStore.ingested_runs
+    _record_run = MinhashSignatureStore._record_run
+
+    def _fingerprints(self, batch: DataFrame) -> DataFrame:
+        from metadata_ingestion_framework_spark.operators.multimodal import (
+            image_hashes,
+        )
+
+        fps = image_hashes(batch, self.payload_col, self.id_col)
+        return fps.withColumn(
+            "fp_bucket",
+            range_bucket_expr(
+                fps, self.id_col, self.fp_bucket_width, self.n_buckets
+            ),
+        )
+
+    def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
+        """Perceptually dedup ``batch`` against the store and itself;
+        merge its fingerprints in; return surviving batch rows (original
+        columns). None (store untouched) when ``run_id`` already ran.
+        Result carries its persisted drop set via ``_persisted_deps`` —
+        release with ``dedup.unpersist_deps``."""
+        if run_id in self.ingested_runs():
+            return None
+        fps = self._fingerprints(batch).persist()
+        store_fps = store_all = None
+        if self.store.exists(self.FPS):
+            store_all = self.store.read(self.FPS)
+            # replay safety: a re-delivered batch must not collide with
+            # its own stored copy
+            store_fps = store_all.join(
+                fps.select(self.id_col), self.id_col, "left_anti"
+            )
+        drops = image_hash_batch_drops(
+            store_fps, fps, self.id_col, self.hash_col,
+            self.max_hamming, self.blocks,
+        ).persist()
+        drops.count()  # materialize while fps is still cached
+        survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
+        survivors._persisted_deps = [drops]
+        if store_all is None:
+            self.store.write(
+                scd1_merge(None, fps, [self.id_col]),
+                self.FPS,
+                partition_by=["fp_bucket"],
+            )
+        else:
+            touched_set = {
+                r.fp_bucket
+                for r in fps.select("fp_bucket").distinct().collect()
+            }
+            touched = sorted(
+                (v for v in touched_set if v is not None), key=str
+            ) + ([None] if None in touched_set else [])
+            bucket_match = F.col("fp_bucket").isin(
+                [v for v in touched if v is not None]
+            )
+            if None in touched_set:
+                bucket_match = bucket_match | F.col("fp_bucket").isNull()
+            merged = scd1_merge(
+                store_all.filter(bucket_match), fps, [self.id_col]
+            )
+            self.store.write_partition_delta(
+                merged, self.FPS, ["fp_bucket"], touched
+            )
+        self._record_run(run_id)
+        fps.unpersist()
+        return survivors
+
+    def retire_ids_below(self, cutoff_id: int) -> None:
+        """Zero-rewrite range retention (shared machinery; numeric ids
+        only). Same semantics caveat as every dedup store: a future
+        near-dup of a retired image no longer drops against it."""
+        _retire_range_ids_below(
+            self.store, self.FPS, "fp_bucket", self.fp_bucket_width,
+            self.id_col, cutoff_id, ["fp_bucket"],
+        )

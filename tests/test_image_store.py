@@ -1,0 +1,158 @@
+"""Incremental perceptual image dedup store (operators/incremental.py::
+ImageHashStore + image_hash_batch_drops, r13): two-run lifecycle,
+temporal-then-min-id precedence, replay safety, run-ledger idempotence,
+full-rerun equivalence, and the undecodable-payload contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.codecs import encode_bmp
+from metadata_ingestion_framework_spark.operators.dedup import unpersist_deps
+from metadata_ingestion_framework_spark.operators.incremental import (
+    ImageHashStore,
+    image_hash_batch_drops,
+)
+
+
+def _px(seed, h=16, w=16):
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    return ((seed * 7 + y * 13 + x * 17 + c * 29) % 256).astype(np.uint8)
+
+
+def _near(seed):
+    p = _px(seed)
+    p[0:2, 0:2, :] = 255
+    return p
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def _store(spark, tmp_path, name="imgs"):
+    return ImageHashStore(
+        spark, str(tmp_path / name), fp_bucket_width=8, n_buckets=8
+    )
+
+
+def test_two_run_lifecycle(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    run1 = _media(spark, [(i, encode_bmp(_px(i * 100))) for i in range(6)])
+    s1 = st.ingest(run1, "r1")
+    assert sorted(r.media_id for r in s1.collect()) == list(range(6))
+    unpersist_deps(s1)
+
+    run2 = _media(spark, [
+        (20, encode_bmp(_px(300))),        # exact dup of stored id 3
+        (21, encode_bmp(_near(500))),      # near dup of stored id 5
+        (22, encode_bmp(_px(7000))),       # intra-batch: 22 < 23 wins
+        (23, encode_bmp(_px(7000))),
+        (24, encode_bmp(_px(9000))),       # genuinely new
+        (25, b"not an image"),             # undecodable: survives
+    ])
+    s2 = st.ingest(run2, "r2")
+    assert sorted(r.media_id for r in s2.collect()) == [22, 24, 25]
+    unpersist_deps(s2)
+    stored = {r.media_id for r in st.store.read(ImageHashStore.FPS).collect()}
+    # dropped images KEEP their fingerprints; undecodable rows are never
+    # stored (no pixels to hash)
+    assert stored == set(range(6)) | {20, 21, 22, 23, 24}
+
+
+def test_run_ledger_idempotent(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    batch = _media(spark, [(0, encode_bmp(_px(1)))])
+    s = st.ingest(batch, "r1")
+    unpersist_deps(s)
+    v = st.store.current_version(ImageHashStore.FPS)
+    assert st.ingest(batch, "r1") is None
+    assert st.store.current_version(ImageHashStore.FPS) == v
+
+
+def test_replay_batch_does_not_self_collide(spark, tmp_path):
+    """Re-delivering yesterday's batch under a new run id must not drop
+    every row against its own stored copy (the store-side anti-join)."""
+    st = _store(spark, tmp_path)
+    batch = _media(spark, [(i, encode_bmp(_px(i * 50))) for i in range(4)])
+    s1 = st.ingest(batch, "r1")
+    first = sorted(r.media_id for r in s1.collect())
+    unpersist_deps(s1)
+    s2 = st.ingest(batch, "r2")
+    assert sorted(r.media_id for r in s2.collect()) == first
+    unpersist_deps(s2)
+
+
+def test_incremental_equals_full_rerun(spark, tmp_path):
+    """The incremental drop set must equal a greedy full-union rerun
+    under temporal-then-min-id precedence (the incremental_dedup oracle
+    convention, computed here from the all-images pair set)."""
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        image_hashes,
+    )
+
+    seeds = {i: (i % 5) * 1000 for i in range(14)}  # clusters of near-ids
+    rows = [(i, encode_bmp(_px(s))) for i, s in seeds.items()]
+    store_rows = [r for r in rows if r[0] % 3 != 0]
+    batch_rows = [r for r in rows if r[0] % 3 == 0]
+
+    st = _store(spark, tmp_path)
+    s1 = st.ingest(_media(spark, store_rows), "r1")
+    unpersist_deps(s1)
+    s2 = st.ingest(_media(spark, batch_rows), "r2")
+    got = sorted(r.media_id for r in s2.collect())
+    unpersist_deps(s2)
+
+    # full rerun: pairs over ALL images, store beats batch, min-id wins
+    # within the batch
+    fps = {
+        r.media_id: r.dhash
+        for r in image_hashes(_media(spark, rows)).collect()
+    }
+    batch_ids = sorted(i for i, _ in batch_rows)
+    store_ids = {i for i, _ in store_rows}
+    dropped = set()
+    for x in batch_ids:
+        for y, fy in fps.items():
+            if y == x:
+                continue
+            ham = bin(fps[x] ^ fy).count("1")
+            if ham <= 3 and (y in store_ids or (y in batch_ids and y < x)):
+                dropped.add(x)
+                break
+    want = sorted(set(batch_ids) - dropped)
+    assert got == want and len(want) < len(batch_ids)
+
+
+def test_batch_drops_join_matches_operator(spark):
+    """image_hash_batch_drops without a store == the intra-batch
+    precedence rule alone."""
+    fps = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5 ^ (1 << 40)), (4, 0x1111222233334444)],
+        "media_id long, dhash long",
+    )
+    got = sorted(
+        r.media_id
+        for r in image_hash_batch_drops(None, fps, max_hamming=3).collect()
+    )
+    # 2 dups 1; 3 within hamming 1 of 1/2; 4 shares no 16-bit block with
+    # any of them (never a candidate) and survives
+    assert got == [2, 3]
+
+
+def test_retire_and_config_guard(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    s = st.ingest(
+        _media(spark, [(i, encode_bmp(_px(i * 99))) for i in range(0, 40, 10)]),
+        "r1",
+    )
+    unpersist_deps(s)
+    st.retire_ids_below(16)
+    left = {r.media_id for r in st.store.read(ImageHashStore.FPS).collect()}
+    assert left == {20, 30}
+    with pytest.raises(ValueError, match="layout"):
+        ImageHashStore(
+            spark, str(tmp_path / "imgs"), fp_bucket_width=8, n_buckets=16
+        )

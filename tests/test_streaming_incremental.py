@@ -238,3 +238,68 @@ def test_streaming_vector_ingest_matches_batch_sequential(spark, tmp_path):
         spark.read.parquet(str(src / "b1")), "stream-run-1"
     ) is None
     assert stream_store.store.current_version(stream_store.VECS) == v
+
+
+@pytest.mark.slow
+def test_streaming_bm25_index_ingest_serves_like_fresh(spark, tmp_path):
+    """r13: the Bm25Index streaming face — a document file-stream appends
+    each micro-batch into the persistent index via foreachBatch; after
+    the stream drains, the pruned serve must equal a fresh bm25_topk over
+    everything that arrived (including an upserted re-delivery whose old
+    terms must have vacated)."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        Bm25Index,
+        bm25_topk,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    _write_batch(spark, str(src / "b0"), [(1, BASE), (2, THIRD)])
+    _write_batch(spark, str(src / "b1"), [(3, OTHER), (4, "isolated special words " * 4)])
+    # b2 re-ingests doc 1 with REPLACED text: its BASE postings must vacate
+    _write_batch(spark, str(src / "b2"), [(1, "replacement corpus entry " * 5), (5, BASE)])
+
+    idx = Bm25Index(
+        spark, str(tmp_path / "bm25_stream"),
+        doc_bucket_width=2, n_buckets=8, n_term_buckets=8,
+    )
+
+    def sink(bdf, batch_id):
+        idx.append(bdf)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "bm25_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.createDataFrame(
+        [(1, "replacement corpus entry " * 5), (2, THIRD), (3, OTHER),
+         (4, "isolated special words " * 4), (5, BASE)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "quick brown fox"), (101, "replacement corpus"),
+         (102, "isolated special")],
+        "query_id long, text string",
+    )
+    got = idx.topk(queries, k=5)
+    got_rows = sorted(map(tuple, got.collect()))
+    unpersist_deps(got)
+    want = sorted(map(tuple, bm25_topk(final, queries, k=5).collect()))
+    assert got_rows == want and len(got_rows) > 0
+    # vacate check: doc 1 no longer matches its OLD text's rare terms
+    by_q = {}
+    for r in got_rows:
+        by_q.setdefault(r[0], set()).add(r[1])
+    assert 1 not in by_q.get(100, set())  # old BASE terms -> only doc 5
+    assert 1 in by_q.get(101, set())      # new text retrieved
