@@ -97,6 +97,7 @@ EXTENDED = [
     "media_dedup",          # r13: perceptual image dedup (dHash banding)
     "url_dedup",            # r13: URL canonicalization + exact dedup
     "decontam_triage",      # r13: BM25-gated contamination review
+    "media_dedup_incremental",  # r13: cross-run perceptual image dedup
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3
