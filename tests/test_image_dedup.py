@@ -86,6 +86,45 @@ def test_hashes_are_deterministic_across_partitionings(spark):
     assert a == b and len(a) == 20
 
 
+def test_frame_level_video_dedup_composition(spark):
+    """Frame-level perceptual video dedup is a two-operator composition:
+    sample_frames (real BMV frame extraction) -> image_hashes over the
+    frame payloads -> hamming_banded_pairs. Two videos sharing a frame
+    pair exactly on that frame; unrelated frames do not pair."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.codecs import encode_bmv
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        hamming_banded_pairs,
+    )
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    shared = encode_bmp(_px(7))
+    v1 = encode_bmv([shared, encode_bmp(_px(100))], frame_ms=40)
+    v2 = encode_bmv([encode_bmp(_px(200)), shared], frame_ms=40)
+    media = spark.createDataFrame(
+        [(1, "video", v1, 80), (2, "video", v2, 80)],
+        "media_id long, kind string, payload binary, duration_ms int",
+    )
+    frames = sample_frames(media, every_ms=40).withColumn(
+        "frame_id", F.col("media_id") * 1000 + F.col("frame_ts")
+    )
+    fps = image_hashes(frames, payload_col="frame", id_col="frame_id")
+    fps = fps.persist()
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_banded_pairs(fps, "dhash", "frame_id").collect()
+    }
+    fps.unpersist()
+    # video 1 frame 0 (id 1000) == video 2 frame 1 (id 2040), hamming 0;
+    # no other cross-video pair
+    assert pairs.get((1000, 2040)) == 0
+    cross = {p for p in pairs if p[0] // 1000 != p[1] // 1000}
+    assert cross == {(1000, 2040)}
+
+
 def test_pigeonhole_guard_semantics(spark):
     """max_hamming above blocks-1 would lose pairs silently — the banding
     only guarantees recall for hamming <= blocks-1. The operator is used
