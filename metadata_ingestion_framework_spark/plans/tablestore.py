@@ -337,20 +337,57 @@ class VersionedParquetStore:
         """Read a catalog (bucketed) table."""
         return self.spark.table(table)
 
+    def partition_cols_of(self, table: str, version: int | None = None) -> list[str]:
+        """Partition COLUMNS of a version, derived from the directory
+        layout (metadata-only walk down the first dir chain) — the
+        file-listing answer to "how is this table partitioned", used so
+        maintenance ops can preserve a layout they were not told about."""
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table} does not exist in {self.root}")
+        cols: list[str] = []
+        cur = self._version_path(table, v)
+        while True:
+            subdirs = [
+                e
+                for e in sorted(os.listdir(cur))
+                if not e.startswith((".", "_"))
+                and "=" in e
+                and os.path.isdir(os.path.join(cur, e))
+            ]
+            if not subdirs:
+                return cols
+            cols.append(subdirs[0].split("=", 1)[0])
+            cur = os.path.join(cur, subdirs[0])
+
     def compact(self, table: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Rewrite the current version into right-sized files.
 
         Parity intent: Delta's optimizeWrite/autoCompact table properties
         (DeltaWritterSCD4Test.scala:59-61) — streaming appends accumulate
         small files; compaction coalesces them so scans stop paying
-        per-file open/footer costs. File count = ceil(bytes / target);
-        written as a fresh version (snapshot isolation preserved).
+        per-file open/footer costs. Written as a fresh version (snapshot
+        isolation preserved).
+
+        PARTITIONED tables keep their layout (r13 review): the earlier
+        plain ``repartition(n)`` rewrite silently FLATTENED a partitioned
+        table — directory pruning gone, and the next
+        ``write_partition_delta`` refused the layout. Now the partition
+        columns are derived from the directory structure and the rewrite
+        clusters on them (one write task per partition value), so each
+        partition dir coalesces to one file and the layout — pruning,
+        delta writes, retention — survives compaction. Unpartitioned
+        tables keep the size-targeted file count.
         """
         import math
 
         cur = self.current_version(table)
         if cur is None:
             raise FileNotFoundError(f"table {table} does not exist")
+        part_cols = self.partition_cols_of(table)
+        if part_cols:
+            df = self.read(table).repartition(*[F.col(c) for c in part_cols])
+            return self.write(df, table, partition_by=part_cols)
         path = self._version_path(table, cur)
         total = sum(
             os.path.getsize(os.path.join(root, f))

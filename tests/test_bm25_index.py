@@ -275,3 +275,56 @@ def test_config_guard(spark, tmp_path):
             spark, str(tmp_path / "other"),
             doc_bucket_width=W, n_buckets=NB, n_term_buckets=NTB,
         ).topk(_queries(spark, _docs(spark)))
+
+
+def test_compact_preserves_layout_and_serving(spark, tmp_path):
+    """r13 review: compaction of a partitioned store table must keep the
+    partition layout — the earlier plain-repartition rewrite flattened
+    it (pruning gone, next delta write refused). After several appends,
+    compact coalesces files per partition dir, serve stays row-equal,
+    and a further append still delta-writes."""
+    import glob as _glob
+
+    docs = _docs(spark)
+    idx = _idx(spark, tmp_path)
+    idx.build(docs.filter(F.col("doc_id") < 200))
+    for lo in (200, 300, 400):
+        idx.append(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100))
+        )
+    q = _queries(spark, docs)
+    before = _rows(idx.topk(q, k=10))
+    store = idx.store
+    assert store.partition_cols_of(Bm25Index.POSTINGS) == [
+        "doc_bucket", "term_bucket",
+    ]
+    pv = store._version_path(
+        Bm25Index.POSTINGS, store.current_version(Bm25Index.POSTINGS)
+    )
+    n_before = len(
+        _glob.glob(os.path.join(pv, "**", "*.parquet"), recursive=True)
+    )
+    store.compact(Bm25Index.POSTINGS)
+    pv2 = store._version_path(
+        Bm25Index.POSTINGS, store.current_version(Bm25Index.POSTINGS)
+    )
+    assert any(d.startswith("doc_bucket=") for d in os.listdir(pv2))
+    n_after = len(
+        _glob.glob(os.path.join(pv2, "**", "*.parquet"), recursive=True)
+    )
+    assert n_after <= n_before
+    assert _rows(idx.topk(q, k=10)) == before
+    # the layout survived: a further delta append works and serves right
+    idx.append(
+        docs.filter(F.col("doc_id") >= 400).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" freshened"))
+        )
+    )
+    merged = docs.filter(F.col("doc_id") < 400).unionByName(
+        docs.filter(F.col("doc_id") >= 400).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" freshened"))
+        )
+    )
+    got = _rows(idx.topk(q, k=10))
+    want = sorted(map(tuple, bm25_topk(merged, q, k=10).collect()))
+    assert got == want
