@@ -897,6 +897,44 @@ class EmbeddingDedupStore:
         )
 
 
+def image_fp_bands(
+    fps: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    blocks: int = 4,
+    n_band_buckets: int = 64,
+) -> DataFrame:
+    """Skinny ``(id, blk, blk_val, bucket)`` band rows from a
+    fingerprint table — the image analogue of ``minhash_bands``. The
+    ``bucket`` is a hash of the (blk, blk_val) candidate key, so the
+    stored band table partitions on it and an ingest's store-side scan
+    directory-prunes to the batch's own buckets (the minhash-store
+    manual-DPP shape). Engine-internal (never oracle-compared) —
+    xxhash64 is fine."""
+    width = 64 // blocks
+    return fps.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col(hash_col), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1)).alias("blk_val"),
+                )
+                for i in range(blocks)
+            ])
+        ).alias("bb"),
+    ).select(
+        id_col,
+        "bb.blk",
+        "bb.blk_val",
+        F.pmod(
+            F.xxhash64(F.col("bb.blk"), F.col("bb.blk_val")),
+            F.lit(n_band_buckets),
+        ).alias("bucket"),
+    )
+
+
 def image_hash_batch_drops(
     store_fps: DataFrame | None,
     batch_fps: DataFrame,
@@ -904,6 +942,7 @@ def image_hash_batch_drops(
     hash_col: str = "dhash",
     max_hamming: int = 3,
     blocks: int = 4,
+    store_bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ids to DROP under perceptual (Hamming) temporal-then-min-id
     precedence — the image twin of :func:`minhash_batch_drops` /
@@ -915,63 +954,89 @@ def image_hash_batch_drops(
     Candidates come from the 16-bit block-permutation equi-join
     (``dedup.hamming_banded_pairs`` machinery — pigeonhole-exact for
     ``max_hamming <= blocks-1``), with the codegen ``bit_count`` verify
-    BEFORE any distinct shuffle. Bands are DERIVED from the stored
-    fingerprints on the fly (a 64-bit fp explodes to 4 block rows —
-    unlike minhash there is no band table to persist or rebuild, so the
-    store has no candidates-only ghost surface at all).
+    streaming over the joined rows before the distinct. Shared by
+    :meth:`ImageHashStore.ingest` (which passes the stored,
+    bucket-PRUNED band table — the store side's shuffle tracks the
+    batch's buckets, not the store) and the ``media_dedup_incremental``
+    oracle query (which derives the store bands in-plan) — so the
+    driver's DuckDB gate value-checks the exact join the store runs.
 
-    NULL-id batch rows never win a precedence comparison against other
-    batch rows (NULL < id is NULL) but still drop against stored
-    partners. Returns a 1-column DataFrame ``(id_col,)``.
+    The verify always reads FRESH fingerprints by id (``store_fps`` /
+    ``batch_fps``), which is what makes stale band rows candidates-only
+    ghosts (the minhash-band tolerance argument). NULL-id batch rows
+    never win a precedence comparison against other batch rows but
+    still drop against stored partners. Returns a 1-column DataFrame
+    ``(id_col,)``.
     """
-    width = 64 // blocks
-    b = batch_fps.select(
-        F.col(id_col), F.col(hash_col), F.lit(True).alias("__new")
-    )
-    if store_fps is None:
-        u = b
-    else:
-        u = b.unionByName(
-            store_fps.select(
-                F.col(id_col), F.col(hash_col), F.lit(False).alias("__new")
-            )
-        )
-    blocked = u.select(
-        id_col,
-        hash_col,
-        "__new",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("blk"),
-                    F.shiftright(F.col(hash_col), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1)).alias("blk_val"),
-                )
-                for i in range(blocks)
-            ])
-        ).alias("bb"),
-    ).select(id_col, hash_col, "__new", "bb.blk", "bb.blk_val")
-    a, o = blocked.filter(F.col("__new")).alias("a"), blocked.alias("o")
-    precedence = (~F.col("o.__new")) | (
-        F.col(f"o.{id_col}") < F.col(f"a.{id_col}")
-    )
-    return (
+    batch_bands = image_fp_bands(batch_fps, id_col, hash_col, blocks)
+
+    # intra-batch: smaller id wins
+    a, b = batch_bands.alias("a"), batch_bands.alias("b")
+    intra_cand = (
         a.join(
-            o,
-            (F.col("a.blk") == F.col("o.blk"))
-            & (F.col("a.blk_val") == F.col("o.blk_val"))
-            & precedence,
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias(id_col),
-            F.bit_count(
-                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"o.{hash_col}"))
-            ).alias("__hamming"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-        .filter(F.col("__hamming") <= max_hamming)
-        .select(id_col)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fp_a = batch_fps.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("__fp_a")
+    )
+    fp_b = batch_fps.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("__fp_b")
+    )
+    ham = F.bit_count(F.col("__fp_a").bitwiseXOR(F.col("__fp_b")))
+    intra_drops = (
+        intra_cand.join(fp_a, "id_a")
+        .join(fp_b, "id_b")
+        .filter(ham <= max_hamming)
+        .select(F.col("id_b").alias(id_col))
         .distinct()
     )
+    if store_fps is None:
+        return intra_drops
+
+    # vs store: any stored partner drops the batch doc (temporal
+    # precedence). The caller excludes the batch's own ids from the
+    # store side (replay safety).
+    store_bands = (
+        store_bands_df
+        if store_bands_df is not None
+        else image_fp_bands(store_fps, id_col, hash_col, blocks)
+    )
+    n, s = batch_bands.alias("n"), store_bands.alias("s")
+    cross_cand = (
+        n.join(
+            s,
+            (F.col("n.blk") == F.col("s.blk"))
+            & (F.col("n.blk_val") == F.col("s.blk_val"))
+            & (F.col(f"n.{id_col}") != F.col(f"s.{id_col}")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"s.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    store_drops = (
+        cross_cand.join(fp_a, "id_a")
+        .join(
+            store_fps.select(
+                F.col(id_col).alias("id_b"), F.col(hash_col).alias("__fp_b")
+            ),
+            "id_b",
+        )
+        .filter(ham <= max_hamming)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return intra_drops.union(store_drops).distinct()
 
 
 class ImageHashStore:
@@ -981,15 +1046,22 @@ class ImageHashStore:
     today's images against every image ever seen without re-hashing the
     corpus.
 
-    One table: ``fps`` = (id, dhash, ahash, fp_bucket), partitioned by
-    the id-RANGE ``fp_bucket`` (the shared store-family key): ingest's
-    partition-delta touched set is the batch ids' buckets (re-ingested
-    ids land home and their old fingerprints vacate in the rewrite),
-    retention is a zero-rewrite bucket drop. Stored fingerprints are the
-    VERIFY source (Hamming is computed against them directly), so ghosts
-    are correctness bugs — which the id-range vacate rules out — and
-    there is no derived candidate table to rebuild (bands explode from
-    the fp at query time).
+    Tables (both ``VersionedParquetStore`` snapshots under ``root``):
+
+    - ``fps``: (id, dhash, ahash, fp_bucket), partitioned by the
+      id-RANGE ``fp_bucket`` (the shared store-family key): ingest's
+      partition-delta touched set is the batch ids' buckets (re-ingested
+      ids land home and their old fingerprints vacate in the rewrite),
+      retention is a zero-rewrite bucket drop. Stored fingerprints are
+      the VERIFY source, so ghosts here would be correctness bugs —
+      which the id-range vacate rules out.
+    - ``bands``: (id, blk, blk_val, bucket) exploded 16-bit blocks,
+      partitioned by ``bucket`` = hash(blk, blk_val) % n_band_buckets —
+      the CANDIDATE table. An ingest directory-prunes the store side to
+      the batch's own band buckets (the minhash-store manual-DPP shape),
+      so the candidate shuffle tracks the batch, not the store. Band
+      rows tolerate ghosts (candidates-only: the Hamming verify always
+      reads fresh ``fps`` by id); ``rebuild_bands`` reaps them.
 
     Dropped (deduped-away) images keep their fingerprints, same as both
     sibling stores: a future near-dup of a dropped image must still
@@ -998,6 +1070,7 @@ class ImageHashStore:
     """
 
     FPS = "fps"
+    BANDS = "bands"
 
     def __init__(
         self,
@@ -1010,6 +1083,7 @@ class ImageHashStore:
         blocks: int = 4,
         n_buckets: int = 64,
         fp_bucket_width: int = 8192,
+        n_band_buckets: int = 64,
     ):
         self.spark = spark
         self.store = VersionedParquetStore(spark, root)
@@ -1020,10 +1094,12 @@ class ImageHashStore:
         self.blocks = blocks
         self.n_buckets = n_buckets
         self.fp_bucket_width = fp_bucket_width
+        self.n_band_buckets = n_band_buckets
         self._ledger_path = os.path.join(root, "_runs.json")
-        # hash_col/blocks shape WHICH fingerprints are stored and how
-        # candidates band — mismatched reopens would verify new batches
-        # against incomparable state; max_hamming is a tunable query
+        # hash_col/blocks/band buckets shape WHICH fingerprints are
+        # stored and how candidates band/partition — mismatched reopens
+        # would verify new batches against incomparable state or prune
+        # away stored band rows; max_hamming is a tunable query
         # threshold and deliberately excluded
         _check_store_config(
             root,
@@ -1034,6 +1110,7 @@ class ImageHashStore:
                 "blocks": blocks,
                 "n_buckets": n_buckets,
                 "fp_bucket_width": fp_bucket_width,
+                "n_band_buckets": n_band_buckets,
             },
         )
 
@@ -1053,26 +1130,50 @@ class ImageHashStore:
             ),
         )
 
+    def _band_rows(self, fps: DataFrame) -> DataFrame:
+        return image_fp_bands(
+            fps, self.id_col, self.hash_col, self.blocks,
+            self.n_band_buckets,
+        )
+
     def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
         """Perceptually dedup ``batch`` against the store and itself;
-        merge its fingerprints in; return surviving batch rows (original
-        columns). None (store untouched) when ``run_id`` already ran.
-        Result carries its persisted drop set via ``_persisted_deps`` —
-        release with ``dedup.unpersist_deps``."""
+        merge its fingerprints and band rows in; return surviving batch
+        rows (original columns). None (store untouched) when ``run_id``
+        already ran. Result carries its persisted drop set via
+        ``_persisted_deps`` — release with ``dedup.unpersist_deps``."""
         if run_id in self.ingested_runs():
             return None
         fps = self._fingerprints(batch).persist()
-        store_fps = store_all = None
+        new_bands = self._band_rows(fps)
+        store_fps = store_all = store_bands = None
+        batch_buckets: list = []
         if self.store.exists(self.FPS):
+            batch_ids = fps.select(self.id_col)
             store_all = self.store.read(self.FPS)
             # replay safety: a re-delivered batch must not collide with
             # its own stored copy
-            store_fps = store_all.join(
-                fps.select(self.id_col), self.id_col, "left_anti"
-            )
+            store_fps = store_all.join(batch_ids, self.id_col, "left_anti")
+            # bucket pruning: collisions only happen inside the batch's
+            # own band buckets (bounded by n_band_buckets) — the IN-list
+            # prunes the partitioned band scan, and the same list IS the
+            # partition-delta touched set for the band write below
+            batch_buckets = [
+                r.bucket
+                for r in new_bands.select("bucket").distinct().collect()
+            ]
+            # BANDS can be absent with FPS present (first-ingest crash
+            # between the two writes — the minhash-store heal path):
+            # derive the store side in-plan and rebuild the table below
+            if self.store.exists(self.BANDS):
+                store_bands = (
+                    self.store.read(self.BANDS)
+                    .filter(F.col("bucket").isin(batch_buckets))
+                    .join(batch_ids, self.id_col, "left_anti")
+                )
         drops = image_hash_batch_drops(
             store_fps, fps, self.id_col, self.hash_col,
-            self.max_hamming, self.blocks,
+            self.max_hamming, self.blocks, store_bands_df=store_bands,
         ).persist()
         drops.count()  # materialize while fps is still cached
         survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
@@ -1082,6 +1183,11 @@ class ImageHashStore:
                 scd1_merge(None, fps, [self.id_col]),
                 self.FPS,
                 partition_by=["fp_bucket"],
+            )
+            self.store.write(
+                self._band_rows(self.store.read(self.FPS)),
+                self.BANDS,
+                partition_by=["bucket"],
             )
         else:
             touched_set = {
@@ -1102,15 +1208,50 @@ class ImageHashStore:
             self.store.write_partition_delta(
                 merged, self.FPS, ["fp_bucket"], touched
             )
+            if self.store.exists(self.BANDS):
+                # band delta: the batch's band rows land in their buckets;
+                # rows of OTHER ids in those buckets carry via the merge
+                # union (stale rows of re-ingested ids in untouched
+                # buckets become candidates-only ghosts until
+                # rebuild_bands — tolerated by the fresh-fps verify)
+                old_touched_bands = self.store.read(self.BANDS).filter(
+                    F.col("bucket").isin(batch_buckets)
+                ).join(fps.select(self.id_col), self.id_col, "left_anti")
+                self.store.write_partition_delta(
+                    old_touched_bands.unionByName(new_bands),
+                    self.BANDS,
+                    ["bucket"],
+                    batch_buckets,
+                )
+            else:
+                self.store.write(
+                    self._band_rows(self.store.read(self.FPS)),
+                    self.BANDS,
+                    partition_by=["bucket"],
+                )
         self._record_run(run_id)
         fps.unpersist()
         return survivors
 
+    def rebuild_bands(self) -> None:
+        """Reap candidates-only ghost band rows (stale blocks of
+        re-ingested fingerprints) by rebuilding the band table from the
+        always-fresh fps table — the minhash-store maintenance op."""
+        self.store.write(
+            self._band_rows(self.store.read(self.FPS)),
+            self.BANDS,
+            partition_by=["bucket"],
+        )
+
     def retire_ids_below(self, cutoff_id: int) -> None:
-        """Zero-rewrite range retention (shared machinery; numeric ids
-        only). Same semantics caveat as every dedup store: a future
-        near-dup of a retired image no longer drops against it."""
-        _retire_range_ids_below(
+        """Zero-rewrite range retention on the fps table (shared
+        machinery; numeric ids only), then a band rebuild to reap the
+        retired ids' band rows (hash-bucketed — no range expression).
+        Same semantics caveat as every dedup store: a future near-dup of
+        a retired image no longer drops against it."""
+        changed = _retire_range_ids_below(
             self.store, self.FPS, "fp_bucket", self.fp_bucket_width,
             self.id_col, cutoff_id, ["fp_bucket"],
         )
+        if changed and self.store.exists(self.BANDS):
+            self.rebuild_bands()

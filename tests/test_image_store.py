@@ -156,3 +156,110 @@ def test_retire_and_config_guard(spark, tmp_path):
         ImageHashStore(
             spark, str(tmp_path / "imgs"), fp_bucket_width=8, n_buckets=16
         )
+
+
+def test_store_band_scan_is_bucket_pruned(spark, tmp_path):
+    """r13 scale fix: the ingest's store-side candidate scan must read
+    only the batch's band buckets — corrupt every band file of buckets
+    the batch does NOT touch and the ingest still answers correctly."""
+    import glob
+    import os
+
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        image_fp_bands,
+    )
+
+    st = ImageHashStore(
+        spark, str(tmp_path / "imgs"), fp_bucket_width=8, n_buckets=8,
+        n_band_buckets=16,
+    )
+    s1 = st.ingest(
+        _media(spark, [(i, encode_bmp(_px(i * 97))) for i in range(12)]),
+        "r1",
+    )
+    unpersist_deps(s1)
+    # 51 needs a different SHAPE: same-dims _px images share the gradient
+    # structure, so their dHashes coincide regardless of seed
+    batch = _media(
+        spark,
+        [(50, encode_bmp(_px(3 * 97))), (51, encode_bmp(_px(777, 12, 10)))],
+    )
+    fps = {
+        r.media_id: r.dhash
+        for r in __import__(
+            "metadata_ingestion_framework_spark.operators.multimodal",
+            fromlist=["image_hashes"],
+        ).image_hashes(batch).collect()
+    }
+    fp_df = spark.createDataFrame(
+        [(k, v) for k, v in fps.items()], "media_id long, dhash long"
+    )
+    probed = {
+        r.bucket
+        for r in image_fp_bands(fp_df, n_band_buckets=16)
+        .select("bucket").distinct().collect()
+    }
+    unprobed = set(range(16)) - probed
+    assert unprobed, "batch should not touch every band bucket"
+    p = st.store._version_path(
+        ImageHashStore.BANDS, st.store.current_version(ImageHashStore.BANDS)
+    )
+    n_corrupted = 0
+    for bkt in sorted(unprobed, reverse=True):
+        files = glob.glob(os.path.join(p, f"bucket={bkt}", "*.parquet"))
+        if not files:
+            continue
+        for f in files:
+            with open(f, "wb") as fh:
+                fh.write(b"corrupt")
+        n_corrupted = len(files)
+        break
+    assert n_corrupted > 0
+    s2 = st.ingest(batch, "r2")
+    # 50 is a near/exact dup of stored 3*97 image -> dropped; 51 new
+    assert sorted(r.media_id for r in s2.collect()) == [51]
+    unpersist_deps(s2)
+
+
+def test_reingest_ghost_bands_tolerated_and_reaped(spark, tmp_path):
+    """A re-ingested id with a CHANGED image leaves stale band rows in
+    other buckets (candidates-only ghosts): they must not change any
+    drop decision (verify reads fresh fps), and rebuild_bands reaps
+    them so the band table equals a fresh derivation."""
+    st = ImageHashStore(
+        spark, str(tmp_path / "imgs"), fp_bucket_width=8, n_buckets=8,
+        n_band_buckets=16,
+    )
+    s1 = st.ingest(
+        _media(spark, [(0, encode_bmp(_px(11))), (1, encode_bmp(_px(500)))]),
+        "r1",
+    )
+    unpersist_deps(s1)
+    # re-ingest id 0 with a completely different image
+    s2 = st.ingest(_media(spark, [(0, encode_bmp(_px(900)))]), "r2")
+    assert [r.media_id for r in s2.collect()] == [0]
+    unpersist_deps(s2)
+    # a new image matching id 0's OLD pixels must SURVIVE (the old
+    # fingerprint vacated from fps; any stale band row is verify-killed)
+    s3 = st.ingest(_media(spark, [(7, encode_bmp(_px(11)))]), "r3")
+    assert [r.media_id for r in s3.collect()] == [7]
+    unpersist_deps(s3)
+    # reap: after rebuild the band table == fresh derivation from fps
+    st.rebuild_bands()
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        image_fp_bands,
+    )
+
+    got = sorted(
+        map(tuple, st.store.read(ImageHashStore.BANDS).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            image_fp_bands(
+                st.store.read(ImageHashStore.FPS).select("media_id", "dhash"),
+                n_band_buckets=16,
+            ).collect(),
+        )
+    )
+    assert got == want
