@@ -963,10 +963,13 @@ def image_hash_batch_drops(
 
     The verify always reads FRESH fingerprints by id (``store_fps`` /
     ``batch_fps``), which is what makes stale band rows candidates-only
-    ghosts (the minhash-band tolerance argument). NULL-id batch rows
-    never win a precedence comparison against other batch rows but
-    still drop against stored partners. Returns a 1-column DataFrame
-    ``(id_col,)``.
+    ghosts (the minhash-band tolerance argument). NULL is not an
+    identity (r14, the dedup-family NULL-key contract shared with
+    ``minhash_batch_drops`` / SQL-MERGE key semantics): a NULL-id batch
+    row never joins on id — the ``!=``/``<`` precedence predicates are
+    NULL and the fingerprint re-attach equi-joins never match — so
+    NULL-id rows always SURVIVE, intra-batch and vs the store alike.
+    Returns a 1-column DataFrame ``(id_col,)``.
     """
     batch_bands = image_fp_bands(batch_fps, id_col, hash_col, blocks)
 
@@ -1145,93 +1148,115 @@ class ImageHashStore:
         if run_id in self.ingested_runs():
             return None
         fps = self._fingerprints(batch).persist()
-        new_bands = self._band_rows(fps)
-        store_fps = store_all = store_bands = None
-        batch_buckets: list = []
-        if self.store.exists(self.FPS):
-            batch_ids = fps.select(self.id_col)
-            store_all = self.store.read(self.FPS)
-            # replay safety: a re-delivered batch must not collide with
-            # its own stored copy
-            store_fps = store_all.join(batch_ids, self.id_col, "left_anti")
-            # bucket pruning: collisions only happen inside the batch's
-            # own band buckets (bounded by n_band_buckets) — the IN-list
-            # prunes the partitioned band scan, and the same list IS the
-            # partition-delta touched set for the band write below
-            batch_buckets = [
-                r.bucket
-                for r in new_bands.select("bucket").distinct().collect()
-            ]
-            # BANDS can be absent with FPS present (first-ingest crash
-            # between the two writes — the minhash-store heal path):
-            # derive the store side in-plan and rebuild the table below
-            if self.store.exists(self.BANDS):
-                store_bands = (
-                    self.store.read(self.BANDS)
-                    .filter(F.col("bucket").isin(batch_buckets))
-                    .join(batch_ids, self.id_col, "left_anti")
+        drops = None
+        # persist hygiene (r14 ADVICE): any failure between persist()
+        # and the trailing unpersist (e.g. a failed store write) must
+        # not leak cached blocks in a long-lived session — the
+        # Bm25Index.append try/finally convention. ``drops`` unpersists
+        # only on the exception path: on success it is handed out live
+        # via the survivors' ``_persisted_deps``.
+        try:
+            new_bands = self._band_rows(fps)
+            store_fps = store_all = store_bands = None
+            batch_buckets: list = []
+            if self.store.exists(self.FPS):
+                batch_ids = fps.select(self.id_col)
+                store_all = self.store.read(self.FPS)
+                # replay safety: a re-delivered batch must not collide
+                # with its own stored copy
+                store_fps = store_all.join(
+                    batch_ids, self.id_col, "left_anti"
                 )
-        drops = image_hash_batch_drops(
-            store_fps, fps, self.id_col, self.hash_col,
-            self.max_hamming, self.blocks, store_bands_df=store_bands,
-        ).persist()
-        drops.count()  # materialize while fps is still cached
-        survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
-        survivors._persisted_deps = [drops]
-        if store_all is None:
-            self.store.write(
-                scd1_merge(None, fps, [self.id_col]),
-                self.FPS,
-                partition_by=["fp_bucket"],
+                # bucket pruning: collisions only happen inside the
+                # batch's own band buckets (bounded by n_band_buckets) —
+                # the IN-list prunes the partitioned band scan, and the
+                # same list IS the partition-delta touched set for the
+                # band write below
+                batch_buckets = [
+                    r.bucket
+                    for r in new_bands.select("bucket").distinct().collect()
+                ]
+                # BANDS can be absent with FPS present (first-ingest
+                # crash between the two writes — the minhash-store heal
+                # path): derive the store side in-plan and rebuild the
+                # table below
+                if self.store.exists(self.BANDS):
+                    store_bands = (
+                        self.store.read(self.BANDS)
+                        .filter(F.col("bucket").isin(batch_buckets))
+                        .join(batch_ids, self.id_col, "left_anti")
+                    )
+            drops = image_hash_batch_drops(
+                store_fps, fps, self.id_col, self.hash_col,
+                self.max_hamming, self.blocks, store_bands_df=store_bands,
+            ).persist()
+            drops.count()  # materialize while fps is still cached
+            survivors = batch.join(
+                F.broadcast(drops), self.id_col, "left_anti"
             )
-            self.store.write(
-                self._band_rows(self.store.read(self.FPS)),
-                self.BANDS,
-                partition_by=["bucket"],
-            )
-        else:
-            touched_set = {
-                r.fp_bucket
-                for r in fps.select("fp_bucket").distinct().collect()
-            }
-            touched = sorted(
-                (v for v in touched_set if v is not None), key=str
-            ) + ([None] if None in touched_set else [])
-            bucket_match = F.col("fp_bucket").isin(
-                [v for v in touched if v is not None]
-            )
-            if None in touched_set:
-                bucket_match = bucket_match | F.col("fp_bucket").isNull()
-            merged = scd1_merge(
-                store_all.filter(bucket_match), fps, [self.id_col]
-            )
-            self.store.write_partition_delta(
-                merged, self.FPS, ["fp_bucket"], touched
-            )
-            if self.store.exists(self.BANDS):
-                # band delta: the batch's band rows land in their buckets;
-                # rows of OTHER ids in those buckets carry via the merge
-                # union (stale rows of re-ingested ids in untouched
-                # buckets become candidates-only ghosts until
-                # rebuild_bands — tolerated by the fresh-fps verify)
-                old_touched_bands = self.store.read(self.BANDS).filter(
-                    F.col("bucket").isin(batch_buckets)
-                ).join(fps.select(self.id_col), self.id_col, "left_anti")
-                self.store.write_partition_delta(
-                    old_touched_bands.unionByName(new_bands),
-                    self.BANDS,
-                    ["bucket"],
-                    batch_buckets,
+            survivors._persisted_deps = [drops]
+            if store_all is None:
+                self.store.write(
+                    scd1_merge(None, fps, [self.id_col]),
+                    self.FPS,
+                    partition_by=["fp_bucket"],
                 )
-            else:
                 self.store.write(
                     self._band_rows(self.store.read(self.FPS)),
                     self.BANDS,
                     partition_by=["bucket"],
                 )
-        self._record_run(run_id)
-        fps.unpersist()
-        return survivors
+            else:
+                touched_set = {
+                    r.fp_bucket
+                    for r in fps.select("fp_bucket").distinct().collect()
+                }
+                touched = sorted(
+                    (v for v in touched_set if v is not None), key=str
+                ) + ([None] if None in touched_set else [])
+                bucket_match = F.col("fp_bucket").isin(
+                    [v for v in touched if v is not None]
+                )
+                if None in touched_set:
+                    bucket_match = (
+                        bucket_match | F.col("fp_bucket").isNull()
+                    )
+                merged = scd1_merge(
+                    store_all.filter(bucket_match), fps, [self.id_col]
+                )
+                self.store.write_partition_delta(
+                    merged, self.FPS, ["fp_bucket"], touched
+                )
+                if self.store.exists(self.BANDS):
+                    # band delta: the batch's band rows land in their
+                    # buckets; rows of OTHER ids in those buckets carry
+                    # via the merge union (stale rows of re-ingested ids
+                    # in untouched buckets become candidates-only ghosts
+                    # until rebuild_bands — tolerated by the fresh-fps
+                    # verify)
+                    old_touched_bands = self.store.read(self.BANDS).filter(
+                        F.col("bucket").isin(batch_buckets)
+                    ).join(fps.select(self.id_col), self.id_col, "left_anti")
+                    self.store.write_partition_delta(
+                        old_touched_bands.unionByName(new_bands),
+                        self.BANDS,
+                        ["bucket"],
+                        batch_buckets,
+                    )
+                else:
+                    self.store.write(
+                        self._band_rows(self.store.read(self.FPS)),
+                        self.BANDS,
+                        partition_by=["bucket"],
+                    )
+            self._record_run(run_id)
+            return survivors
+        except BaseException:
+            if drops is not None:
+                drops.unpersist()
+            raise
+        finally:
+            fps.unpersist()
 
     def rebuild_bands(self) -> None:
         """Reap candidates-only ghost band rows (stale blocks of

@@ -263,3 +263,41 @@ def test_reingest_ghost_bands_tolerated_and_reaped(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_null_id_rows_always_survive(spark, tmp_path):
+    """NULL is not an identity (r14 ADVICE): a NULL-id batch row never
+    joins on id — the band-join precedence predicates are NULL and the
+    fingerprint re-attach equi-joins never match — so NULL-id rows
+    survive intra-batch AND against an exact stored duplicate (the
+    dedup-family NULL-key contract shared with minhash_batch_drops)."""
+    st = _store(spark, tmp_path)
+    s1 = st.ingest(_media(spark, [(3, encode_bmp(_px(300)))]), "r1")
+    unpersist_deps(s1)
+    batch = _media(spark, [
+        (None, encode_bmp(_px(300))),   # exact dup of stored 3, NULL id
+        (None, encode_bmp(_px(300))),   # and of its NULL-id twin
+        (30, encode_bmp(_px(300))),     # non-NULL control: drops
+    ])
+    s2 = st.ingest(batch, "r2")
+    out = [r.media_id for r in s2.collect()]
+    unpersist_deps(s2)
+    assert sorted(out, key=lambda v: (v is not None, v)) == [None, None]
+
+
+def test_ingest_unpersists_on_store_write_failure(spark, tmp_path):
+    """Persist hygiene (r14 ADVICE): a failed store write inside ingest
+    must not leak the fps/drops cached blocks in a long-lived session —
+    the Bm25Index.append try/finally convention."""
+    st = _store(spark, tmp_path)
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    boom = RuntimeError("disk full")
+
+    def _fail_write(*a, **k):
+        raise boom
+
+    st.store.write = _fail_write
+    with pytest.raises(RuntimeError, match="disk full"):
+        st.ingest(_media(spark, [(0, encode_bmp(_px(1)))]), "r1")
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    assert after == before

@@ -883,13 +883,23 @@ def _append_skew_md(result: dict) -> None:
 
 
 
-def replicate_docs_fast(spark, docs, n: int, base: int):
+def replicate_docs_fast(spark, docs, n: int, base: int | None = None):
     """ONE-scan replication for the big tiers: crossJoin with a replica
     range instead of an n-way union (at 100x a 100-branch union is its
     own plan pathology — one scan, ids offset per replica, text lightly
-    perturbed so replicas are near- not exact-dups)."""
+    perturbed so replicas are near- not exact-dups).
+
+    ``base`` is the per-replica id OFFSET and must exceed max(doc_id):
+    offsetting by row count (the pre-r14 form) overlaps replica id
+    ranges whenever ids are sparse, silently merging distinct rows in
+    id-keyed stages and distorting the growth measurements (r14
+    ADVICE). Defaults to max(doc_id)+1 — one cheap agg.
+    """
     if n == 1:
         return docs
+    if base is None:
+        base = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    assert base > 0, "replicate_docs_fast: empty docs"
     reps = spark.range(n).toDF("__rep")
     return (
         docs.crossJoin(reps)
@@ -922,7 +932,7 @@ def probe_buildscale(spark, docs, tiers) -> dict:
         build_postings,
     )
 
-    base = docs.count()
+    base = None  # replicate_docs_fast derives max(doc_id)+1
     out: dict = {}
     for n in tiers:
         tag = f"{n}x"
@@ -1087,7 +1097,7 @@ def main_bm25index(args: list[str]) -> None:
     spark = get_spark("scale_probe_bm25index")
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     if replicas > 1:
-        docs = replicate_docs_fast(spark, docs, replicas, docs.count())
+        docs = replicate_docs_fast(spark, docs, replicas)
     workdir = tempfile.mkdtemp(prefix="bm25_probe_")
     result = {
         "probe": "bm25index_amortization",
