@@ -98,6 +98,11 @@ EXTENDED = [
     "url_dedup",            # r13: URL canonicalization + exact dedup
     "decontam_triage",      # r13: BM25-gated contamination review
     "media_dedup_incremental",  # r13: cross-run perceptual image dedup
+    "decontam_triage_indexed",  # r14: triage through the index serve
+    # dataflow (in-plan build emulation — the catalog face pays the
+    # build; the REAL-store amortization is PROBE.md's triage_* lines)
+    "audio_dedup",          # r14: perceptual audio dedup (energy-delta
+    # fingerprints + shared Hamming banding)
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

@@ -432,6 +432,117 @@ def image_hashes(
     )
 
 
+def audio_hashes(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual audio fingerprints (r14, VERDICT r13 item 2): 64-bit
+    ``ehash`` (energy-delta) and ``mhash`` (energy-above-mean) per
+    decodable PCM16 WAV payload — the audio face of the dedup family,
+    the time-domain shape of the published Haitsma-Kalker energy-
+    difference fingerprint (bit = sign of adjacent band-energy delta),
+    with the image operator's grid conventions so the hashes are
+    SQL-replayable from the ``synthesize_real_media`` formulas:
+
+    - sample energies ``e_i = x_i * x_i`` (int64 — exact);
+    - cell ASSIGNMENT ``cell(i) = i * n_cells // n`` (one integer
+      expression, the GROUP BY the oracle runs; 65 cells for ehash,
+      64 for mhash);
+    - ehash bit ``k`` set iff ``E65[k+1] > E65[k]`` (strict) — adjacent
+      energy deltas, 65 cells -> 64 bits (the dHash 8x9 -> 64 shape);
+    - mhash bit ``j`` set iff ``64 * E64[j] > sum(e)`` (strict — the
+      aHash integer-exact "above the mean");
+    - packed into SIGNED int64 (two's-complement, the simhash
+      convention).
+
+    Both hashes are AMPLITUDE-INVARIANT (scaling x by a scales every
+    energy by a^2; strict comparisons are unchanged) — a re-encoded or
+    volume-normalized copy fingerprints identically, which is the
+    robustness property the published fingerprint gets from band-energy
+    signs. Map-only, one Arrow pass, no shuffle. Rows that fail WAV
+    decode or hold zero samples drop out (the simhash no-tokens rule);
+    payloads shorter than 65 samples hash with empty cells as 0 energy.
+    """
+    import numpy as np
+
+    from metadata_ingestion_framework_spark.operators.codecs import decode_wav
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _widen_narrow_input,
+    )
+
+    id_type = dict(media.dtypes)[id_col]
+    df = _widen_narrow_input(media.select(id_col, payload_col))
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ehs, mhs = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    _, x = decode_wav(bytes(payload))
+                except ValueError:  # non-WAV kind / corrupt payload
+                    continue
+                n = len(x)
+                if n == 0:
+                    continue
+                e = x.astype(np.int64) ** 2
+                idx = np.arange(n, dtype=np.int64)
+                # exact int64 scatter-add (bincount would go float64)
+                e65 = np.zeros(65, dtype=np.int64)
+                np.add.at(e65, idx * 65 // n, e)
+                e64 = np.zeros(64, dtype=np.int64)
+                np.add.at(e64, idx * 64 // n, e)
+                ebits = e65[1:] > e65[:-1]
+                mbits = 64 * e64 > e.sum()
+                # distinct powers of two: uint64 sum == bitwise OR, exact
+                efp = (ebits.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                mfp = (mbits.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                ids.append(mid)
+                ehs.append(efp.astype(np.int64))
+                mhs.append(mfp.astype(np.int64))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "ehash": pd.Series(ehs, dtype="int64"),
+                "mhash": pd.Series(mhs, dtype="int64"),
+            })
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} {id_type}, ehash long, mhash long"
+    )
+
+
+def audio_near_duplicates(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    hash_col: str = "ehash",
+) -> DataFrame:
+    """Perceptual near-duplicate audio pairs ``(id_a, id_b, hamming)``:
+    :func:`audio_hashes` + the SHARED ``dedup.hamming_banded_pairs``
+    block-permutation candidate join — byte-identical plan to the image
+    and simhash faces (bounded uniform (block, value) shuffle keys,
+    codegen bit_count verify before the dedup shuffle; exact for
+    ``max_hamming <= blocks-1`` by pigeonhole). Release the result's
+    ``_persisted_deps`` when done."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        hamming_banded_pairs,
+    )
+
+    fps = audio_hashes(media, payload_col, id_col).persist()
+    out = hamming_banded_pairs(
+        fps.select(id_col, hash_col), hash_col, id_col, max_hamming, blocks
+    )
+    out._persisted_deps = [fps]
+    return out
+
+
 def image_near_duplicates(
     media: DataFrame,
     payload_col: str = "payload",

@@ -328,3 +328,36 @@ def test_compact_preserves_layout_and_serving(spark, tmp_path):
     got = _rows(idx.topk(q, k=10))
     want = sorted(map(tuple, bm25_topk(merged, q, k=10).collect()))
     assert got == want
+
+
+def test_index_triage_equals_per_call_form(spark, tmp_path):
+    """r14 (VERDICT r13 item 1): triage with the index as candidate stage
+    must flag the IDENTICAL (pair, shared_grams, rank) set as the
+    per-call contamination_triage over the same corpus — the
+    serve==rebuild convention composed one level up — including across
+    an append (so the amortized recurring-triage path, not just the
+    fresh build, is pinned)."""
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        contamination_triage,
+    )
+
+    docs = _docs(spark)
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    idx = _idx(spark, tmp_path)
+    idx.build(train.filter(F.col("doc_id") % 4 != 3))
+    idx.append(train.filter(F.col("doc_id") % 4 == 3))
+
+    served = idx.triage(train, evals, k=50, shingle_n=5, min_shared=3)
+    got = {
+        (r.train_id, r.eval_id): (r.shared_grams, r.rank)
+        for r in served.collect()
+    }
+    unpersist_deps(served)
+    want = {
+        (r.train_id, r.eval_id): (r.shared_grams, r.rank)
+        for r in contamination_triage(
+            train, evals, k=50, shingle_n=5, min_shared=3
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -1080,6 +1080,44 @@ def probe_bm25index(spark, docs, workdir: str) -> dict:
     r["serve_speedup_vs_per_call"] = round(
         r["bm25_topk_per_call"]["sec"] / max(r["index_serve_warm"]["sec"], 0.01), 1
     )
+
+    # r14 (VERDICT r13 item 1): the recurring-TRIAGE amortization — the
+    # composite that motivated routing triage through the index. Eval set
+    # is a ~5% slice; both faces run the identical gram-verify stage, so
+    # the delta is purely per-call postings rebuild vs pruned serve.
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        contamination_triage,
+    )
+
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+
+    def triage_percall():
+        out = contamination_triage(docs, evals, k=20)
+        c = out.count()
+        unpersist_deps(out)
+        return c
+
+    def triage_indexed():
+        out = idx.triage(docs, evals, k=20)
+        c = out.count()
+        unpersist_deps(out)
+        return c
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        triage_percall()
+        times.append(time.perf_counter() - t0)
+    r["triage_per_call"] = {"sec": round(min(times), 2)}
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        triage_indexed()
+        times.append(time.perf_counter() - t0)
+    r["triage_indexed_warm"] = {"sec": round(min(times), 2)}
+    r["triage_speedup_vs_per_call"] = round(
+        r["triage_per_call"]["sec"] / max(r["triage_indexed_warm"]["sec"], 0.01), 1
+    )
     docs.unpersist()
     shutil.rmtree(root, ignore_errors=True)
     return r
