@@ -103,6 +103,7 @@ EXTENDED = [
     # build; the REAL-store amortization is PROBE.md's triage_* lines)
     "audio_dedup",          # r14: perceptual audio dedup (energy-delta
     # fingerprints + shared Hamming banding)
+    "video_dedup",          # r14: frame-level perceptual video dedup
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

@@ -903,6 +903,7 @@ def image_fp_bands(
     hash_col: str = "dhash",
     blocks: int = 4,
     n_band_buckets: int = 64,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Skinny ``(id, blk, blk_val, bucket)`` band rows from a
     fingerprint table — the image analogue of ``minhash_bands``. The
@@ -910,10 +911,13 @@ def image_fp_bands(
     stored band table partitions on it and an ingest's store-side scan
     directory-prunes to the batch's own buckets (the minhash-store
     manual-DPP shape). Engine-internal (never oracle-compared) —
-    xxhash64 is fine."""
+    xxhash64 is fine. ``extra_cols`` ride along unchanged (the frames
+    face carries ``frame_ts`` so a candidate names the exact frame to
+    verify, r14)."""
     width = 64 // blocks
     return fps.select(
         id_col,
+        *extra_cols,
         F.explode(
             F.array(*[
                 F.struct(
@@ -926,6 +930,7 @@ def image_fp_bands(
         ).alias("bb"),
     ).select(
         id_col,
+        *extra_cols,
         "bb.blk",
         "bb.blk_val",
         F.pmod(
@@ -1042,6 +1047,125 @@ def image_hash_batch_drops(
     return intra_drops.union(store_drops).distinct()
 
 
+def media_frame_batch_drops(
+    store_fps: DataFrame | None,
+    batch_fps: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    store_bands_df: DataFrame | None = None,
+    min_matching_frames: int = 1,
+    frame_col: str = "frame_ts",
+) -> DataFrame:
+    """FRAME-level batch drops (r14, VERDICT r13 item 3) — the
+    :func:`image_hash_batch_drops` rule generalized to fingerprint
+    tables holding one row per ``(id, frame_ts)`` so videos (sampled
+    frames) and images (one frame at ts 0) dedup in the SAME store:
+
+        drop batch media X  iff  X has >= min_matching_frames verified
+        frame-hash matches (distinct (ts_x, ts_y) pairs within
+        max_hamming) against some stored media Y (any id), or against
+        some batch media Y with Y.id < X.id.
+
+    With single-frame fingerprints and ``min_matching_frames=1`` this
+    reduces EXACTLY to the image rule (pytest-pinned). Same dataflow
+    discipline as the image face: banded (blk, blk_val) candidates
+    (store side bucket-pruned by the caller), skinny 4-tuple distinct,
+    fresh-fps re-attach by (id, frame), codegen bit_count verify, then
+    ONE media-level count aggregate — the only new shuffle is that
+    bounded (id_a, id_b) groupBy. NULL-id media never join on id and
+    always survive (the dedup-family NULL-key contract). Returns a
+    1-column ``(id_col,)`` of dropped batch ids."""
+    batch_bands = image_fp_bands(
+        batch_fps, id_col, hash_col, blocks, extra_cols=(frame_col,)
+    )
+
+    def _verified_media_pairs(cand, fps_a, fps_b):
+        """cand (id_a, ts_a, id_b, ts_b) -> media pairs with >= F
+        verified frame matches."""
+        ham = F.bit_count(F.col("__fp_a").bitwiseXOR(F.col("__fp_b")))
+        return (
+            cand.join(fps_a, ["id_a", "ts_a"])
+            .join(fps_b, ["id_b", "ts_b"])
+            .filter(ham <= max_hamming)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__nf"))
+            .filter(F.col("__nf") >= min_matching_frames)
+        )
+
+    fp_a = batch_fps.select(
+        F.col(id_col).alias("id_a"), F.col(frame_col).alias("ts_a"),
+        F.col(hash_col).alias("__fp_a"),
+    )
+    fp_b = batch_fps.select(
+        F.col(id_col).alias("id_b"), F.col(frame_col).alias("ts_b"),
+        F.col(hash_col).alias("__fp_b"),
+    )
+
+    # intra-batch: smaller media id wins
+    a, b = batch_bands.alias("a"), batch_bands.alias("b")
+    intra_cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.{frame_col}").alias("ts_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.{frame_col}").alias("ts_b"),
+        )
+        .dropDuplicates(["id_a", "ts_a", "id_b", "ts_b"])
+    )
+    intra_drops = (
+        _verified_media_pairs(intra_cand, fp_a, fp_b)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    if store_fps is None:
+        return intra_drops
+
+    # vs store: any stored partner with >= F frame matches drops the
+    # batch media (temporal precedence). The caller excludes the batch's
+    # own ids from the store side (replay safety).
+    store_bands = (
+        store_bands_df
+        if store_bands_df is not None
+        else image_fp_bands(
+            store_fps, id_col, hash_col, blocks, extra_cols=(frame_col,)
+        )
+    )
+    n, s = batch_bands.alias("n"), store_bands.alias("s")
+    cross_cand = (
+        n.join(
+            s,
+            (F.col("n.blk") == F.col("s.blk"))
+            & (F.col("n.blk_val") == F.col("s.blk_val"))
+            & (F.col(f"n.{id_col}") != F.col(f"s.{id_col}")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"n.{frame_col}").alias("ts_a"),
+            F.col(f"s.{id_col}").alias("id_b"),
+            F.col(f"s.{frame_col}").alias("ts_b"),
+        )
+        .dropDuplicates(["id_a", "ts_a", "id_b", "ts_b"])
+    )
+    sfp_b = store_fps.select(
+        F.col(id_col).alias("id_b"), F.col(frame_col).alias("ts_b"),
+        F.col(hash_col).alias("__fp_b"),
+    )
+    store_drops = (
+        _verified_media_pairs(cross_cand, fp_a, sfp_b)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return intra_drops.union(store_drops).distinct()
+
+
 class ImageHashStore:
     """Durable cross-run PERCEPTUAL image dedup state (r13) — the media
     twin of :class:`MinhashSignatureStore` (text) and
@@ -1070,6 +1194,24 @@ class ImageHashStore:
     sibling stores: a future near-dup of a dropped image must still
     drop. Undecodable payloads have no fingerprint: they always survive
     and are never stored (the simhash no-tokens rule).
+
+    FRAMES face (r14, VERDICT r13 item 3): constructed with
+    ``frames=True`` the store holds one fingerprint row per
+    ``(id, frame_ts)`` — video batches (synthesize_media shape with
+    ``kind``/``duration_ms`` columns) fingerprint one sampled frame per
+    ``every_ms`` via the SAME sample_frames -> image_hashes composition
+    as ``video_near_duplicates``, images fingerprint as a single frame
+    at ts 0, and the drop rule generalizes to media-level precedence
+    over >= ``min_matching_frames`` verified frame matches
+    (:func:`media_frame_batch_drops` — reduces exactly to the image rule
+    at single frames and F=1). Layout is IDENTICAL (fps under id-range
+    fp_bucket — all of a video's frames live in its id's bucket, so
+    re-ingest vacates the whole video and retention stays a bucket
+    drop; bands under hash(blk, blk_val) buckets carrying frame_ts).
+    The two faces are config-guarded apart (kind "media_frame_fps" +
+    every_ms is fingerprint-defining): an image store reopened as a
+    frames store (or vice versa) raises instead of mixing incomparable
+    fingerprint granularities.
     """
 
     FPS = "fps"
@@ -1087,6 +1229,9 @@ class ImageHashStore:
         n_buckets: int = 64,
         fp_bucket_width: int = 8192,
         n_band_buckets: int = 64,
+        frames: bool = False,
+        every_ms: int = 1000,
+        min_matching_frames: int = 1,
     ):
         self.spark = spark
         self.store = VersionedParquetStore(spark, root)
@@ -1098,24 +1243,30 @@ class ImageHashStore:
         self.n_buckets = n_buckets
         self.fp_bucket_width = fp_bucket_width
         self.n_band_buckets = n_band_buckets
+        self.frames = frames
+        self.every_ms = every_ms
+        self.min_matching_frames = min_matching_frames
         self._ledger_path = os.path.join(root, "_runs.json")
         # hash_col/blocks/band buckets shape WHICH fingerprints are
         # stored and how candidates band/partition — mismatched reopens
         # would verify new batches against incomparable state or prune
-        # away stored band rows; max_hamming is a tunable query
-        # threshold and deliberately excluded
-        _check_store_config(
-            root,
-            {
-                "kind": "image_fps",
-                "id_col": id_col,
-                "hash_col": hash_col,
-                "blocks": blocks,
-                "n_buckets": n_buckets,
-                "fp_bucket_width": fp_bucket_width,
-                "n_band_buckets": n_band_buckets,
-            },
-        )
+        # away stored band rows; max_hamming / min_matching_frames are
+        # tunable query thresholds and deliberately excluded. The image
+        # face keeps its r13 config dict byte-identical (existing stores
+        # reopen untouched); the frames face adds the fingerprint-
+        # defining every_ms under its own kind.
+        cfg = {
+            "kind": "media_frame_fps" if frames else "image_fps",
+            "id_col": id_col,
+            "hash_col": hash_col,
+            "blocks": blocks,
+            "n_buckets": n_buckets,
+            "fp_bucket_width": fp_bucket_width,
+            "n_band_buckets": n_band_buckets,
+        }
+        if frames:
+            cfg["every_ms"] = every_ms
+        _check_store_config(root, cfg)
 
     ingested_runs = MinhashSignatureStore.ingested_runs
     _record_run = MinhashSignatureStore._record_run
@@ -1123,9 +1274,33 @@ class ImageHashStore:
     def _fingerprints(self, batch: DataFrame) -> DataFrame:
         from metadata_ingestion_framework_spark.operators.multimodal import (
             image_hashes,
+            sample_frames,
         )
 
-        fps = image_hashes(batch, self.payload_col, self.id_col)
+        if self.frames:
+            # one row per (id, frame_ts): videos via the SAME
+            # sample_frames -> image_hashes composition as
+            # video_near_duplicates; everything else as a single frame
+            # at ts 0 (undecodable payloads drop inside image_hashes)
+            vids = sample_frames(
+                batch.withColumnRenamed(self.id_col, "media_id")
+                if self.id_col != "media_id" else batch,
+                every_ms=self.every_ms,
+            ).withColumn("__fid", F.struct("media_id", "frame_ts"))
+            vfps = image_hashes(vids, "frame", "__fid").select(
+                F.col("__fid.media_id").alias(self.id_col),
+                F.col("__fid.frame_ts").alias("frame_ts"),
+                "dhash", "ahash",
+            )
+            stills = batch.filter(F.col("kind") != "video")
+            ifps = image_hashes(stills, self.payload_col, self.id_col)
+            fps = vfps.unionByName(
+                ifps.withColumn("frame_ts", F.lit(0).cast("int")).select(
+                    self.id_col, "frame_ts", "dhash", "ahash"
+                )
+            )
+        else:
+            fps = image_hashes(batch, self.payload_col, self.id_col)
         return fps.withColumn(
             "fp_bucket",
             range_bucket_expr(
@@ -1137,6 +1312,7 @@ class ImageHashStore:
         return image_fp_bands(
             fps, self.id_col, self.hash_col, self.blocks,
             self.n_band_buckets,
+            extra_cols=("frame_ts",) if self.frames else (),
         )
 
     def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
@@ -1186,10 +1362,19 @@ class ImageHashStore:
                         .filter(F.col("bucket").isin(batch_buckets))
                         .join(batch_ids, self.id_col, "left_anti")
                     )
-            drops = image_hash_batch_drops(
-                store_fps, fps, self.id_col, self.hash_col,
-                self.max_hamming, self.blocks, store_bands_df=store_bands,
-            ).persist()
+            if self.frames:
+                drops = media_frame_batch_drops(
+                    store_fps, fps, self.id_col, self.hash_col,
+                    self.max_hamming, self.blocks,
+                    store_bands_df=store_bands,
+                    min_matching_frames=self.min_matching_frames,
+                ).persist()
+            else:
+                drops = image_hash_batch_drops(
+                    store_fps, fps, self.id_col, self.hash_col,
+                    self.max_hamming, self.blocks,
+                    store_bands_df=store_bands,
+                ).persist()
             drops.count()  # materialize while fps is still cached
             survivors = batch.join(
                 F.broadcast(drops), self.id_col, "left_anti"
@@ -1197,7 +1382,10 @@ class ImageHashStore:
             survivors._persisted_deps = [drops]
             if store_all is None:
                 self.store.write(
-                    scd1_merge(None, fps, [self.id_col]),
+                    # frames face: one row per (id, frame_ts) — an SCD1
+                    # keyed on id would collapse a video to one frame
+                    fps if self.frames
+                    else scd1_merge(None, fps, [self.id_col]),
                     self.FPS,
                     partition_by=["fp_bucket"],
                 )
@@ -1221,9 +1409,20 @@ class ImageHashStore:
                     bucket_match = (
                         bucket_match | F.col("fp_bucket").isNull()
                     )
-                merged = scd1_merge(
-                    store_all.filter(bucket_match), fps, [self.id_col]
-                )
+                if self.frames:
+                    # vacate EVERY old frame row of re-ingested ids
+                    # (anti-join on the media id — the merge_postings
+                    # shape: an SCD1 on (id, frame) would leave stale
+                    # rows for frames the new cut no longer samples),
+                    # then the batch's frame rows take their place
+                    merged = store_all.filter(bucket_match).join(
+                        fps.select(self.id_col).distinct(),
+                        self.id_col, "left_anti",
+                    ).unionByName(fps)
+                else:
+                    merged = scd1_merge(
+                        store_all.filter(bucket_match), fps, [self.id_col]
+                    )
                 self.store.write_partition_delta(
                     merged, self.FPS, ["fp_bucket"], touched
                 )

@@ -155,3 +155,38 @@ def test_pigeonhole_guard_semantics(spark):
     )
     got = hamming_banded_pairs(fps2, "dhash", "media_id").collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 1)]
+
+
+def test_video_near_duplicates_operator(spark):
+    """r14 (VERDICT r13 item 3): the composition promoted to an operator.
+    Videos sharing one frame pair with n_frame_matches=1; sharing two
+    frames -> 2; min_matching_frames=2 keeps only the stronger pair;
+    best_hamming carries the closest frame distance."""
+    from metadata_ingestion_framework_spark.operators.codecs import encode_bmv
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        video_near_duplicates,
+    )
+
+    fa, fb, fc = encode_bmp(_px(7)), encode_bmp(_px(100)), encode_bmp(_px(9, 12, 12))
+    rows = [
+        (1, "video", encode_bmv([fa, fb], 40), 80),
+        (2, "video", encode_bmv([encode_bmp(_px(200)), fa], 40), 80),   # shares fa
+        (3, "video", encode_bmv([fb, fa], 40), 80),                     # shares both
+        (4, "video", encode_bmv([fc, fc], 40), 80),                     # unrelated
+        (5, "image", encode_bmp(_px(7)), 0),                            # not a video
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, duration_ms int"
+    )
+    out = video_near_duplicates(media, every_ms=40, max_hamming=3)
+    got = {(r.id_a, r.id_b): (r.n_frame_matches, r.best_hamming) for r in out.collect()}
+    unpersist_deps(out)
+    assert got[(1, 2)] == (1, 0)
+    assert got[(1, 3)] == (2, 0)
+    assert got[(2, 3)] == (1, 0)
+    assert all(4 not in p and 5 not in p for p in got)
+
+    strong = video_near_duplicates(media, every_ms=40, min_matching_frames=2)
+    pairs2 = {(r.id_a, r.id_b) for r in strong.collect()}
+    unpersist_deps(strong)
+    assert pairs2 == {(1, 3)}

@@ -301,3 +301,162 @@ def test_ingest_unpersists_on_store_write_failure(spark, tmp_path):
         st.ingest(_media(spark, [(0, encode_bmp(_px(1)))]), "r1")
     after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
     assert after == before
+
+
+# --- r14 FRAMES face (VERDICT r13 item 3) ------------------------------
+
+from metadata_ingestion_framework_spark.operators.codecs import encode_bmv  # noqa: E402
+from metadata_ingestion_framework_spark.operators.incremental import (  # noqa: E402
+    image_fp_bands,
+    media_frame_batch_drops,
+)
+
+
+def _vmedia(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, duration_ms int"
+    )
+
+
+def _vstore(spark, tmp_path, name="vids", f=1):
+    return ImageHashStore(
+        spark, str(tmp_path / name), fp_bucket_width=8, n_buckets=8,
+        frames=True, every_ms=40, min_matching_frames=f,
+    )
+
+
+# distinct frames need different DIMENSIONS (the r13 fixture trap: the
+# gradient is dim-driven, so same-dims frames share dHash across seeds)
+_FA = encode_bmp(_px(7, 16, 16))
+_FB = encode_bmp(_px(1, 12, 12))
+_FC = encode_bmp(_px(2, 10, 14))
+_FD = encode_bmp(_px(3, 14, 10))
+_FE = encode_bmp(_px(4, 9, 9))
+_FF = encode_bmp(_px(5, 11, 13))
+_FG = encode_bmp(_px(6, 13, 11))
+_FX = encode_bmp(_px(8, 15, 9))
+
+
+def test_frames_two_run_lifecycle(spark, tmp_path):
+    """Videos and images dedup in the SAME store: a new video sharing a
+    frame with a stored video drops, an image matching a stored video
+    frame drops, fresh media survive; re-ingest vacates the whole
+    video's frame rows."""
+    st = _vstore(spark, tmp_path)
+    run1 = _vmedia(spark, [
+        (1, "video", encode_bmv([_FA, _FB], 40), 80),
+        (2, "video", encode_bmv([_FC, _FD], 40), 80),
+    ])
+    s1 = st.ingest(run1, "r1")
+    assert sorted(r.media_id for r in s1.collect()) == [1, 2]
+    unpersist_deps(s1)
+    fps = st.store.read(ImageHashStore.FPS)
+    assert fps.count() == 4  # one row per (video, frame)
+
+    run2 = _vmedia(spark, [
+        (10, "video", encode_bmv([_FE, _FA], 40), 80),  # shares A w/ stored 1
+        (11, "video", encode_bmv([_FF, _FG], 40), 80),  # fresh
+        (12, "image", _FC, 0),                          # matches stored v2 frame
+        (13, "image", _FX, 0),                          # fresh image
+        (14, "video", b"not a container", 40),          # undecodable: survives
+    ])
+    s2 = st.ingest(run2, "r2")
+    assert sorted(r.media_id for r in s2.collect()) == [11, 13, 14]
+    unpersist_deps(s2)
+    stored = {
+        (r.media_id, r.frame_ts)
+        for r in st.store.read(ImageHashStore.FPS).collect()
+    }
+    # dropped media keep fingerprints; undecodable never stored
+    assert stored == {
+        (1, 0), (1, 40), (2, 0), (2, 40),
+        (10, 0), (10, 40), (11, 0), (11, 40), (12, 0), (13, 0),
+    }
+
+
+def test_frames_min_matching_threshold(spark, tmp_path):
+    """F=2: one shared frame is not enough to drop; two are."""
+    st = _vstore(spark, tmp_path, f=2)
+    s1 = st.ingest(
+        _vmedia(spark, [(1, "video", encode_bmv([_FA, _FB], 40), 80)]), "r1"
+    )
+    unpersist_deps(s1)
+    run2 = _vmedia(spark, [
+        (20, "video", encode_bmv([_FA, _FX], 40), 80),  # 1 shared frame
+        (21, "video", encode_bmv([_FB, _FA], 40), 80),  # 2 shared frames
+    ])
+    s2 = st.ingest(run2, "r2")
+    assert sorted(r.media_id for r in s2.collect()) == [20]
+    unpersist_deps(s2)
+
+
+def test_frames_reingest_vacates_old_frames(spark, tmp_path):
+    """Re-ingesting a video id with a different cut must leave NO stale
+    frame rows (anti-join vacate, not SCD1-per-frame)."""
+    st = _vstore(spark, tmp_path)
+    s1 = st.ingest(
+        _vmedia(spark, [(1, "video", encode_bmv([_FA, _FB, _FC], 40), 120)]),
+        "r1",
+    )
+    unpersist_deps(s1)
+    s2 = st.ingest(
+        _vmedia(spark, [(1, "video", encode_bmv([_FD], 40), 40)]), "r2"
+    )
+    unpersist_deps(s2)
+    stored = {
+        (r.media_id, r.frame_ts)
+        for r in st.store.read(ImageHashStore.FPS).collect()
+    }
+    assert stored == {(1, 0)}
+
+
+def test_frames_config_guard(spark, tmp_path):
+    """A frames store reopened as an image store (or with a different
+    every_ms) must raise — the fingerprint granularities are
+    incomparable."""
+    _vstore(spark, tmp_path, "g")
+    with pytest.raises(ValueError):
+        ImageHashStore(
+            spark, str(tmp_path / "g"), fp_bucket_width=8, n_buckets=8
+        )
+    with pytest.raises(ValueError):
+        ImageHashStore(
+            spark, str(tmp_path / "g"), fp_bucket_width=8, n_buckets=8,
+            frames=True, every_ms=80,
+        )
+
+
+def test_frame_drops_reduce_to_image_rule(spark):
+    """With single-frame fingerprints (ts=0) and min_matching_frames=1
+    the frame rule is EXACTLY the image rule — same drop set on the
+    same fingerprints."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        image_hashes,
+    )
+
+    mk = lambda rows: image_hashes(_media(spark, rows)).withColumn(
+        "frame_ts", F.lit(0).cast("int")
+    )
+    store_fps = mk([(i, encode_bmp(_px(i * 100))) for i in range(4)]).persist()
+    batch_fps = mk([
+        (10, encode_bmp(_px(300))),   # dup of stored 3
+        (11, encode_bmp(_px(9000))),  # fresh
+        (12, encode_bmp(_px(9000))),  # intra dup of 11
+    ]).persist()
+    img = {
+        r.media_id
+        for r in image_hash_batch_drops(
+            store_fps, batch_fps, "media_id", "dhash"
+        ).collect()
+    }
+    frm = {
+        r.media_id
+        for r in media_frame_batch_drops(
+            store_fps, batch_fps, "media_id", "dhash", min_matching_frames=1
+        ).collect()
+    }
+    store_fps.unpersist()
+    batch_fps.unpersist()
+    assert frm == img == {10, 12}
