@@ -1216,6 +1216,7 @@ class ImageHashStore:
 
     FPS = "fps"
     BANDS = "bands"
+    _KIND = "image_fps"  # config-guard kind; AudioHashStore overrides
 
     def __init__(
         self,
@@ -1256,7 +1257,7 @@ class ImageHashStore:
         # reopen untouched); the frames face adds the fingerprint-
         # defining every_ms under its own kind.
         cfg = {
-            "kind": "media_frame_fps" if frames else "image_fps",
+            "kind": "media_frame_fps" if frames else self._KIND,
             "id_col": id_col,
             "hash_col": hash_col,
             "blocks": blocks,
@@ -1292,7 +1293,11 @@ class ImageHashStore:
                 F.col("__fid.frame_ts").alias("frame_ts"),
                 "dhash", "ahash",
             )
-            stills = batch.filter(F.col("kind") != "video")
+            # NULL kind is a STILL, not a silent drop (plain != would
+            # NULL out): image_hashes payload-sniffs it anyway
+            stills = batch.filter(
+                F.coalesce(F.col("kind") != F.lit("video"), F.lit(True))
+            )
             ifps = image_hashes(stills, self.payload_col, self.id_col)
             fps = vfps.unionByName(
                 ifps.withColumn("frame_ts", F.lit(0).cast("int")).select(
@@ -1479,3 +1484,37 @@ class ImageHashStore:
         )
         if changed and self.store.exists(self.BANDS):
             self.rebuild_bands()
+
+
+class AudioHashStore(ImageHashStore):
+    """Durable cross-run PERCEPTUAL AUDIO dedup state (r14) — the audio
+    face of the media store family: identical fps/bands layout, ingest
+    join, partition-delta/retention/ledger machinery as
+    :class:`ImageHashStore`, with the fingerprint kernel swapped for
+    :func:`multimodal.audio_hashes` (64-bit energy-delta ``ehash`` as
+    the banding hash, ``mhash`` stored alongside). One near-dup rule
+    family, three modalities, one store implementation. Config-guarded
+    apart from the image/frames faces (kind ``audio_fps``): fingerprint
+    spaces are incomparable across modalities, so reopening a store
+    under the wrong face raises. The frames face is image/video-only —
+    ``frames=True`` here raises."""
+
+    _KIND = "audio_fps"
+
+    def __init__(self, *args, hash_col: str = "ehash", **kwargs):
+        if kwargs.get("frames"):
+            raise ValueError("AudioHashStore has no frames face")
+        super().__init__(*args, hash_col=hash_col, **kwargs)
+
+    def _fingerprints(self, batch: DataFrame) -> DataFrame:
+        from metadata_ingestion_framework_spark.operators.multimodal import (
+            audio_hashes,
+        )
+
+        fps = audio_hashes(batch, self.payload_col, self.id_col)
+        return fps.withColumn(
+            "fp_bucket",
+            range_bucket_expr(
+                fps, self.id_col, self.fp_bucket_width, self.n_buckets
+            ),
+        )

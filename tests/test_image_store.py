@@ -460,3 +460,23 @@ def test_frame_drops_reduce_to_image_rule(spark):
     store_fps.unpersist()
     batch_fps.unpersist()
     assert frm == img == {10, 12}
+
+
+def test_frames_null_kind_is_a_still(spark, tmp_path):
+    """A NULL-kind row payload-sniffs as a still image (plain
+    kind != 'video' would NULL out and silently drop it from the
+    fingerprint pass entirely)."""
+    st = _vstore(spark, tmp_path)
+    s1 = st.ingest(_vmedia(spark, [(1, None, _FA, 0)]), "r1")
+    assert [r.media_id for r in s1.collect()] == [1]
+    unpersist_deps(s1)
+    assert {
+        (r.media_id, r.frame_ts)
+        for r in st.store.read(ImageHashStore.FPS).collect()
+    } == {(1, 0)}
+    # and it DEDUPS like a still: an exact video-frame match drops
+    s2 = st.ingest(
+        _vmedia(spark, [(2, "video", encode_bmv([_FA], 40), 40)]), "r2"
+    )
+    assert [r.media_id for r in s2.collect()] == []
+    unpersist_deps(s2)
