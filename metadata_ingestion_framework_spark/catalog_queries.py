@@ -4525,15 +4525,21 @@ def q_video_dedup(spark, sf_dir):
     candidate join across videos, verifies with bit_count(xor), and
     aggregates distinct frame-pair matches — candidate generation,
     verify, and both aggregate columns all value-checked."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        carry_deps,
+    )
     from metadata_ingestion_framework_spark.operators.multimodal import (
         video_near_duplicates,
     )
 
     media = _real_media(spark, sf_dir)
     out = video_near_duplicates(media, every_ms=40, max_hamming=3)
-    return out.select(
-        "id_a", "id_b", "n_frame_matches",
-        F.col("best_hamming").cast("int").alias("best_hamming"),
+    return carry_deps(
+        out.select(
+            "id_a", "id_b", "n_frame_matches",
+            F.col("best_hamming").cast("int").alias("best_hamming"),
+        ),
+        out,
     )
 
 

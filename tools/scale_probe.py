@@ -1159,6 +1159,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--vecstore":
         main_vecstore(sys.argv[2:])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--mediastore":
+        main_mediastore(sys.argv[2:])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--training":
         main_training(sys.argv[2:])
         return
@@ -1235,6 +1238,135 @@ def main_incremental(args: list[str]) -> None:
     with open("PROGRESS.jsonl", "a") as f:
         f.write(json.dumps(result) + "\n")
     _append_incremental_md(result)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def _synth_images(spark, n: int, id_offset: int = 0):
+    """n deterministic real-BMP media rows (media_id, payload) built
+    arithmetically from the id — dims vary over a 24x24 grid so
+    same-dims ids form genuine exact-dup clusters (the r13 fixture
+    fact), giving the dedup join realistic candidate pressure."""
+    import pandas as pd
+
+    from metadata_ingestion_framework_spark.operators.codecs import (
+        encode_bmp,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _widen_narrow_input,
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 24, 4 + (mid // 7) % 24
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = ((mid * 7 + y * 13 + x * 17 + c * 29) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["id"], "payload": payloads}
+            )
+
+    base = _widen_narrow_input(
+        spark.range(id_offset, id_offset + n).toDF("id")
+    )
+    return base.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def probe_mediastore(spark, n_base: int, replicas: int, workdir: str) -> dict:
+    """Does the IMAGE store's ingest cost track the BATCH or the STORE?
+    (r14 — the media twin of the minhash/embedding store probes; the r13
+    band-table refactor shipped on plan evidence alone.)
+
+    Seeds an ImageHashStore at 1x and ``replicas``x, then ingests a
+    FIXED 500-image batch of fresh monotone ids against each:
+
+    - ``batch_fp_kernel``: decode+hash the batch (Arrow pass — store-
+      independent by construction);
+    - ``inc_ingest_e2e``: the full ingest — banded candidates against
+      the bucket-PRUNED stored band table, fresh-fps verify,
+      partition-delta fps/bands writes. Should stay ~flat as the store
+      grows 10x (the directory pruning + id-range delta claims).
+    """
+    import os
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        ImageHashStore,
+    )
+
+    out: dict = {}
+    for tag, n in [("1x", n_base), (f"{replicas}x", n_base * replicas)]:
+        r: dict = {}
+        print(f"== mediastore, store {tag} ==", file=sys.stderr)
+        st = ImageHashStore(
+            spark, os.path.join(workdir, f"mediastore_{tag}"),
+            fp_bucket_width=2048, n_buckets=64,
+        )
+        seed = _synth_images(spark, n).persist()
+        seed.count()
+
+        def _seed():
+            s = st.ingest(seed, "seed")
+            c = s.count()
+            unpersist_deps(s)
+            return c
+
+        timed("seed_ingest_full", _seed, r)
+        seed.unpersist()
+        batch = _synth_images(spark, 500, id_offset=n * 7 + 11).persist()
+        batch.count()
+        timed(
+            "batch_fp_kernel",
+            lambda: st._fingerprints(batch).count(),
+            r,
+        )
+
+        def _ingest():
+            s = st.ingest(batch, "r2")
+            c = s.count()
+            unpersist_deps(s)
+            return c
+
+        timed("inc_ingest_e2e", _ingest, r)
+        batch.unpersist()
+        out[tag] = r
+    return out
+
+
+def main_mediastore(args: list[str]) -> None:
+    import tempfile
+
+    n_base = int(args[0]) if args else 5000
+    replicas = int(args[1]) if len(args) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+
+    spark = get_spark("scale_probe_mediastore")
+    with tempfile.TemporaryDirectory() as workdir:
+        phases = probe_mediastore(spark, n_base, replicas, workdir)
+    tags = list(phases)
+    result = {
+        "probe": "image_store_10x",
+        "n_base": n_base,
+        "replicas": replicas,
+        "base": phases[tags[0]],
+        "scaled": phases[tags[1]],
+    }
+    result["growth"] = {
+        k: round(result["scaled"][k]["sec"] / max(result["base"][k]["sec"], 0.01), 1)
+        for k in result["base"]
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
     print(json.dumps(result))
     spark.stop()
 
