@@ -29,6 +29,7 @@ from metadata_ingestion_framework_spark.operators.merge import (
 )
 from metadata_ingestion_framework_spark.operators.incremental import (
     EmbeddingDedupStore,
+    AudioHashStore,
     ImageHashStore,
     MinhashSignatureStore,
     embedding_batch_drops,
@@ -109,6 +110,7 @@ __all__ = [
     "load_pq_model",
     "bm25_topk",
     "Bm25Index",
+    "AudioHashStore",
     "ImageHashStore",
     "MinhashSignatureStore",
     "EmbeddingDedupStore",

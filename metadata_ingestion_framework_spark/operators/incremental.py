@@ -1182,13 +1182,21 @@ class ImageHashStore:
       retention is a zero-rewrite bucket drop. Stored fingerprints are
       the VERIFY source, so ghosts here would be correctness bugs —
       which the id-range vacate rules out.
-    - ``bands``: (id, blk, blk_val, bucket) exploded 16-bit blocks,
-      partitioned by ``bucket`` = hash(blk, blk_val) % n_band_buckets —
-      the CANDIDATE table. An ingest directory-prunes the store side to
-      the batch's own band buckets (the minhash-store manual-DPP shape),
-      so the candidate shuffle tracks the batch, not the store. Band
-      rows tolerate ghosts (candidates-only: the Hamming verify always
-      reads fresh ``fps`` by id); ``rebuild_bands`` reaps them.
+    - ``bands``: (id, blk, blk_val, fp_bucket, bucket) exploded 16-bit
+      blocks, partitioned (fp_bucket, bucket) — id-RANGE delta
+      granularity on top (r14: a band-hash-keyed delta full-rewrote the
+      band table every ingest, because any few-hundred-image batch
+      spans more distinct (blk, blk_val) values than there are
+      buckets — the r9 minhash hash-bucket lesson, measured 10.3s of a
+      27.7s ingest), band-hash ``bucket`` = hash(blk, blk_val) %
+      n_band_buckets below for the CANDIDATE scan: an ingest
+      directory-prunes the store side to the batch's own band buckets
+      (the minhash-store manual-DPP shape), so the candidate shuffle
+      tracks the batch, not the store. Re-ingested ids' old band rows
+      vacate in their own fp_bucket's rewrite (bands are as fresh as
+      fps); ghosts arise only from a crash between the two writes,
+      which the heal path rebuilds, and the Hamming verify reads fresh
+      ``fps`` by id regardless. Retention drops whole fp_bucket dirs.
 
     Dropped (deduped-away) images keep their fingerprints, same as both
     sibling stores: a future near-dup of a dropped image must still
@@ -1264,6 +1272,12 @@ class ImageHashStore:
             "n_buckets": n_buckets,
             "fp_bucket_width": fp_bucket_width,
             "n_band_buckets": n_band_buckets,
+            # r14: bands live under (fp_bucket, bucket) — an id-range
+            # delta on a single-level hash layout would full-rewrite the
+            # band table every ingest (measured 10.3s of a 27.7s ingest
+            # at a 50k store; the r9 minhash hash-bucket lesson). A
+            # pre-r14 store reopening here fails LOUDLY on this key.
+            "band_layout": "fp_bucket/bucket",
         }
         if frames:
             cfg["every_ms"] = every_ms
@@ -1314,10 +1328,15 @@ class ImageHashStore:
         )
 
     def _band_rows(self, fps: DataFrame) -> DataFrame:
+        # fp_bucket rides every band row (r14): the band table partitions
+        # (fp_bucket, bucket) — id-RANGE delta granularity on top, band-
+        # hash directory pruning below (the CLAUDE.md (id_range_bucket,
+        # payload_key) store layout)
+        extras = ("frame_ts",) if self.frames else ()
         return image_fp_bands(
             fps, self.id_col, self.hash_col, self.blocks,
             self.n_band_buckets,
-            extra_cols=("frame_ts",) if self.frames else (),
+            extra_cols=extras + ("fp_bucket",),
         )
 
     def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
@@ -1397,7 +1416,7 @@ class ImageHashStore:
                 self.store.write(
                     self._band_rows(self.store.read(self.FPS)),
                     self.BANDS,
-                    partition_by=["bucket"],
+                    partition_by=["fp_bucket", "bucket"],
                 )
             else:
                 touched_set = {
@@ -1432,26 +1451,32 @@ class ImageHashStore:
                     merged, self.FPS, ["fp_bucket"], touched
                 )
                 if self.store.exists(self.BANDS):
-                    # band delta: the batch's band rows land in their
-                    # buckets; rows of OTHER ids in those buckets carry
-                    # via the merge union (stale rows of re-ingested ids
-                    # in untouched buckets become candidates-only ghosts
-                    # until rebuild_bands — tolerated by the fresh-fps
-                    # verify)
+                    # band delta on the batch ids' RANGE buckets (r14):
+                    # a band-hash-keyed delta degenerates to a full
+                    # band-table rewrite the moment a batch spans more
+                    # distinct (blk, blk_val) values than there are
+                    # buckets (always, for a few hundred images) — the
+                    # r9 minhash hash-bucket lesson, measured 10.3s of a
+                    # 27.7s ingest at a 50k store. With fp_bucket on top
+                    # the anti-join reads ONLY the touched id-range dirs
+                    # and re-ingested ids' old band rows vacate in the
+                    # same rewrite (bands are now exactly as fresh as
+                    # fps; ghosts only arise from a crash between the
+                    # two writes, which the heal path rebuilds).
                     old_touched_bands = self.store.read(self.BANDS).filter(
-                        F.col("bucket").isin(batch_buckets)
+                        bucket_match
                     ).join(fps.select(self.id_col), self.id_col, "left_anti")
                     self.store.write_partition_delta(
                         old_touched_bands.unionByName(new_bands),
                         self.BANDS,
-                        ["bucket"],
-                        batch_buckets,
+                        ["fp_bucket", "bucket"],
+                        touched,
                     )
                 else:
                     self.store.write(
                         self._band_rows(self.store.read(self.FPS)),
                         self.BANDS,
-                        partition_by=["bucket"],
+                        partition_by=["fp_bucket", "bucket"],
                     )
             self._record_run(run_id)
             return survivors
@@ -1463,27 +1488,32 @@ class ImageHashStore:
             fps.unpersist()
 
     def rebuild_bands(self) -> None:
-        """Reap candidates-only ghost band rows (stale blocks of
-        re-ingested fingerprints) by rebuilding the band table from the
-        always-fresh fps table — the minhash-store maintenance op."""
+        """Rebuild the band table from the always-fresh fps table — the
+        minhash-store maintenance op. Since r14 re-ingests vacate their
+        own stale band rows (id-range delta), so this is only needed to
+        heal a crash between the fps and band writes or to migrate a
+        band-parameter change."""
         self.store.write(
             self._band_rows(self.store.read(self.FPS)),
             self.BANDS,
-            partition_by=["bucket"],
+            partition_by=["fp_bucket", "bucket"],
         )
 
     def retire_ids_below(self, cutoff_id: int) -> None:
-        """Zero-rewrite range retention on the fps table (shared
-        machinery; numeric ids only), then a band rebuild to reap the
-        retired ids' band rows (hash-bucketed — no range expression).
-        Same semantics caveat as every dedup store: a future near-dup of
-        a retired image no longer drops against it."""
-        changed = _retire_range_ids_below(
+        """Zero-rewrite range retention on BOTH tables (r14: bands carry
+        fp_bucket as their top-level partition, so retired ids' band
+        rows drop as whole directories too — the pre-r14 layout needed a
+        full band REBUILD here). Same semantics caveat as every dedup
+        store: a future near-dup of a retired image no longer drops
+        against it."""
+        _retire_range_ids_below(
             self.store, self.FPS, "fp_bucket", self.fp_bucket_width,
             self.id_col, cutoff_id, ["fp_bucket"],
         )
-        if changed and self.store.exists(self.BANDS):
-            self.rebuild_bands()
+        _retire_range_ids_below(
+            self.store, self.BANDS, "fp_bucket", self.fp_bucket_width,
+            self.id_col, cutoff_id, ["fp_bucket", "bucket"],
+        )
 
 
 class AudioHashStore(ImageHashStore):

@@ -205,8 +205,14 @@ def test_store_band_scan_is_bucket_pruned(spark, tmp_path):
         ImageHashStore.BANDS, st.store.current_version(ImageHashStore.BANDS)
     )
     n_corrupted = 0
+    # r14 layout: bands nest under fp_bucket=*/bucket=* — corrupt ONE
+    # unprobed band bucket across all id-range dirs (the highest, so a
+    # lexicographically-earlier healthy file still serves the schema
+    # footer — the r13 corrupt-only-one trap)
     for bkt in sorted(unprobed, reverse=True):
-        files = glob.glob(os.path.join(p, f"bucket={bkt}", "*.parquet"))
+        files = glob.glob(
+            os.path.join(p, "fp_bucket=*", f"bucket={bkt}", "*.parquet")
+        )
         if not files:
             continue
         for f in files:
@@ -221,11 +227,14 @@ def test_store_band_scan_is_bucket_pruned(spark, tmp_path):
     unpersist_deps(s2)
 
 
-def test_reingest_ghost_bands_tolerated_and_reaped(spark, tmp_path):
-    """A re-ingested id with a CHANGED image leaves stale band rows in
-    other buckets (candidates-only ghosts): they must not change any
-    drop decision (verify reads fresh fps), and rebuild_bands reaps
-    them so the band table equals a fresh derivation."""
+def test_reingest_vacates_band_rows(spark, tmp_path):
+    """r14 layout: a re-ingested id's OLD band rows live in its own
+    fp_bucket, which the ingest rewrites — so the band table equals a
+    fresh derivation from fps IMMEDIATELY after every ingest, no
+    rebuild needed (the pre-r14 hash-keyed layout left candidates-only
+    ghosts until rebuild_bands). The drop decisions were always
+    ghost-safe (verify reads fresh fps); this pins the stronger
+    freshness invariant the id-range layout buys."""
     st = ImageHashStore(
         spark, str(tmp_path / "imgs"), fp_bucket_width=8, n_buckets=8,
         n_band_buckets=16,
@@ -240,26 +249,22 @@ def test_reingest_ghost_bands_tolerated_and_reaped(spark, tmp_path):
     assert [r.media_id for r in s2.collect()] == [0]
     unpersist_deps(s2)
     # a new image matching id 0's OLD pixels must SURVIVE (the old
-    # fingerprint vacated from fps; any stale band row is verify-killed)
+    # fingerprint vacated from fps AND from bands)
     s3 = st.ingest(_media(spark, [(7, encode_bmp(_px(11)))]), "r3")
     assert [r.media_id for r in s3.collect()] == [7]
     unpersist_deps(s3)
-    # reap: after rebuild the band table == fresh derivation from fps
-    st.rebuild_bands()
-    from metadata_ingestion_framework_spark.operators.incremental import (
-        image_fp_bands,
-    )
-
+    # bands == fresh derivation WITHOUT any rebuild (column order
+    # normalized: a partitioned read appends partition cols last)
+    cols = ["media_id", "blk", "blk_val", "fp_bucket", "bucket"]
     got = sorted(
-        map(tuple, st.store.read(ImageHashStore.BANDS).collect())
+        map(tuple, st.store.read(ImageHashStore.BANDS).select(*cols).collect())
     )
     want = sorted(
         map(
             tuple,
-            image_fp_bands(
-                st.store.read(ImageHashStore.FPS).select("media_id", "dhash"),
-                n_band_buckets=16,
-            ).collect(),
+            st._band_rows(st.store.read(ImageHashStore.FPS))
+            .select(*cols)
+            .collect(),
         )
     )
     assert got == want

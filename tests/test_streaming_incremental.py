@@ -303,3 +303,79 @@ def test_streaming_bm25_index_ingest_serves_like_fresh(spark, tmp_path):
         by_q.setdefault(r[0], set()).add(r[1])
     assert 1 not in by_q.get(100, set())  # old BASE terms -> only doc 5
     assert 1 in by_q.get(101, set())      # new text retrieved
+
+
+@pytest.mark.slow
+def test_streaming_media_ingest_matches_batch_sequential(spark, tmp_path):
+    """r14: the MEDIA face of the continuous-crawl ingest — a file-source
+    image stream dedups each micro-batch against the persisted
+    ImageHashStore via foreachBatch; survivors equal the batch-mode
+    sequential ingest of the same files."""
+    import numpy as np
+
+    from metadata_ingestion_framework_spark.operators.codecs import (
+        encode_bmp,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        ImageHashStore,
+    )
+
+    def px(seed, h, w):
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        return ((seed * 7 + y * 13 + x * 17 + c * 29) % 256).astype(np.uint8)
+
+    A, B, C = encode_bmp(px(1, 16, 16)), encode_bmp(px(2, 12, 12)), encode_bmp(px(3, 10, 14))
+    src = tmp_path / "media_in"
+    src.mkdir()
+
+    def write(path, rows):
+        spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    write(str(src / "b0"), [(1, A), (2, B)])
+    write(str(src / "b1"), [(11, A), (12, C)])   # 11 dups stored 1
+    write(str(src / "b2"), [(21, C), (22, b"junk")])  # 21 dups; junk survives
+
+    st = ImageHashStore(
+        spark, str(tmp_path / "imgstore_stream"),
+        fp_bucket_width=8, n_buckets=8,
+    )
+    survivors: dict[int, set[int]] = {}
+
+    def sink(bdf, batch_id):
+        out = st.ingest(bdf, f"stream-run-{batch_id}")
+        if out is not None:
+            survivors[int(batch_id)] = {r.media_id for r in out.collect()}
+            unpersist_deps(out)
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "media_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(survivors) == [0, 1, 2]
+    assert survivors[0] == {1, 2}
+    assert survivors[1] == {12}
+    assert survivors[2] == {22}
+
+    batch_store = ImageHashStore(
+        spark, str(tmp_path / "imgstore_batch"),
+        fp_bucket_width=8, n_buckets=8,
+    )
+    got = set()
+    for i in range(3):
+        out = batch_store.ingest(
+            spark.read.parquet(str(src / f"b{i}")), f"run-{i}"
+        )
+        got |= {r.media_id for r in out.collect()}
+        unpersist_deps(out)
+    assert got == set().union(*survivors.values())
