@@ -6,6 +6,11 @@ whole-stage codegen; Python UDFs appear only where semantics force them
 (free-text per-match hashing) and then as Arrow-batched pandas UDFs.
 """
 
+from metadata_ingestion_framework_spark.functions.html import (
+    boilerplate_gate,
+    html_stats,
+    html_text,
+)
 from metadata_ingestion_framework_spark.functions.urls import (
     normalize_url,
     url_dedup,
@@ -90,6 +95,9 @@ __all__ = [
     "bpe_vocab",
     "save_bpe_model",
     "load_bpe_model",
+    "boilerplate_gate",
+    "html_stats",
+    "html_text",
     "quality_model_score",
     "langid_model_score",
     "model_gate_scores",

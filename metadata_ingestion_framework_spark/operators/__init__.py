@@ -56,7 +56,10 @@ from metadata_ingestion_framework_spark.operators.pq import (
     save_pq_model,
 )
 from metadata_ingestion_framework_spark.operators.multimodal import (
+    audio_hashes,
+    audio_near_duplicates,
     image_hashes,
+    video_near_duplicates,
     image_near_duplicates,
 )
 from metadata_ingestion_framework_spark.operators.retrieval import (
@@ -90,7 +93,10 @@ __all__ = [
     "ngram_jaccard_pairs_prefix",
     "unpersist_deps",
     "hamming_banded_pairs",
+    "audio_hashes",
+    "audio_near_duplicates",
     "image_hashes",
+    "video_near_duplicates",
     "image_near_duplicates",
     "MergeClause",
     "merge_apply",
