@@ -66,7 +66,24 @@ def bm25_topk(
     (never negative); the term weight is
     ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``. Each term's
     contribution is rounded to 6 decimals BEFORE the per-(query, doc)
-    sum so the aggregate is exact-decimal and order-free."""
+    sum so the aggregate is exact-decimal and order-free.
+
+    Dataflow (r14 — the SERVE shape, adopted after an A/B showed the
+    old ``tf JOIN dfreq`` SortMergeJoin costing ~4x on a dense query
+    batch): restrict the postings to the QUERY TERMS first (a broadcast
+    join against the distinct query-term list — bounded by the query
+    batch's vocabulary, never the corpus's), persist the skinny result
+    (consumed by the df derivation AND the scoring join — the self-join
+    rule), and derive df from the restricted rows. df is EXACT: the
+    restriction is BY TERM, so every document row of a query term is
+    still present. Corpus stats (N, total tokens) are full-corpus
+    aggregates regardless — one pass over tf, no join. Broadcasting the
+    full-vocabulary dfreq (the alternative fix) would NOT be scale-safe:
+    a 100 TB corpus's vocabulary is unbounded, a query batch's is not.
+
+    Result carries ``_persisted_deps`` — release with
+    ``dedup.unpersist_deps`` (the catalog/bench harness and
+    contamination_triage all do)."""
     docs = corpus.select(
         F.col(id_col), _terms(text_col).alias("__toks")
     ).withColumn("__dl", F.size("__toks"))
@@ -76,17 +93,14 @@ def bm25_topk(
         .groupBy(id_col, "__dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     # corpus stats as a broadcast 1-row agg (in-DAG, no driver collect).
-    # Total tokens come from the tf AGGREGATE (sum of tf == sum of dl —
-    # its exchange is already built for dfreq/postings, so this adds NO
-    # second tokenize pass; r12 review: an agg over `docs` re-ran the
-    # per-row regex for the whole corpus) and n_docs from an id-only
-    # column scan (token-less docs count in the denominator). avgdl =
-    # exact LONG sum / exact count -> ONE double division, order-free
-    # and bit-identical cross-engine (built-in AVG on integral inputs
-    # accumulates DOUBLE partials — order-dependent).
+    # Total tokens come from the tf AGGREGATE (sum of tf == sum of dl)
+    # and n_docs from an id-only column scan (token-less docs count in
+    # the denominator). avgdl = exact LONG sum / exact count -> ONE
+    # double division, order-free and bit-identical cross-engine
+    # (built-in AVG on integral inputs accumulates DOUBLE partials —
+    # order-dependent).
     n_docs_df = corpus.select(id_col).agg(
         F.count(F.lit(1)).alias("__n_docs")
     )
@@ -100,14 +114,26 @@ def bm25_topk(
             ),
         )
     )
-    postings = tf.join(dfreq, "term").crossJoin(F.broadcast(stats))
 
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(F.array_distinct(_terms(text_col))).alias("term"),
-    )
-
-    return _score_qterms(postings, qterms, k, k1, b, query_id_col, id_col)
+    ).persist()  # consumed twice: the term restriction + the scoring join
+    posts_q = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).persist()  # consumed twice: df derivation + scoring (self-join rule)
+    try:
+        dfreq = posts_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        full = posts_q.join(F.broadcast(dfreq), "term").crossJoin(
+            F.broadcast(stats)
+        )
+        out = _score_qterms(full, qterms, k, k1, b, query_id_col, id_col)
+        out._persisted_deps = [qterms, posts_q]
+        return out
+    except Exception:
+        qterms.unpersist()
+        posts_q.unpersist()
+        raise
 
 
 def _term_score(k1: float, b: float):
