@@ -193,11 +193,14 @@ def probe(spark, docs, emb, tag: str) -> dict:
     bm25_queries = docs.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    timed(
-        "bm25_topk_total",
-        lambda: bm25_topk(docs, bm25_queries, k=10).count(),
-        r,
-    )
+
+    def _bm25_total():
+        out = bm25_topk(docs, bm25_queries, k=10)
+        n = out.count()
+        unpersist_deps(out)  # r14: bm25_topk hands out persisted deps
+        return n
+
+    timed("bm25_topk_total", _bm25_total, r)
 
     # --- r6 text/training-data operators (explode + codegen agg paths)
     from metadata_ingestion_framework_spark.functions.text import (
