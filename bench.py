@@ -105,6 +105,7 @@ EXTENDED = [
     # fingerprints + shared Hamming banding)
     "video_dedup",          # r14: frame-level perceptual video dedup
     "html_extract",         # r14: HTML/boilerplate extraction + gate
+    "hybrid_topk",          # r14: RRF hybrid lexical+semantic retrieval
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

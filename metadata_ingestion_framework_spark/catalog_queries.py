@@ -5392,6 +5392,115 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, queries, k=10)
 
 
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion
+    (operators/retrieval.py::hybrid_topk, r14; Cormack et al., SIGIR'09):
+    BM25 top-20 over documents fused with exact-cosine top-20 over the
+    ALIGNED embeddings (doc_id == vec_id, the curation convention) by
+    ``sum 1/(60 + rank)``, fused top-10 per query. The oracle composes
+    the bm25_topk twin and the cosine_topk twin verbatim and replays the
+    fusion arithmetic — rank-only, one double division per leg and a
+    fixed-order two-term sum, so the fused score is bit-equal
+    cross-engine (the reason RRF was chosen over score-weighted fusion).
+    Per-leg ranks are emitted (NULL for single-leg docs), so the driver
+    value-checks the fusion INPUTS as well as the fused order."""
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        hybrid_topk,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        docs.filter(F.col("doc_id") < 3)
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .select(F.col("doc_id").alias("query_id"), "text", "embedding")
+    )
+    return hybrid_topk(docs, emb, queries, k=10, k_each=20)
+
+
+ORACLE_HYBRID_TOPK = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, toks, len(toks) AS dl FROM docs),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+  FROM docs WHERE doc_id < 3
+),
+lex_scored AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(SUM(CAST(ROUND(
+      ln(CAST(1.0 AS DOUBLE)
+         + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+           / (d.df + CAST(0.5 AS DOUBLE)))
+      * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      / (CAST(t.tf AS DOUBLE)
+         + CAST(1.2 AS DOUBLE)
+           * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+              + CAST(0.75 AS DOUBLE) * t.dl / s.avgdl))
+    , 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM tf t
+  JOIN dfreq d USING (term)
+  JOIN qterms q USING (term)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, rank AS lex_rank FROM (
+    SELECT query_id, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC NULLS LAST, doc_id ASC) AS rank
+    FROM lex_scored
+  ) WHERE rank <= 20
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       WHERE vec_id < 3),
+sem_scored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+    ROUND({_cos_sql("CAST(e.embedding AS DOUBLE[])", "CAST(q.qvec AS DOUBLE[])")}, 6) AS score
+  FROM embeddings e CROSS JOIN qv q
+),
+sem AS (
+  SELECT query_id, doc_id, rank AS sem_rank FROM (
+    SELECT query_id, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC NULLS LAST, doc_id ASC) AS rank
+    FROM sem_scored
+  ) WHERE rank <= 20
+),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), CAST(0.0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.sem_rank), CAST(0.0 AS DOUBLE))
+           AS rrf_score
+  FROM lex l
+  FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, rrf_score, lex_rank, sem_rank,
+  ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY rrf_score DESC NULLS LAST, doc_id ASC) AS rank
+FROM fused QUALIFY rank <= 10
+"""
+
+
 ORACLE_BM25_TOPK = """
 WITH docs AS (
   SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
@@ -5828,8 +5937,9 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,  # r7: cross-run dedup vs store
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "dup_clusters": q_dup_clusters,  # r7: transitive cluster resolution
-    "ivfpq_topk": q_ivfpq_topk,  # r12 NEW: IVF-PQ composed index (cell
-    # pruning x code compression), every stage value-replayed
+    "hybrid_topk": q_hybrid_topk,  # r14 NEW: hybrid lexical+semantic
+    # retrieval via Reciprocal Rank Fusion — both legs' ranks AND the
+    # bit-exact fused score value-checked via the composed twin oracles
     "decontam_triage_indexed": q_decontam_triage_indexed,  # r14 NEW:
     # contamination triage through the PERSISTENT-INDEX serve dataflow
     # (merge vacate + bucket-stat composition + serve scoring + gram
@@ -5899,7 +6009,15 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r14
-    # rotation (4): NEW html_extract displaced ngram_perplexity — named,
+    # rotation (5): NEW hybrid_topk displaced ivfpq_topk — named,
+    # family-redundant (the quantized-index family keeps pq_topk — the
+    # same ADC+rerank expressions verbatim — plus kmeans_ivf's cell
+    # machinery and ann_recall's PQ face in-window; ivfpq driver-green
+    # r12-r13, unchanged this round, stays sweep-checked in the tail),
+    # and the retrieval family now value-checks per-call BM25, the
+    # persistent-index serve, the indexed triage composite, AND the
+    # hybrid fusion in-window.
+    # r14 rotation (4): NEW html_extract displaced ngram_perplexity — named,
     # family-redundant (the text-quality family keeps heuristic_filters,
     # repetition_stats, quality_model, lang_id_model, and curation_v3/v4
     # in-window; the bigram count+log machinery also runs inside tail
@@ -6096,6 +6214,9 @@ QUERIES = {
     "ngram_perplexity": q_ngram_perplexity,  # r14: displaced by
     # html_extract (NEW — see window comment; quality family keeps 6
     # in-window reps), driver-green r7-r13
+    "ivfpq_topk": q_ivfpq_topk,  # r14: displaced by hybrid_topk (NEW —
+    # see window comment; pq_topk keeps the ADC family in-window),
+    # driver-green r12-r13
     "zorder_key": q_zorder_key,  # r13: displaced by bm25_index_serve
     # (NEW — see window comment; grouping_key keeps the family in-window)
     "media_resize": q_media_resize,  # r13: displaced by media_dedup (NEW —
@@ -6294,6 +6415,7 @@ ORACLES = {
     "pq_topk": ORACLE_PQ_TOPK,
     "ivfpq_topk": ORACLE_IVFPQ_TOPK,
     "bm25_topk": ORACLE_BM25_TOPK,
+    "hybrid_topk": ORACLE_HYBRID_TOPK,
     "bm25_index_serve": ORACLE_BM25_INDEX_SERVE,
     "kmeans_ivf": _build_kmeans_oracle(),
     "ann_recall": ORACLE_ANN_RECALL,

@@ -611,6 +611,101 @@ class Bm25Index:
         )
 
 
+def hybrid_topk(
+    corpus: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion
+    (r14; Cormack, Clarke & Buettcher, SIGIR'09 — public methodology,
+    the standard production hybrid-search combiner): take each leg's
+    top-``k_each`` (BM25 over ``corpus``, exact cosine over ``vectors``
+    — ids aligned, the repo's doc_id == vec_id convention), score every
+    retrieved doc ``sum over legs of 1/(rrf_k + rank)`` and keep the
+    fused top-``k``.
+
+    RRF is rank-only (score scales never mix — the reason it needs no
+    per-leg normalization) and the fused score here is EXACTLY
+    cross-engine checkable: each term is one double division and the
+    sum is two doubles added in a fixed expression order, so the DuckDB
+    oracle reproduces it bit-for-bit (no accumulation ordering, unlike
+    score-weighted fusion). ``queries`` carries BOTH faces:
+    ``(query_id, text, embedding)``.
+
+    Returns ``(query_id, doc_id, rrf_score, lex_rank, sem_rank, rank)``
+    — per-leg ranks ride along (NULL when a doc surfaced in one leg
+    only) so the driver value-checks the fusion inputs, not just the
+    output order. Family tiebreak (score desc NULLS LAST, doc id asc).
+    Scale shape: both legs are the existing audited dataflows (the
+    serve-shape BM25, the broadcast-query brute-force scorer); the
+    fusion itself joins two Q*k_each frames — broadcast-sized by
+    construction. Release ``_persisted_deps`` when done (the BM25
+    leg's caches)."""
+    from pyspark.sql import Window
+
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    lex = bm25_topk(
+        corpus,
+        queries.select(query_id_col, text_col),
+        text_col, id_col, query_id_col, k=k_each, k1=k1, b=b,
+    )
+    sem = brute_force_topk(
+        vectors,
+        queries.select(query_id_col, vec_col),
+        k=k_each, id_col=vec_id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    l_leg = lex.select(
+        query_id_col,
+        F.col(id_col).alias("__doc"),
+        F.col("rank").alias("lex_rank"),
+    )
+    s_leg = sem.select(
+        query_id_col,
+        F.col(vec_id_col).alias("__doc"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = l_leg.join(s_leg, [query_id_col, "__doc"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc_nulls_last(), F.col("__doc").asc()
+    )
+    out = (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("__doc").alias(id_col),
+            "rrf_score",
+            "lex_rank",
+            "sem_rank",
+            "rank",
+        )
+    )
+    deps = list(getattr(lex, "_persisted_deps", ()))
+    if deps:
+        out._persisted_deps = deps
+    return out
+
+
 def contamination_triage(
     train: DataFrame,
     evals: DataFrame,

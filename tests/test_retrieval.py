@@ -127,3 +127,51 @@ def test_contamination_triage_flags_full_set_on_fixture(spark):
         ).collect()
     }
     assert tri20 < set(full)  # strict subset: at least one pair missed
+
+
+def test_hybrid_topk_rrf_fusion(spark):
+    """r14: Reciprocal Rank Fusion over the two legs — a doc ranked by
+    BOTH legs sums two reciprocal terms, single-leg docs get one, the
+    fused order follows the summed score with the family tiebreak, and
+    per-leg ranks ride along (NULL for the missing leg)."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        hybrid_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "spark engine distributed compute"),
+            (2, "spark engine"),
+            (3, "cooking recipes and baking"),
+        ],
+        "doc_id long, text string",
+    )
+    # vectors: doc 3 is semantically closest to the query, doc 1 second,
+    # doc 2 orthogonal — so lexical favors {2, 1}, semantic favors {3, 1}
+    vecs = spark.createDataFrame(
+        [(1, [0.6, 0.8]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, "spark engine", [0.0, 1.0])],
+        "query_id long, text string, embedding array<double>",
+    )
+    out = hybrid_topk(corpus, vecs, queries, k=3, k_each=2, rrf_k=60)
+    rows = {r.doc_id: r for r in out.collect()}
+    unpersist_deps(out)
+
+    # lexical leg: 2 (rank 1, shorter doc), 1 (rank 2); semantic: 3, 1
+    assert rows[2].lex_rank == 1 and rows[2].sem_rank is None
+    assert rows[3].sem_rank == 1 and rows[3].lex_rank is None
+    assert rows[1].lex_rank == 2 and rows[1].sem_rank == 2
+    # exact fused arithmetic
+    assert rows[1].rrf_score == 1.0 / 62 + 1.0 / 62
+    assert rows[2].rrf_score == 1.0 / 61
+    assert rows[3].rrf_score == 1.0 / 61
+    # both-legs doc wins; the two single-leg ties break by doc id asc
+    assert [rows[d].rank for d in (1, 2, 3)] == [1, 2, 3]
