@@ -262,3 +262,31 @@ def test_tablestore_partition_delta_layout_guard(spark, store):
     store.write(df1, "other", partition_by=["part"])
     with pytest.raises(ValueError, match="not partitioned by"):
         store.write_partition_delta(upd, "other", "v", [10])
+
+
+def test_partition_delta_writes_one_file_per_leaf(spark, store):
+    """r14 clustering guard: a delta whose rows spread over many upstream
+    partitions must still land ONE parquet file per touched leaf dir —
+    without the pre-write clustering, every task wrote a file into every
+    leaf it held rows for, and repeated deltas fragmented stores into
+    hundreds of KB-files (measured: one Bm25Index append took a dense
+    serve from 7s to 28-33s)."""
+    import glob
+
+    base = spark.range(0, 2000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+    store.write(base, "frag", partition_by=["part"])
+    # a wide (32-partition) delta touching two of the four leaf dirs
+    delta = spark.range(0, 1000).repartition(32).select(
+        (F.col("id") + 10_000).alias("id"),
+        (F.col("id") % 2).cast("string").alias("part"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    store.write_partition_delta(delta, "frag", "part", ["0", "1"])
+    p = store._version_path("frag", store.current_version("frag"))
+    for part in ("part=0", "part=1"):
+        files = glob.glob(os.path.join(p, part, "*.parquet"))
+        assert len(files) == 1, f"{part}: {len(files)} files (fragmented)"
