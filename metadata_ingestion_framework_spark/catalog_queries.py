@@ -5438,9 +5438,17 @@ tf AS (
   GROUP BY doc_id, dl, term
 ),
 dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+-- the query set mirrors the Spark side's documents-INNER-JOIN-embeddings
+-- exactly (r14 ADVICE): both legs derive from the INTERSECTED id set, so
+-- an id present in only one table cannot silently skew one leg
+qids AS (
+  SELECT d.doc_id FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id < 3
+),
 qterms AS (
   SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
-  FROM docs WHERE doc_id < 3
+  FROM docs WHERE doc_id IN (SELECT doc_id FROM qids)
 ),
 lex_scored AS (
   SELECT q.query_id, t.doc_id,
@@ -5469,7 +5477,7 @@ lex AS (
   ) WHERE rank <= 20
 ),
 qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-       WHERE vec_id < 3),
+       WHERE vec_id IN (SELECT doc_id FROM qids)),
 sem_scored AS (
   SELECT q.query_id, e.vec_id AS doc_id,
     ROUND({_cos_sql("CAST(e.embedding AS DOUBLE[])", "CAST(q.qvec AS DOUBLE[])")}, 6) AS score

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metadata_ingestion_framework_spark.operators.dedup import (
+    dedup_window,
     jaccard_estimate_udf,
     minhash_bands,
     minhash_signatures,
@@ -1260,10 +1261,13 @@ class ImageHashStore:
         # stored and how candidates band/partition — mismatched reopens
         # would verify new batches against incomparable state or prune
         # away stored band rows; max_hamming / min_matching_frames are
-        # tunable query thresholds and deliberately excluded. The image
-        # face keeps its r13 config dict byte-identical (existing stores
-        # reopen untouched); the frames face adds the fingerprint-
-        # defining every_ms under its own kind.
+        # tunable query thresholds and deliberately excluded. The r14
+        # band_layout key is NOT part of the fingerprint space — only of
+        # the band table's directory layout — so a pre-r14 store (same
+        # config minus that key) migrates in place below instead of
+        # failing the exact-equality guard (r14 ADVICE: __init__ used to
+        # raise before rebuild_bands was reachable, stranding old
+        # stores).
         cfg = {
             "kind": "media_frame_fps" if frames else self._KIND,
             "id_col": id_col,
@@ -1281,7 +1285,32 @@ class ImageHashStore:
         }
         if frames:
             cfg["every_ms"] = every_ms
+        self._migrate_band_layout(root, cfg)
         _check_store_config(root, cfg)
+
+    def _migrate_band_layout(self, root: str, cfg: dict) -> None:
+        """In-place pre-r14 -> r14 band-layout migration: a stored config
+        identical to ``cfg`` except for the MISSING ``band_layout`` key
+        is the old single-level hash layout — same fingerprint space, so
+        the fps table carries over verbatim; only the band table's
+        directory shape changed. Rewrite it from fps (rebuild_bands) and
+        stamp the config. Any OTHER mismatch still fails loudly in
+        ``_check_store_config``."""
+        path = os.path.join(root, "_config.json")
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            stored = json.load(f)
+        if stored == cfg or "band_layout" in stored:
+            return
+        if {**stored, "band_layout": cfg["band_layout"]} != cfg:
+            return  # a real mismatch — let the guard name the keys
+        if self.store.exists(self.FPS):
+            self.rebuild_bands()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cfg, f)
+        os.replace(tmp, path)
 
     ingested_runs = MinhashSignatureStore.ingested_runs
     _record_run = MinhashSignatureStore._record_run
@@ -1293,6 +1322,18 @@ class ImageHashStore:
         )
 
         if self.frames:
+            # frames face is integral-id only (r14 ADVICE): sample_frames'
+            # mapInPandas schema hardcodes `media_id long`, so a string
+            # id would die deep inside the Arrow stage — fail here with
+            # the contract instead. (The image face stays any-id via
+            # image_hashes' dynamic id_type.)
+            id_type = dict(batch.dtypes)[self.id_col]
+            if id_type not in ("tinyint", "smallint", "int", "bigint"):
+                raise ValueError(
+                    f"frames=True requires an integral {self.id_col!r} "
+                    f"(sample_frames emits `media_id long`); got "
+                    f"{id_type}"
+                )
             # one row per (id, frame_ts): videos via the SAME
             # sample_frames -> image_hashes composition as
             # video_near_duplicates; everything else as a single frame
@@ -1317,6 +1358,17 @@ class ImageHashStore:
                 ifps.withColumn("frame_ts", F.lit(0).cast("int")).select(
                     self.id_col, "frame_ts", "dhash", "ahash"
                 )
+            )
+            # duplicate-batch-id tolerance (r14 ADVICE): the image face
+            # collapses a batch carrying the same id twice via
+            # scd1_merge's pre-merge dedup; the frames face must do the
+            # same per (id, frame_ts) or the duplicate fp rows persist
+            # and inflate media_frame_batch_drops' frame-match counts
+            # multiplicatively through the (id, ts) re-attach joins
+            # (min_matching_frames met spuriously). Deterministic pick:
+            # hash-ordered, matching dedup_window's ascending rule.
+            fps = dedup_window(
+                fps, [self.id_col, "frame_ts"], ["dhash", "ahash"]
             )
         else:
             fps = image_hashes(batch, self.payload_col, self.id_col)

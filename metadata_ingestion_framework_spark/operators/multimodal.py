@@ -498,7 +498,11 @@ def audio_hashes(
                 e64 = np.zeros(64, dtype=np.int64)
                 np.add.at(e64, idx * 64 // n, e)
                 ebits = e65[1:] > e65[:-1]
-                mbits = 64 * e64 > e.sum()
+                # overflow-free form of `64 * e64 > tot` (r14 ADVICE:
+                # the 64x product wraps int64 once a cell reaches 2^57 —
+                # multi-hour loud audio — while DuckDB's HUGEINT twin
+                # doesn't): for ints, 64*e > tot  ⟺  e > tot // 64.
+                mbits = e64 > e.sum() // 64
                 # distinct powers of two: uint64 sum == bitwise OR, exact
                 efp = (ebits.astype(np.uint64) << shifts).sum(dtype=np.uint64)
                 mfp = (mbits.astype(np.uint64) << shifts).sum(dtype=np.uint64)

@@ -485,3 +485,90 @@ def test_frames_null_kind_is_a_still(spark, tmp_path):
     )
     assert [r.media_id for r in s2.collect()] == []
     unpersist_deps(s2)
+
+
+def test_frames_duplicate_batch_id_collapses(spark, tmp_path):
+    """A batch carrying the same media_id twice must store ONE fp row per
+    (id, frame_ts) — the frames-face twin of the image face's scd1-merge
+    duplicate-id tolerance (r14 ADVICE: duplicate fp rows inflate
+    media_frame_batch_drops' match counts multiplicatively through the
+    (id, ts) re-attach joins, so min_matching_frames can be met
+    spuriously)."""
+    st = _vstore(spark, tmp_path, f=2)
+    dup = _vmedia(spark, [
+        (1, "video", encode_bmv([_FA, _FB], 40), 80),
+        (1, "video", encode_bmv([_FA, _FB], 40), 80),  # same id twice
+    ])
+    s1 = st.ingest(dup, "r1")
+    unpersist_deps(s1)
+    fps = st.store.read(ImageHashStore.FPS).collect()
+    assert sorted((r.media_id, r.frame_ts) for r in fps) == [(1, 0), (1, 40)]
+    # F=2 still means two DISTINCT matching frames: a one-shared-frame
+    # probe must survive (duplicate fp rows would have double-counted it)
+    s2 = st.ingest(
+        _vmedia(spark, [(2, "video", encode_bmv([_FA, _FX], 40), 80)]), "r2"
+    )
+    assert [r.media_id for r in s2.collect()] == [2]
+    unpersist_deps(s2)
+
+
+def test_frames_requires_integral_id(spark, tmp_path):
+    """frames=True with a non-integral id must fail with the contract
+    error at ingest, not deep inside sample_frames' Arrow stage (its
+    mapInPandas schema hardcodes `media_id long`)."""
+    st = ImageHashStore(
+        spark, str(tmp_path / "sid"), id_col="mid",
+        fp_bucket_width=8, n_buckets=8, frames=True, every_ms=40,
+    )
+    batch = spark.createDataFrame(
+        [("a", "video", encode_bmv([_FA], 40), 40)],
+        "mid string, kind string, payload binary, duration_ms int",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        st.ingest(batch, "r1")
+
+
+def test_band_layout_migration(spark, tmp_path):
+    """A pre-r14 store (config missing band_layout, bands under the old
+    single-level hash layout) migrates in place on reopen: bands are
+    rebuilt from fps under (fp_bucket, bucket) and the config is
+    stamped — while any OTHER config mismatch still raises."""
+    import json as _json
+    import os as _os
+
+    st = _store(spark, tmp_path, "mig")
+    s1 = st.ingest(
+        _media(spark, [(i, encode_bmp(_px(i * 100))) for i in range(4)]),
+        "r1",
+    )
+    unpersist_deps(s1)
+    root = str(tmp_path / "mig")
+    cfg_path = _os.path.join(root, "_config.json")
+    with open(cfg_path) as f:
+        cfg = _json.load(f)
+    old = {k: v for k, v in cfg.items() if k != "band_layout"}
+    with open(cfg_path, "w") as f:
+        _json.dump(old, f)
+    # emulate the pre-r14 band table: single-level hash layout
+    st.store.write(
+        st._band_rows(st.store.read(ImageHashStore.FPS)).drop("fp_bucket"),
+        ImageHashStore.BANDS, partition_by=["bucket"],
+    )
+
+    st2 = _store(spark, tmp_path, "mig")  # must NOT raise: migrates
+    with open(cfg_path) as f:
+        assert _json.load(f)["band_layout"] == "fp_bucket/bucket"
+    bands = st2.store.read(ImageHashStore.BANDS)
+    assert "fp_bucket" in bands.columns
+    # migrated store keeps working: an exact dup of stored id 3 drops
+    s2 = st2.ingest(
+        _media(spark, [(20, encode_bmp(_px(300)))]), "r2"
+    )
+    assert [r.media_id for r in s2.collect()] == []
+    unpersist_deps(s2)
+
+    # a REAL mismatch (different blocks) still fails loudly
+    with pytest.raises(ValueError, match="different layout"):
+        ImageHashStore(
+            spark, root, fp_bucket_width=8, n_buckets=8, blocks=8
+        )
