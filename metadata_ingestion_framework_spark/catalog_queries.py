@@ -2398,6 +2398,64 @@ def q_span_dedup(spark, sf_dir):
     return remove_duplicate_spans(docs, "text", "doc_id", span_w=6)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (operators/dedup.py::paragraph_dedup,
+    r15 — VERDICT r14 item 3): the CCNet/RefinedWeb FIRST stage the
+    engine was missing — newline-delimited paragraphs deduped globally by
+    first (doc_id, pos) occurrence, corpus REWRITTEN (surviving trimmed
+    paragraphs joined by newlines, empty segments dropped). Pure codegen
+    end-to-end: split + posexplode + 60-bit md5 + one bounded-uniform
+    hash shuffle + broadcast removal set; the oracle re-derives the whole
+    pipeline via string_split_regex + the identical md5 partition key +
+    ROW_NUMBER precedence."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "text", "doc_id")
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+WITH segs AS (
+  SELECT doc_id,
+    string_split_regex(coalesce(text, ''), '\r?\n') AS arr
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, pos, trim(arr[pos + 1]) AS p
+  FROM (SELECT doc_id, unnest(range(0, len(arr))) AS pos, arr FROM segs)
+),
+content AS (SELECT * FROM paras WHERE p <> ''),
+dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      ROW_NUMBER() OVER (
+        PARTITION BY ('0x' || substr(md5(p), 1, 15))::BIGINT
+        ORDER BY doc_id, pos) AS rn
+    FROM content
+  ) WHERE rn > 1
+),
+kept AS (
+  SELECT c.doc_id, c.pos, c.p FROM content c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dups d WHERE d.doc_id = c.doc_id AND d.pos = c.pos
+  )
+),
+agg AS (
+  SELECT doc_id, array_to_string(list(p ORDER BY pos), chr(10)) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+rmc AS (SELECT doc_id, COUNT(*) AS n_removed FROM dups GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(a.clean_text, '') AS clean_text,
+  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN rmc r USING (doc_id)
+"""
+
+
 ORACLE_SPAN_DEDUP = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -5952,7 +6010,9 @@ QUERIES = {
     # contamination triage through the PERSISTENT-INDEX serve dataflow
     # (merge vacate + bucket-stat composition + serve scoring + gram
     # verify), same per-call oracle verbatim (serve==rebuild row-equal)
-    "span_dedup": q_span_dedup,  # r7: duplicate token-span removal (rewrite)
+    "paragraph_dedup": q_paragraph_dedup,  # r15 NEW: paragraph-level exact
+    # dedup (the CCNet/RefinedWeb first stage) — global first-(id,pos)
+    # precedence, corpus rewrite, pure-codegen pipeline, full replay oracle
     "media_dedup_incremental": q_media_dedup_incremental,  # r13 NEW:
     # cross-run perceptual image dedup (the ImageHashStore ingest join),
     # full-union precedence rerun oracle
@@ -6016,8 +6076,18 @@ QUERIES = {
     # skew mitigation (r6 oracles; first driver-window pass this round —
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
-    # --- position 51+ (driver-verified green in earlier rounds). r14
-    # rotation (5): NEW hybrid_topk displaced ivfpq_topk — named,
+    # --- position 51+ (driver-verified green in earlier rounds). r15
+    # rotation (1): NEW paragraph_dedup displaced span_dedup — named,
+    # family-redundant (the corpus-REWRITE dedup family: paragraph_dedup
+    # runs the SAME global first-(id,pos) precedence window, the same
+    # skinny-removal-set broadcast, and the same rewrite/normalization
+    # output contract at paragraph granularity — span_dedup's token-window
+    # machinery also runs in-window inside no other query, but its Arrow
+    # gram build shape stays value-checked via the decontam family's
+    # _distinct_gram_rows twin in decontam_triage_indexed; span_dedup
+    # driver-green r7-r14, unchanged this round, stays sweep-checked in
+    # the tail).
+    # r14 rotation (5): NEW hybrid_topk displaced ivfpq_topk — named,
     # family-redundant (the quantized-index family keeps pq_topk — the
     # same ADC+rerank expressions verbatim — plus kmeans_ivf's cell
     # machinery and ann_recall's PQ face in-window; ivfpq driver-green
@@ -6210,6 +6280,8 @@ QUERIES = {
     # Earlier rotations:
     # scd4_history r6 (SCD family in-window), percentiles/lsh_topk_mp/
     # translate_clean/fingerprint r6 (families in-window) ---
+    "span_dedup": q_span_dedup,  # r15: displaced by paragraph_dedup (NEW
+    # — the same rewrite-dedup family; see r15 rotation (1) above)
     "decontam_triage": q_decontam_triage,  # r14: displaced by
     # decontam_triage_indexed (NEW — identical oracle through the serve
     # dataflow; see window comment), driver-green r13, unchanged
@@ -6399,6 +6471,7 @@ ORACLES = {
     "decontam_triage_indexed": ORACLE_DECONTAM_TRIAGE,
     "cms_heavy_hitters": ORACLE_CMS_HEAVY_HITTERS,
     "span_dedup": ORACLE_SPAN_DEDUP,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
     "token_budget": ORACLE_TOKEN_BUDGET,

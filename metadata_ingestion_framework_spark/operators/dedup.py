@@ -931,3 +931,87 @@ def remove_duplicate_spans(
         .alias("clean_text"),
         F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_removed"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    broadcast_removals: bool = True,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Paragraph-level exact dedup — the CCNet/RefinedWeb FIRST stage
+    (Wenzek et al. 2020 dedup paragraphs before lang-id; Penedo et al.
+    2023 keep it as the cheap pass before fuzzy dedup): every newline-
+    delimited paragraph that already occurred earlier in the corpus
+    (earlier = smaller (id, pos) — the global first occurrence, matching
+    ``remove_duplicate_spans``' precedence) is deleted, and the REWRITTEN
+    corpus is emitted as (id, clean_text, n_removed). Matching is on the
+    TRIMMED paragraph text; empty-after-trim segments are structure, not
+    content — the rewrite drops them, so ``clean_text`` is the surviving
+    trimmed paragraphs joined by single newlines (uniform output, the
+    span-dedup normalization convention) and ``n_removed`` counts removed
+    content paragraphs. A paragraph repeated INSIDE one document keeps
+    only its first occurrence too.
+
+    No reference analogue (north-star training-data extension;
+    BASELINE.json).
+
+    Scale shape (the ``remove_duplicate_spans`` skinny-removal-set
+    design): paragraph rows ride ONE bounded-uniform shuffle as
+    (id, pos, 60-bit md5) — the text itself never shuffles; duplicate
+    occurrences are a small fraction of any real corpus, so the removal
+    set broadcasts back (``broadcast_removals=False`` for pathological
+    corpora) and the rewrite is a map-only per-paragraph expression —
+    clean docs take the removal-free form, only dirty docs pay the
+    ``array_contains`` per segment. Everything is codegen: split +
+    posexplode + md5 — no Python stage at all (unlike the token-window
+    variant, whose O(tokens x span_w) gram build needs an Arrow kernel).
+    """
+    para_re = r"\r?\n"
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    paras = (
+        df.select(
+            id_col,
+            F.posexplode(F.split(text, para_re)).alias("pos", "__para"),
+        )
+        .withColumn("__p", F.trim(F.col("__para")))
+        .filter(F.col("__p") != "")
+        .select(
+            id_col,
+            "pos",
+            # 60-bit md5 — the shared cross-engine hash primitive
+            # (CLAUDE.md): DuckDB twin ('0x'||substr(md5(p),1,15))::BIGINT
+            F.conv(F.substring(F.md5("__p"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gh"),
+        )
+    )
+    w = Window.partitionBy("gh").orderBy(id_col, "pos")
+    dups = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    rm = dups.groupBy(id_col).agg(F.collect_set("pos").alias("__rm"))
+    if broadcast_removals:
+        rm = F.broadcast(rm)
+
+    segs = F.split(text, para_re)
+    nonempty = lambda x: F.trim(x) != F.lit("")  # noqa: E731
+    clean_all = F.array_join(
+        F.transform(F.filter(segs, nonempty), F.trim), "\n"
+    )
+    kept = F.filter(
+        segs,
+        lambda x, i: nonempty(x) & ~F.array_contains(F.col("__rm"), i),
+    )
+    clean_dirty = F.array_join(F.transform(kept, F.trim), "\n")
+    return df.join(rm, id_col, "left").select(
+        id_col,
+        *(keep_cols or []),
+        F.when(F.col("__rm").isNull(), clean_all)
+        .otherwise(clean_dirty)
+        .alias("clean_text"),
+        F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_removed"),
+    )

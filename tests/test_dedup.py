@@ -219,3 +219,107 @@ def test_bloom_contamination_equals_exact(spark):
             ).collect()
         }
         assert bloom == exact, f"n_bits={bits}"
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Global first-(id,pos) precedence, intra-doc repeats, empty-segment
+    normalization, NULL/whitespace-only docs, and the trimmed-match rule
+    (paragraphs differing only in surrounding whitespace are the SAME
+    paragraph)."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world.\n\nThe quick brown fox.\nHello world."),
+            (2, "  Hello world.  \nSomething new.\n   \nThe quick brown fox."),
+            (3, None),
+            (4, "   \n\n"),
+            (5, "Something new."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in paragraph_dedup(df, "text", "doc_id").collect()
+    }
+    # doc 1: keeps both distinct paragraphs, loses the intra-doc repeat
+    assert (out[1]["clean_text"], out[1]["n_removed"]) == (
+        "Hello world.\nThe quick brown fox.", 1,
+    )
+    # doc 2: both already-seen paragraphs removed DESPITE extra whitespace
+    assert (out[2]["clean_text"], out[2]["n_removed"]) == ("Something new.", 2)
+    assert (out[3]["clean_text"], out[3]["n_removed"]) == ("", 0)
+    assert (out[4]["clean_text"], out[4]["n_removed"]) == ("", 0)
+    # doc 5: doc 2's pos-1 occurrence came first globally
+    assert (out[5]["clean_text"], out[5]["n_removed"]) == ("", 1)
+
+
+def test_paragraph_dedup_shuffle_join_parity(spark):
+    """broadcast_removals=False must produce identical output, and
+    keep_cols must pass through join-free."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"common footer\npara {i % 5}\nbody {i}", f"s{i % 2}")
+         for i in range(40)],
+        "doc_id int, text string, source string",
+    )
+    a = sorted(
+        paragraph_dedup(df, "text", "doc_id", broadcast_removals=True,
+                        keep_cols=["source"]).collect()
+    )
+    b = sorted(
+        paragraph_dedup(df, "text", "doc_id", broadcast_removals=False,
+                        keep_cols=["source"]).collect()
+    )
+    assert a == b
+    assert any(r["n_removed"] > 0 for r in a)
+    assert {r["source"] for r in a} == {"s0", "s1"}
+
+
+def test_web_pipeline_order(spark):
+    """The real web-curation order (VERDICT r14 item 3): html extract +
+    boilerplate gate -> paragraph dedup -> quality heuristics. A footer
+    paragraph repeated across pages survives only in the first page;
+    link-farm pages never reach the dedup stage; the quality gate runs on
+    the CLEANED text."""
+    from metadata_ingestion_framework_spark.functions.html import (
+        boilerplate_gate,
+    )
+    from metadata_ingestion_framework_spark.functions.text import (
+        quality_score,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    body1 = "unique first page content with plenty of real words here "
+    body2 = "a different second page body also full of real words here "
+    footer = "copyright footer all rights reserved"
+    rows = [
+        (1, "<p>" + body1 * 3 + "</p>"),
+        (2, "<p>" + body2 * 3 + "</p>"),
+        (3, '<a href="u">link</a>'),  # boilerplate: gated out pre-dedup
+    ]
+    pages = spark.createDataFrame(rows, "doc_id long, html string")
+    gated = boilerplate_gate(pages, "html", min_text_chars=50).filter("keep")
+    # extraction collapses intra-page whitespace; the paragraph structure
+    # is the page boundary here, so append the shared footer as its own
+    # paragraph (the wrapper/CMS shape)
+    docs = gated.select(
+        "doc_id", F.concat_ws("\n", "text", F.lit(footer)).alias("text")
+    )
+    cleaned = paragraph_dedup(docs, "text", "doc_id")
+    out = {r["doc_id"]: r for r in cleaned.collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"].endswith(footer)   # first occurrence kept
+    assert footer not in out[2]["clean_text"]      # later occurrence removed
+    assert out[2]["n_removed"] == 1
+    scored = cleaned.select(
+        "doc_id", quality_score(F.col("clean_text")).alias("q")
+    )
+    assert all(r["q"] is not None for r in scored.collect())
