@@ -5479,6 +5479,62 @@ def q_hybrid_topk(spark, sf_dir):
     return hybrid_topk(docs, emb, queries, k=10, k_each=20)
 
 
+def q_hybrid_served(spark, sf_dir):
+    """INDEX-SERVED hybrid retrieval (operators/retrieval.py::
+    hybrid_served + rrf_fuse, r15 — VERDICT r14 item 1: the last
+    per-call-only retrieval surface closed). Both legs run the SERVE
+    dataflows the persistent indexes use, emulated over in-plan tables
+    (the bm25_index_serve / decontam_triage_indexed convention so the
+    driver can value-check without filesystem state): lexical =
+    ``serve_topk`` over built postings with term-bucket restriction and
+    df derived from the restricted rows; semantic = ``ivf_topk`` at FULL
+    probe — every vector scored once through the probed-cell join with
+    the fold ``round(cosine, 6)`` expression; fusion = the shared
+    ``rrf_fuse``. The oracle is the per-call hybrid twin VERBATIM: full
+    probe composes both candidate-superset theorems through rank-only
+    fusion, so served == per-call is exactly the contract under
+    value-check (the filesystem lifecycle — build/append/grow — is
+    pytest-pinned in tests/test_hybrid_served.py)."""
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        bucket_stats_of,
+        build_postings,
+        doc_stats_of,
+        rrf_fuse,
+        serve_topk,
+    )
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        docs.filter(F.col("doc_id") < 3)
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .select(F.col("doc_id").alias("query_id"), "text", "embedding")
+    )
+    w, nb, ntb = 8192, 64, 64
+    # consumed by doc_stats_of AND the serve scan (self-join rule)
+    posts = build_postings(docs, "doc_id", "text", w, nb, ntb).persist()
+    stats = bucket_stats_of(
+        doc_stats_of(docs.select("doc_id"), posts, "doc_id", w, nb)
+    )
+    lex = serve_topk(
+        posts, stats, queries.select("query_id", "text"), ntb, k=20
+    )
+    sem = ivf_topk(
+        emb, queries.select("query_id", "embedding"),
+        dim=64, k=20, n_cells=4, n_probe=4,
+    )
+    out = rrf_fuse(lex, sem, 10, 60, "doc_id", "query_id",
+                   sem_id_col="vec_id")
+    out._persisted_deps = list(getattr(lex, "_persisted_deps", [])) + [posts]
+    return out
+
+
 ORACLE_HYBRID_TOPK = f"""
 WITH docs AS (
   SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
@@ -6003,9 +6059,10 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,  # r7: cross-run dedup vs store
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "dup_clusters": q_dup_clusters,  # r7: transitive cluster resolution
-    "hybrid_topk": q_hybrid_topk,  # r14 NEW: hybrid lexical+semantic
-    # retrieval via Reciprocal Rank Fusion — both legs' ranks AND the
-    # bit-exact fused score value-checked via the composed twin oracles
+    "hybrid_served": q_hybrid_served,  # r15 NEW: INDEX-SERVED hybrid
+    # retrieval — serve_topk lex leg + full-probe ivf_topk sem leg under
+    # the shared rrf_fuse; oracle = the per-call hybrid twin verbatim
+    # (served == per-call IS the contract under value-check)
     "decontam_triage_indexed": q_decontam_triage_indexed,  # r14 NEW:
     # contamination triage through the PERSISTENT-INDEX serve dataflow
     # (merge vacate + bucket-stat composition + serve scoring + gram
@@ -6077,7 +6134,18 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r15
-    # rotation (1): NEW paragraph_dedup displaced span_dedup — named,
+    # rotation (2): NEW hybrid_served displaced hybrid_topk — named,
+    # family-redundant (hybrid_served shares rrf_fuse — the literal
+    # fusion code after the r15 factor-out — and its oracle IS
+    # hybrid_topk's SQL verbatim, so the fusion arithmetic and both
+    # legs' rank semantics stay value-checked in-window against the
+    # strictly-larger serve dataflows; per-call bm25_topk stays
+    # in-window; the brute-force Arrow cosine kernel face moves to the
+    # tail with hybrid_topk/cosine_topk and stays sweep-checked, while
+    # the fold-cosine expression keeps its in-window reps via
+    # hybrid_served's sem leg + kmeans_ivf + ann_recall; hybrid_topk
+    # driver-green r14, rrf refactor value-checked this round).
+    # r15 rotation (1): NEW paragraph_dedup displaced span_dedup — named,
     # family-redundant (the corpus-REWRITE dedup family: paragraph_dedup
     # runs the SAME global first-(id,pos) precedence window, the same
     # skinny-removal-set broadcast, and the same rewrite/normalization
@@ -6282,6 +6350,8 @@ QUERIES = {
     # translate_clean/fingerprint r6 (families in-window) ---
     "span_dedup": q_span_dedup,  # r15: displaced by paragraph_dedup (NEW
     # — the same rewrite-dedup family; see r15 rotation (1) above)
+    "hybrid_topk": q_hybrid_topk,  # r15: displaced by hybrid_served (NEW
+    # — shared rrf_fuse + the same oracle verbatim; see r15 rotation (2))
     "decontam_triage": q_decontam_triage,  # r14: displaced by
     # decontam_triage_indexed (NEW — identical oracle through the serve
     # dataflow; see window comment), driver-green r13, unchanged
@@ -6497,6 +6567,8 @@ ORACLES = {
     "ivfpq_topk": ORACLE_IVFPQ_TOPK,
     "bm25_topk": ORACLE_BM25_TOPK,
     "hybrid_topk": ORACLE_HYBRID_TOPK,
+    # served == per-call IS the contract: the oracle is the same SQL
+    "hybrid_served": ORACLE_HYBRID_TOPK,
     "bm25_index_serve": ORACLE_BM25_INDEX_SERVE,
     "kmeans_ivf": _build_kmeans_oracle(),
     "ann_recall": ORACLE_ANN_RECALL,
