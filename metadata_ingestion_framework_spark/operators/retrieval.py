@@ -30,6 +30,9 @@ agree on what a "word" is.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -214,6 +217,29 @@ def _score_qterms(
 #   serve's avgdl is bit-identical to bm25_topk's long-sum/count.
 
 
+#: serve-layout sizing target (r15, VERDICT r14 item 2): aim for ~this
+#: many distinct terms per term bucket. Rationale: a bounded query batch
+#: of T distinct terms touches <= T buckets regardless of the count, so
+#: pruning strength holds, while the leaf-file count (the dense-
+#: vocabulary serve's cost: it reads EVERY term bucket of every doc
+#: bucket, ~50ms/file measured r14) tracks the vocabulary instead of a
+#: fixed grid — a 31-word synthetic corpus gets 8 buckets, not 64
+#: mostly-empty ones, and a web-scale vocabulary saturates the 4096 cap
+#: where a bucket still holds thousands of terms (leaf files stay above
+#: the tiny-file floor: leaves = doc_buckets x term_buckets, so the cap
+#: and the 512 target both guard rows-per-leaf, not just pruning ratio).
+_TERMS_PER_BUCKET = 512
+
+
+def sized_term_buckets(vocab: int) -> int:
+    """Corpus-sized ``n_term_buckets``: the next power of two of
+    ``vocab / _TERMS_PER_BUCKET``, clamped to [8, 4096] (the
+    sig_bucket_width sizing precedent — layout keys derive from the data
+    they shard, then persist in the config guard)."""
+    target = max(1, vocab // _TERMS_PER_BUCKET)
+    return max(8, min(4096, 1 << (target - 1).bit_length()))
+
+
 def term_bucket_expr(term_col, n_term_buckets: int):
     """Partition key of a posting row: engine-side hash (xxhash64) of the
     term, modulo the bucket count. Engine-specific by design (the oracle
@@ -352,9 +378,21 @@ def serve_topk(
         # distinct) query-term list first, then derive df from rows the
         # pass already reads. Persist: consumed by dfreq AND the scoring
         # join (self-join rule) — skinny (id, term, tf, __dl).
-        posts_q = pruned.join(
-            F.broadcast(qterms.select("term").distinct()), "term"
-        ).select(id_col, "term", "tf", "__dl").persist()
+        from metadata_ingestion_framework_spark.operators.dedup import (
+            _widen_narrow_input,
+        )
+
+        # widen before persisting (r15): the restricted rows inherit the
+        # pruned scan's split count — a well-sized store has FEW leaf
+        # files per term bucket (the sized_term_buckets rule), so a
+        # dense-vocabulary serve would run its (query, doc) scoring
+        # map-side on a handful of tasks. Real-cluster inputs already
+        # carry >= cores splits and pass through untouched.
+        posts_q = _widen_narrow_input(
+            pruned.join(
+                F.broadcast(qterms.select("term").distinct()), "term"
+            ).select(id_col, "term", "tf", "__dl")
+        ).persist()
         dfreq = posts_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         stats = bucket_stats.agg(
             F.sum("n_docs").cast("bigint").alias("__n_docs"),
@@ -396,11 +434,8 @@ class Bm25Index:
         text_col: str = "text",
         doc_bucket_width: int = 8192,
         n_buckets: int = 64,
-        n_term_buckets: int = 64,
+        n_term_buckets: int | None = None,
     ):
-        from metadata_ingestion_framework_spark.operators.incremental import (
-            _check_store_config,
-        )
         from metadata_ingestion_framework_spark.plans.tablestore import (
             VersionedParquetStore,
         )
@@ -412,15 +447,33 @@ class Bm25Index:
         self.text_col = text_col
         self.doc_bucket_width = doc_bucket_width
         self.n_buckets = n_buckets
+        # n_term_buckets sizing (r15, VERDICT r14 item 2): None (the
+        # default) = adopt the stored layout on reopen, or derive from
+        # the build corpus's vocabulary at build() (sized_term_buckets)
+        # and persist it in the config guard then. An EXPLICIT value is
+        # guarded exactly as before (a mismatched reopen re-buckets
+        # query terms away from their stored postings — loud failure).
+        cfg_path = os.path.join(root, "_config.json")
+        if n_term_buckets is None and os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                n_term_buckets = json.load(f).get("n_term_buckets")
         self.n_term_buckets = n_term_buckets
+        if n_term_buckets is not None:
+            self._stamp_config()
+
+    def _stamp_config(self) -> None:
+        from metadata_ingestion_framework_spark.operators.incremental import (
+            _check_store_config,
+        )
+
         _check_store_config(
-            root,
+            self.root,
             {
-                "id_col": id_col,
-                "text_col": text_col,
-                "doc_bucket_width": doc_bucket_width,
-                "n_buckets": n_buckets,
-                "n_term_buckets": n_term_buckets,
+                "id_col": self.id_col,
+                "text_col": self.text_col,
+                "doc_bucket_width": self.doc_bucket_width,
+                "n_buckets": self.n_buckets,
+                "n_term_buckets": self.n_term_buckets,
             },
         )
 
@@ -441,7 +494,26 @@ class Bm25Index:
     def build(self, corpus: DataFrame) -> None:
         """One tokenize pass writes the postings; doc stats derive from
         the WRITTEN postings (read-back — no second tokenize) plus an
-        id-only corpus scan for token-less docs."""
+        id-only corpus scan for token-less docs.
+
+        When ``n_term_buckets`` was not given, it is sized HERE from the
+        build corpus's distinct-term count (``sized_term_buckets``) and
+        stamped into the config guard — one extra tokenize+distinct pass
+        (map-only + a bounded-key agg; pass an explicit value to skip
+        it). Sized from the FIRST corpus only: ``append`` never re-sizes
+        (the layout is the store's identity, like IVF centroids)."""
+        if self.n_term_buckets is None:
+            vocab = (
+                corpus.select(
+                    F.explode(
+                        F.array_distinct(_terms(self.text_col))
+                    ).alias("term")
+                )
+                .agg(F.count_distinct("term").alias("v"))
+                .collect()[0]["v"]
+            )
+            self.n_term_buckets = sized_term_buckets(vocab)
+            self._stamp_config()
         self.store.write(
             self._postings(corpus),
             self.POSTINGS,

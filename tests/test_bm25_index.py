@@ -361,3 +361,62 @@ def test_index_triage_equals_per_call_form(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_sized_term_buckets_rule(spark, tmp_path):
+    """r15 (VERDICT r14 item 2): n_term_buckets=None derives the serve
+    layout from the build corpus's vocabulary (sized_term_buckets),
+    persists it in the config guard, reopens adopting the stored value,
+    and serves row-equal to an explicitly-bucketed index."""
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        sized_term_buckets,
+    )
+
+    # the rule itself: pow2 of vocab/512, clamped [8, 4096]
+    assert sized_term_buckets(0) == 8
+    assert sized_term_buckets(31) == 8       # the synthetic corpus
+    assert sized_term_buckets(512 * 16) == 16
+    assert sized_term_buckets(512 * 1000) == 1024
+    assert sized_term_buckets(10**9) == 4096  # web-scale cap
+
+    docs = _docs(spark)
+    root = str(tmp_path / "sized")
+    idx = Bm25Index(spark, root, doc_bucket_width=W, n_buckets=NB)
+    assert idx.n_term_buckets is None  # deferred until build
+    idx.build(docs)
+    assert idx.n_term_buckets == 8  # 31-term vocab -> 8 buckets
+    # reopen with the default adopts the stored layout
+    reopened = Bm25Index(spark, root, doc_bucket_width=W, n_buckets=NB)
+    assert reopened.n_term_buckets == 8
+    # a mismatched EXPLICIT reopen still fails loudly
+    with pytest.raises(ValueError, match="layout"):
+        Bm25Index(
+            spark, root,
+            doc_bucket_width=W, n_buckets=NB, n_term_buckets=64,
+        )
+    # layout is oracle-invariant: serve == the explicitly-bucketed index
+    q = _queries(spark, docs)
+    got = _rows(reopened.topk(q, k=10))
+    explicit = _idx(spark, tmp_path, "explicit")
+    explicit.build(docs)
+    want = _rows(explicit.topk(q, k=10))
+    assert got == want and len(got) > 0
+
+
+def test_sized_index_append_keeps_layout(spark, tmp_path):
+    """append never re-sizes: the layout is the store's identity (the
+    IVF-centroid contract) — and serve over the grown sized store equals
+    a fresh bm25 over the merged corpus."""
+    docs = _docs(spark)
+    old = docs.filter(F.col("doc_id") % 4 < 3)
+    new = docs.filter(F.col("doc_id") % 4 == 3)
+    root = str(tmp_path / "sized_grow")
+    idx = Bm25Index(spark, root, doc_bucket_width=W, n_buckets=NB)
+    idx.build(old)
+    sized = idx.n_term_buckets
+    idx.append(new)
+    assert idx.n_term_buckets == sized
+    q = _queries(spark, docs)
+    got = _rows(idx.topk(q, k=10))
+    want = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    assert got == want and len(got) > 0

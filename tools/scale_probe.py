@@ -1152,6 +1152,116 @@ def main_bm25index(args: list[str]) -> None:
     spark.stop()
 
 
+def probe_bm25_sizing(spark, docs, workdir: str, corpus_tag: str) -> dict:
+    """r15 A/B (VERDICT r14 item 2): fixed n_term_buckets=64 vs the
+    corpus-sized rule, on one corpus shape. Measures build, warm
+    bounded-vocabulary serve (8 full-doc queries), warm dense serve
+    (a 5% eval slice as queries — many distinct terms), and the postings
+    leaf-file count (the dense serve's actual cost driver)."""
+    import glob
+    import shutil
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        Bm25Index,
+    )
+
+    docs = docs.persist()
+    docs.count()
+    bounded_q = docs.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    # dense = broad TERM coverage, not query-count scaling: a fixed-size
+    # batch keeps the (query, doc) scoring volume comparable across
+    # replica tiers (25k queries x a replicated small-vocab corpus would
+    # measure the quadratic pair explosion, not the layout)
+    dense_q = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .orderBy("doc_id").limit(500)
+        .select(F.col("doc_id").alias("query_id"), "text")
+    )
+    out: dict = {}
+    for tag, ntb in (("fixed64", 64), ("sized", None)):
+        root = os.path.join(workdir, f"bm25_{corpus_tag}_{tag}")
+        shutil.rmtree(root, ignore_errors=True)
+        idx = Bm25Index(
+            spark, root, doc_bucket_width=8192, n_buckets=64,
+            n_term_buckets=ntb,
+        )
+        t0 = time.perf_counter()
+        idx.build(docs)
+        r = {"build_sec": round(time.perf_counter() - t0, 2),
+             "n_term_buckets": idx.n_term_buckets}
+        r["postings_files"] = len(
+            glob.glob(os.path.join(root, "postings", "v*", "**", "*.parquet"),
+                      recursive=True)
+        )
+
+        def serve(q):
+            o = idx.topk(q, k=10)
+            c = o.count()
+            unpersist_deps(o)
+            return c
+
+        for qname, q in (("bounded", bounded_q), ("dense", dense_q)):
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                serve(q)
+                times.append(time.perf_counter() - t0)
+            r[f"serve_{qname}_warm_sec"] = round(min(times), 2)
+        out[tag] = r
+        shutil.rmtree(root, ignore_errors=True)
+    docs.unpersist()
+    return out
+
+
+def main_bm25sizing(args: list[str]) -> None:
+    import tempfile
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    replicas = int(args[1]) if len(args) > 1 else 1
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import t
+
+    spark = get_spark("scale_probe_bm25sizing")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    if replicas > 1:
+        docs = replicate_docs_fast(spark, docs, replicas)
+    # two corpus shapes: the synthetic small-vocab corpus (31 terms — the
+    # documented 0.7x dense case) and a widened-vocabulary twin (one
+    # unique token per doc, the web shape where term buckets earn pruning)
+    # unique token must survive the [a-z]+ tokenizer: digits -> letters
+    wide = docs.withColumn(
+        "text",
+        F.concat_ws(
+            " ", "text",
+            F.concat(
+                F.lit("uniq"),
+                F.translate(
+                    F.col("doc_id").cast("string"),
+                    "0123456789", "abcdefghij",
+                ),
+            ),
+        ),
+    )
+    workdir = tempfile.mkdtemp(prefix="bm25_sizing_")
+    result = {
+        "probe": "bm25_term_bucket_sizing_ab",
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "smallvocab": probe_bm25_sizing(spark, docs, workdir, "small"),
+        "widevocab": probe_bm25_sizing(spark, wide, workdir, "wide"),
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         main_incremental(sys.argv[2:])
@@ -1179,6 +1289,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--bm25index":
         main_bm25index(sys.argv[2:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--bm25sizing":
+        main_bm25sizing(sys.argv[2:])
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
