@@ -218,26 +218,28 @@ def _score_qterms(
 
 
 #: serve-layout sizing target (r15, VERDICT r14 item 2): aim for ~this
-#: many distinct terms per term bucket. Rationale: a bounded query batch
-#: of T distinct terms touches <= T buckets regardless of the count, so
-#: pruning strength holds, while the leaf-file count (the dense-
-#: vocabulary serve's cost: it reads EVERY term bucket of every doc
-#: bucket, ~50ms/file measured r14) tracks the vocabulary instead of a
-#: fixed grid — a 31-word synthetic corpus gets 8 buckets, not 64
-#: mostly-empty ones, and a web-scale vocabulary saturates the 4096 cap
-#: where a bucket still holds thousands of terms (leaf files stay above
-#: the tiny-file floor: leaves = doc_buckets x term_buckets, so the cap
-#: and the 512 target both guard rows-per-leaf, not just pruning ratio).
+#: many distinct terms per term bucket, capped at the proven 64-bucket
+#: grid. The rule only SHRINKS the grid for small vocabularies — the
+#: documented r14 gap was tiny mostly-empty leaves (a 31-word synthetic
+#: corpus under 64 buckets; dense serves pay per-file open costs for
+#: files that hold nothing). Growing BEYOND 64 was A/B'd at 1x/10x
+#: (PROBE.md r15) and bought nothing: a bounded query of T distinct
+#: terms touches min(T, n) buckets either way — T is the binding term
+#: for every realistic batch — while build cost and leaf-file count
+#: (leaves = doc_buckets x term_buckets) grow with the grid; the
+#: 128-bucket arm measured strictly worse on build, bounded serve, and
+#: dense serve. Negative result recorded, cap kept at 64.
 _TERMS_PER_BUCKET = 512
 
 
 def sized_term_buckets(vocab: int) -> int:
     """Corpus-sized ``n_term_buckets``: the next power of two of
-    ``vocab / _TERMS_PER_BUCKET``, clamped to [8, 4096] (the
+    ``vocab / _TERMS_PER_BUCKET``, clamped to [8, 64] (the
     sig_bucket_width sizing precedent — layout keys derive from the data
-    they shard, then persist in the config guard)."""
+    they shard, then persist in the config guard; see _TERMS_PER_BUCKET
+    for why the cap is the old fixed default)."""
     target = max(1, vocab // _TERMS_PER_BUCKET)
-    return max(8, min(4096, 1 << (target - 1).bit_length()))
+    return max(8, min(64, 1 << (target - 1).bit_length()))
 
 
 def term_bucket_expr(term_col, n_term_buckets: int):

@@ -139,12 +139,27 @@ class VersionedParquetStore:
         os.replace(tmp, self._pointer(table))  # atomic pointer swap
 
     def write(
-        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        cluster: bool = True,
     ) -> int:
-        """Write a new immutable version and atomically repoint _CURRENT."""
+        """Write a new immutable version and atomically repoint _CURRENT.
+
+        Partitioned writes cluster on the partition columns first (r15 —
+        the r14 delta-write fragmentation fix extended to FULL writes:
+        a 10x Bm25Index build probe measured ~14 files per leaf from the
+        un-clustered path, the same per-file scan cost class). One file
+        per leaf; distinct leaves parallelize across tasks, and a leaf is
+        bucket-bounded by the store sizing rules so the single writer per
+        leaf is the intended unit of work. ``cluster=False`` opts out for
+        tables whose leaves are NOT bucket-bounded."""
         cur = self.current_version(table)
         nxt = (cur or 0) + 1
         path = self._version_path(table, nxt)
+        if partition_by and cluster:
+            df = df.repartition(*[F.col(c) for c in partition_by])
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -372,12 +372,13 @@ def test_sized_term_buckets_rule(spark, tmp_path):
         sized_term_buckets,
     )
 
-    # the rule itself: pow2 of vocab/512, clamped [8, 4096]
+    # the rule itself: pow2 of vocab/512, clamped [8, 64] — the cap is
+    # the proven fixed default (growing past it A/B'd worse; PROBE.md r15)
     assert sized_term_buckets(0) == 8
     assert sized_term_buckets(31) == 8       # the synthetic corpus
     assert sized_term_buckets(512 * 16) == 16
-    assert sized_term_buckets(512 * 1000) == 1024
-    assert sized_term_buckets(10**9) == 4096  # web-scale cap
+    assert sized_term_buckets(512 * 1000) == 64
+    assert sized_term_buckets(10**9) == 64   # capped at the proven grid
 
     docs = _docs(spark)
     root = str(tmp_path / "sized")

@@ -379,3 +379,102 @@ def test_streaming_media_ingest_matches_batch_sequential(spark, tmp_path):
         got |= {r.media_id for r in out.collect()}
         unpersist_deps(out)
     assert got == set().union(*survivors.values())
+
+
+@pytest.mark.slow
+def test_streaming_hybrid_ingest_serves_like_per_call(spark, tmp_path):
+    """Streaming face for hybrid retrieval (r15, VERDICT r14 item 6): ONE
+    document stream feeds BOTH persistent indexes per micro-batch
+    (foreachBatch -> Bm25Index.append + IvfIndex.build/append), with a
+    later batch re-ingesting a doc with replaced text AND a moved
+    embedding; at full probe the served hybrid top-k over everything
+    arrived == per-call hybrid_topk over the merged corpus (stale
+    postings vacated, the moved vector vacated its old cell)."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.ivf_index import (
+        IvfIndex,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        Bm25Index,
+        hybrid_served,
+        hybrid_topk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    joined = (
+        docs.select("doc_id", "text")
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+              "doc_id")
+        .filter(F.col("doc_id") < 90)
+    )
+    # replacement face for doc 0: new text + the embedding of doc 200
+    # (a genuinely different vector — the re-ingest must move its cell)
+    repl_vec = emb.filter(F.col("vec_id") == 200).select(
+        F.lit(0).cast("long").alias("doc_id"),
+        F.lit("zz replaced streaming document body " * 3).alias("text"),
+        "embedding",
+    )
+
+    src = tmp_path / "hybrid_in"
+    src.mkdir()
+    joined.filter(F.col("doc_id") < 30).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    joined.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)).coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    joined.filter(F.col("doc_id") >= 60).unionByName(repl_vec).coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+
+    bidx = Bm25Index(
+        spark, str(tmp_path / "h_bm25"),
+        doc_bucket_width=16, n_buckets=16, n_term_buckets=8,
+    )
+    vidx = IvfIndex(
+        spark, str(tmp_path / "h_ivf"), dim=64, n_cells=4,
+        id_col="doc_id",
+    )
+
+    def sink(bdf, batch_id):
+        bidx.append(bdf.select("doc_id", "text"))
+        vecs = bdf.select("doc_id", "embedding")
+        if vidx.centroids is None:
+            vidx.build(vecs)
+        else:
+            vidx.append(vecs)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "hybrid_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = joined.filter(F.col("doc_id") > 0).unionByName(repl_vec)
+    queries = merged.filter(F.col("doc_id").isin(0, 5, 61)).select(
+        F.col("doc_id").alias("query_id"), "text", "embedding"
+    )
+    served = hybrid_served(
+        bidx, vidx, queries, k=10, k_each=20, n_probe=4
+    )
+    got = sorted(map(tuple, served.collect()))
+    unpersist_deps(served)
+    percall = hybrid_topk(
+        merged.select("doc_id", "text"),
+        merged.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        queries, k=10, k_each=20,
+    )
+    want = sorted(map(tuple, percall.collect()))
+    unpersist_deps(percall)
+    assert got == want and len(got) > 0

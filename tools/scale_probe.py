@@ -1293,6 +1293,12 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--bm25sizing":
         main_bm25sizing(sys.argv[2:])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--audiostore":
+        main_audiostore(sys.argv[2:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--framesstore":
+        main_framesstore(sys.argv[2:])
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     sys.path.insert(0, "/root/repo")
@@ -1393,6 +1399,215 @@ def _synth_images(spark, n: int, id_offset: int = 0):
         spark.range(id_offset, id_offset + n).toDF("id")
     )
     return base.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def _synth_wavs(spark, n: int, id_offset: int = 0):
+    """n deterministic real-WAV media rows (media_id, payload): the
+    test_audio_store fixture formula at per-id durations, so same-
+    duration ids form genuine near-dup clusters for the banding join."""
+    import pandas as pd
+
+    from metadata_ingestion_framework_spark.operators.codecs import (
+        encode_wav,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _widen_narrow_input,
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                nlen = 256 + 31 * (mid % 40)
+                i = np.arange(nlen)
+                x = ((((mid % 12) * 31 + i * 37) % 4096) - 2048).astype(
+                    np.int16
+                ) * 8
+                payloads.append(encode_wav(x))
+            yield pd.DataFrame(
+                {"media_id": pdf["id"], "payload": payloads}
+            )
+
+    base = _widen_narrow_input(
+        spark.range(id_offset, id_offset + n).toDF("id")
+    )
+    return base.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def _synth_videos(spark, n: int, id_offset: int = 0):
+    """n deterministic real-BMV video rows (media_id, kind, payload,
+    duration_ms): 3 frames each at 40ms, frame pixels from the image
+    formula keyed by (id % 16, frame) — ids sharing the key are genuine
+    frame-level near-dups."""
+    import pandas as pd
+
+    from metadata_ingestion_framework_spark.operators.codecs import (
+        encode_bmp,
+        encode_bmv,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _widen_narrow_input,
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                frames = []
+                for f in range(3):
+                    k = (mid % 16) * 3 + f
+                    w, h = 4 + k % 24, 4 + (k // 7) % 24
+                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                    px = (
+                        (k * 7 + y * 13 + x * 17 + c * 29) % 256
+                    ).astype(np.uint8)
+                    frames.append(encode_bmp(px))
+                payloads.append(encode_bmv(frames, 40))
+            yield pd.DataFrame({
+                "media_id": pdf["id"],
+                "kind": "video",
+                "payload": payloads,
+                "duration_ms": 120,
+            })
+
+    base = _widen_narrow_input(
+        spark.range(id_offset, id_offset + n).toDF("id")
+    )
+    return base.mapInPandas(
+        gen,
+        schema="media_id long, kind string, payload binary, duration_ms int",
+    )
+
+
+def _probe_store_generic(spark, store_of, synth, n_base, replicas) -> dict:
+    """Shared batch-vs-store probe body (r15, VERDICT r14 item 4): seed a
+    store at 1x and Nx, ingest a FIXED fresh batch against each, record
+    kernel + e2e. Flat e2e growth = ingest tracks the batch."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+
+    out: dict = {}
+    for tag, n in [("1x", n_base), (f"{replicas}x", n_base * replicas)]:
+        r: dict = {}
+        st = store_of(tag)
+        seed = synth(spark, n).persist()
+        seed.count()
+
+        def _seed():
+            s = st.ingest(seed, "seed")
+            c = s.count()
+            unpersist_deps(s)
+            return c
+
+        timed("seed_ingest_full", _seed, r)
+        seed.unpersist()
+        batch = synth(spark, 500, id_offset=n * 7 + 11).persist()
+        batch.count()
+        timed(
+            "batch_fp_kernel",
+            lambda: st._fingerprints(batch).count(),
+            r,
+        )
+
+        def _ingest():
+            s = st.ingest(batch, "r2")
+            c = s.count()
+            unpersist_deps(s)
+            return c
+
+        timed("inc_ingest_e2e", _ingest, r)
+        batch.unpersist()
+        out[tag] = r
+    return out
+
+
+def main_audiostore(args: list[str]) -> None:
+    """AudioHashStore batch-vs-store probe (r15, VERDICT r14 item 4):
+    the audio face shares the image store's machinery — this pins that
+    the sharing holds at 10x (the image band-table surprise shipped on
+    shared-machinery reasoning too)."""
+    import os
+    import tempfile
+
+    n_base = int(args[0]) if args else 5000
+    replicas = int(args[1]) if len(args) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        AudioHashStore,
+    )
+
+    spark = get_spark("scale_probe_audiostore")
+    with tempfile.TemporaryDirectory() as workdir:
+        phases = _probe_store_generic(
+            spark,
+            lambda tag: AudioHashStore(
+                spark, os.path.join(workdir, f"audiostore_{tag}"),
+                fp_bucket_width=2048, n_buckets=64,
+            ),
+            _synth_wavs, n_base, replicas,
+        )
+    tags = list(phases)
+    result = {
+        "probe": "audio_store_10x", "n_base": n_base, "replicas": replicas,
+        "base": phases[tags[0]], "scaled": phases[tags[1]],
+    }
+    result["growth"] = {
+        k: round(result["scaled"][k]["sec"] / max(result["base"][k]["sec"], 0.01), 1)
+        for k in result["base"]
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    spark.stop()
+
+
+def main_framesstore(args: list[str]) -> None:
+    """ImageHashStore FRAMES-face batch-vs-store probe (r15, VERDICT r14
+    item 4): one fp row per (id, frame_ts) — 3x the fp rows per media id
+    of the image face, same layout claims."""
+    import os
+    import tempfile
+
+    n_base = int(args[0]) if args else 2000
+    replicas = int(args[1]) if len(args) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        ImageHashStore,
+    )
+
+    spark = get_spark("scale_probe_framesstore")
+    with tempfile.TemporaryDirectory() as workdir:
+        phases = _probe_store_generic(
+            spark,
+            lambda tag: ImageHashStore(
+                spark, os.path.join(workdir, f"framesstore_{tag}"),
+                fp_bucket_width=2048, n_buckets=64,
+                frames=True, every_ms=40,
+            ),
+            _synth_videos, n_base, replicas,
+        )
+    tags = list(phases)
+    result = {
+        "probe": "frames_store_10x", "n_base": n_base, "replicas": replicas,
+        "base": phases[tags[0]], "scaled": phases[tags[1]],
+    }
+    result["growth"] = {
+        k: round(result["scaled"][k]["sec"] / max(result["base"][k]["sec"], 0.01), 1)
+        for k in result["base"]
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    spark.stop()
 
 
 def probe_mediastore(spark, n_base: int, replicas: int, workdir: str) -> dict:
