@@ -383,12 +383,12 @@ class IvfIndex:
             touched = sorted(
                 (v for v in touched_set if v is not None), key=str
             ) + ([None] if None in touched_set else [])
-            bucket_match = F.col("vec_bucket").isin(
-                [v for v in touched if v is not None]
+            # read_partitions (r15): append never reads the full table,
+            # and read()'s plan construction lists every partition dir —
+            # O(store); here discovery lists only the batch's buckets
+            old_touched = self.store.read_partitions(
+                self.VECS, "vec_bucket", touched
             )
-            if None in touched_set:
-                bucket_match = bucket_match | F.col("vec_bucket").isNull()
-            old_touched = self.store.read(self.VECS).filter(bucket_match)
             merged = scd1_merge(old_touched, assigned, [self.id_col])
             self.store.write_partition_delta(
                 merged, self.VECS, self._part_cols(), touched

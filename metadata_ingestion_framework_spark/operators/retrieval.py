@@ -558,9 +558,15 @@ class Bm25Index:
             touched = sorted(
                 (v for v in touched_set if v is not None), key=str
             ) + ([None] if None in touched_set else [])
-            match = self._part_filter(touched_set)
+            # read_partitions, not read().filter (r15): append never needs
+            # a full-table frame, and path-based plan construction pays an
+            # O(#partition dirs) driver listing PER READ — measured 3.4s
+            # at a 10x band-table; here discovery lists only the touched
+            # doc buckets, so append's plan cost tracks the batch too.
             merged_posts = merge_postings(
-                self.store.read(self.POSTINGS).filter(match),
+                self.store.read_partitions(
+                    self.POSTINGS, "doc_bucket", touched
+                ),
                 posts_b, stats_b, self.id_col,
             )
             self.store.write_partition_delta(
@@ -572,7 +578,9 @@ class Bm25Index:
             )
 
             merged_stats = scd1_merge(
-                self.store.read(self.DOC_STATS).filter(match),
+                self.store.read_partitions(
+                    self.DOC_STATS, "doc_bucket", touched
+                ),
                 stats_b, [self.id_col],
             )
             self.store.write_partition_delta(
@@ -582,7 +590,9 @@ class Bm25Index:
             # stats (partition-pruned read of the fresh version), carry
             # the rest — BIGINT sums compose exactly
             fresh = bucket_stats_of(
-                self.store.read(self.DOC_STATS).filter(match)
+                self.store.read_partitions(
+                    self.DOC_STATS, "doc_bucket", touched
+                )
             )
             keep = self.store.read(self.BUCKET_STATS).filter(
                 ~F.coalesce(self._part_filter(touched_set), F.lit(False))
@@ -626,8 +636,8 @@ class Bm25Index:
             (F.col("doc_bucket") > boundary) | F.col("doc_bucket").isNull()
         )
         fresh = bucket_stats_of(
-            self.store.read(self.DOC_STATS).filter(
-                F.col("doc_bucket") == boundary
+            self.store.read_partitions(
+                self.DOC_STATS, "doc_bucket", [boundary]
             )
         )
         self.store.write(keep.unionByName(fresh), self.BUCKET_STATS)

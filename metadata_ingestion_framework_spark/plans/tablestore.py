@@ -77,6 +77,10 @@ class VersionedParquetStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # (table, version) -> DataFrame; versions are immutable so
+        # entries never go stale (see read()). Bounded: a handful of
+        # live versions per table per store instance.
+        self._read_cache: dict[tuple[str, int], DataFrame] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- pointers ---------------------------------------------------------
@@ -126,10 +130,62 @@ class VersionedParquetStore:
 
     # -- IO -----------------------------------------------------------------
     def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read a version (current by default). The returned DataFrame is
+        CACHED per (table, version): path-based ``spark.read.parquet``
+        builds a fresh InMemoryFileIndex per call — an O(#partition dirs)
+        driver-side listing that an ingest used to pay 2-3x per touched
+        table (measured r15: 3.4s per read at a 10x image band table —
+        the whole "flat ingest" growth). Versions are immutable, so the
+        cached frame can never go stale; a new version is a new key."""
         v = version if version is not None else self.current_version(table)
         if v is None:
             raise FileNotFoundError(f"table {table} does not exist in {self.root}")
-        return self.spark.read.parquet(self._version_path(table, v))
+        key = (table, v)
+        df = self._read_cache.get(key)
+        if df is None:
+            df = self.spark.read.parquet(self._version_path(table, v))
+            self._read_cache[key] = df
+        return df
+
+    def read_partitions(
+        self, table: str, partition_col: str, values: list
+    ) -> DataFrame:
+        """Rows of the given TOP-LEVEL partition values — row-identical to
+        ``read(table).filter(col(partition_col).isin(values))`` (with
+        ``isNull`` for a None value), but partition DISCOVERY lists only
+        the named directories: the plan-construction cost tracks the
+        touched set, not the store (r15 — the delta-write read side of
+        the same listing finding as ``read``'s cache). Hierarchical
+        layouts keep their sub-partition dirs (basePath preserves all
+        partition columns). Values whose directory doesn't exist simply
+        contribute no rows; when NONE exist, an empty frame with the
+        table's schema is returned (one single-partition listing)."""
+        v = self.current_version(table)
+        if v is None:
+            raise FileNotFoundError(f"table {table} does not exist in {self.root}")
+        base = self._version_path(table, v)
+        paths = []
+        for val in values:
+            raw = (
+                "__HIVE_DEFAULT_PARTITION__"
+                if val is None
+                else escape_partition_value(str(val))
+            )
+            p = os.path.join(base, f"{partition_col}={raw}")
+            if os.path.isdir(p):
+                paths.append(p)
+        reader = self.spark.read.option("basePath", base)
+        if paths:
+            return reader.parquet(*paths)
+        any_part = sorted(
+            n for n in os.listdir(base)
+            if n.startswith(f"{partition_col}=")
+        )
+        if not any_part:  # unpartitioned table — nothing to prune
+            return self.read(table, v).filter(F.lit(False))
+        return reader.parquet(os.path.join(base, any_part[0])).filter(
+            F.lit(False)
+        )
 
     def _swap_pointer(self, table: str, nxt: int) -> None:
         tmp = self._pointer(table) + ".tmp"

@@ -1293,6 +1293,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--bm25sizing":
         main_bm25sizing(sys.argv[2:])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--hybridserve":
+        main_hybridserve(sys.argv[2:])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--audiostore":
         main_audiostore(sys.argv[2:])
         return
@@ -1401,10 +1404,13 @@ def _synth_images(spark, n: int, id_offset: int = 0):
     return base.mapInPandas(gen, schema="media_id long, payload binary")
 
 
-def _synth_wavs(spark, n: int, id_offset: int = 0):
-    """n deterministic real-WAV media rows (media_id, payload): the
-    test_audio_store fixture formula at per-id durations, so same-
-    duration ids form genuine near-dup clusters for the banding join."""
+def _synth_wavs(spark, n: int, id_offset: int = 0, dup_every: int = 0):
+    """n deterministic real-WAV media rows (media_id, payload). With
+    ``dup_every=0`` (default) the fingerprint class is (id%12, id%40) —
+    ~480 classes, near-100% duplicate density (every batch clip near-dups
+    ~store/480 stored clips: candidate volume tracks the STORE, the
+    output-sensitive worst case). With ``dup_every=k`` clips are unique
+    except 1-in-k exact-class pairs — realistic web density."""
     import pandas as pd
 
     from metadata_ingestion_framework_spark.operators.codecs import (
@@ -1421,11 +1427,18 @@ def _synth_wavs(spark, n: int, id_offset: int = 0):
             payloads = []
             for mid in pdf["id"]:
                 mid = int(mid)
-                nlen = 256 + 31 * (mid % 40)
+                if dup_every:
+                    # unique content must vary FREQUENCY, not phase: a
+                    # phase-shifted sawtooth has the same per-cell energy
+                    # profile, so the ehash class collapses to the
+                    # duration (the test_audio_store fixture fact)
+                    eff = mid + 1 if mid % dup_every == 0 else mid
+                    mult, nlen = 17 + (eff % 499) * 2, 256 + 31 * (eff % 40)
+                else:
+                    mult, nlen = 37, 256 + 31 * (mid % 40)
                 i = np.arange(nlen)
-                x = ((((mid % 12) * 31 + i * 37) % 4096) - 2048).astype(
-                    np.int16
-                ) * 8
+                seed = 0 if dup_every else (mid % 12) * 31
+                x = (((seed + i * mult) % 4096) - 2048).astype(np.int16) * 8
                 payloads.append(encode_wav(x))
             yield pd.DataFrame(
                 {"media_id": pdf["id"], "payload": payloads}
@@ -1528,6 +1541,122 @@ def _probe_store_generic(spark, store_of, synth, n_base, replicas) -> dict:
     return out
 
 
+def probe_hybridserve(spark, docs, emb, workdir: str) -> dict:
+    """Hybrid-retrieval amortization (r15, VERDICT r14 item 1's probe):
+    per-call hybrid_topk rebuilds BM25 postings AND brute-force-scans the
+    whole vector corpus on every query batch; hybrid_served pays two
+    index builds once and serves term-bucket-pruned + cell-pruned.
+    Same session, min-of-2 warm; the full-probe serve is also timed (it
+    scores every vector — the served upper bound whose row-equality to
+    per-call is the pytest contract)."""
+    import shutil
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.ivf_index import (
+        IvfIndex,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        Bm25Index,
+        hybrid_served,
+        hybrid_topk,
+    )
+
+    r: dict = {}
+    docs = docs.persist()
+    emb = emb.persist()
+    docs.count(), emb.count()
+    queries = (
+        docs.filter(F.col("doc_id") < 8)
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+              "doc_id")
+        .select(F.col("doc_id").alias("query_id"), "text", "embedding")
+        .persist()
+    )
+    queries.count()
+
+    def percall():
+        out = hybrid_topk(docs, emb, queries, k=10, k_each=20)
+        c = out.count()
+        unpersist_deps(out)
+        return c
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = percall()
+        times.append(time.perf_counter() - t0)
+    r["hybrid_per_call"] = {"sec": round(min(times), 2), "rows": n}
+
+    broot = os.path.join(workdir, "h_bm25")
+    vroot = os.path.join(workdir, "h_ivf")
+    shutil.rmtree(broot, ignore_errors=True)
+    shutil.rmtree(vroot, ignore_errors=True)
+    bidx = Bm25Index(spark, broot, doc_bucket_width=8192, n_buckets=64)
+    t0 = time.perf_counter()
+    bidx.build(docs)
+    r["bm25_build_once"] = {"sec": round(time.perf_counter() - t0, 2)}
+    vidx = IvfIndex(spark, vroot, dim=64, n_cells=8, id_col="vec_id")
+    t0 = time.perf_counter()
+    vidx.build(emb)
+    r["ivf_build_once"] = {"sec": round(time.perf_counter() - t0, 2)}
+
+    def served(n_probe):
+        out = hybrid_served(
+            bidx, vidx, queries, k=10, k_each=20, n_probe=n_probe
+        )
+        c = out.count()
+        unpersist_deps(out)
+        return c
+
+    for label, np_ in (("served_warm_probe2", 2), ("served_warm_fullprobe", 8)):
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = served(np_)
+            times.append(time.perf_counter() - t0)
+        r[label] = {"sec": round(min(times), 2), "rows": n}
+    r["served_speedup_vs_per_call"] = round(
+        r["hybrid_per_call"]["sec"]
+        / max(r["served_warm_probe2"]["sec"], 0.01), 1,
+    )
+    queries.unpersist()
+    docs.unpersist()
+    emb.unpersist()
+    shutil.rmtree(broot, ignore_errors=True)
+    shutil.rmtree(vroot, ignore_errors=True)
+    return r
+
+
+def main_hybridserve(args: list[str]) -> None:
+    import tempfile
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    replicas = int(args[1]) if len(args) > 1 else 1
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.catalog_queries import t
+
+    spark = get_spark("scale_probe_hybridserve")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if replicas > 1:
+        docs = replicate_docs_fast(spark, docs, replicas)
+        emb = replicate_embeddings(emb, replicas)
+    workdir = tempfile.mkdtemp(prefix="hybrid_probe_")
+    result = {
+        "probe": "hybrid_serve_amortization",
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "stages": probe_hybridserve(spark, docs, emb, workdir),
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main_audiostore(args: list[str]) -> None:
     """AudioHashStore batch-vs-store probe (r15, VERDICT r14 item 4):
     the audio face shares the image store's machinery — this pins that
@@ -1538,6 +1667,7 @@ def main_audiostore(args: list[str]) -> None:
 
     n_base = int(args[0]) if args else 5000
     replicas = int(args[1]) if len(args) > 1 else 10
+    dup_every = int(args[2]) if len(args) > 2 else 0
     sys.path.insert(0, "/root/repo")
     from metadata_ingestion_framework_spark import get_spark
     from metadata_ingestion_framework_spark.operators.incremental import (
@@ -1545,6 +1675,10 @@ def main_audiostore(args: list[str]) -> None:
     )
 
     spark = get_spark("scale_probe_audiostore")
+
+    def synth(spark, n, id_offset=0):
+        return _synth_wavs(spark, n, id_offset, dup_every=dup_every)
+
     with tempfile.TemporaryDirectory() as workdir:
         phases = _probe_store_generic(
             spark,
@@ -1552,11 +1686,12 @@ def main_audiostore(args: list[str]) -> None:
                 spark, os.path.join(workdir, f"audiostore_{tag}"),
                 fp_bucket_width=2048, n_buckets=64,
             ),
-            _synth_wavs, n_base, replicas,
+            synth, n_base, replicas,
         )
     tags = list(phases)
     result = {
         "probe": "audio_store_10x", "n_base": n_base, "replicas": replicas,
+        "dup_every": dup_every,
         "base": phases[tags[0]], "scaled": phases[tags[1]],
     }
     result["growth"] = {
