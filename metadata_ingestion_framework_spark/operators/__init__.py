@@ -32,9 +32,11 @@ from metadata_ingestion_framework_spark.operators.incremental import (
     AudioHashStore,
     ImageHashStore,
     MinhashSignatureStore,
+    ParagraphHashStore,
     embedding_batch_drops,
     image_hash_batch_drops,
     minhash_batch_drops,
+    paragraph_batch_removals,
 )
 from metadata_ingestion_framework_spark.operators.ivf_index import IvfIndex
 from metadata_ingestion_framework_spark.operators.sql_merge import (
@@ -119,6 +121,8 @@ __all__ = [
     "AudioHashStore",
     "ImageHashStore",
     "MinhashSignatureStore",
+    "ParagraphHashStore",
+    "paragraph_batch_removals",
     "EmbeddingDedupStore",
     "image_hash_batch_drops",
     "minhash_batch_drops",

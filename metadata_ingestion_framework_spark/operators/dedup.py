@@ -968,12 +968,36 @@ def paragraph_dedup(
     posexplode + md5 — no Python stage at all (unlike the token-window
     variant, whose O(tokens x span_w) gram build needs an Arrow kernel).
     """
-    para_re = r"\r?\n"
+    paras = _paragraph_rows(df, text_col, id_col)
+    w = Window.partitionBy("gh").orderBy(id_col, "pos")
+    dups = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    rm = dups.groupBy(id_col).agg(F.collect_set("pos").alias("__rm"))
+    if broadcast_removals:
+        rm = F.broadcast(rm)
+    return _apply_paragraph_removals(df, rm, text_col, id_col, keep_cols)
+
+
+#: paragraph boundary — CR-tolerant newline split, the CCNet convention.
+PARA_RE = r"\r?\n"
+
+
+def _paragraph_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, gh) paragraph rows: trimmed newline-delimited segments,
+    empties dropped, ``pos`` = the segment's ORIGINAL array index (so a
+    removal set addresses the unsplit document), ``gh`` = the 60-bit md5
+    content hash. Shared verbatim by the one-shot :func:`paragraph_dedup`
+    and the cross-run ``ParagraphHashStore`` — both faces hash, order and
+    rewrite with the same expressions, so the store's sequential-ingest
+    replay oracle is the one-shot oracle with batch-major precedence."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    paras = (
+    return (
         df.select(
             id_col,
-            F.posexplode(F.split(text, para_re)).alias("pos", "__para"),
+            F.posexplode(F.split(text, PARA_RE)).alias("pos", "__para"),
         )
         .withColumn("__p", F.trim(F.col("__para")))
         .filter(F.col("__p") != "")
@@ -987,17 +1011,21 @@ def paragraph_dedup(
             .alias("gh"),
         )
     )
-    w = Window.partitionBy("gh").orderBy(id_col, "pos")
-    dups = (
-        paras.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > 1)
-        .select(id_col, "pos")
-    )
-    rm = dups.groupBy(id_col).agg(F.collect_set("pos").alias("__rm"))
-    if broadcast_removals:
-        rm = F.broadcast(rm)
 
-    segs = F.split(text, para_re)
+
+def _apply_paragraph_removals(
+    df: DataFrame,
+    rm: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rewrite ``df`` dropping the paragraph positions in ``rm``
+    (``(id, __rm array<int>)``): map-only per-segment expressions — clean
+    docs take the removal-free normalization, only dirty docs pay the
+    ``array_contains`` per segment (see :func:`paragraph_dedup`)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    segs = F.split(text, PARA_RE)
     nonempty = lambda x: F.trim(x) != F.lit("")  # noqa: E731
     clean_all = F.array_join(
         F.transform(F.filter(segs, nonempty), F.trim), "\n"

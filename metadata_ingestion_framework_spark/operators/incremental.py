@@ -1600,3 +1600,228 @@ class AudioHashStore(ImageHashStore):
                 fps, self.id_col, self.fp_bucket_width, self.n_buckets
             ),
         )
+
+
+# ---------------------------------------------------------------------------
+# Cross-run paragraph dedup: the CCNet seen-set as a durable store (r15)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_batch_removals(
+    store_paras: DataFrame | None,
+    paras_new: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """(id, pos) batch paragraphs to REMOVE: hash already present in the
+    store, or preceded within the batch by a smaller (id, pos) copy —
+    the :func:`dedup.paragraph_dedup` precedence applied cross-run.
+
+    Scale shape: the store side NEVER shuffles — the batch's distinct
+    hashes broadcast into a semi-join evaluated on the store scan (skinny
+    (id, pos, gh) rows, three ints wide), and the hit set coming back is
+    a subset of the batch's own hashes, so it is batch-bounded and
+    broadcasts too. The only shuffles are on the batch's own rows (the
+    first-occurrence window + the final distinct)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gh").orderBy(id_col, "pos")
+    dups = (
+        paras_new.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    if store_paras is None:
+        return dups
+    batch_gh = paras_new.select("gh").distinct()
+    seen = (
+        store_paras.join(F.broadcast(batch_gh), "gh", "left_semi")
+        .select("gh")
+        .distinct()
+    )
+    store_hits = paras_new.join(F.broadcast(seen), "gh").select(id_col, "pos")
+    return dups.unionByName(store_hits).distinct()
+
+
+class ParagraphHashStore:
+    """Durable cross-run PARAGRAPH dedup state — the CCNet first stage
+    (Wenzek et al. 2020 dedup paragraph hashes against previous crawl
+    shards; Penedo et al. 2023 keep it before fuzzy dedup) as a store:
+    each ingest rewrites the batch's documents dropping every paragraph
+    whose hash was seen in ANY earlier run (or earlier in the batch),
+    then merges the batch's SURVIVING paragraph rows in. No reference
+    analogue (north-star training-data extension; BASELINE.json).
+
+    One table, ``paras``: (id, pos, gh, par_bucket) — the surviving
+    (first-owner) row of every paragraph hash in the current corpus,
+    partitioned by the id-RANGE bucket (pure function of the id —
+    CLAUDE.md store-layout rule): a monotone-id ingest touches only its
+    own buckets (``write_partition_delta`` hard-links the rest), a
+    re-ingested doc's rows land exactly on top of its old partition so
+    stale paragraphs VACATE (current-corpus semantics: the store mirrors
+    the rewritten text of each doc's latest version), and retention is
+    the zero-rewrite bucket drop (:meth:`retire_ids_below`).
+
+    Sequential-ingest semantics (proved by the ``paragraph_dedup_inc``
+    oracle): over disjoint runs, ingesting batches in order EQUALS the
+    one-shot :func:`dedup.paragraph_dedup` on the batch-major union —
+    every hash in an earlier batch keeps exactly one surviving owner
+    row, so the stored hash set after run N is exactly the distinct
+    hashes of runs 1..N. Re-ingests diverge BY DESIGN (the store tracks
+    the current corpus, not history): a replaced doc's vanished
+    paragraphs stop suppressing future copies, and already-rewritten
+    docs are not revisited. ``_runs.json`` makes retries no-ops, and the
+    store side of every ingest excludes the batch's own ids, so a replay
+    after a ledger loss cannot dedup a doc against its own stored rows.
+    """
+
+    PARAS = "paras"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = 64,
+        par_bucket_width: int = 8192,
+    ):
+        self.spark = spark
+        self.store = VersionedParquetStore(spark, root)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_buckets = n_buckets
+        self.par_bucket_width = par_bucket_width
+        self._ledger_path = os.path.join(root, "_runs.json")
+        _check_store_config(
+            root,
+            {
+                "kind": "paragraph_hashes",
+                "id_col": id_col,
+                "n_buckets": n_buckets,
+                "par_bucket_width": par_bucket_width,
+            },
+        )
+
+    # -- run ledger (the minhash store's retry bookkeeping, verbatim) ------
+    def ingested_runs(self) -> list[str]:
+        try:
+            with open(self._ledger_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return []
+
+    def _record_run(self, run_id: str) -> None:
+        runs = self.ingested_runs() + [run_id]
+        tmp = self._ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(runs, f)
+        os.replace(tmp, self._ledger_path)  # atomic, like _CURRENT
+
+    # -- the operation -----------------------------------------------------
+    def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
+        """Dedup ``batch``'s paragraphs against the store and itself;
+        merge the surviving paragraph rows in; return the REWRITTEN batch
+        (id, clean_text, n_removed) — the :func:`dedup.paragraph_dedup`
+        output contract. Returns None (store untouched) when ``run_id``
+        was already ingested. Release ``_persisted_deps`` when done
+        (``dedup.unpersist_deps``)."""
+        from metadata_ingestion_framework_spark.operators.dedup import (
+            _apply_paragraph_removals,
+            _paragraph_rows,
+        )
+
+        if run_id in self.ingested_runs():
+            return None
+        paras_new = _paragraph_rows(
+            batch, self.text_col, self.id_col
+        ).persist()
+        batch_ids = batch.select(self.id_col).distinct()
+        store_paras = None
+        if self.store.exists(self.PARAS):
+            store_paras = self.store.read(self.PARAS).join(
+                batch_ids, self.id_col, "left_anti"
+            )
+        # materialize the (batch-bounded) removal set while paras_new is
+        # cached; persist(), not localCheckpoint (releasable-state rule)
+        dups = paragraph_batch_removals(
+            store_paras, paras_new, self.id_col
+        ).persist()
+        dups.count()
+        rm = F.broadcast(
+            dups.groupBy(self.id_col).agg(
+                F.collect_set("pos").alias("__rm")
+            )
+        )
+        out = _apply_paragraph_removals(
+            batch, rm, self.text_col, self.id_col
+        )
+
+        # durable state: the surviving rows only — each batch hash keeps
+        # exactly one owner row (the removed copies are reproducible from
+        # nothing: their hashes already have owners), so the store stays
+        # exactly one skinny row per live paragraph.
+        surviving = paras_new.join(
+            dups, [self.id_col, "pos"], "left_anti"
+        ).withColumn(
+            "par_bucket",
+            range_bucket_expr(
+                paras_new, self.id_col, self.par_bucket_width,
+                self.n_buckets,
+            ),
+        )
+        if not self.store.exists(self.PARAS):
+            self.store.write(
+                surviving, self.PARAS, partition_by=["par_bucket"]
+            )
+        else:
+            # touched set from the BATCH ids (not the surviving rows): a
+            # re-ingested doc whose new text dedups away entirely must
+            # still vacate its OLD rows. NULL-safe bucket match (the
+            # minhash twin's rule): isin never matches a stored
+            # NULL-bucket row, but the touched list maps None to the
+            # hive default dir — rewritten WITHOUT its old rows otherwise.
+            bucketed = batch_ids.withColumn(
+                "par_bucket",
+                range_bucket_expr(
+                    batch_ids, self.id_col, self.par_bucket_width,
+                    self.n_buckets,
+                ),
+            )
+            bucket_set = {
+                r.par_bucket
+                for r in bucketed.select("par_bucket").distinct().collect()
+            }
+            buckets = sorted(
+                (v for v in bucket_set if v is not None), key=str
+            ) + ([None] if None in bucket_set else [])
+            match = F.col("par_bucket").isin(
+                [v for v in buckets if v is not None]
+            )
+            if None in bucket_set:
+                match = match | F.col("par_bucket").isNull()
+            old_touched = (
+                self.store.read(self.PARAS)
+                .filter(match)
+                .join(batch_ids, self.id_col, "left_anti")
+            )
+            self.store.write_partition_delta(
+                old_touched.unionByName(surviving),
+                self.PARAS,
+                "par_bucket",
+                buckets,
+            )
+        self._record_run(run_id)
+        paras_new.unpersist()
+        out._persisted_deps = [dups]
+        return out
+
+    def retire_ids_below(self, cutoff_id: int) -> None:
+        """Retention: drop every doc's paragraph rows below the id cutoff
+        — whole range buckets are simply not carried (zero bytes
+        rewritten), only a straddling boundary bucket rewrites filtered.
+        Expiry caveat shared with every dedup-state retention: a future
+        copy of a retired paragraph is no longer suppressed."""
+        _retire_range_ids_below(
+            self.store, self.PARAS, "par_bucket", self.par_bucket_width,
+            self.id_col, cutoff_id, "par_bucket",
+        )

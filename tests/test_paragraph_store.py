@@ -1,0 +1,181 @@
+"""ParagraphHashStore: durable cross-run CCNet paragraph dedup
+(operators/incremental.py) — sequential-ingest == one-shot equivalence
+over disjoint runs, run-ledger idempotence, replay safety, re-ingest
+vacate (current-corpus semantics), id-range delta layout, retention."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_framework_spark.operators.dedup import (
+    paragraph_dedup,
+    unpersist_deps,
+)
+from metadata_ingestion_framework_spark.operators.incremental import (
+    ParagraphHashStore,
+)
+
+P1 = "alpha bravo charlie delta"
+P2 = "echo foxtrot golf hotel"
+P3 = "india juliet kilo lima"
+P4 = "mike november oscar papa"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParagraphHashStore(spark, str(tmp_path / "parstore"))
+
+
+def _collect(out):
+    rows = {r.doc_id: (r.clean_text, r.n_removed) for r in out.collect()}
+    unpersist_deps(out)
+    return rows
+
+
+def test_two_run_flow_equals_one_shot(spark, store):
+    """Disjoint sequential ingests == paragraph_dedup on the batch-major
+    union (the store's headline contract, oracle-checked in the catalog
+    too — this pins it at the pytest granularity with a cross-batch dup,
+    an intra-batch dup, and an intra-DOC dup in play)."""
+    r1 = _docs(
+        spark,
+        [(1, f"{P1}\n{P2}"), (2, f"{P2}\n{P3}\n{P3}")],  # 2: cross + self dup
+    )
+    r2 = _docs(
+        spark,
+        [(11, f"{P1}\n{P4}"), (12, f"{P4}\nbrand new closing line")],
+    )
+    got1 = _collect(store.ingest(r1, "run-1"))
+    got2 = _collect(store.ingest(r2, "run-2"))
+
+    oneshot = paragraph_dedup(
+        r1.unionByName(r2), "text", "doc_id"
+    )
+    want = {r.doc_id: (r.clean_text, r.n_removed) for r in oneshot.collect()}
+    assert {**got1, **got2} == want
+    # store holds exactly one surviving owner row per live hash
+    paras = store.store.read(store.PARAS)
+    assert paras.count() == paras.select("gh").distinct().count()
+    # P1..P4 + doc 12's fresh tail line = 5 live hashes
+    assert paras.count() == 5
+
+
+def test_ledger_makes_retry_noop(spark, store):
+    r1 = _docs(spark, [(1, P1)])
+    _collect(store.ingest(r1, "run-1"))
+    v = store.store.current_version(store.PARAS)
+    assert store.ingest(r1, "run-1") is None
+    assert store.store.current_version(store.PARAS) == v
+
+
+def test_replay_without_ledger_excludes_own_rows(spark, store):
+    """Crash between write and ledger record: the replayed batch must not
+    dedup against its own stored copy (store side excludes batch ids)."""
+    r1 = _docs(spark, [(1, f"{P1}\n{P2}")])
+    _collect(store.ingest(r1, "run-1"))
+    store._record_run("__forget__")  # ledger survives; simulate loss of run-1
+    runs = [r for r in store.ingested_runs() if r != "run-1"]
+    import json
+
+    with open(store._ledger_path, "w") as f:
+        json.dump(runs, f)
+    got = _collect(store.ingest(r1, "run-1b"))
+    assert got[1] == (f"{P1}\n{P2}", 0)  # untouched, not self-deduped
+    paras = store.store.read(store.PARAS)
+    assert paras.count() == 2  # replaced wholesale, no duplicates
+
+
+def test_reingest_vacates_old_paragraphs(spark, store):
+    """Current-corpus semantics: a re-ingested doc's vanished paragraphs
+    stop suppressing future copies; its surviving rows are replaced."""
+    _collect(store.ingest(_docs(spark, [(1, f"{P1}\n{P2}")]), "run-1"))
+    # doc 1 re-ingested with P2 only -> P1 must vacate. P2 dedups against
+    # OTHER docs' rows only (batch ids excluded) so it survives here.
+    got = _collect(store.ingest(_docs(spark, [(1, P2)]), "run-2"))
+    assert got[1] == (P2, 0)
+    ghs = store.store.read(store.PARAS).select("doc_id", "gh").collect()
+    assert len(ghs) == 1 and ghs[0].doc_id == 1
+    # P1 is free again: a later doc carrying it survives
+    got3 = _collect(store.ingest(_docs(spark, [(2, P1)]), "run-3"))
+    assert got3[2] == (P1, 0)
+
+
+def test_doc_deduped_away_entirely_still_vacates(spark, store):
+    """A re-ingest whose text fully dedups must still vacate the doc's
+    old rows (touched buckets derive from BATCH ids, not survivors)."""
+    _collect(store.ingest(_docs(spark, [(1, P1), (2, P2)]), "run-1"))
+    # re-ingest doc 2 whose sole paragraph is doc 1's P1 -> dropped, and
+    # doc 2's old P2 row must vacate
+    got = _collect(store.ingest(_docs(spark, [(2, P1)]), "run-2"))
+    assert got[2] == ("", 1)
+    owners = {
+        (r.doc_id, r.gh)
+        for r in store.store.read(store.PARAS).select("doc_id", "gh").collect()
+    }
+    assert {d for d, _ in owners} == {1}  # only doc 1's P1 row remains
+    got3 = _collect(store.ingest(_docs(spark, [(3, P2)]), "run-3"))
+    assert got3[3] == (P2, 0)  # P2 vacated with doc 2's rewrite
+
+
+def test_retire_ids_below_drops_buckets_and_frees_hashes(spark, tmp_path):
+    store = ParagraphHashStore(
+        spark, str(tmp_path / "ret"), par_bucket_width=4
+    )
+    _collect(store.ingest(_docs(spark, [(0, P1), (1, P2)]), "run-1"))
+    _collect(store.ingest(_docs(spark, [(8, P3)]), "run-2"))
+    store.retire_ids_below(8)  # bucket 0 and 1 dropped whole
+    left = {r.doc_id for r in store.store.read(store.PARAS).collect()}
+    assert left == {8}
+    got = _collect(store.ingest(_docs(spark, [(20, P1)]), "run-3"))
+    assert got[20] == (P1, 0)  # retired hash no longer suppresses
+
+
+def test_delta_write_links_untouched_buckets(spark, tmp_path):
+    store = ParagraphHashStore(
+        spark, str(tmp_path / "delta"), par_bucket_width=4
+    )
+    _collect(store.ingest(_docs(spark, [(0, P1), (9, P2)]), "run-1"))
+    v1 = store.store.current_version(store.PARAS)
+    _collect(store.ingest(_docs(spark, [(10, P3)]), "run-2"))
+    v2 = store.store.current_version(store.PARAS)
+    assert v2 == v1 + 1
+    # bucket 0 (doc 0) must carry by hard link: identical inode list
+    import os
+
+    def leaf(v, b):
+        d = os.path.join(
+            store.store._version_path(store.PARAS, v), f"par_bucket={b}"
+        )
+        return sorted(
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert leaf(v2, 0) == leaf(v1, 0)
+    assert leaf(v2, 2) != []  # touched bucket written fresh
+
+
+def test_config_guard(spark, tmp_path):
+    ParagraphHashStore(spark, str(tmp_path / "cfg"), par_bucket_width=16)
+    with pytest.raises(ValueError, match="par_bucket_width"):
+        ParagraphHashStore(spark, str(tmp_path / "cfg"), par_bucket_width=8)
+
+
+def test_null_and_empty_text_roundtrip(spark, store):
+    got = _collect(
+        store.ingest(
+            _docs(spark, [(1, None), (2, ""), (3, f"\n\n{P1}\n\n")]),
+            "run-1",
+        )
+    )
+    assert got[1] == ("", 0) and got[2] == ("", 0) and got[3] == (P1, 0)
+    # only doc 3 owns a row
+    assert {
+        r.doc_id for r in store.store.read(store.PARAS).collect()
+    } == {3}

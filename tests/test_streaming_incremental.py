@@ -478,3 +478,63 @@ def test_streaming_hybrid_ingest_serves_like_per_call(spark, tmp_path):
     want = sorted(map(tuple, percall.collect()))
     unpersist_deps(percall)
     assert got == want and len(got) > 0
+
+
+@pytest.mark.slow
+def test_streaming_paragraph_ingest_matches_batch_sequential(spark, tmp_path):
+    """Streaming face of the cross-run paragraph dedup (r15): a document
+    stream rewrites each micro-batch against the ParagraphHashStore via
+    foreachBatch; the concatenated rewritten output equals the one-shot
+    paragraph_dedup over the batch-major union (the store's sequential-
+    ingest theorem, exercised across real micro-batch boundaries)."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        ParagraphHashStore,
+    )
+
+    pa, pb, pc = "alpha bravo charlie", "delta echo foxtrot", "golf hotel india"
+    src = tmp_path / "par_in"
+    src.mkdir()
+    _write_batch(spark, str(src / "b0"), [(1, f"{pa}\n{pb}"), (2, f"{pb}\n{pc}")])
+    _write_batch(spark, str(src / "b1"), [(11, f"{pa}\nnew tail one")])
+    _write_batch(spark, str(src / "b2"), [(21, f"{pc}\nnew tail two\nnew tail two")])
+
+    store = ParagraphHashStore(spark, str(tmp_path / "parstore_stream"))
+    got: dict[int, tuple[str, int]] = {}
+
+    def sink(bdf, batch_id):
+        out = store.ingest(bdf, f"stream-run-{batch_id}")
+        if out is not None:
+            got.update(
+                {r.doc_id: (r.clean_text, r.n_removed) for r in out.collect()}
+            )
+            unpersist_deps(out)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "par_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert store.ingested_runs() == [
+        "stream-run-0", "stream-run-1", "stream-run-2",
+    ]
+    union = spark.read.parquet(str(src / "*"))
+    oneshot = paragraph_dedup(union, "text", "doc_id")
+    want = {
+        r.doc_id: (r.clean_text, r.n_removed) for r in oneshot.collect()
+    }
+    assert got == want
+    # doc 21: pc seen in b0, plus its own intra-batch self-dup -> 2 removed
+    assert got[21] == ("new tail two", 2)

@@ -1262,6 +1262,107 @@ def main_bm25sizing(args: list[str]) -> None:
     spark.stop()
 
 
+def _synth_pardocs(spark, n, id_offset=0):
+    """Synthetic paragraph corpora: 5 paragraphs per doc; every 10th
+    paragraph slot draws from a 100-paragraph shared pool (cross-doc
+    dups fire), the rest are doc-unique."""
+    cols = []
+    for i in range(5):
+        slot = F.col("id") * 5 + F.lit(i)
+        cols.append(
+            F.when(
+                slot % 10 == 0,
+                F.concat(
+                    F.lit("shared pool paragraph number "),
+                    (slot % 100).cast("string"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit(f"unique body {i} of doc "),
+                    F.col("id").cast("string"),
+                    F.lit(" lorem ipsum dolor sit amet consectetur"),
+                )
+            )
+        )
+    return spark.range(id_offset, id_offset + n).select(
+        F.col("id").alias("doc_id"), F.concat_ws("\n", *cols).alias("text")
+    )
+
+
+def main_parstore(args: list[str]) -> None:
+    """ParagraphHashStore batch-vs-store probe (r15): does ingest cost
+    track the BATCH as the store grows 10x? Expected shape: the one
+    store-size term is the column-pruned MAP-ONLY scan of the skinny
+    (gh) column feeding the broadcast membership semi-join — no store
+    shuffle anywhere; everything else is O(batch)."""
+    import os
+    import tempfile
+
+    n_base = int(args[0]) if args else 20000
+    replicas = int(args[1]) if len(args) > 1 else 10
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _paragraph_rows,
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        ParagraphHashStore,
+    )
+
+    spark = get_spark("scale_probe_parstore")
+    out: dict = {}
+    with tempfile.TemporaryDirectory() as workdir:
+        for tag, n in [("1x", n_base), (f"{replicas}x", n_base * replicas)]:
+            r: dict = {}
+            print(f"== parstore, store {tag} ==", file=sys.stderr)
+            st = ParagraphHashStore(
+                spark, os.path.join(workdir, f"parstore_{tag}")
+            )
+            seed = _synth_pardocs(spark, n).persist()
+            seed.count()
+
+            def _seed():
+                s = st.ingest(seed, "seed")
+                c = s.count()
+                unpersist_deps(s)
+                return c
+
+            timed("seed_ingest_full", _seed, r)
+            seed.unpersist()
+            batch = _synth_pardocs(spark, 500, id_offset=n * 7 + 11).persist()
+            batch.count()
+            timed(
+                "batch_para_rows",
+                lambda: _paragraph_rows(batch, "text", "doc_id").count(),
+                r,
+            )
+
+            def _ingest():
+                s = st.ingest(batch, "r2")
+                c = s.count()
+                unpersist_deps(s)
+                return c
+
+            timed("inc_ingest_e2e", _ingest, r)
+            batch.unpersist()
+            out[tag] = r
+    tags = list(out)
+    result = {
+        "probe": "paragraph_store_10x", "n_base": n_base,
+        "replicas": replicas,
+        "base": out[tags[0]], "scaled": out[tags[1]],
+    }
+    result["growth"] = {
+        k: round(result["scaled"][k]["sec"] / max(result["base"][k]["sec"], 0.01), 1)
+        for k in result["base"]
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         main_incremental(sys.argv[2:])
@@ -1301,6 +1402,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--framesstore":
         main_framesstore(sys.argv[2:])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--parstore":
+        main_parstore(sys.argv[2:])
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
