@@ -3620,6 +3620,103 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversification of a retrieval top-k (operators/similarity.py::
+    mmr_rerank, r15; Carbonell & Goldstein 1998, public methodology):
+    candidates = exact fold round(cosine, 6) top-12 per query (the
+    ivf_recall exact-baseline expression — NOT the Arrow brute-force
+    kernel, whose sum order can flip round-6 rank boundaries), relevance
+    = the rank-only reciprocal 1/(60+rank), pair similarities = the same
+    fold round(cosine, 6), greedy selection = one Arrow pass per query
+    group. Every decision input is exact or round-6-pinned and every
+    argmax is first-max == ROW_NUMBER(obj DESC, id ASC), so the DuckDB
+    WITH-RECURSIVE replay (frontier = last iteration's rows — one row
+    per query per step) picks identical winners step for step."""
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        _topk,
+        cosine,
+        mmr_rerank,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    )
+    topk = _topk(scored, 12, "query_id", "vec_id")
+    return mmr_rerank(topk, emb, m=6)
+
+
+ORACLE_MMR_RERANK = f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    ROUND({_cos_sql("CAST(e.embedding AS DOUBLE[])", "CAST(q.qv AS DOUBLE[])")}, 6) AS score
+  FROM embeddings e CROSS JOIN q
+),
+cand AS (
+  SELECT query_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC NULLS LAST, vec_id ASC) AS rank
+  FROM scored QUALIFY rank <= 12
+),
+base0 AS (
+  SELECT c.query_id, c.vec_id, 1.0 / (60 + c.rank) AS rel,
+         CAST(e.embedding AS DOUBLE[]) AS v
+  FROM cand c JOIN embeddings e USING (vec_id)
+),
+pairs AS (
+  SELECT a.query_id, a.vec_id AS da, b.vec_id AS db,
+    ROUND({_cos_sql("a.v", "b.v")}, 6) AS s
+  FROM base0 a JOIN base0 b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+base AS (
+  SELECT b.query_id, b.vec_id, b.rel, l.sims
+  FROM base0 b JOIN (
+    SELECT query_id, da AS vec_id,
+           list(struct_pack(d := db, s := s)) AS sims
+    FROM pairs GROUP BY query_id, da
+  ) l ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+),
+steps AS (
+  SELECT query_id, vec_id, 1 AS mmr_rank,
+         0.5 * rel - 0.5 * 0.0 AS obj, [vec_id] AS chosen
+  FROM (
+    SELECT query_id, vec_id, rel,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, vec_id ASC) AS rn
+    FROM base
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT query_id, vec_id, mmr_rank, obj, list_append(chosen, vec_id) AS chosen
+  FROM (
+    SELECT s.query_id, b.vec_id, s.mmr_rank + 1 AS mmr_rank,
+      0.5 * b.rel - 0.5 * COALESCE(
+        list_max([p.s FOR p IN b.sims IF list_contains(s.chosen, p.d)]),
+        0.0) AS obj,
+      s.chosen,
+      ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+        0.5 * b.rel - 0.5 * COALESCE(
+          list_max([p.s FOR p IN b.sims IF list_contains(s.chosen, p.d)]),
+          0.0) DESC, b.vec_id ASC) AS rn
+    FROM steps s JOIN base b
+      ON b.query_id = s.query_id AND NOT list_contains(s.chosen, b.vec_id)
+    WHERE s.mmr_rank < 6
+  ) WHERE rn = 1
+)
+SELECT query_id, vec_id, CAST(mmr_rank AS INT) AS mmr_rank,
+  ROUND(obj, 6) AS mmr_obj
+FROM steps
+"""
+
+
 def q_lsh_topk(spark, sf_dir):
     """SRP-LSH bucketed approximate top-k.
 
@@ -6177,6 +6274,9 @@ QUERIES = {
     # full DuckDB training replay
     "ann_recall": q_ann_recall,  # r9; r10: runs on TRAINED centroids,
     # bounds raised (per-query p2 0.15->0.2, p4 0.3->0.5; mean 0.3/0.5)
+    "mmr_rerank": q_mmr_rerank,  # r15 NEW: MMR diversification of a
+    # retrieval top-k — greedy rank-reciprocal/fold-cosine objective,
+    # one Arrow pass per query group, full WITH-RECURSIVE replay oracle
     "heuristic_filters": q_heuristic_filters,  # r7: C4/Gopher quality gate
     "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
     "cms_heavy_hitters": q_cms_heavy_hitters,  # r11: in-window (ADVICE r10)
@@ -6191,8 +6291,6 @@ QUERIES = {
     # encoder (VERDICT r10 item 1), same replay oracle as bpe_tokenize
     "bpe_merges": q_bpe_merges,  # r10: BPE vocab training (NEW), full
     # DuckDB greedy-merge replay
-    "quality_model": q_quality_model,  # r11 NEW: fastText/CCNet hashed
-    # bag-of-ngrams linear scorer (VERDICT r10 item 4), exact-BIGINT logit
     "curation_v3": q_curation_v3,  # r8: mix-aware leakage-safe curation composite
     "curation_v4": q_curation_v4,  # r11 NEW: model-gated curation
     # (one-pass dual-model gates + dedup + mix, fully value-checked)
@@ -6227,7 +6325,15 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r15
-    # rotation (3): NEW paragraph_dedup_inc displaced incremental_dedup —
+    # rotation (4): NEW mmr_rerank displaced quality_model — named,
+    # family-redundant (the hashed bag-of-ngrams linear-scorer family
+    # keeps lang_id_model — the same featurize/matmul kernel with MORE
+    # surface (4 class columns + winner) — and curation_v4's dual model
+    # gates in-window; quality_model driver-green r11-r14, unchanged
+    # this round, stays sweep-checked here).
+    "quality_model": q_quality_model,  # r11 NEW: fastText/CCNet hashed
+    # bag-of-ngrams linear scorer (VERDICT r10 item 4), exact-BIGINT logit
+    # r15 rotation (3): NEW paragraph_dedup_inc displaced incremental_dedup —
     # named, family-redundant (the cross-run temporal-precedence replay
     # family: paragraph_dedup_inc runs the same store-beats-batch /
     # min-(id,pos)-within-batch contract against a full-union oracle,
@@ -6646,6 +6752,7 @@ ORACLES = {
     "span_dedup": ORACLE_SPAN_DEDUP,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "paragraph_dedup_inc": ORACLE_PARAGRAPH_DEDUP_INC,
+    "mmr_rerank": ORACLE_MMR_RERANK,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
     "token_budget": ORACLE_TOKEN_BUDGET,

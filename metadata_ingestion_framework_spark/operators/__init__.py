@@ -74,6 +74,7 @@ from metadata_ingestion_framework_spark.operators.similarity import (
     embedding_near_duplicates,
     ivf_topk,
     lsh_topk,
+    mmr_rerank,
 )
 from metadata_ingestion_framework_spark.operators.skew import (
     salted_join,
@@ -107,6 +108,7 @@ __all__ = [
     "scd4_merge",
     "brute_force_topk",
     "lsh_topk",
+    "mmr_rerank",
     "ivf_topk",
     "embedding_near_duplicates",
     "pq_codebooks",

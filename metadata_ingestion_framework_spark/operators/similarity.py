@@ -975,3 +975,132 @@ def lsh_recall(
         ("recall_full", 1 << 30)
     ]
     return _nested_probe_recall(scored, k, settings, query_id_col, id_col)
+
+
+def mmr_rerank(
+    topk: DataFrame,
+    vectors: DataFrame,
+    m: int,
+    mmr_lambda: float = 0.5,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification (Carbonell & Goldstein
+    1998, public methodology) of any retrieval face's per-query top-k:
+    greedily re-rank each candidate list by
+
+        argmax  lambda * rel(d)  -  (1 - lambda) * max_{s in S} sim(d, s)
+
+    where ``rel`` is the RANK-ONLY reciprocal ``1 / (rrf_k + rank)`` (the
+    ``rrf_fuse`` convention — one division, bit-equal cross-engine, so
+    diversification composes with any upstream scorer without touching
+    its score scale) and ``sim`` is the fold ``round(cosine(), 6)``
+    between candidate vectors (the engine-wide exact-similarity
+    expression). Returns ``(query_id, id, mmr_rank, mmr_obj)`` with
+    ``mmr_rank`` 1..m and ``mmr_obj`` the selection-time objective
+    rounded to 6 (first pick: max-sim over the empty set is 0).
+
+    No reference analogue (north-star training-data extension —
+    diversity-aware sampling of retrieval results for eval/annotation
+    sets; BASELINE.json).
+
+    Cross-engine determinism (the kmeans_ivf iterative conventions):
+    every float feeding a decision is either exact (the reciprocal rel)
+    or round(6)-pinned (pair sims), the objective is two IEEE ops in a
+    fixed order on those, the running max-sim is exact, and every argmax
+    tiebreak is first-max == ROW_NUMBER(obj DESC, id ASC) — so a DuckDB
+    WITH-RECURSIVE replay picks identical winners step for step.
+
+    Scale shape: everything is bounded by the query batch — candidates
+    are Q*k rows (broadcast into the vector join), pair sims Q*k^2
+    codegen rows, and the greedy runs as ONE Arrow ``applyInPandas``
+    pass over per-query groups of k rows (the sequential selection is
+    inherently per-query; k and m are config-bounded). The corpus is
+    never touched beyond the candidate-vector fetch."""
+    qid_t = dict(topk.dtypes)[query_id_col]
+    id_t = dict(topk.dtypes)[id_col]
+    cand = vectors.select(
+        F.col(id_col), F.col(vec_col)
+    ).join(
+        F.broadcast(topk.select(query_id_col, id_col, rank_col)), id_col
+    ).select(
+        query_id_col,
+        id_col,
+        (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double")))
+        .alias("__rel"),
+        F.col(vec_col).alias("__vec"),
+    ).persist()  # both pair-join branches + the rel frame read it
+    # Q*k-bounded frames throughout — broadcast every join explicitly
+    # (cached/Python-stage outputs carry no stats and would SMJ, CLAUDE.md)
+    a = cand.alias("a")
+    b = F.broadcast(cand.alias("b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{query_id_col}") == F.col(f"b.{query_id_col}"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{query_id_col}").alias(query_id_col),
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col(f"b.{id_col}").alias("__other"),
+            F.round(cosine(F.col("a.__vec"), F.col("b.__vec")), 6)
+            .alias("__sim"),
+        )
+    )
+    sims = pairs.groupBy(query_id_col, id_col).agg(
+        F.collect_list(F.struct(
+            F.col("__other").alias("d"), F.col("__sim").alias("s")
+        )).alias("__sims")
+    )
+    kin = cand.select(query_id_col, id_col, "__rel").join(
+        F.broadcast(sims), [query_id_col, id_col], "left"
+    )
+    lam = float(mmr_lambda)
+    out_schema = (
+        f"{query_id_col} {qid_t}, {id_col} {id_t}, "
+        "mmr_rank int, __obj double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf["__rel"].to_numpy(dtype=np.float64)
+        index_of = {v: i for i, v in enumerate(ids)}
+        simmat = np.zeros((n, n), dtype=np.float64)
+        for i, lst in enumerate(pdf["__sims"]):
+            if lst is None:
+                continue
+            for e in lst:
+                simmat[i, index_of[e["d"]]] = e["s"]
+        avail = np.ones(n, dtype=bool)
+        maxsim = np.zeros(n, dtype=np.float64)
+        rows = []
+        for step in range(min(m, n)):
+            # fixed op order: lam*rel, (1-lam)*maxsim, subtract — the
+            # oracle computes the identical three IEEE ops
+            obj = lam * rel - (1.0 - lam) * maxsim
+            masked = np.where(avail, obj, -np.inf)
+            best = int(np.argmax(masked))  # first max == lowest id (sorted)
+            rows.append(
+                (pdf[query_id_col].iloc[0], ids[best], step + 1, obj[best])
+            )
+            avail[best] = False
+            maxsim = np.maximum(maxsim, simmat[:, best])
+        return pd.DataFrame(
+            rows, columns=[query_id_col, id_col, "mmr_rank", "__obj"]
+        )
+
+    picked = kin.groupBy(query_id_col).applyInPandas(greedy, out_schema)
+    out = picked.select(
+        query_id_col, id_col, "mmr_rank",
+        F.round(F.col("__obj"), 6).alias("mmr_obj"),
+    )
+    out._persisted_deps = list(getattr(topk, "_persisted_deps", ())) + [cand]
+    return out

@@ -259,3 +259,79 @@ def test_lsh_recall_contract(spark):
             assert got == rows[q][f"recall_m{m}"], (q, m)
     for d in r._persisted_deps:
         d.unpersist()
+
+
+def test_mmr_rerank_demotes_redundant_candidate(spark):
+    """MMR semantics on a constructed fixture: the rank-2 candidate is a
+    near-clone of rank-1, so at lambda=0.5 it must fall BELOW the
+    dissimilar rank-3 candidate; rank order within {1} and {3,2} follows
+    the greedy objective. Also pins m > n (all candidates emitted) and
+    the first-pick objective (max-sim over empty set = 0)."""
+    from pyspark.sql import Window
+
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        cosine,
+        mmr_rerank,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0, 0.0, 0.0]),      # query anchor
+            (1, [0.99, 0.14, 0.0, 0.0]),      # rank 1
+            (2, [0.99, 0.141, 0.001, 0.0]),   # rank 2, clone of 1
+            (3, [0.7, 0.0, 0.71, 0.0]),       # rank 3, diverse
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = vecs.filter(F.col("vec_id") == 100).select(
+        F.lit(7).alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        vecs.filter(F.col("vec_id") != 100)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w))
+    out = mmr_rerank(topk, vecs, m=10)  # m > n: all 3 come back
+    rows = sorted(
+        ((r.mmr_rank, r.vec_id, r.mmr_obj) for r in out.collect())
+    )
+    for d in out._persisted_deps:
+        d.unpersist()
+    assert [v for _, v, _ in rows] == [1, 3, 2]  # clone demoted to last
+    # first pick: obj = 0.5 * 1/(60+1) - 0 exactly
+    assert rows[0][2] == round(0.5 * (1.0 / 61.0), 6)
+
+
+def test_mmr_rerank_lambda_one_is_relevance_order(spark):
+    """lambda=1.0 switches diversity off: MMR order == the input rank
+    order for every query."""
+    from pyspark.sql import Window
+
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(emb, queries, k=8)
+    out = mmr_rerank(topk, emb, m=8, mmr_lambda=1.0)
+    got = {
+        (r.query_id, r.mmr_rank): r.vec_id for r in out.collect()
+    }
+    for d in out._persisted_deps:
+        d.unpersist()
+    want = {
+        (r.query_id, r.rank): r.vec_id for r in topk.collect()
+    }
+    assert got == want and len(got) == 24
