@@ -1313,6 +1313,12 @@ def main_parstore(args: list[str]) -> None:
     spark = get_spark("scale_probe_parstore")
     out: dict = {}
     with tempfile.TemporaryDirectory() as workdir:
+        # throwaway warmup arm: the paragraph kernel is so cheap that JVM
+        # warmup otherwise dominates the 1x arm and growth reads < 1
+        wst = ParagraphHashStore(spark, os.path.join(workdir, "parstore_w"))
+        w = wst.ingest(_synth_pardocs(spark, 2000), "warmup")
+        w.count()
+        unpersist_deps(w)
         for tag, n in [("1x", n_base), (f"{replicas}x", n_base * replicas)]:
             r: dict = {}
             print(f"== parstore, store {tag} ==", file=sys.stderr)
@@ -1532,17 +1538,31 @@ def _synth_wavs(spark, n: int, id_offset: int = 0, dup_every: int = 0):
             for mid in pdf["id"]:
                 mid = int(mid)
                 if dup_every:
-                    # unique content must vary FREQUENCY, not phase: a
-                    # phase-shifted sawtooth has the same per-cell energy
-                    # profile, so the ehash class collapses to the
-                    # duration (the test_audio_store fixture fact)
+                    # unique content must vary the per-CELL energy
+                    # PROFILE: ehash bits are adjacent cell-energy delta
+                    # signs, and any global waveform change (phase,
+                    # frequency, amplitude) leaves them untouched — the
+                    # class otherwise collapses to the duration (40
+                    # lengths) and a 10x store saturates into all-pairs
+                    # matches, measuring match volume instead of layout
+                    # (first r15 runs). An id-hash-driven amplitude
+                    # step per cell gives ~2^32 profile classes.
                     eff = mid + 1 if mid % dup_every == 0 else mid
-                    mult, nlen = 17 + (eff % 499) * 2, 256 + 31 * (eff % 40)
+                    nlen = 256 + 31 * (eff % 40)
+                    i = np.arange(nlen)
+                    h = (eff * 2654435761) & 0xFFFFFFFF
+                    cell = (i * 65) // nlen
+                    amp = 1 + ((h >> (cell % 32)) & 3)
+                    x = (
+                        (((i * 37) % 4096) - 2048) * amp * 2
+                    ).astype(np.int16)
                 else:
-                    mult, nlen = 37, 256 + 31 * (mid % 40)
-                i = np.arange(nlen)
-                seed = 0 if dup_every else (mid % 12) * 31
-                x = (((seed + i * mult) % 4096) - 2048).astype(np.int16) * 8
+                    nlen = 256 + 31 * (mid % 40)
+                    i = np.arange(nlen)
+                    seed = (mid % 12) * 31
+                    x = (((seed + i * 37) % 4096) - 2048).astype(
+                        np.int16
+                    ) * 8
                 payloads.append(encode_wav(x))
             yield pd.DataFrame(
                 {"media_id": pdf["id"], "payload": payloads}
