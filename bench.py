@@ -106,6 +106,11 @@ EXTENDED = [
     "video_dedup",          # r14: frame-level perceptual video dedup
     "html_extract",         # r14: HTML/boilerplate extraction + gate
     "hybrid_topk",          # r14: RRF hybrid lexical+semantic retrieval
+    "hybrid_served",        # r15: index-served hybrid retrieval (in-plan
+    # build emulation; real-store amortization = PROBE.md hybrid table)
+    "paragraph_dedup",      # r15: CCNet paragraph-level exact dedup
+    "paragraph_dedup_inc",  # r15: ParagraphHashStore two-ingest replay
+    "mmr_rerank",           # r15: MMR diversification of a retrieval top-k
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3
