@@ -6093,6 +6093,160 @@ FROM stats
 """
 
 
+def q_web_curation(spark, sf_dir):
+    """The r15 WEB-ordered curation composite — the real C4/CCNet/
+    RefinedWeb front half staged end-to-end, every stage value-checked
+    in one oracle:
+
+    1. deterministic page synthesis: each doc's text wrapped in markup
+       with a SHARED promo paragraph and a SHARED footer (the reason
+       paragraph dedup must run AFTER extraction), NULL pages for
+       doc_id % 25 == 19 (dirty-fixture rule);
+    2. block-preserving extraction (functions/html.py::html_text_blocks,
+       r15) — block-closing tags become paragraph breaks, so the markup
+       structure SURVIVES into the dedup stage (the flat html_text face
+       would fuse every page into one paragraph and defeat it);
+    3. paragraph_dedup over the extracted corpus: the shared promo +
+       footer paragraphs survive exactly once globally (first doc wins),
+       per-doc headings/bodies pass through;
+    4. Gopher-style floor gate on the surviving text (word_token_count
+       >= 5 — drops pages whose unique content was empty);
+    5. deterministic per-lang mix via the shared md5 bucket rule
+       (en 0.9, others 0.7).
+
+    Scale shape: stages 1-2 and 4-5 are pure map-only codegen; stage 3
+    is paragraph_dedup's one skinny bounded-uniform shuffle + broadcast
+    removal set. No Python anywhere."""
+    from metadata_ingestion_framework_spark.functions.html import (
+        html_text_blocks,
+    )
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        hash_bucket,
+        rate_threshold,
+    )
+    from metadata_ingestion_framework_spark.functions.text import (
+        word_token_count,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = F.col("doc_id")
+    html = F.when(F.pmod(d, F.lit(25)) == 19, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("<html><body><h1>Doc "), d.cast("string"),
+            F.lit("</h1><p>"), F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                '</p><p>Share this &amp; subscribe</p>'
+                '<div class="footer"><a href="/about">About us</a> | '
+                '<a href="/terms">Terms</a></div></body></html>'
+            ),
+        )
+    )
+    ext = (
+        docs.select("doc_id", "lang", html.alias("html"))
+        .filter(F.col("html").isNotNull())
+        .select("doc_id", "lang", html_text_blocks("html").alias("clean"))
+    )
+    dd = paragraph_dedup(ext, "clean", "doc_id", keep_cols=["lang"])
+    gated = dd.withColumn(
+        "n_words", word_token_count(F.col("clean_text")).cast("long")
+    ).filter(F.col("n_words") >= 5)
+    rate = F.when(
+        F.col("lang") == "en", F.lit(rate_threshold(0.9))
+    ).otherwise(F.lit(rate_threshold(0.7)))
+    mixed = gated.filter(
+        hash_bucket([F.col("doc_id")], salt="webmix") < rate
+    )
+    return mixed.select("doc_id", "lang", "clean_text", "n_removed", "n_words")
+
+
+ORACLE_WEB_CURATION = r"""
+WITH pages AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 25 = 19 THEN NULL ELSE
+      '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+      coalesce(text, '') ||
+      '</p><p>Share this &amp; subscribe</p><div class="footer">' ||
+      '<a href="/about">About us</a> | <a href="/terms">Terms</a>' ||
+      '</div></body></html>'
+    END AS html
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, lang,
+    regexp_replace(regexp_replace(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(html,
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+            '(?is)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)\s*>|<br\s*/?>',
+            chr(10), 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      '[ \t\f\r]+', ' ', 'g'),
+      ' ?\n[ \n]*', chr(10), 'g'),
+      '^[ \n]+|[ \n]+$', '', 'g') AS clean
+  FROM pages WHERE html IS NOT NULL
+),
+segs AS (
+  SELECT doc_id, lang,
+    string_split_regex(coalesce(clean, ''), '\r?\n') AS arr
+  FROM cleaned
+),
+paras AS (
+  SELECT doc_id, lang, pos, trim(arr[pos + 1]) AS p
+  FROM (SELECT doc_id, lang, unnest(range(0, len(arr))) AS pos, arr
+        FROM segs)
+),
+content AS (SELECT * FROM paras WHERE p <> ''),
+dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      ROW_NUMBER() OVER (
+        PARTITION BY ('0x' || substr(md5(p), 1, 15))::BIGINT
+        ORDER BY doc_id, pos) AS rn
+    FROM content
+  ) WHERE rn > 1
+),
+kept AS (
+  SELECT c.doc_id, c.pos, c.p FROM content c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dups d WHERE d.doc_id = c.doc_id AND d.pos = c.pos
+  )
+),
+agg AS (
+  SELECT doc_id, array_to_string(list(p ORDER BY pos), chr(10)) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+rmc AS (SELECT doc_id, COUNT(*) AS n_removed FROM dups GROUP BY doc_id),
+dd AS (
+  SELECT c.doc_id, c.lang,
+    COALESCE(a.clean_text, '') AS clean_text,
+    CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+  FROM cleaned c
+  LEFT JOIN agg a USING (doc_id)
+  LEFT JOIN rmc r USING (doc_id)
+),
+gated AS (
+  SELECT *, CAST(len(regexp_extract_all(clean_text,
+    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_words
+  FROM dd
+)
+SELECT doc_id, lang, clean_text, n_removed, n_words
+FROM gated
+WHERE n_words >= 5
+  AND ('0x' || substr(md5(concat_ws(chr(31), 'webmix',
+        CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT % 1000000
+      < CASE WHEN lang = 'en' THEN 900000 ELSE 700000 END
+"""
+
+
 def q_bm25_index_serve(spark, sf_dir):
     """Persistent-BM25-index serve math (operators/retrieval.py::
     Bm25Index / serve_topk, r13) emulated over in-memory tables — the
@@ -6291,9 +6445,12 @@ QUERIES = {
     # encoder (VERDICT r10 item 1), same replay oracle as bpe_tokenize
     "bpe_merges": q_bpe_merges,  # r10: BPE vocab training (NEW), full
     # DuckDB greedy-merge replay
-    "curation_v3": q_curation_v3,  # r8: mix-aware leakage-safe curation composite
     "curation_v4": q_curation_v4,  # r11 NEW: model-gated curation
     # (one-pass dual-model gates + dedup + mix, fully value-checked)
+    "web_curation": q_web_curation,  # r15 NEW: the WEB-ordered front
+    # half — page synth -> block-preserving extraction (html_text_blocks)
+    # -> paragraph_dedup -> word-floor gate -> per-lang mix, one oracle
+    # replaying every stage regex-for-regex
     # multimodal decode contracts (r5: exact integer invariants vs DuckDB —
     # rotated INTO the driver window per VERDICT r4 item 3)
     "media_dedup": q_media_dedup,  # r13 NEW: perceptual image dedup —
@@ -6325,7 +6482,16 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r15
-    # rotation (4): NEW mmr_rerank displaced quality_model — named,
+    # rotation (5): NEW web_curation displaced curation_v3 — named,
+    # family-redundant (the curation-composite family keeps curation_v4
+    # — model gates + dedup + mix — and curation_incremental in-window;
+    # v3's distinct machinery faces keep their own in-window reps:
+    # decontamination via decontam_triage_indexed, temperature/mix
+    # arithmetic via the new composite's identical md5 bucket rule;
+    # curation_v3 driver-green r8-r14, unchanged this round, stays
+    # sweep-checked here).
+    "curation_v3": q_curation_v3,  # r8: mix-aware leakage-safe curation composite
+    # r15 rotation (4): NEW mmr_rerank displaced quality_model — named,
     # family-redundant (the hashed bag-of-ngrams linear-scorer family
     # keeps lang_id_model — the same featurize/matmul kernel with MORE
     # surface (4 class columns + winner) — and curation_v4's dual model
@@ -6753,6 +6919,7 @@ ORACLES = {
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     "paragraph_dedup_inc": ORACLE_PARAGRAPH_DEDUP_INC,
     "mmr_rerank": ORACLE_MMR_RERANK,
+    "web_curation": ORACLE_WEB_CURATION,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
     "token_budget": ORACLE_TOKEN_BUDGET,

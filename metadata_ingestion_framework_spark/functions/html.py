@@ -155,3 +155,37 @@ def boilerplate_gate(
         & (F.length(F.col(text_out)) >= F.lit(min_text_chars))
     )
     return out.withColumn(keep_col, F.coalesce(keep, F.lit(False)))
+
+
+#: block-level boundaries -> paragraph breaks (C4 extracts text at block
+#: granularity; flattening them to spaces destroys the paragraph
+#: structure the CCNet/RefinedWeb dedup first stage keys on)
+_BLOCK_RE = r"(?is)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)\s*>|<br\s*/?>"
+
+
+def html_text_blocks(html: Column | str) -> Column:
+    """Extracted clean text of ``html`` with BLOCK boundaries preserved
+    as newlines — the paragraph-structured extraction the web pipeline
+    feeds into ``paragraph_dedup`` (C4 keeps lines, CCNet dedups
+    paragraphs; the flat :func:`html_text` variant is the per-document
+    signal/gate face). One codegen regex chain, replayed regex-for-regex
+    by the oracle:
+
+    1-2. comments + script/style blocks out (shared ``_strip_blocks``);
+    3.   block-CLOSING tags and ``<br>`` -> newline;
+    4.   remaining tags -> space;
+    5.   entity decode in the shared fixed order (``&amp;`` last);
+    6.   horizontal whitespace collapsed to single spaces;
+    7.   newline runs (with surrounding spaces) collapsed to one
+         newline; leading/trailing space+newline trimmed.
+
+    NULL for NULL input. Empty segments between consecutive blocks are
+    dropped by step 7, so the output is exactly the newline-joined
+    nonempty paragraphs — ``paragraph_dedup``'s input convention."""
+    out = F.regexp_replace(_strip_blocks(_col(html)), _BLOCK_RE, "\n")
+    out = F.regexp_replace(out, _TAG_RE, " ")
+    for pat, repl in _ENTITIES:
+        out = F.replace(out, F.lit(pat), F.lit(repl))
+    out = F.regexp_replace(out, r"[ \t\f\r]+", " ")
+    out = F.regexp_replace(out, r" ?\n[ \n]*", "\n")
+    return F.regexp_replace(out, r"^[ \n]+|[ \n]+$", "")

@@ -1027,14 +1027,21 @@ def _apply_paragraph_removals(
     text = F.coalesce(F.col(text_col), F.lit(""))
     segs = F.split(text, PARA_RE)
     nonempty = lambda x: F.trim(x) != F.lit("")  # noqa: E731
+    # single-arg lambda REQUIRED: F.trim has an optional second (trimStr)
+    # parameter, so passing it bare makes F.transform hand it the element
+    # INDEX — trim(para, trimStr=str(i)), which strips a paragraph's own
+    # position digits off its ends ("Doc 0" at pos 0 -> "Doc ").
+    # Caught by the r15 web_curation oracle; the plain-text fixtures
+    # never put an index-matching digit at a paragraph edge.
+    trim1 = lambda x: F.trim(x)  # noqa: E731
     clean_all = F.array_join(
-        F.transform(F.filter(segs, nonempty), F.trim), "\n"
+        F.transform(F.filter(segs, nonempty), trim1), "\n"
     )
     kept = F.filter(
         segs,
         lambda x, i: nonempty(x) & ~F.array_contains(F.col("__rm"), i),
     )
-    clean_dirty = F.array_join(F.transform(kept, F.trim), "\n")
+    clean_dirty = F.array_join(F.transform(kept, trim1), "\n")
     return df.join(rm, id_col, "left").select(
         id_col,
         *(keep_cols or []),

@@ -323,3 +323,24 @@ def test_web_pipeline_order(spark):
         "doc_id", quality_score(F.col("clean_text")).alias("q")
     )
     assert all(r["q"] is not None for r in scored.collect())
+
+
+def test_paragraph_dedup_edge_digits_not_trimmed(spark):
+    """Regression (r15): F.transform handed a bare F.trim its element
+    INDEX as the optional trimStr — a paragraph at position i with its
+    own index digits at an edge lost them ("Doc 0" at pos 0 -> "Doc ").
+    Caught by the web_curation oracle; pinned here."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "Doc 0\n1 mid 1\ndup"), (8, "dup\n0 tail 0")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in paragraph_dedup(df, "text", "doc_id").collect()
+    }
+    assert out[7] == ("Doc 0\n1 mid 1\ndup", 0)
+    assert out[8] == ("0 tail 0", 1)  # clean_dirty path keeps edge digits

@@ -97,3 +97,58 @@ def test_composes_as_curation_front_stage(spark):
     gated = boilerplate_gate(df, "html", min_text_chars=50).filter("keep")
     out = dedup_exact(gated, ["text"], "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [1, 4]
+
+
+def test_block_extraction_preserves_paragraphs(spark):
+    """html_text_blocks (r15): block-closing tags and <br> become
+    paragraph breaks, inline tags become spaces, entities decode in the
+    shared order, empty blocks vanish, horizontal runs collapse — the
+    paragraph_dedup input convention."""
+    from metadata_ingestion_framework_spark.functions.html import (
+        html_text_blocks,
+    )
+
+    rows = [
+        (1, "<div><h1>Title&nbsp;One</h1><p>first  para</p><p></p>"
+            "<p>a &amp;amp; b</p>line<br>tail</div>"),
+        (2, "<p><b>bold</b> inline</p><!-- gone --><script>var x;</script>"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", html_text_blocks("html").alias("t")
+        ).collect()
+    }
+    assert got[1] == "Title One\nfirst para\na &amp; b\nline\ntail"
+    assert got[2] == "bold inline"
+    assert got[3] is None
+
+
+def test_block_extraction_feeds_paragraph_dedup(spark):
+    """The r15 web order end-to-end: a shared footer paragraph across
+    pages survives exactly once after html_text_blocks ->
+    paragraph_dedup."""
+    from metadata_ingestion_framework_spark.functions.html import (
+        html_text_blocks,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    footer = '<div class="footer"><a href="/a">About</a> | Terms</div>'
+    rows = [
+        (1, f"<p>unique first body</p>{footer}"),
+        (2, f"<p>unique second body</p>{footer}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    ext = df.select(
+        "doc_id", html_text_blocks("html").alias("clean")
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in paragraph_dedup(ext, "clean", "doc_id").collect()
+    }
+    assert out[1] == ("unique first body\nAbout | Terms", 0)
+    assert out[2] == ("unique second body", 1)
