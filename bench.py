@@ -111,6 +111,9 @@ EXTENDED = [
     "paragraph_dedup",      # r15: CCNet paragraph-level exact dedup
     "paragraph_dedup_inc",  # r15: ParagraphHashStore two-ingest replay
     "mmr_rerank",           # r15: MMR diversification of a retrieval top-k
+    "web_curation",         # r15: web-ordered curation composite
+    "bm25_maxp",            # r15: passage-level BM25 + MaxP aggregation
+    "crossmodal_dedup",     # r15: LAION-rule (caption, image) pair dedup
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

@@ -4628,6 +4628,131 @@ LEFT JOIN nbrs n USING (media_id)
 """
 
 
+def q_crossmodal_dedup(spark, sf_dir):
+    """Cross-modal (caption, image) PAIR dedup (r15) — the LAION/
+    DataComp curation rule: a (text, image) training pair is a duplicate
+    candidate when its IMAGE is a perceptual near-dup (dHash Hamming
+    <= 3) OR its CAPTION is a text near-dup (MinHash-LSH Jaccard >=
+    0.5). The pairs table is the docs that carry an image payload (the
+    shared _real_media synth's image subset) with their text as the
+    caption; BOTH pair generators are the existing oracle-proven
+    machinery (multimodal.image_hashes + hamming_banded_pairs;
+    minhash_lsh_duplicates in md5 mode) over the SAME restricted id
+    set, and the outputs fuse into per-pair modality flags through ONE
+    groupBy over a tagged union — no join between the two pair frames.
+    Emits (id_a, id_b, text_dup, image_dup).
+
+    Oracle: the media_dedup image-replay CTE chain + the minhash pair
+    SQL post-filtered to image ids (banding candidates are per-doc
+    pure, so pairs(restricted corpus) == pairs(full) within the id
+    subset), composed under the same flag aggregation."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        hamming_banded_pairs,
+        minhash_lsh_duplicates,
+    )
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        image_hashes,
+    )
+
+    media = _real_media(spark, sf_dir).filter(F.col("kind") == "image")
+    prs = (
+        t(spark, sf_dir, "documents")
+        .join(
+            media.select(F.col("media_id").alias("doc_id"), "payload"),
+            "doc_id",
+        )
+        .select("doc_id", "text", "payload")
+        .persist()  # two Python-kernel consumers (image + minhash sides)
+    )
+    ih = image_hashes(
+        prs.select(F.col("doc_id").alias("media_id"), "payload")
+    ).persist()  # hamming self-join consumes both branches
+    ip = hamming_banded_pairs(
+        ih.select("media_id", "dhash"), "dhash", "media_id",
+        max_hamming=3, blocks=4,
+    ).select(
+        "id_a", "id_b", F.lit(0).alias("t"), F.lit(1).alias("i")
+    )
+    mh = minhash_lsh_duplicates(
+        prs, "text", "doc_id", jaccard_threshold=0.5, token_hash="md5"
+    )
+    tp = mh.select("id_a", "id_b", F.lit(1).alias("t"), F.lit(0).alias("i"))
+    out = (
+        tp.unionAll(ip)
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.max("t") == 1).alias("text_dup"),
+            (F.max("i") == 1).alias("image_dup"),
+        )
+    )
+    # carry the minhash sigs cache through the projection (the r8 leak
+    # class: .select() drops _persisted_deps)
+    out._persisted_deps = [prs, ih] + list(
+        getattr(mh, "_persisted_deps", ())
+    )
+    return out
+
+
+def _crossmodal_oracle_sql() -> str:
+    """Compose the two proven pair replays: the image chain is
+    ORACLE_MEDIA_DEDUP's CTEs verbatim (through its verified `pairs`),
+    the text chain is _minhash_oracle_sql(0.5) post-filtered to the
+    image-doc ids."""
+    minhash_pairs = _minhash_oracle_sql(threshold=0.5)
+    return f"""
+WITH img AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 12 AS w,
+         4 + (doc_id // 3) % 12 AS h
+  FROM documents
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 3 = 0
+),
+dgrid AS (
+  SELECT media_id, k.k,
+    (media_id*7 + (((k.k // 8) * h) // 8)*13 + ((( k.k % 8    ) * w) // 9)*17) % 256 AS bl,
+    (media_id*7 + (((k.k // 8) * h) // 8)*13 + ((((k.k % 8)+1 ) * w) // 9)*17) % 256 AS br
+  FROM img, generate_series(0, 63) k(k)
+),
+dh AS (
+  SELECT media_id,
+    SUM(CASE WHEN 299*br + 587*((br+29)%256) + 114*((br+58)%256)
+                > 299*bl + 587*((bl+29)%256) + 114*((bl+58)%256)
+        THEN (1::UBIGINT << k)::HUGEINT ELSE 0::HUGEINT END) AS dh_h
+  FROM dgrid GROUP BY media_id
+),
+dhu AS (SELECT media_id, CAST(dh_h AS UBIGINT) AS dh_u FROM dh),
+blk AS (
+  SELECT media_id, dh_u, i.i, (dh_u >> (i.i * 16)) & 65535 AS bv
+  FROM dhu, generate_series(0, 3) i(i)
+),
+icand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.dh_u AS fa, b.dh_u AS fb
+  FROM blk a JOIN blk b
+    ON a.i = b.i AND a.bv = b.bv AND a.media_id < b.media_id
+),
+ipairs AS (
+  SELECT id_a, id_b FROM icand WHERE bit_count(xor(fa, fb)) <= 3
+),
+mh AS MATERIALIZED ({minhash_pairs}),
+tpairs AS (
+  SELECT id_a, id_b FROM mh
+  WHERE id_a IN (SELECT media_id FROM img)
+    AND id_b IN (SELECT media_id FROM img)
+),
+tagged AS (
+  SELECT id_a, id_b, 1 AS t, 0 AS i FROM tpairs
+  UNION ALL
+  SELECT id_a, id_b, 0 AS t, 1 AS i FROM ipairs
+)
+SELECT id_a, id_b, MAX(t) = 1 AS text_dup, MAX(i) = 1 AS image_dup
+FROM tagged GROUP BY id_a, id_b
+"""
+
+
+ORACLE_CROSSMODAL_DEDUP = _crossmodal_oracle_sql()
+
+
 def q_audio_dedup(spark, sf_dir):
     """Perceptual audio dedup (operators/multimodal.py::audio_hashes +
     dedup.hamming_banded_pairs, r14, VERDICT r13 item 2): 64-bit integer
@@ -5856,6 +5981,101 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def q_bm25_maxp(spark, sf_dir):
+    """Passage-level BM25 with MaxP doc aggregation (operators/
+    retrieval.py::bm25_maxp, r15; Dai & Callan 2019, public): docs
+    chunked into 64-token/16-overlap passages (the chunk_passages
+    conventions), passages scored by the exact bm25_topk dataflow with
+    passage-level stats, each doc scored as its BEST passage (ties to
+    the smallest chunk), family-tiebreak doc top-10. The oracle replays
+    chunking slice-for-slice and the BM25 arithmetic term-for-term over
+    the packed passage ids."""
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        bm25_maxp,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_maxp(docs, queries, k=10)
+
+
+ORACLE_BM25_MAXP = r"""
+WITH tk AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+    FROM documents
+  ) WHERE toks IS NOT NULL AND len(toks) > 0
+),
+ch AS (
+  SELECT doc_id,
+    unnest([{'chunk_id': i,
+             'passage': array_to_string(toks[1 + i*48 : 1 + i*48 + 63], ' '),
+             'n_tokens': least(64, len(toks) - (1 + i*48) + 1)}
+            FOR i IN range(0, (greatest(len(toks), 1) - 1) // 48 + 1)]) AS c
+  FROM tk
+),
+pas AS (
+  SELECT doc_id * 1000000 + c.chunk_id AS pid, c.passage
+  FROM ch WHERE c.n_tokens > 0
+),
+pdocs AS (
+  SELECT pid,
+    regexp_extract_all(lower(coalesce(passage, '')), '[a-z]+') AS toks
+  FROM pas
+),
+dl AS (SELECT pid, toks, len(toks) AS dl FROM pdocs),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT pid, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT pid, dl, unnest(toks) AS term FROM dl)
+  GROUP BY pid, dl, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT doc_id AS query_id,
+    unnest(list_distinct(
+      regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))) AS term
+  FROM documents WHERE doc_id < 3
+),
+scored AS (
+  SELECT q.query_id, t.pid,
+    CAST(SUM(CAST(ROUND(
+      ln(CAST(1.0 AS DOUBLE)
+         + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+           / (d.df + CAST(0.5 AS DOUBLE)))
+      * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      / (CAST(t.tf AS DOUBLE)
+         + CAST(1.2 AS DOUBLE)
+           * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+              + CAST(0.75 AS DOUBLE) * t.dl / s.avgdl))
+    , 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM tf t
+  JOIN dfreq d USING (term)
+  JOIN qterms q USING (term)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.pid
+),
+per_doc AS (
+  SELECT query_id, pid // 1000000 AS doc_id,
+    CAST(pid % 1000000 AS INT) AS best_chunk, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id, pid // 1000000
+      ORDER BY score DESC NULLS LAST, pid % 1000000 ASC) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, best_chunk, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY score DESC NULLS LAST, doc_id ASC) AS rank
+FROM per_doc WHERE rn = 1 QUALIFY rank <= 10
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level curation (functions/urls.py::normalize_url + url_dedup,
     r13, VERDICT r12 item 4): the stage C4/CCNet/RefinedWeb run BEFORE
@@ -6383,8 +6603,9 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,  # r7: backward as-of join vs native DuckDB ASOF
-    "bm25_topk": q_bm25_topk,  # r12 NEW: lexical BM25 retrieval —
-    # inverted-index postings, order-free decimal accumulation
+    "bm25_maxp": q_bm25_maxp,  # r15 NEW: passage-level BM25 + MaxP doc
+    # aggregation (chunk -> score passages via the bm25_topk dataflow
+    # verbatim -> per-doc best passage), full slice+arithmetic replay
     "bm25_index_serve": q_bm25_index_serve,  # r13 NEW: persistent BM25
     # index merge+serve math (vacate semantics, term-bucket pruning,
     # per-bucket stats composition) == fresh bm25 over the merged corpus
@@ -6396,7 +6617,6 @@ QUERIES = {
     # extraction (the stage AHEAD of url/content dedup in every public
     # web pipeline) — extracted text, structure signals, and the C4-shape
     # gate all replayed regex-for-regex on identically-synthesized pages
-    "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "dup_clusters": q_dup_clusters,  # r7: transitive cluster resolution
     "hybrid_served": q_hybrid_served,  # r15 NEW: INDEX-SERVED hybrid
@@ -6461,6 +6681,10 @@ QUERIES = {
     # PCM16 samples (time-domain Haitsma-Kalker shape) + the SHARED
     # Hamming banding, every fingerprint bit and neighbor count
     # replayed from the WAV generation formulas
+    "crossmodal_dedup": q_crossmodal_dedup,  # r15 NEW: LAION-rule
+    # (caption, image) pair dedup — image hamming pairs OR md5-minhash
+    # caption pairs over the same restricted set, fused by one groupBy;
+    # oracle composes both proven pair replays
     "video_dedup": q_video_dedup,  # r14 NEW: frame-level perceptual
     # video dedup — real BMV frame extraction, per-frame dHash, shared
     # banding over (media_id, frame_ts) keys, per-video-pair aggregation;
@@ -6482,7 +6706,27 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r15
-    # rotation (5): NEW web_curation displaced curation_v3 — named,
+    # rotation (7): NEW crossmodal_dedup displaced dedup_minhash —
+    # named, family-redundant (crossmodal_dedup runs
+    # minhash_lsh_duplicates VERBATIM — same md5 mode, threshold,
+    # banding and verify expressions — as its caption leg, so the
+    # minhash machinery stays value-checked in-window over the
+    # restricted pair corpus; the image leg doubles media_dedup's
+    # in-window machinery; full-corpus minhash stays sweep-checked
+    # here; dedup_minhash driver-green r3-r14, unchanged this round).
+    "dedup_minhash": q_dedup_minhash,
+    # r15 rotation (6): NEW bm25_maxp displaced bm25_topk — named,
+    # family-redundant (bm25_maxp calls bm25_topk VERBATIM over the
+    # passage corpus, so every scoring expression — restriction, df
+    # derivation, decimal accumulation, family tiebreak — stays
+    # value-checked in-window through the strictly-larger dataflow;
+    # the lexical family also keeps bm25_index_serve,
+    # decontam_triage_indexed, and hybrid_served's lex leg in-window;
+    # bm25_topk driver-green r12-r14, its r14 serve-dataflow adoption
+    # re-verified then, stays sweep-checked here).
+    "bm25_topk": q_bm25_topk,  # r12 NEW: lexical BM25 retrieval —
+    # inverted-index postings, order-free decimal accumulation
+    # r15 rotation (5): NEW web_curation displaced curation_v3 — named,
     # family-redundant (the curation-composite family keeps curation_v4
     # — model gates + dedup + mix — and curation_incremental in-window;
     # v3's distinct machinery faces keep their own in-window reps:
@@ -6920,6 +7164,8 @@ ORACLES = {
     "paragraph_dedup_inc": ORACLE_PARAGRAPH_DEDUP_INC,
     "mmr_rerank": ORACLE_MMR_RERANK,
     "web_curation": ORACLE_WEB_CURATION,
+    "bm25_maxp": ORACLE_BM25_MAXP,
+    "crossmodal_dedup": ORACLE_CROSSMODAL_DEDUP,
     "asof_join": ORACLE_ASOF_JOIN,
     "range_join": ORACLE_RANGE_JOIN,
     "token_budget": ORACLE_TOKEN_BUDGET,

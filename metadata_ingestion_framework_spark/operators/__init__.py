@@ -66,6 +66,7 @@ from metadata_ingestion_framework_spark.operators.multimodal import (
 )
 from metadata_ingestion_framework_spark.operators.retrieval import (
     Bm25Index,
+    bm25_maxp,
     bm25_topk,
     contamination_triage,
 )
@@ -109,6 +110,7 @@ __all__ = [
     "brute_force_topk",
     "lsh_topk",
     "mmr_rerank",
+    "bm25_maxp",
     "ivf_topk",
     "embedding_near_duplicates",
     "pq_codebooks",

@@ -33,7 +33,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metadata_ingestion_framework_spark.operators.similarity import _topk
@@ -130,13 +130,99 @@ def bm25_topk(
         full = posts_q.join(F.broadcast(dfreq), "term").crossJoin(
             F.broadcast(stats)
         )
-        out = _score_qterms(full, qterms, k, k1, b, query_id_col, id_col)
+        scored = _score_qterms_scored(full, qterms, k1, b, query_id_col, id_col)
+        out = _topk(scored, k, query_id_col, id_col)
         out._persisted_deps = [qterms, posts_q]
         return out
     except Exception:
         qterms.unpersist()
         posts_q.unpersist()
         raise
+
+
+def bm25_maxp(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Passage-level BM25 with MaxP document aggregation (Dai & Callan
+    2019's BM25-MaxP, public methodology): documents are chunked into
+    overlapping fixed-token passages (``functions.text.chunk_passages``),
+    passages are scored by the exact :func:`bm25_topk` dataflow with
+    PASSAGE-level statistics (N = passage count, avgdl over passages —
+    the MaxP convention), and each document scores as its BEST passage.
+    Long documents stop diluting their strongest section into one big
+    dl-normalized bag — the standard fix for BM25 over book/article-
+    length training documents.
+
+    Returns ``(query_id, doc_id, best_chunk, score, rank)`` — the
+    winning passage rides along for snippet/provenance use. Ties inside
+    a document resolve to the smallest chunk_id; the document top-k uses
+    the family tiebreak. Passage ids pack as ``doc_id * 1e6 + chunk_id``
+    (documents above 1e6 chunks of ``chunk_tokens - overlap`` tokens are
+    outside the packing contract).
+
+    Scale shape: identical to :func:`bm25_topk` — chunking is map-only
+    codegen (~1/(chunk-overlap) text duplication), the passage postings
+    restrict to the query vocabulary through the same broadcast, and the
+    MaxP window adds one Q*passages-bounded shuffle on already-skinny
+    scored rows. Release ``_persisted_deps`` when done."""
+    from metadata_ingestion_framework_spark.functions.text import (
+        chunk_passages,
+    )
+
+    passages = chunk_passages(
+        docs.select(id_col, text_col), text_col, id_col,
+        chunk_tokens=chunk_tokens, overlap=overlap,
+    )
+    pid = (
+        F.col(id_col).cast("long") * F.lit(1_000_000)
+        + F.col("chunk_id").cast("long")
+    )
+    pas = passages.select(pid.alias("__pid"), F.col("passage"))
+    topk_pass = bm25_topk(
+        pas,
+        queries.select(
+            F.col(query_id_col), F.col(text_col).alias("passage")
+        ),
+        "passage", "__pid", query_id_col,
+        k=2_000_000_000, k1=k1, b=b,
+    )
+    # k = 2e9 disables the passage cut (MaxP needs EVERY passage score:
+    # a doc's best passage may rank arbitrarily low globally) — the rank
+    # window it pays is the same one _topk would run anyway, on rows
+    # already bounded by Q x query-term postings.
+    per_doc = topk_pass.select(
+        query_id_col,
+        F.expr("__pid div 1000000").alias(id_col),
+        F.pmod(F.col("__pid"), F.lit(1_000_000)).cast("int").alias(
+            "best_chunk"
+        ),
+        "score",
+    )
+    w = Window.partitionBy(query_id_col, id_col).orderBy(
+        F.col("score").desc_nulls_last(), F.col("best_chunk").asc()
+    )
+    best = (
+        per_doc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out = _topk(
+        best.select(query_id_col, id_col, "best_chunk", "score"),
+        k, query_id_col, id_col,
+    )
+    deps = list(getattr(topk_pass, "_persisted_deps", ()))
+    if deps:
+        out._persisted_deps = deps
+    return out
 
 
 def _term_score(k1: float, b: float):
@@ -168,7 +254,23 @@ def _score_qterms(
     """Shared scoring tail: broadcast the (query, term) rows into the
     postings, accumulate 6-decimal term contributions as DECIMAL(18,6)
     (order-free exact sum), family tiebreak top-k."""
-    scored = (
+    scored = _score_qterms_scored(
+        postings, qterms, k1, b, query_id_col, id_col
+    )
+    return _topk(scored, k, query_id_col, id_col)
+
+
+def _score_qterms_scored(
+    postings: DataFrame,
+    qterms: DataFrame,
+    k1: float,
+    b: float,
+    query_id_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The scoring aggregate alone (no top-k cut) — :func:`bm25_maxp`
+    needs every passage score before its per-document MAX."""
+    return (
         postings.join(F.broadcast(qterms), "term")
         .groupBy(query_id_col, id_col)
         .agg(
@@ -177,7 +279,6 @@ def _score_qterms(
             ).cast("double").alias("score")
         )
     )
-    return _topk(scored, k, query_id_col, id_col)
 
 
 # ---------------------------------------------------------------------------

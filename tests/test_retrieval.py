@@ -175,3 +175,37 @@ def test_hybrid_topk_rrf_fusion(spark):
     assert rows[3].rrf_score == 1.0 / 61
     # both-legs doc wins; the two single-leg ties break by doc id asc
     assert [rows[d].rank for d in (1, 2, 3)] == [1, 2, 3]
+
+
+def test_bm25_maxp_finds_buried_section(spark):
+    """MaxP semantics (r15): a long document whose relevant section is
+    buried under off-topic filler must outrank by its BEST passage —
+    whole-doc BM25's dl normalization dilutes it. Also pins the packed
+    passage id round-trip (best_chunk > 0 for the buried section) and
+    deps release."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        bm25_maxp,
+    )
+
+    filler = "filler padding words nothing relevant here at all " * 40
+    target = "zebra quagga okapi rare animal census report " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, filler + target),          # buried section, long doc
+            (2, "zebra mention once " + "generic text body " * 10),
+            (3, "totally unrelated content " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "zebra quagga okapi census")], "query_id long, text string"
+    )
+    out = bm25_maxp(docs, queries, k=3, chunk_tokens=64, overlap=16)
+    rows = {r.rank: (r.doc_id, r.best_chunk) for r in out.collect()}
+    unpersist_deps(out)
+    assert rows[1][0] == 1          # buried-section doc wins
+    assert rows[1][1] > 0           # via a NON-leading passage
+    assert rows[2][0] == 2
