@@ -538,3 +538,78 @@ def test_streaming_paragraph_ingest_matches_batch_sequential(spark, tmp_path):
     assert got == want
     # doc 21: pc seen in b0, plus its own intra-batch self-dup -> 2 removed
     assert got[21] == ("new tail two", 2)
+
+
+@pytest.mark.slow
+def test_streaming_web_pipeline_matches_batch(spark, tmp_path):
+    """The r15 web-ingest order as a STREAM: each micro-batch of raw
+    html pages goes extraction (html_text_blocks) -> ParagraphHashStore
+    ingest inside ONE foreachBatch; the concatenated rewritten output
+    equals the batch one-shot (extract everything, paragraph_dedup) —
+    shared boilerplate paragraphs survive exactly once across
+    micro-batch boundaries."""
+    from metadata_ingestion_framework_spark.functions.html import (
+        html_text_blocks,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        ParagraphHashStore,
+    )
+
+    footer = '<div class="footer"><a href="/a">About</a> | Terms</div>'
+    src = tmp_path / "web_in"
+    src.mkdir()
+
+    def page(i, body):
+        return (i, f"<h1>Page {i}</h1><p>{body}</p>{footer}")
+
+    def wb(path, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, html string"
+        ).coalesce(1).write.parquet(path)
+
+    wb(str(src / "b0"), [page(1, "first body"), page(2, "second body")])
+    wb(str(src / "b1"), [page(11, "third body"), page(12, "first body")])
+
+    store = ParagraphHashStore(
+        spark, str(tmp_path / "webstore"), text_col="clean"
+    )
+    got: dict[int, tuple[str, int]] = {}
+
+    def sink(bdf, batch_id):
+        ext = bdf.select(
+            "doc_id", html_text_blocks("html").alias("clean")
+        )
+        out = store.ingest(ext, f"web-run-{batch_id}")
+        if out is not None:
+            got.update(
+                {r.doc_id: (r.clean_text, r.n_removed) for r in out.collect()}
+            )
+            unpersist_deps(out)
+
+    stream = (
+        spark.readStream.schema("doc_id long, html string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "web_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = spark.read.parquet(str(src / "*"))
+    oneshot = paragraph_dedup(
+        union.select("doc_id", html_text_blocks("html").alias("clean")),
+        "clean", "doc_id",
+    )
+    want = {r.doc_id: (r.clean_text, r.n_removed) for r in oneshot.collect()}
+    assert got == want
+    # page 12 repeats page 1's body AND the shared footer -> only its
+    # heading survives
+    assert got[12] == ("Page 12", 2)
+    assert got[1] == ("Page 1\nfirst body\nAbout | Terms", 0)
