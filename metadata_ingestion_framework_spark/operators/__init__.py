@@ -67,6 +67,7 @@ from metadata_ingestion_framework_spark.operators.multimodal import (
 from metadata_ingestion_framework_spark.operators.retrieval import (
     Bm25Index,
     bm25_maxp,
+    bm25_maxp_served,
     bm25_topk,
     contamination_triage,
 )
@@ -111,6 +112,7 @@ __all__ = [
     "lsh_topk",
     "mmr_rerank",
     "bm25_maxp",
+    "bm25_maxp_served",
     "ivf_topk",
     "embedding_near_duplicates",
     "pq_codebooks",

@@ -178,15 +178,9 @@ def bm25_maxp(
         chunk_passages,
     )
 
-    passages = chunk_passages(
-        docs.select(id_col, text_col), text_col, id_col,
-        chunk_tokens=chunk_tokens, overlap=overlap,
+    pas = packed_passages(
+        docs, text_col, id_col, chunk_tokens=chunk_tokens, overlap=overlap
     )
-    pid = (
-        F.col(id_col).cast("long") * F.lit(1_000_000)
-        + F.col("chunk_id").cast("long")
-    )
-    pas = passages.select(pid.alias("__pid"), F.col("passage"))
     topk_pass = bm25_topk(
         pas,
         queries.select(
@@ -199,15 +193,59 @@ def bm25_maxp(
     # a doc's best passage may rank arbitrarily low globally) — the rank
     # window it pays is the same one _topk would run anyway, on rows
     # already bounded by Q x query-term postings.
-    per_doc = topk_pass.select(
+    out = _maxp_aggregate(topk_pass, "__pid", id_col, query_id_col, k)
+    deps = list(getattr(topk_pass, "_persisted_deps", ()))
+    if deps:
+        out._persisted_deps = deps
+    return out
+
+
+def packed_passages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """``(__pid, passage)`` — the MaxP passage corpus: chunk_passages
+    output keyed by the packed passage id ``doc_id * 1e6 + chunk_id``.
+    Shared by the per-call :func:`bm25_maxp` and the index-served face
+    (build a :class:`Bm25Index` over this frame with ``id_col='__pid'``,
+    ``text_col='passage'`` and serve through :func:`bm25_maxp_served`)."""
+    from metadata_ingestion_framework_spark.functions.text import (
+        chunk_passages,
+    )
+
+    passages = chunk_passages(
+        docs.select(id_col, text_col), text_col, id_col,
+        chunk_tokens=chunk_tokens, overlap=overlap,
+    )
+    pid = (
+        F.col(id_col).cast("long") * F.lit(1_000_000)
+        + F.col("chunk_id").cast("long")
+    )
+    return passages.select(pid.alias("__pid"), F.col("passage"))
+
+
+def _maxp_aggregate(
+    scored: DataFrame,
+    pid_col: str,
+    doc_id_col: str,
+    query_id_col: str,
+    k: int,
+) -> DataFrame:
+    """The MaxP tail shared by the per-call and served faces: unpack the
+    passage id, keep each document's best passage (ties to the smallest
+    chunk), family-tiebreak doc top-k."""
+    per_doc = scored.select(
         query_id_col,
-        F.expr("__pid div 1000000").alias(id_col),
-        F.pmod(F.col("__pid"), F.lit(1_000_000)).cast("int").alias(
+        F.expr(f"`{pid_col}` div 1000000").alias(doc_id_col),
+        F.pmod(F.col(pid_col), F.lit(1_000_000)).cast("int").alias(
             "best_chunk"
         ),
         "score",
     )
-    w = Window.partitionBy(query_id_col, id_col).orderBy(
+    w = Window.partitionBy(query_id_col, doc_id_col).orderBy(
         F.col("score").desc_nulls_last(), F.col("best_chunk").asc()
     )
     best = (
@@ -215,11 +253,43 @@ def bm25_maxp(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    out = _topk(
-        best.select(query_id_col, id_col, "best_chunk", "score"),
-        k, query_id_col, id_col,
+    return _topk(
+        best.select(query_id_col, doc_id_col, "best_chunk", "score"),
+        k, query_id_col, doc_id_col,
     )
-    deps = list(getattr(topk_pass, "_persisted_deps", ()))
+
+
+def bm25_maxp_served(
+    bm25_index: "Bm25Index",
+    queries: DataFrame,
+    k: int = 10,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """MaxP served from a PASSAGE-grain persistent index (r15): the
+    index holds :func:`packed_passages` rows (``id_col='__pid'``,
+    ``text_col='passage'``), so recurring query batches run
+    :meth:`Bm25Index.topk` — term-bucket directory pruning, df from the
+    pruned rows, exact composed stats — with the passage cut disabled,
+    then the shared :func:`_maxp_aggregate` tail. Served == per-call
+    :func:`bm25_maxp` over the same corpus row-for-row (pytest-pinned:
+    serve==rebuild equality composes through the per-document MAX and
+    the family tiebreak, both deterministic on the identical scores).
+    Release ``_persisted_deps`` when done."""
+    lex = bm25_index.topk(
+        queries.select(
+            F.col(query_id_col),
+            F.col(text_col).alias(bm25_index.text_col),
+        ),
+        k=2_000_000_000, k1=k1, b=b, query_id_col=query_id_col,
+    )
+    out = _maxp_aggregate(
+        lex, bm25_index.id_col, doc_id_col, query_id_col, k
+    )
+    deps = list(getattr(lex, "_persisted_deps", ()))
     if deps:
         out._persisted_deps = deps
     return out

@@ -421,3 +421,46 @@ def test_sized_index_append_keeps_layout(spark, tmp_path):
     got = _rows(idx.topk(q, k=10))
     want = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
     assert got == want and len(got) > 0
+
+
+def test_maxp_served_equals_per_call(spark, tmp_path):
+    """bm25_maxp_served (r15): a PASSAGE-grain Bm25Index (packed pids,
+    grown via build + append) serves MaxP row-for-row equal to the
+    per-call bm25_maxp over the merged corpus — serve==rebuild composes
+    through the per-document MAX and both tiebreaks."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        Bm25Index,
+        bm25_maxp,
+        bm25_maxp_served,
+        packed_passages,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    pas = packed_passages(docs, chunk_tokens=32, overlap=8)
+    idx = Bm25Index(
+        spark, str(tmp_path / "pidx"), id_col="__pid", text_col="passage",
+        doc_bucket_width=32_000_000,  # pid units: 32 docs per bucket
+        n_buckets=16,
+    )
+    idx.build(pas.filter(F.col("__pid") < 80_000_000))
+    idx.append(pas.filter(F.col("__pid") >= 80_000_000))
+
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    served = bm25_maxp_served(idx, queries, k=10)
+    got = sorted(map(tuple, served.collect()))
+    unpersist_deps(served)
+    percall = bm25_maxp(docs, queries, k=10, chunk_tokens=32, overlap=8)
+    want = sorted(map(tuple, percall.collect()))
+    unpersist_deps(percall)
+    assert got == want and len(got) == 30
