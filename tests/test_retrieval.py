@@ -209,3 +209,37 @@ def test_bm25_maxp_finds_buried_section(spark):
     assert rows[1][0] == 1          # buried-section doc wins
     assert rows[1][1] > 0           # via a NON-leading passage
     assert rows[2][0] == 2
+
+
+def test_bm25_maxp_dirty_docs(spark):
+    """Dirty-data contract (r15): NULL-text and empty-text docs emit no
+    passages (chunk_passages' NULL/empty guard) and simply never rank;
+    a query with no [a-z] terms returns no rows for that query while
+    others are unaffected."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        bm25_maxp,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra census report words " * 6),
+            (2, None),
+            (3, ""),
+            (4, "unrelated filler body " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "zebra census"), (101, "12345 !!!")],
+        "query_id long, text string",
+    )
+    out = bm25_maxp(docs, queries, k=5, chunk_tokens=16, overlap=4)
+    rows = [(r.query_id, r.doc_id, r.rank) for r in out.collect()]
+    unpersist_deps(out)
+    qids = {q for q, _, _ in rows}
+    assert qids == {100}                       # termless query: no rows
+    assert (100, 1, 1) in rows                 # zebra doc ranks first
+    assert all(d not in (2, 3) for _, d, _ in rows)

@@ -335,3 +335,36 @@ def test_mmr_rerank_lambda_one_is_relevance_order(spark):
         (r.query_id, r.rank): r.vec_id for r in topk.collect()
     }
     assert got == want and len(got) == 24
+
+
+def test_mmr_rerank_dirty_vectors_deterministic(spark):
+    """Dirty-data contract (r15): a zero-vector candidate scores sim 0.0
+    against everything (the cosine zero-denominator guard) and still
+    ranks deterministically; a candidate id missing from the vector
+    table drops out of the rerank (inner candidate-vector fetch) without
+    affecting the others' objectives."""
+    from pyspark.sql import Window
+
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),   # zero vector
+            (3, [0.9, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    topk = spark.createDataFrame(
+        [(7, 1, 1), (7, 2, 2), (7, 3, 3), (7, 99, 4)],  # 99 has no vector
+        "query_id long, vec_id long, rank long",
+    )
+    out = mmr_rerank(topk, vecs, m=5)
+    rows = sorted((r.mmr_rank, r.vec_id) for r in out.collect())
+    for d in out._persisted_deps:
+        d.unpersist()
+    # 99 dropped; first pick = best rel (rank 1); the zero vector's sims
+    # are all 0.0 so it beats the similar-to-1 doc 3 at step 2
+    assert [v for _, v in rows] == [1, 2, 3]
