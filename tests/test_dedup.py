@@ -280,6 +280,48 @@ def test_paragraph_dedup_shuffle_join_parity(spark):
     assert {r["source"] for r in a} == {"s0", "s1"}
 
 
+def test_paragraph_dedup_viral_boilerplate_no_window(spark):
+    """VERDICT r15 item 1: one boilerplate paragraph repeated ~1e5 times
+    (the cookie-banner case a real crawl is full of) must (a) resolve to
+    exactly one surviving owner with the same first-(id,pos) precedence,
+    and (b) run WITHOUT any Window operator in the plan — the old
+    ``Window.partitionBy("gh")`` put every occurrence of a viral hash
+    into a single task AQE cannot split; the first-owner aggregation is
+    partial-aggregable (map-side combine) and its join-back is
+    AQE-skew-splittable."""
+    import pyspark.sql.functions as F
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("Accept all cookies to continue.\nunique para "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(df, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "viral-hash-skewed window operator is back"
+    agg = out.agg(
+        F.sum("n_removed").alias("rm"),
+        F.sum(F.when(F.col("n_removed") == 0, 1).otherwise(0)).alias("clean"),
+    ).collect()[0]
+    # doc 0 owns the boilerplate; every other doc loses exactly it
+    assert agg["rm"] == n - 1 and agg["clean"] == 1
+    owner = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert owner["clean_text"] == (
+        "Accept all cookies to continue.\nunique para 0"
+    )
+    victim = out.filter(F.col("doc_id") == 17).collect()[0]
+    assert (victim["clean_text"], victim["n_removed"]) == (
+        "unique para 17", 1,
+    )
+
+
 def test_web_pipeline_order(spark):
     """The real web-curation order (VERDICT r14 item 3): html extract +
     boilerplate gate -> paragraph dedup -> quality heuristics. A footer

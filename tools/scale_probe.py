@@ -1265,7 +1265,9 @@ def main_bm25sizing(args: list[str]) -> None:
 def _synth_pardocs(spark, n, id_offset=0):
     """Synthetic paragraph corpora: 5 paragraphs per doc; every 10th
     paragraph slot draws from a 100-paragraph shared pool (cross-doc
-    dups fire), the rest are doc-unique."""
+    dups fire), the rest are doc-unique. Pool key is ``(slot // 10) %
+    100`` so the pool genuinely spans 100 values — ``slot % 100`` under
+    ``slot % 10 == 0`` only ever produced 10 (r15 ADVICE)."""
     cols = []
     for i in range(5):
         slot = F.col("id") * 5 + F.lit(i)
@@ -1274,7 +1276,7 @@ def _synth_pardocs(spark, n, id_offset=0):
                 slot % 10 == 0,
                 F.concat(
                     F.lit("shared pool paragraph number "),
-                    (slot % 100).cast("string"),
+                    ((slot / 10).cast("long") % 100).cast("string"),
                 ),
             ).otherwise(
                 F.concat(
@@ -1369,7 +1371,80 @@ def main_parstore(args: list[str]) -> None:
     spark.stop()
 
 
+def main_parskew(args: list[str]) -> None:
+    """Viral-boilerplate skew probe (r16, VERDICT r15 item 1): a corpus
+    where 5 paragraphs appear in EVERY doc (the cookie-banner shape a
+    real crawl is full of). Times the removal-set stage under the OLD
+    ``Window.partitionBy(gh)`` formulation (every occurrence of a viral
+    hash in ONE task, AQE cannot split) vs the shipped first-owner
+    aggregation (partial-aggregable groupBy + AQE-skew-splittable
+    join-back), same persisted paragraph rows, plus the e2e rewrite."""
+    import time as _t
+
+    from pyspark.sql import Window
+
+    n = int(args[0]) if args else 2_000_000
+    n_viral = int(args[1]) if len(args) > 1 else 1
+    sys.path.insert(0, "/root/repo")
+    from metadata_ingestion_framework_spark import get_spark
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _first_owner_dups,
+        _paragraph_rows,
+        paragraph_dedup,
+    )
+
+    spark = get_spark("parskew-probe")
+    viral = [
+        F.lit(
+            f"viral boilerplate banner number {i % n_viral} accept cookies"
+        )
+        for i in range(5)
+    ]
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n", *viral,
+            F.concat(F.lit("unique body of doc "), F.col("id").cast("string")),
+        ).alias("text"),
+    )
+    paras = _paragraph_rows(docs, "text", "doc_id").persist()
+    paras.count()
+
+    def timed(fn):
+        t0 = _t.perf_counter()
+        v = fn()
+        return round(_t.perf_counter() - t0, 2), v
+
+    w = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    old_dups = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1).select("doc_id", "pos")
+    )
+    t_old, c_old = timed(old_dups.count)
+    t_new, c_new = timed(lambda: _first_owner_dups(paras, "doc_id").count())
+    t_e2e, _ = timed(
+        lambda: paragraph_dedup(docs, "text", "doc_id")
+        .agg(F.sum("n_removed")).collect()
+    )
+    assert c_old == c_new == 5 * n - n_viral
+    result = {
+        "probe": "paragraph_skew_firstowner", "n_docs": n,
+        "n_viral": n_viral,
+        "viral_occurrences_per_hash": 5 * n // n_viral,
+        "old_window_sec": t_old, "first_owner_sec": t_new,
+        "speedup": round(t_old / max(t_new, 0.01), 1),
+        "e2e_rewrite_sec": t_e2e,
+    }
+    with open("PROGRESS.jsonl", "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--parskew":
+        main_parskew(sys.argv[2:])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
         main_incremental(sys.argv[2:])
         return
