@@ -3672,14 +3672,19 @@ base0 AS (
   FROM cand c JOIN embeddings e USING (vec_id)
 ),
 pairs AS (
+  -- COALESCE mirrors the Spark kernel: a NULL vector's pair sim counts
+  -- as 0.0 redundancy on both engines (r15 ADVICE)
   SELECT a.query_id, a.vec_id AS da, b.vec_id AS db,
-    ROUND({_cos_sql("a.v", "b.v")}, 6) AS s
+    COALESCE(ROUND({_cos_sql("a.v", "b.v")}, 6), 0.0) AS s
   FROM base0 a JOIN base0 b
     ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
 ),
 base AS (
-  SELECT b.query_id, b.vec_id, b.rel, l.sims
-  FROM base0 b JOIN (
+  -- LEFT join + empty-list default: a query with exactly ONE candidate
+  -- has no pairs, and an inner join would drop it while the Spark side
+  -- (left join, None sims handled) emits it (r15 ADVICE)
+  SELECT b.query_id, b.vec_id, b.rel, COALESCE(l.sims, []) AS sims
+  FROM base0 b LEFT JOIN (
     SELECT query_id, da AS vec_id,
            list(struct_pack(d := db, s := s)) AS sims
     FROM pairs GROUP BY query_id, da

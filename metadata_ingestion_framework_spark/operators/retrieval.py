@@ -165,19 +165,19 @@ def bm25_maxp(
     Returns ``(query_id, doc_id, best_chunk, score, rank)`` — the
     winning passage rides along for snippet/provenance use. Ties inside
     a document resolve to the smallest chunk_id; the document top-k uses
-    the family tiebreak. Passage ids pack as ``doc_id * 1e6 + chunk_id``
-    (documents above 1e6 chunks of ``chunk_tokens - overlap`` tokens are
-    outside the packing contract).
+    the family tiebreak. NUMERIC doc ids pack as ``doc_id * 1e6 +
+    chunk_id`` (contract: ``0 <= doc_id`` — a negative id mis-unpacks
+    under ``div``/``pmod`` (r15 ADVICE) — and under 1e6 chunks per doc);
+    string/other ids ride a ``(doc, chunk)`` STRUCT pid instead (r16,
+    VERDICT r15 item 6 — the image/frames struct-key precedent), same
+    dataflow end to end. Negative numeric corpora can force the struct
+    path with ``packed_passages(..., packed=False)``.
 
     Scale shape: identical to :func:`bm25_topk` — chunking is map-only
     codegen (~1/(chunk-overlap) text duplication), the passage postings
     restrict to the query vocabulary through the same broadcast, and the
     MaxP window adds one Q*passages-bounded shuffle on already-skinny
     scored rows. Release ``_persisted_deps`` when done."""
-    from metadata_ingestion_framework_spark.functions.text import (
-        chunk_passages,
-    )
-
     pas = packed_passages(
         docs, text_col, id_col, chunk_tokens=chunk_tokens, overlap=overlap
     )
@@ -206,11 +206,18 @@ def packed_passages(
     id_col: str = "doc_id",
     chunk_tokens: int = 64,
     overlap: int = 16,
+    packed: bool | None = None,
 ) -> DataFrame:
     """``(__pid, passage)`` — the MaxP passage corpus: chunk_passages
-    output keyed by the packed passage id ``doc_id * 1e6 + chunk_id``.
-    Shared by the per-call :func:`bm25_maxp` and the index-served face
-    (build a :class:`Bm25Index` over this frame with ``id_col='__pid'``,
+    output keyed by the passage id. Integral doc ids pack as ``doc_id *
+    1e6 + chunk_id`` (contract: nonnegative ids, under 1e6 chunks —
+    r15 ADVICE: a negative id mis-unpacks under ``div``/``pmod``); any
+    other id type keys a ``(doc, chunk)`` STRUCT pid (struct group-by /
+    ordering are native, the image-frames precedent). ``packed=None``
+    auto-selects by dtype; pass ``packed=False`` to force the struct
+    path (e.g. negative numeric corpora). Shared by the per-call
+    :func:`bm25_maxp` and the index-served face (build a
+    :class:`Bm25Index` over this frame with ``id_col='__pid'``,
     ``text_col='passage'`` and serve through :func:`bm25_maxp_served`)."""
     from metadata_ingestion_framework_spark.functions.text import (
         chunk_passages,
@@ -220,10 +227,20 @@ def packed_passages(
         docs.select(id_col, text_col), text_col, id_col,
         chunk_tokens=chunk_tokens, overlap=overlap,
     )
-    pid = (
-        F.col(id_col).cast("long") * F.lit(1_000_000)
-        + F.col("chunk_id").cast("long")
-    )
+    if packed is None:
+        packed = dict(docs.dtypes)[id_col] in (
+            "tinyint", "smallint", "int", "bigint"
+        )
+    if packed:
+        pid = (
+            F.col(id_col).cast("long") * F.lit(1_000_000)
+            + F.col("chunk_id").cast("long")
+        )
+    else:
+        pid = F.struct(
+            F.col(id_col).alias("doc"),
+            F.col("chunk_id").cast("int").alias("chunk"),
+        )
     return passages.select(pid.alias("__pid"), F.col("passage"))
 
 
@@ -235,14 +252,19 @@ def _maxp_aggregate(
     k: int,
 ) -> DataFrame:
     """The MaxP tail shared by the per-call and served faces: unpack the
-    passage id, keep each document's best passage (ties to the smallest
-    chunk), family-tiebreak doc top-k."""
+    passage id (packed-long div/pmod, or struct field access for the
+    string-id path — dtype-dispatched), keep each document's best
+    passage (ties to the smallest chunk), family-tiebreak doc top-k."""
+    if dict(scored.dtypes)[pid_col].startswith("struct"):
+        doc_expr = F.col(pid_col)["doc"]
+        chunk_expr = F.col(pid_col)["chunk"].cast("int")
+    else:
+        doc_expr = F.expr(f"`{pid_col}` div 1000000")
+        chunk_expr = F.pmod(F.col(pid_col), F.lit(1_000_000)).cast("int")
     per_doc = scored.select(
         query_id_col,
-        F.expr(f"`{pid_col}` div 1000000").alias(doc_id_col),
-        F.pmod(F.col(pid_col), F.lit(1_000_000)).cast("int").alias(
-            "best_chunk"
-        ),
+        doc_expr.alias(doc_id_col),
+        chunk_expr.alias("best_chunk"),
         "score",
     )
     w = Window.partitionBy(query_id_col, doc_id_col).orderBy(

@@ -1047,8 +1047,14 @@ def mmr_rerank(
             F.col(f"a.{query_id_col}").alias(query_id_col),
             F.col(f"a.{id_col}").alias(id_col),
             F.col(f"b.{id_col}").alias("__other"),
-            F.round(cosine(F.col("a.__vec"), F.col("b.__vec")), 6)
-            .alias("__sim"),
+            # coalesce: a NULL candidate vector yields round(cosine)=NULL,
+            # and a None entering the numpy float64 simmat raises in the
+            # executor (r15 ADVICE) — treat unknown similarity as 0.0
+            # (contributes no redundancy penalty) on BOTH engines
+            F.coalesce(
+                F.round(cosine(F.col("a.__vec"), F.col("b.__vec")), 6),
+                F.lit(0.0),
+            ).alias("__sim"),
         )
     )
     sims = pairs.groupBy(query_id_col, id_col).agg(

@@ -464,3 +464,66 @@ def test_maxp_served_equals_per_call(spark, tmp_path):
     want = sorted(map(tuple, percall.collect()))
     unpersist_deps(percall)
     assert got == want and len(got) == 30
+
+
+def test_maxp_string_ids_per_call_and_served(spark, tmp_path):
+    """VERDICT r15 item 6: non-numeric doc ids ride a (doc, chunk)
+    STRUCT pid through the whole MaxP dataflow — per-call results equal
+    the packed-id run on the same corpus (modulo the id rename), and a
+    struct-pid Bm25Index serves row-for-row equal to per-call."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        Bm25Index,
+        bm25_maxp,
+        bm25_maxp_served,
+        packed_passages,
+    )
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    docs = base.select(
+        F.concat(F.lit("doc-"), F.format_string("%04d", "doc_id"))
+        .alias("doc_id"),
+        "text",
+    )
+    queries = docs.filter(F.col("doc_id") < "doc-0003").select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    assert dict(
+        packed_passages(docs, chunk_tokens=32, overlap=8).dtypes
+    )["__pid"].startswith("struct")
+
+    got = bm25_maxp(docs, queries, k=10, chunk_tokens=32, overlap=8)
+    got_rows = sorted(map(tuple, got.collect()))
+    unpersist_deps(got)
+    # same corpus under packed numeric ids — results must agree modulo
+    # the id rename (the zero-padded string order matches numeric order)
+    nq = base.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    num = bm25_maxp(base, nq, k=10, chunk_tokens=32, overlap=8)
+    num_rows = sorted(
+        (f"doc-{q:04d}", f"doc-{d:04d}", c, s, r)
+        for q, d, c, s, r in num.collect()
+    )
+    unpersist_deps(num)
+    assert got_rows == num_rows and len(got_rows) == 30
+
+    pas = packed_passages(docs, chunk_tokens=32, overlap=8)
+    idx = Bm25Index(
+        spark, str(tmp_path / "sidx"), id_col="__pid", text_col="passage",
+        n_buckets=8,
+    )
+    idx.build(pas.filter(F.col("__pid.doc") < "doc-0040"))
+    idx.append(pas.filter(F.col("__pid.doc") >= "doc-0040"))
+    served = bm25_maxp_served(idx, queries, k=10)
+    served_rows = sorted(map(tuple, served.collect()))
+    unpersist_deps(served)
+    assert served_rows == got_rows

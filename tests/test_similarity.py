@@ -354,17 +354,19 @@ def test_mmr_rerank_dirty_vectors_deterministic(spark):
             (1, [1.0, 0.0]),
             (2, [0.0, 0.0]),   # zero vector
             (3, [0.9, 0.1]),
-        ],
+            (4, None),         # NULL vector (r15 ADVICE: must not crash
+        ],                     # the numpy simmat fill; sim treated as 0.0)
         "vec_id long, embedding array<float>",
     )
     topk = spark.createDataFrame(
-        [(7, 1, 1), (7, 2, 2), (7, 3, 3), (7, 99, 4)],  # 99 has no vector
-        "query_id long, vec_id long, rank long",
+        [(7, 1, 1), (7, 2, 2), (7, 3, 3), (7, 99, 4), (7, 4, 5)],
+        "query_id long, vec_id long, rank long",  # 99 has no vector row
     )
     out = mmr_rerank(topk, vecs, m=5)
     rows = sorted((r.mmr_rank, r.vec_id) for r in out.collect())
     for d in out._persisted_deps:
         d.unpersist()
     # 99 dropped; first pick = best rel (rank 1); the zero vector's sims
-    # are all 0.0 so it beats the similar-to-1 doc 3 at step 2
-    assert [v for _, v in rows] == [1, 2, 3]
+    # are all 0.0 so it beats the similar-to-1 doc 3 at step 2; the NULL
+    # vector survives with all-0.0 sims and lands by rel order
+    assert [v for _, v in rows] == [1, 2, 4, 3]
