@@ -188,10 +188,40 @@ def minhash_batch_drops(
     (which passes the stored, bucket-pruned band table) and the
     ``incremental_dedup`` oracle query (which derives the store side
     in-plan) — so the driver's DuckDB gate value-checks the exact join
-    the store path runs.
+    the store path runs. Since r16 a thin wrapper over
+    :func:`minhash_batch_pairs` (the loser column of every verified
+    pair — identical output by construction).
 
     Returns a 1-column DataFrame ``(id_col,)`` of dropped batch ids.
     """
+    return (
+        minhash_batch_pairs(
+            store_sigs, batch_sigs, id_col, num_hashes, bands,
+            jaccard_threshold, store_bands_df,
+        )
+        .select(F.col("__loser").alias(id_col))
+        .distinct()
+    )
+
+
+def minhash_batch_pairs(
+    store_sigs: DataFrame | None,
+    batch_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    store_bands_df: DataFrame | None = None,
+) -> DataFrame:
+    """Verified near-dup PAIRS touching the batch (r16, VERDICT r15
+    item 4) — the pair-level primitive under :func:`minhash_batch_drops`
+    (which keeps only the loser column): ``(__loser, __winner,
+    __store)`` where intra-batch pairs carry the LARGER batch id as
+    loser (min-id precedence) and batch-vs-store pairs carry the batch
+    id as loser (temporal precedence), ``__store`` flagging the latter.
+    Store-vs-store pairs never appear (decided in earlier runs). The
+    :class:`CrossModalPairStore` consumes the full pairs for its LAION
+    decision table."""
     _jac = jaccard_estimate_udf()
     batch_bands = minhash_bands(batch_sigs, id_col, num_hashes, bands)
 
@@ -217,17 +247,20 @@ def minhash_batch_drops(
     sig_b = batch_sigs.select(
         F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("sig_b")
     )
-    intra_drops = (
+    intra_pairs = (
         intra_cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .withColumn("__j", _jac("sig_a", "sig_b"))
         .filter(F.col("__j") >= jaccard_threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+        .select(
+            F.col("id_b").alias("__loser"),
+            F.col("id_a").alias("__winner"),
+            F.lit(False).alias("__store"),
+        )
     )
 
     if store_sigs is None:
-        return intra_drops
+        return intra_pairs
 
     # vs store: every batch doc matching ANY stored doc drops (temporal
     # precedence). Same-id rows are the doc's own prior copy (a replayed
@@ -251,7 +284,7 @@ def minhash_batch_drops(
         )
         .dropDuplicates(["id_new", "id_old"])
     )
-    store_drops = (
+    store_pairs = (
         cross_cand.join(
             batch_sigs.select(
                 F.col(id_col).alias("id_new"), F.col("minhash_sig").alias("sig_a")
@@ -266,10 +299,13 @@ def minhash_batch_drops(
         )
         .withColumn("__j", _jac("sig_a", "sig_b"))
         .filter(F.col("__j") >= jaccard_threshold)
-        .select(F.col("id_new").alias(id_col))
-        .distinct()
+        .select(
+            F.col("id_new").alias("__loser"),
+            F.col("id_old").alias("__winner"),
+            F.lit(True).alias("__store"),
+        )
     )
-    return intra_drops.union(store_drops).distinct()
+    return intra_pairs.unionByName(store_pairs)
 
 
 class MinhashSignatureStore:
@@ -414,13 +450,23 @@ class MinhashSignatureStore:
         )
 
     # -- the operation -----------------------------------------------------
-    def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
+    def ingest(
+        self,
+        batch: DataFrame,
+        run_id: str,
+        signatures: DataFrame | None = None,
+    ) -> DataFrame | None:
         """Dedup ``batch`` against the store and itself; merge its
         signatures in; return the surviving batch rows (original columns).
 
         Returns None (store untouched) when ``run_id`` was already
         ingested. The store update is SCD1: a re-seen id's signature is
         replaced, not duplicated.
+
+        ``signatures`` (r16): precomputed, UNPERSISTED
+        :meth:`_signatures` output for ``batch`` — the
+        :class:`CrossModalPairStore` composition hands it in so the
+        Python signature kernel runs once per batch, not per face.
 
         The result carries its persisted drop set via ``_persisted_deps``
         — release with ``dedup.unpersist_deps(survivors)`` once consumed
@@ -429,7 +475,9 @@ class MinhashSignatureStore:
         """
         if run_id in self.ingested_runs():
             return None
-        sigs_new = self._signatures(batch).persist()
+        sigs_new = (
+            signatures if signatures is not None else self._signatures(batch)
+        ).persist()
         new_bands = self._band_rows(sigs_new)
         store_sigs = store_bands = None
         batch_buckets: list = []
@@ -975,8 +1023,36 @@ def image_hash_batch_drops(
     row never joins on id — the ``!=``/``<`` precedence predicates are
     NULL and the fingerprint re-attach equi-joins never match — so
     NULL-id rows always SURVIVE, intra-batch and vs the store alike.
-    Returns a 1-column DataFrame ``(id_col,)``.
+    Returns a 1-column DataFrame ``(id_col,)``. Since r16 a thin
+    wrapper over :func:`image_hash_batch_pairs` (the loser column of
+    every verified pair — identical output by construction).
     """
+    return (
+        image_hash_batch_pairs(
+            store_fps, batch_fps, id_col, hash_col, max_hamming, blocks,
+            store_bands_df,
+        )
+        .select(F.col("__loser").alias(id_col))
+        .distinct()
+    )
+
+
+def image_hash_batch_pairs(
+    store_fps: DataFrame | None,
+    batch_fps: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    store_bands_df: DataFrame | None = None,
+) -> DataFrame:
+    """Verified Hamming near-dup PAIRS touching the batch (r16, VERDICT
+    r15 item 4) — the pair-level primitive under
+    :func:`image_hash_batch_drops`: ``(__loser, __winner, __store)``,
+    intra-batch pairs carrying the larger batch id as loser, batch-vs-
+    store pairs the batch id (temporal precedence), ``__store`` flagging
+    the latter. Consumed by :class:`CrossModalPairStore`'s LAION
+    decision table."""
     batch_bands = image_fp_bands(batch_fps, id_col, hash_col, blocks)
 
     # intra-batch: smaller id wins
@@ -1001,15 +1077,18 @@ def image_hash_batch_drops(
         F.col(id_col).alias("id_b"), F.col(hash_col).alias("__fp_b")
     )
     ham = F.bit_count(F.col("__fp_a").bitwiseXOR(F.col("__fp_b")))
-    intra_drops = (
+    intra_pairs = (
         intra_cand.join(fp_a, "id_a")
         .join(fp_b, "id_b")
         .filter(ham <= max_hamming)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+        .select(
+            F.col("id_b").alias("__loser"),
+            F.col("id_a").alias("__winner"),
+            F.lit(False).alias("__store"),
+        )
     )
     if store_fps is None:
-        return intra_drops
+        return intra_pairs
 
     # vs store: any stored partner drops the batch doc (temporal
     # precedence). The caller excludes the batch's own ids from the
@@ -1033,7 +1112,7 @@ def image_hash_batch_drops(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    store_drops = (
+    store_pairs = (
         cross_cand.join(fp_a, "id_a")
         .join(
             store_fps.select(
@@ -1042,10 +1121,13 @@ def image_hash_batch_drops(
             "id_b",
         )
         .filter(ham <= max_hamming)
-        .select(F.col("id_a").alias(id_col))
-        .distinct()
+        .select(
+            F.col("id_a").alias("__loser"),
+            F.col("id_b").alias("__winner"),
+            F.lit(True).alias("__store"),
+        )
     )
-    return intra_drops.union(store_drops).distinct()
+    return intra_pairs.unionByName(store_pairs)
 
 
 def media_frame_batch_drops(
@@ -1391,15 +1473,27 @@ class ImageHashStore:
             extra_cols=extras + ("fp_bucket",),
         )
 
-    def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
+    def ingest(
+        self,
+        batch: DataFrame,
+        run_id: str,
+        fingerprints: DataFrame | None = None,
+    ) -> DataFrame | None:
         """Perceptually dedup ``batch`` against the store and itself;
         merge its fingerprints and band rows in; return surviving batch
         rows (original columns). None (store untouched) when ``run_id``
         already ran. Result carries its persisted drop set via
-        ``_persisted_deps`` — release with ``dedup.unpersist_deps``."""
+        ``_persisted_deps`` — release with ``dedup.unpersist_deps``.
+        ``fingerprints`` (r16): precomputed, UNPERSISTED
+        :meth:`_fingerprints` output for ``batch`` (the
+        :class:`CrossModalPairStore` single-kernel-run composition)."""
         if run_id in self.ingested_runs():
             return None
-        fps = self._fingerprints(batch).persist()
+        fps = (
+            fingerprints
+            if fingerprints is not None
+            else self._fingerprints(batch)
+        ).persist()
         drops = None
         # persist hygiene (r14 ADVICE): any failure between persist()
         # and the trailing unpersist (e.g. a failed store write) must
@@ -1670,9 +1764,32 @@ class ParagraphHashStore:
     docs are not revisited. ``_runs.json`` makes retries no-ops, and the
     store side of every ingest excludes the batch's own ids, so a replay
     after a ledger loss cannot dedup a doc against its own stored rows.
+
+    Membership probe (r16, VERDICT r15 item 2): an OPT-IN per-
+    ``par_bucket`` Bloom bitmap sidecar (table ``parbloom``:
+    (par_bucket, __w, __bits), the
+    :func:`dedup.ngram_contamination_bloom` machinery) probed FIRST —
+    the exact gh semi-join then scans only the buckets whose bloom any
+    batch hash hits. No false negatives (touched buckets' blooms are
+    rebuilt EXACTLY from the written contents on every delta write;
+    only a retention-straddled boundary is rebuilt separately), so
+    output is identical; FPs only widen the scanned bucket set.
+
+    DEFAULT OFF (``bloom_bits=0``) per the measured A/B (PROGRESS.jsonl
+    ``paragraph_store_10x`` r16, the store-layout-is-empirical rule): at
+    the 100x tier (50M stored rows, 1220 buckets) the bloom path costs
+    4.6s/ingest vs 1.0s for the plain column-pruned full gh scan, adds
+    ~2s of touched-bloom rebuild per delta, and 2.2x on the seed build
+    — a bloom dense enough to dodge batch-saturation (~26 bits/hash for
+    500-doc batches) is barely smaller than the skinny gh column itself,
+    and parquet+codegen scans ~50M rows/s. Enable (``bloom_bits=1<<22``)
+    only where ingest batches are overwhelmingly disjoint from the store
+    AND the store column scan dominates ingest latency; the [] fast path
+    then skips the membership semi-join entirely.
     """
 
     PARAS = "paras"
+    BLOOM = "parbloom"
 
     def __init__(
         self,
@@ -1682,6 +1799,8 @@ class ParagraphHashStore:
         text_col: str = "text",
         n_buckets: int = 64,
         par_bucket_width: int = 8192,
+        bloom_bits: int = 0,
+        bloom_hashes: int = 3,
     ):
         self.spark = spark
         self.store = VersionedParquetStore(spark, root)
@@ -1689,6 +1808,8 @@ class ParagraphHashStore:
         self.text_col = text_col
         self.n_buckets = n_buckets
         self.par_bucket_width = par_bucket_width
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_hashes = int(bloom_hashes)
         self._ledger_path = os.path.join(root, "_runs.json")
         _check_store_config(
             root,
@@ -1697,8 +1818,75 @@ class ParagraphHashStore:
                 "id_col": id_col,
                 "n_buckets": n_buckets,
                 "par_bucket_width": par_bucket_width,
+                # bloom geometry is config-pinned: an untouched bucket's
+                # stored bloom must be probed with the SAME positions it
+                # was built with, or membership grows false negatives
+                "bloom_bits": self.bloom_bits,
+                "bloom_hashes": self.bloom_hashes,
             },
         )
+
+    # -- bloom sidecar -----------------------------------------------------
+    def _bloom_positions(self, gh_rows: DataFrame) -> DataFrame:
+        """Explode ``bloom_hashes`` deterministic bit positions per gh:
+        ``pmod(xxhash64(gh, seed), bloom_bits)`` split into a word index
+        ``__w`` and an in-word bit ``__b`` — engine-internal values (the
+        oracle checks the exact FINAL output, which no-false-negatives
+        makes bloom-invariant)."""
+        out = gh_rows.withColumn(
+            "__seed",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(self.bloom_hashes)])
+            ),
+        )
+        pos = F.pmod(
+            F.xxhash64(F.col("gh"), F.col("__seed")),
+            F.lit(self.bloom_bits),
+        )
+        return out.withColumn(
+            "__w", F.shiftright(pos, 6).cast("int")
+        ).withColumn("__b", (pos % 64).cast("int"))
+
+    def _bloom_words(self, paras: DataFrame) -> DataFrame:
+        """(par_bucket, __w, __bits) bloom rows for the given paragraph
+        rows — sparse (all-zero words unstored), built with one
+        partial-aggregable bit_or keyed (par_bucket, __w). No distinct
+        anywhere: bit_or is idempotent, so duplicate gh occurrences cost
+        only map-side combine work, never an extra shuffle."""
+        return (
+            self._bloom_positions(paras.select("par_bucket", "gh"))
+            .groupBy("par_bucket", "__w")
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), __b)")
+                ).alias("__bits")
+            )
+        )
+
+    def _bloom_hit_buckets(self, paras_new: DataFrame) -> list | None:
+        """Bucket values whose bloom ANY batch hash fully hits (the
+        candidate scan set for the exact membership semi-join); ``None``
+        = sidecar absent (pre-r16 store — caller falls back to the full
+        scan and the next write migrates). A stored hash always hits its
+        own bucket (blooms are exact per write), so this can only
+        over-scan, never under-scan. ``bloom_bits=0`` disables the
+        sidecar entirely (always full scan)."""
+        if not self.bloom_bits or not self.store.exists(self.BLOOM):
+            return None
+        bpos = self._bloom_positions(paras_new.select("gh").distinct())
+        hit = F.expr("(shiftrightunsigned(__bits, __b) & 1) = 1")
+        rows = (
+            self.store.read(self.BLOOM)
+            .join(F.broadcast(bpos), "__w")
+            .filter(hit)
+            .groupBy("par_bucket", "gh")
+            .agg(F.count(F.lit(1)).alias("__h"))
+            .filter(F.col("__h") >= self.bloom_hashes)
+            .select("par_bucket")
+            .distinct()
+            .collect()
+        )
+        return [r.par_bucket for r in rows]
 
     # -- run ledger (the minhash store's retry bookkeeping, verbatim) ------
     def ingested_runs(self) -> list[str]:
@@ -1736,9 +1924,25 @@ class ParagraphHashStore:
         batch_ids = batch.select(self.id_col).distinct()
         store_paras = None
         if self.store.exists(self.PARAS):
-            store_paras = self.store.read(self.PARAS).join(
-                batch_ids, self.id_col, "left_anti"
-            )
+            # bloom-first membership (r16): scan only buckets whose
+            # sidecar bloom a batch hash hits; [] = provably no overlap,
+            # skip the store probe entirely. None = pre-sidecar store.
+            hit = self._bloom_hit_buckets(paras_new)
+            if hit is None:
+                scan = self.store.read(self.PARAS)
+            elif not hit:
+                scan = None
+            else:
+                match = F.col("par_bucket").isin(
+                    [v for v in hit if v is not None]
+                )
+                if None in hit:
+                    match = match | F.col("par_bucket").isNull()
+                scan = self.store.read(self.PARAS).filter(match)
+            if scan is not None:
+                store_paras = scan.join(
+                    batch_ids, self.id_col, "left_anti"
+                )
         # materialize the (batch-bounded) removal set while paras_new is
         # cached; persist(), not localCheckpoint (releasable-state rule)
         dups = paragraph_batch_removals(
@@ -1771,6 +1975,16 @@ class ParagraphHashStore:
             self.store.write(
                 surviving, self.PARAS, partition_by=["par_bucket"]
             )
+            if self.bloom_bits:
+                # build the sidecar from the WRITTEN version — a columnar
+                # read-back beats persisting the anti-join lineage, and
+                # the sidecar is self-healingly derived from exactly
+                # what a reader will scan
+                self.store.write(
+                    self._bloom_words(self.store.read(self.PARAS)),
+                    self.BLOOM,
+                    partition_by=["par_bucket"],
+                )
         else:
             # touched set from the BATCH ids (not the surviving rows): a
             # re-ingested doc whose new text dedups away entirely must
@@ -1808,6 +2022,28 @@ class ParagraphHashStore:
                 "par_bucket",
                 buckets,
             )
+            if not self.bloom_bits:
+                pass
+            elif self.store.exists(self.BLOOM):
+                # rebuild touched blooms from the WRITTEN version's
+                # touched partitions (columnar read-back, partition-
+                # pruned): derived exactly from what a reader scans, so
+                # vacated rows' bits vanish with them — no stale bits
+                written = self.store.read(self.PARAS).filter(match)
+                self.store.write_partition_delta(
+                    self._bloom_words(written),
+                    self.BLOOM,
+                    "par_bucket",
+                    buckets,
+                )
+            else:
+                # pre-sidecar store: one-time O(store) migration build
+                # from the freshly written version; delta thereafter
+                self.store.write(
+                    self._bloom_words(self.store.read(self.PARAS)),
+                    self.BLOOM,
+                    partition_by=["par_bucket"],
+                )
         self._record_run(run_id)
         paras_new.unpersist()
         out._persisted_deps = [dups]
@@ -1817,9 +2053,256 @@ class ParagraphHashStore:
         """Retention: drop every doc's paragraph rows below the id cutoff
         — whole range buckets are simply not carried (zero bytes
         rewritten), only a straddling boundary bucket rewrites filtered.
-        Expiry caveat shared with every dedup-state retention: a future
-        copy of a retired paragraph is no longer suppressed."""
-        _retire_range_ids_below(
+        The bloom sidecar follows: retired buckets' bloom partitions
+        drop, and a straddling boundary's bloom is REBUILT from the
+        retained rows (bits cannot be unset in place; a stale superset
+        would still be correct — FPs only — but rebuilding keeps the
+        probe tight). Expiry caveat shared with every dedup-state
+        retention: a future copy of a retired paragraph is no longer
+        suppressed."""
+        changed = _retire_range_ids_below(
             self.store, self.PARAS, "par_bucket", self.par_bucket_width,
             self.id_col, cutoff_id, "par_bucket",
         )
+        if (
+            not changed
+            or not self.bloom_bits
+            or not self.store.exists(self.BLOOM)
+        ):
+            return
+        boundary = (
+            -((-cutoff_id) // self.par_bucket_width)
+            if cutoff_id < 0
+            else cutoff_id // self.par_bucket_width
+        )
+        below = [
+            int(v)
+            for v in self.store.partition_values(self.BLOOM, "par_bucket")
+            if v is not None and int(v) < boundary
+        ]
+        if below:
+            self.store.delete_partitions(self.BLOOM, "par_bucket", below)
+        kept_boundary = self.store.read(self.PARAS).filter(
+            F.col("par_bucket") == boundary
+        )
+        self.store.write_partition_delta(
+            self._bloom_words(kept_boundary),
+            self.BLOOM,
+            "par_bucket",
+            [boundary],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal (caption, image) pair dedup across runs (r16, VERDICT r15
+# item 4)
+# ---------------------------------------------------------------------------
+
+
+def crossmodal_pair_decisions(
+    text_pairs: DataFrame, image_pairs: DataFrame
+) -> DataFrame:
+    """Fuse the two modality pair frames into the LAION decision table
+    ``(id_a, id_b, text_dup, image_dup)`` — id_a/id_b normalized
+    least/greatest, flags OR-aggregated by ONE groupBy over a tagged
+    union (the r15 ``crossmodal_dedup`` aggregation verbatim; no join
+    between the pair frames)."""
+
+    def tag(pairs: DataFrame, t: int, i: int) -> DataFrame:
+        return pairs.select(
+            F.least(F.col("__loser"), F.col("__winner")).alias("id_a"),
+            F.greatest(F.col("__loser"), F.col("__winner")).alias("id_b"),
+            F.lit(t).alias("t"),
+            F.lit(i).alias("i"),
+        )
+
+    return (
+        tag(text_pairs, 1, 0)
+        .unionAll(tag(image_pairs, 0, 1))
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.max("t") == 1).alias("text_dup"),
+            (F.max("i") == 1).alias("image_dup"),
+        )
+    )
+
+
+class CrossModalPairStore:
+    """Durable cross-run (caption, image) PAIR dedup state — the LAION/
+    DataComp curation rule applied ACROSS ingests (r16, VERDICT r15
+    item 4): a training pair is a duplicate candidate when its IMAGE is
+    a perceptual near-dup (Hamming) OR its CAPTION is a text near-dup
+    (MinHash-LSH), of anything seen in ANY earlier run or earlier in
+    the batch. No reference analogue (north-star training-data
+    extension; BASELINE.json).
+
+    Composition, not reimplementation: the state IS an
+    :class:`ImageHashStore` (``<root>/image``) plus a
+    :class:`MinhashSignatureStore` (``<root>/caption``) — every layout
+    invariant (id-range fp/sig buckets, band-bucket pruning, vacate,
+    retention, heal paths) is the proven machinery of the two faces.
+    Per ingest the batch's image fingerprints and caption signatures
+    are computed ONCE each and shared between the decision pass and the
+    sub-store merges (the ``fingerprints=``/``signatures=`` hooks); the
+    decision table fuses :func:`image_hash_batch_pairs` +
+    :func:`minhash_batch_pairs` — the PAIR-level primitives whose loser
+    columns are exactly ``image_hash_batch_drops`` /
+    ``minhash_batch_drops``, so the sub-stores' drop joins and the
+    decision pairs cannot drift.
+
+    Precedence per modality is the family rule (store beats batch,
+    min-id wins within the batch); store-vs-store pairs never reappear
+    (decided in their own runs). One shared run ledger at the composite
+    root gates the decision recompute; each sub-store's own ledger makes
+    the state writes individually replay-safe, so a crash between the
+    two merges heals on retry without double-merging either face.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        payload_col: str = "payload",
+        max_hamming: int = 3,
+        blocks: int = 4,
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_n: int = 3,
+        token_hash: str = "md5",
+        jaccard_threshold: float = 0.5,
+        n_buckets: int = 64,
+        bucket_width: int = 8192,
+    ):
+        self.spark = spark
+        self.id_col = id_col
+        self.img = ImageHashStore(
+            spark,
+            os.path.join(root, "image"),
+            id_col=id_col,
+            payload_col=payload_col,
+            max_hamming=max_hamming,
+            blocks=blocks,
+            n_buckets=n_buckets,
+            fp_bucket_width=bucket_width,
+        )
+        self.txt = MinhashSignatureStore(
+            spark,
+            os.path.join(root, "caption"),
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            token_hash=token_hash,
+            jaccard_threshold=jaccard_threshold,
+            n_buckets=n_buckets,
+            sig_bucket_width=bucket_width,
+        )
+        self._ledger_path = os.path.join(root, "_runs.json")
+        _check_store_config(
+            root,
+            {
+                "kind": "crossmodal_pairs",
+                "id_col": id_col,
+                # thresholds shape the DECISIONS this store has already
+                # emitted — reopening under different rules would mix
+                # incomparable decision histories
+                "max_hamming": max_hamming,
+                "jaccard_threshold": jaccard_threshold,
+            },
+        )
+
+    ingested_runs = MinhashSignatureStore.ingested_runs
+    _record_run = MinhashSignatureStore._record_run
+
+    def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
+        """Decide ``batch``'s pairs against both stores and itself;
+        merge both modalities' state in; return the decision table
+        ``(id_a, id_b, text_dup, image_dup)`` (every verified pair
+        touching >= 1 batch id). None when ``run_id`` already ran.
+        Release ``_persisted_deps`` when done."""
+        from metadata_ingestion_framework_spark.operators.dedup import (
+            unpersist_deps,
+        )
+
+        if run_id in self.ingested_runs():
+            return None
+        fps = self.img._fingerprints(batch).persist()
+        sigs = self.txt._signatures(batch).persist()
+        try:
+            # image side, pruned exactly like ImageHashStore.ingest
+            store_fps = store_ibands = None
+            if self.img.store.exists(self.img.FPS):
+                batch_ids = fps.select(self.id_col)
+                store_fps = self.img.store.read(self.img.FPS).join(
+                    batch_ids, self.id_col, "left_anti"
+                )
+                if self.img.store.exists(self.img.BANDS):
+                    ibuckets = [
+                        r.bucket
+                        for r in self.img._band_rows(fps)
+                        .select("bucket")
+                        .distinct()
+                        .collect()
+                    ]
+                    store_ibands = (
+                        self.img.store.read(self.img.BANDS)
+                        .filter(F.col("bucket").isin(ibuckets))
+                        .join(batch_ids, self.id_col, "left_anti")
+                    )
+            ip = image_hash_batch_pairs(
+                store_fps, fps, self.id_col, self.img.hash_col,
+                self.img.max_hamming, self.img.blocks,
+                store_bands_df=store_ibands,
+            )
+            # caption side, pruned exactly like MinhashSignatureStore
+            store_sigs = store_tbands = None
+            if self.txt.store.exists(self.txt.SIGS):
+                sbatch_ids = sigs.select(self.id_col)
+                store_sigs = self.txt.store.read(self.txt.SIGS).join(
+                    sbatch_ids, self.id_col, "left_anti"
+                )
+                if self.txt.store.exists(self.txt.BANDS):
+                    tbuckets = [
+                        r.bucket
+                        for r in self.txt._band_rows(sigs)
+                        .select("bucket")
+                        .distinct()
+                        .collect()
+                    ]
+                    store_tbands = (
+                        self.txt.store.read(self.txt.BANDS)
+                        .filter(F.col("bucket").isin(tbuckets))
+                        .join(sbatch_ids, self.id_col, "left_anti")
+                    )
+            tp = minhash_batch_pairs(
+                store_sigs, sigs, self.id_col, self.txt.num_hashes,
+                self.txt.bands, self.txt.jaccard_threshold,
+                store_bands_df=store_tbands,
+            )
+            decisions = crossmodal_pair_decisions(tp, ip).persist()
+            decisions.count()  # materialize while fps/sigs are cached
+
+            # state merges through the proven sub-store paths, each
+            # kernel's output handed in so it runs once per batch
+            s_img = self.img.ingest(batch, run_id, fingerprints=fps)
+            if s_img is not None:
+                unpersist_deps(s_img)
+            s_txt = self.txt.ingest(batch, run_id, signatures=sigs)
+            if s_txt is not None:
+                unpersist_deps(s_txt)
+            self._record_run(run_id)
+            decisions._persisted_deps = [decisions]
+            return decisions
+        finally:
+            fps.unpersist()
+            sigs.unpersist()
+
+    def retire_ids_below(self, cutoff_id: int) -> None:
+        """Retention delegates to both faces (zero-rewrite bucket drops
+        each). Shared expiry caveat: a future near-dup of a retired
+        pair is no longer suppressed."""
+        self.img.retire_ids_below(cutoff_id)
+        self.txt.retire_ids_below(cutoff_id)

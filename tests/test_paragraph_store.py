@@ -31,6 +31,14 @@ def store(spark, tmp_path):
     return ParagraphHashStore(spark, str(tmp_path / "parstore"))
 
 
+@pytest.fixture()
+def bstore(spark, tmp_path):
+    # bloom sidecar ON (opt-in since the r16 A/B defaulted it off)
+    return ParagraphHashStore(
+        spark, str(tmp_path / "parstore_bloom"), bloom_bits=1 << 22
+    )
+
+
 def _collect(out):
     rows = {r.doc_id: (r.clean_text, r.n_removed) for r in out.collect()}
     unpersist_deps(out)
@@ -179,3 +187,88 @@ def test_null_and_empty_text_roundtrip(spark, store):
     assert {
         r.doc_id for r in store.store.read(store.PARAS).collect()
     } == {3}
+
+
+def test_bloom_false_positive_heavy_output_identity(spark, tmp_path):
+    """r16 (VERDICT r15 item 2): a pathologically tiny bloom (64 bits —
+    essentially every probe is a false positive) must produce BYTE-
+    identical rewrites to a well-sized store over the same ingest
+    sequence: FPs only widen the scanned bucket set, the exact semi-join
+    is the decider."""
+    tiny = ParagraphHashStore(
+        spark, str(tmp_path / "tinybloom"), par_bucket_width=4,
+        bloom_bits=64, bloom_hashes=3,
+    )
+    wide = ParagraphHashStore(
+        spark, str(tmp_path / "widebloom"), par_bucket_width=4,
+        bloom_bits=1 << 22,
+    )
+    runs = [
+        ("r1", [(1, f"{P1}\n{P2}"), (2, f"{P2}\n{P3}\n{P3}")]),
+        ("r2", [(11, f"{P1}\n{P4}"), (12, f"{P4}\nfresh tail line")]),
+        ("r3", [(21, f"{P3}\nfresh tail line\nanother one")]),
+    ]
+    for run_id, rows in runs:
+        df = _docs(spark, rows)
+        got = _collect(tiny.ingest(df, run_id))
+        want = _collect(wide.ingest(df, run_id))
+        assert got == want
+    # both stores converged to the same surviving hash set
+    t = {r.gh for r in tiny.store.read(tiny.PARAS).collect()}
+    w = {r.gh for r in wide.store.read(wide.PARAS).collect()}
+    assert t == w and len(t) == 6
+
+
+def test_bloom_prunes_disjoint_batch_to_zero_buckets(spark, bstore):
+    """A batch whose hashes are all new must probe ZERO store buckets
+    (the [] fast path skips the membership semi-join entirely), while a
+    batch carrying a stored hash must hit that hash's bucket."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _paragraph_rows,
+    )
+
+    _collect(bstore.ingest(_docs(spark, [(1, f"{P1}\n{P2}")]), "run-1"))
+    disjoint = _paragraph_rows(
+        _docs(spark, [(50, f"{P3}\n{P4}")]), "text", "doc_id"
+    )
+    assert bstore._bloom_hit_buckets(disjoint) == []
+    dup = _paragraph_rows(
+        _docs(spark, [(60, f"{P1}\nsomething else")]), "text", "doc_id"
+    )
+    assert bstore._bloom_hit_buckets(dup) == [0]  # doc 1's id-range bucket
+    # and the [] path still dedups correctly end to end
+    got = _collect(bstore.ingest(_docs(spark, [(50, f"{P3}\n{P4}")]), "run-2"))
+    assert got[50] == (f"{P3}\n{P4}", 0)
+    got = _collect(
+        bstore.ingest(_docs(spark, [(60, f"{P1}\nsomething else")]), "run-3")
+    )
+    assert got[60] == ("something else", 1)
+
+
+def test_bloom_migration_from_pre_sidecar_store(spark, bstore, tmp_path):
+    """A store without the parbloom table (pre-r16 layout) falls back to
+    the full-scan membership probe and the next ingest builds the full
+    sidecar as a one-time migration."""
+    import shutil
+
+    _collect(bstore.ingest(_docs(spark, [(1, f"{P1}\n{P2}")]), "run-1"))
+    shutil.rmtree(bstore.store._dir(bstore.BLOOM))
+    assert not bstore.store.exists(bstore.BLOOM)
+    got = _collect(
+        bstore.ingest(_docs(spark, [(11, f"{P2}\nnew line here")]), "run-2")
+    )
+    assert got[11] == ("new line here", 1)
+    assert bstore.store.exists(bstore.BLOOM)
+    # migrated sidecar is immediately effective and exact
+    probe = bstore._bloom_hit_buckets(
+        _paragraph_rows_for_test(spark, f"{P1}")
+    )
+    assert probe == [0]
+
+
+def _paragraph_rows_for_test(spark, text):
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        _paragraph_rows,
+    )
+
+    return _paragraph_rows(_docs(spark, [(99, text)]), "text", "doc_id")

@@ -1317,15 +1317,20 @@ def main_parstore(args: list[str]) -> None:
     with tempfile.TemporaryDirectory() as workdir:
         # throwaway warmup arm: the paragraph kernel is so cheap that JVM
         # warmup otherwise dominates the 1x arm and growth reads < 1
-        wst = ParagraphHashStore(spark, os.path.join(workdir, "parstore_w"))
+        wst = ParagraphHashStore(
+            spark, os.path.join(workdir, "parstore_w"), bloom_bits=1 << 22
+        )
         w = wst.ingest(_synth_pardocs(spark, 2000), "warmup")
         w.count()
         unpersist_deps(w)
         for tag, n in [("1x", n_base), (f"{replicas}x", n_base * replicas)]:
             r: dict = {}
             print(f"== parstore, store {tag} ==", file=sys.stderr)
+            # bloom ON so the membership A/B stays measurable
+            # (default is OFF per this probe's own r16 adjudication)
             st = ParagraphHashStore(
-                spark, os.path.join(workdir, f"parstore_{tag}")
+                spark, os.path.join(workdir, f"parstore_{tag}"),
+                bloom_bits=1 << 22,
             )
             seed = _synth_pardocs(spark, n).persist()
             seed.count()
@@ -1345,6 +1350,41 @@ def main_parstore(args: list[str]) -> None:
                 lambda: _paragraph_rows(batch, "text", "doc_id").count(),
                 r,
             )
+            # r16 (VERDICT r15 item 2): the membership stage alone —
+            # bloom sidecar probe + the exact semi-join over ONLY the
+            # hit buckets. Expected O(hit buckets), not O(store): the
+            # batch's shared-pool hashes live in the seed's first few
+            # id-range buckets, its unique hashes hit nothing.
+            bp = _paragraph_rows(batch, "text", "doc_id").persist()
+            bp.count()
+
+            def _membership():
+                hit = st._bloom_hit_buckets(bp)
+                n_hit = len(hit) if hit is not None else -1
+                if not hit:
+                    return (n_hit, 0)
+                scan = st.store.read(st.PARAS).filter(
+                    F.col("par_bucket").isin(
+                        [v for v in hit if v is not None]
+                    )
+                )
+                seen = scan.join(
+                    F.broadcast(bp.select("gh").distinct()),
+                    "gh", "left_semi",
+                ).count()
+                return [n_hit, seen]  # rows field: [hit_buckets, seen]
+
+            timed("membership_stage", _membership, r)
+
+            def _membership_fullscan():
+                # the pre-r16 path: exact semi-join over the WHOLE store
+                return st.store.read(st.PARAS).join(
+                    F.broadcast(bp.select("gh").distinct()),
+                    "gh", "left_semi",
+                ).count()
+
+            timed("membership_fullscan", _membership_fullscan, r)
+            bp.unpersist()
 
             def _ingest():
                 s = st.ingest(batch, "r2")
