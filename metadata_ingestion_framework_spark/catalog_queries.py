@@ -4802,6 +4802,62 @@ FROM tagged GROUP BY id_a, id_b
 ORACLE_CROSSMODAL_DEDUP = _crossmodal_oracle_sql()
 
 
+def q_crossmodal_dedup_inc(spark, sf_dir):
+    """Incremental cross-modal pair dedup (operators/incremental.py::
+    CrossModalPairStore — the exact pair joins its ingest runs via
+    image_hash_batch_pairs + minhash_batch_pairs +
+    crossmodal_pair_decisions, r16 — VERDICT r15 item 4): image docs
+    with doc_id % 4 < 3 play the already-ingested store state (image
+    fingerprints + caption signatures), the rest arrive as the new
+    batch. The decision table must equal the FULL-UNION pair set (the
+    r15 ``crossmodal_dedup`` oracle composition verbatim) restricted to
+    pairs touching a batch id — candidate banding is per-doc pure, so
+    split-corpus pair generation == full-corpus pairs within the
+    touching-batch subset, and store-vs-store pairs are precisely the
+    ones already decided in earlier runs."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        crossmodal_pair_decisions,
+        image_hash_batch_pairs,
+        minhash_batch_pairs,
+    )
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        image_hashes,
+    )
+
+    media = _real_media(spark, sf_dir).filter(F.col("kind") == "image")
+    prs = (
+        t(spark, sf_dir, "documents")
+        .join(
+            media.select(F.col("media_id").alias("doc_id"), "payload"),
+            "doc_id",
+        )
+        .select("doc_id", "text", "payload")
+    )
+    store = prs.filter(F.col("doc_id") % 4 < 3).persist()
+    batch = prs.filter(F.col("doc_id") % 4 == 3).persist()
+    sfps = image_hashes(store, "payload", "doc_id").persist()
+    bfps = image_hashes(batch, "payload", "doc_id").persist()
+    ip = image_hash_batch_pairs(sfps, bfps, "doc_id", "dhash", 3, 4)
+    # store-side frames feed BOTH band derivation and the verify
+    # re-attach joins (the self-join rule) — persist all four
+    ssigs = minhash_signatures(store, "text", "doc_id", 64, 3, "md5").persist()
+    bsigs = minhash_signatures(batch, "text", "doc_id", 64, 3, "md5").persist()
+    tp = minhash_batch_pairs(ssigs, bsigs, "doc_id", 64, 16, 0.5)
+    out = crossmodal_pair_decisions(tp, ip)
+    out._persisted_deps = [store, batch, sfps, bfps, ssigs, bsigs]
+    return out
+
+
+#: the full-union composition post-filtered to pairs touching the batch
+ORACLE_CROSSMODAL_DEDUP_INC = (
+    "SELECT * FROM (" + _crossmodal_oracle_sql() + ") "
+    "WHERE id_a % 4 = 3 OR id_b % 4 = 3"
+)
+
+
 def q_audio_dedup(spark, sf_dir):
     """Perceptual audio dedup (operators/multimodal.py::audio_hashes +
     dedup.hamming_banded_pairs, r14, VERDICT r13 item 2): 64-bit integer
@@ -6683,9 +6739,10 @@ QUERIES = {
     # ParagraphHashStore lifecycle replayed in-plan — two sequential
     # ingests (surviving-owner store rows, broadcast-hash store join)
     # value-checked against the batch-major one-shot oracle
-    "media_dedup_incremental": q_media_dedup_incremental,  # r13 NEW:
-    # cross-run perceptual image dedup (the ImageHashStore ingest join),
-    # full-union precedence rerun oracle
+    "crossmodal_dedup_inc": q_crossmodal_dedup_inc,  # r16 NEW: the
+    # CrossModalPairStore ingest pair joins (image_hash_batch_pairs +
+    # minhash_batch_pairs + the LAION flag fusion) — full-union rerun
+    # oracle restricted to pairs touching the batch
     "curation_incremental": q_curation_incremental,  # r12 NEW (VERDICT r11
     # item 4): repeated-ingestion curation composite — both incremental
     # batch-drop joins + model gates + mix, full-union rerun oracle
@@ -6757,7 +6814,17 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r16
-    # rotation (1): NEW corpus_shards displaced token_budget — named,
+    # rotation (2): NEW crossmodal_dedup_inc displaced
+    # media_dedup_incremental — named, family-redundant
+    # (crossmodal_dedup_inc's image leg runs image_hash_batch_pairs,
+    # whose loser column IS image_hash_batch_drops — the exact join
+    # media_dedup_incremental value-checked — over the same split
+    # corpus, composed with the minhash pair twin under the LAION flag
+    # fusion; the store-lifecycle family keeps curation_incremental and
+    # paragraph_dedup_inc in-window; media_dedup_incremental
+    # driver-green r13-r15, its machinery now strictly contained in the
+    # new query, stays sweep-checked in the tail).
+    # r16 rotation (1): NEW corpus_shards displaced token_budget — named,
     # family-redundant (corpus_shards calls token_budget_select VERBATIM
     # — the identical two-stage de-skewed cumsum path, token_count and
     # nulls-explicit ordering — under the md5-rank order with an
@@ -6788,6 +6855,9 @@ QUERIES = {
     # inverted-index postings, order-free decimal accumulation
     "token_budget": q_token_budget,  # r7: greedy per-source token-budget
     # fill (displaced r16 by corpus_shards, which runs it verbatim)
+    "media_dedup_incremental": q_media_dedup_incremental,  # r13: cross-
+    # run image dedup (displaced r16 by crossmodal_dedup_inc, which runs
+    # its pair join verbatim as the image leg)
     # r15 rotation (5): NEW web_curation displaced curation_v3 — named,
     # family-redundant (the curation-composite family keeps curation_v4
     # — model gates + dedup + mix — and curation_incremental in-window;
@@ -7286,6 +7356,7 @@ ORACLES = {
     "video_dedup": ORACLE_VIDEO_DEDUP,
     "html_extract": ORACLE_HTML_EXTRACT,
     "media_dedup_incremental": ORACLE_MEDIA_DEDUP_INCREMENTAL,
+    "crossmodal_dedup_inc": ORACLE_CROSSMODAL_DEDUP_INC,
     "media_features": ORACLE_MEDIA_FEATURES,
     "media_frames": ORACLE_MEDIA_FRAMES,
 }
