@@ -2825,6 +2825,107 @@ FROM cum GROUP BY 1
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance-resampled data selection (functions/dsir.py::
+    dsir_select, r16; Xie et al. 2023, public methodology): documents
+    from source 'src13' play the TARGET distribution, the rest the raw
+    corpus; hashed unigram+bigram bag models (md5 buckets, m=4096),
+    add-1-smoothed per-bucket log ratios, per-doc weights as exact
+    DECIMAL(18,6) sums of ROUND(cnt*lr, 6), Gumbel top-k on md5-uniform
+    noise. Every count, ratio, weight, key and the selection order is
+    replayed exactly in SQL."""
+    from metadata_ingestion_framework_spark.functions.dsir import (
+        dsir_select,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    target = docs.filter(F.col("source") == "src13")
+    source = docs.filter(F.col("source") != "src13")
+    return dsir_select(source, target, "text", "doc_id", k=120, m=4096)
+
+
+ORACLE_DSIR_SELECT = r"""
+WITH tgt AS (SELECT doc_id, text FROM documents WHERE source = 'src13'),
+src AS (SELECT doc_id, text FROM documents WHERE source <> 'src13'),
+tf0 AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM tgt
+),
+tfeat AS (
+  SELECT doc_id, unnest(list_concat(
+    toks,
+    [toks[i+1] || ' ' || toks[i+2]
+     FOR i IN range(0, greatest(len(toks) - 1, 0))])) AS feat
+  FROM tf0
+),
+sf0 AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM src
+),
+sfeat AS (
+  SELECT doc_id, unnest(list_concat(
+    toks,
+    [toks[i+1] || ' ' || toks[i+2]
+     FOR i IN range(0, greatest(len(toks) - 1, 0))])) AS feat
+  FROM sf0
+),
+tb AS (
+  SELECT ('0x' || substr(md5(concat_ws(chr(31), 'dsir0', feat)), 1, 15))
+           ::BIGINT % 4096 AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS ct
+  FROM tfeat GROUP BY 1
+),
+sb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(concat_ws(chr(31), 'dsir0', feat)), 1, 15))
+           ::BIGINT % 4096 AS bucket,
+         COUNT(*) AS cnt
+  FROM sfeat GROUP BY 1, 2
+),
+scb AS (SELECT bucket, CAST(SUM(cnt) AS DOUBLE) AS cs FROM sb GROUP BY 1),
+tot AS (
+  SELECT (SELECT SUM(ct) FROM tb) AS nt, (SELECT SUM(cs) FROM scb) AS ns
+),
+ratios AS (
+  SELECT COALESCE(tb.bucket, scb.bucket) AS bucket,
+    ln(((COALESCE(ct, 0) + 1.0) * (ns + 4096.0))
+       / ((COALESCE(cs, 0) + 1.0) * (nt + 4096.0))) AS lr
+  FROM tb FULL OUTER JOIN scb ON tb.bucket = scb.bucket CROSS JOIN tot
+),
+wdoc AS (
+  SELECT s.doc_id,
+    CAST(SUM(s.cnt) AS BIGINT) AS n_feats,
+    CAST(SUM(CAST(ROUND(s.cnt * r.lr, 6) AS DECIMAL(18,6))) AS DOUBLE)
+      AS logw
+  FROM sb s JOIN ratios r USING (bucket)
+  GROUP BY s.doc_id
+),
+keyed AS (
+  SELECT d.doc_id,
+    COALESCE(w.n_feats, 0) AS n_feats,
+    COALESCE(w.logw, 0.0) AS logw,
+    COALESCE(w.logw, 0.0) + (-ln(-ln(
+      ((('0x' || substr(md5(concat_ws(chr(31), 'dsirg',
+          CAST(d.doc_id AS VARCHAR))), 1, 15))::BIGINT + 0.5)
+       / 1152921504606846976.0)))) AS key
+  FROM src d LEFT JOIN wdoc w USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, n_feats, logw, key,
+    ROW_NUMBER() OVER (ORDER BY key DESC NULLS LAST, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+  ROUND(logw, 6) AS dsir_logw, ROUND(key, 6) AS dsir_key,
+  CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 120
+"""
+
+
 def q_incremental_semantic(spark, sf_dir):
     """Incremental cross-run SEMANTIC dedup (operators/incremental.py::
     embedding_batch_drops — the exact join EmbeddingDedupStore.ingest
@@ -6758,7 +6859,10 @@ QUERIES = {
     # retrieval top-k — greedy rank-reciprocal/fold-cosine objective,
     # one Arrow pass per query group, full WITH-RECURSIVE replay oracle
     "heuristic_filters": q_heuristic_filters,  # r7: C4/Gopher quality gate
-    "repetition_stats": q_repetition_stats,  # r6: Gopher repetition metrics
+    "dsir_select": q_dsir_select,  # r16 NEW: DSIR importance-resampled
+    # selection (hashed n-gram bag models, exact decimal weight sums,
+    # md5-uniform Gumbel top-k) — the distribution-matching member of
+    # the selection family, fully value-replayed in SQL
     "cms_heavy_hitters": q_cms_heavy_hitters,  # r11: in-window (ADVICE r10)
     "grouping_key": q_grouping_key,
     "profile_table": q_profile_table,  # r11 NEW: one-pass per-column
@@ -6814,7 +6918,14 @@ QUERIES = {
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
     # --- position 51+ (driver-verified green in earlier rounds). r16
-    # rotation (2): NEW crossmodal_dedup_inc displaced
+    # rotation (3): NEW dsir_select displaced repetition_stats — named,
+    # family-redundant (the text-quality/statistics family keeps
+    # heuristic_filters, lang_id_model, curation_v4's dual gates and
+    # web_curation's word-floor gate in-window; repetition_stats'
+    # n-gram count machinery also runs inside ngram-family tail
+    # queries with the same oracle shape; repetition_stats driver-green
+    # r6-r15, unchanged this round, stays sweep-checked in the tail).
+    # r16 rotation (2): NEW crossmodal_dedup_inc displaced
     # media_dedup_incremental — named, family-redundant
     # (crossmodal_dedup_inc's image leg runs image_hash_batch_pairs,
     # whose loser column IS image_hash_batch_drops — the exact join
@@ -6858,6 +6969,8 @@ QUERIES = {
     "media_dedup_incremental": q_media_dedup_incremental,  # r13: cross-
     # run image dedup (displaced r16 by crossmodal_dedup_inc, which runs
     # its pair join verbatim as the image leg)
+    "repetition_stats": q_repetition_stats,  # r6: Gopher repetition
+    # metrics (displaced r16 by dsir_select; family reps stay in-window)
     # r15 rotation (5): NEW web_curation displaced curation_v3 — named,
     # family-redundant (the curation-composite family keeps curation_v4
     # — model gates + dedup + mix — and curation_incremental in-window;
@@ -7302,6 +7415,7 @@ ORACLES = {
     "range_join": ORACLE_RANGE_JOIN,
     "token_budget": ORACLE_TOKEN_BUDGET,
     "corpus_shards": ORACLE_CORPUS_SHARDS,
+    "dsir_select": ORACLE_DSIR_SELECT,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "calibrate_scores": ORACLE_CALIBRATE_SCORES,
     "quota_sample": ORACLE_QUOTA_SAMPLE,

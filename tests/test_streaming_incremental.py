@@ -613,3 +613,91 @@ def test_streaming_web_pipeline_matches_batch(spark, tmp_path):
     # heading survives
     assert got[12] == ("Page 12", 2)
     assert got[1] == ("Page 1\nfirst body\nAbout | Terms", 0)
+
+
+@pytest.mark.slow
+def test_streaming_crossmodal_ingest_matches_batch_sequential(spark, tmp_path):
+    """Streaming face of the cross-modal pair store (r16): a
+    (doc_id, text, payload) stream runs CrossModalPairStore.ingest per
+    micro-batch via foreachBatch; the accumulated decision table equals
+    the batch-mode sequential ingest of the same files, and per-modality
+    flags land across real micro-batch boundaries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.codecs import (
+        encode_bmp,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        CrossModalPairStore,
+    )
+
+    def px(seed, h=16, w=16):
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        return ((seed * 7 + y * 13 + x * 17 + c * 29) % 256).astype(np.uint8)
+
+    cap1 = "a red fox jumping over the lazy dog"
+    cap2 = "unrelated words about mountain lakes at dawn"
+
+    def write_media(path, rows):
+        spark.createDataFrame(
+            [(i, t, encode_bmp(px(s))) for i, t, s in rows],
+            "doc_id long, text string, payload binary",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    src = tmp_path / "xm_in"
+    src.mkdir()
+    write_media(str(src / "b0"), [(0, cap1, 100), (1, cap2, 200)])
+    write_media(str(src / "b1"), [(10, cap1, 900)])          # text dup of 0
+    write_media(str(src / "b2"), [(20, "novel caption entirely", 100)])
+    # image dup of 0 ^
+
+    def run(store_root, runner):
+        st = CrossModalPairStore(
+            spark, store_root, bucket_width=8, n_buckets=8
+        )
+        got: dict = {}
+        runner(st, got)
+        return got
+
+    def stream_runner(st, got):
+        def sink(bdf, batch_id):
+            out = st.ingest(bdf, f"xm-run-{batch_id}")
+            if out is not None:
+                got.update({
+                    (r.id_a, r.id_b): (r.text_dup, r.image_dup)
+                    for r in out.collect()
+                })
+                unpersist_deps(out)
+
+        stream = (
+            spark.readStream
+            .schema("doc_id long, text string, payload binary")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = stream.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", str(tmp_path / "xm_ckpt")
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def batch_runner(st, got):
+        for i, b in enumerate(["b0", "b1", "b2"]):
+            out = st.ingest(
+                spark.read.parquet(str(src / b)), f"xm-run-{i}"
+            )
+            if out is not None:
+                got.update({
+                    (r.id_a, r.id_b): (r.text_dup, r.image_dup)
+                    for r in out.collect()
+                })
+                unpersist_deps(out)
+
+    streamed = run(str(tmp_path / "xm_stream"), stream_runner)
+    batched = run(str(tmp_path / "xm_batch"), batch_runner)
+    assert streamed == batched
+    assert streamed[(0, 10)] == (True, False)
+    assert streamed[(0, 20)] == (False, True)
