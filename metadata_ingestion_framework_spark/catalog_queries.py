@@ -6585,7 +6585,14 @@ def q_web_curation(spark, sf_dir):
     mixed = gated.filter(
         hash_bucket([F.col("doc_id")], salt="webmix") < rate
     )
-    return mixed.select("doc_id", "lang", "clean_text", "n_removed", "n_words")
+    from metadata_ingestion_framework_spark.operators.dedup import carry_deps
+
+    # paragraph_dedup persists its (id, pos, gh) rows since r16 — carry
+    # them through the post-processing selects (the r8 leak class)
+    return carry_deps(
+        mixed.select("doc_id", "lang", "clean_text", "n_removed", "n_words"),
+        dd,
+    )
 
 
 ORACLE_WEB_CURATION = r"""

@@ -102,6 +102,16 @@ def dsir_log_ratios(
     sc = _bucket_counts(source, text_col, id_col, mt).withColumnRenamed(
         "cnt", "cs"
     )
+    return _ratios_from_counts(tc, sc, mt)
+
+
+def _ratios_from_counts(
+    tc: DataFrame, sc: DataFrame, mt: int
+) -> DataFrame:
+    """The ratio arithmetic over precomputed (bucket, ct) / (bucket, cs)
+    count tables — split out so :func:`dsir_weights` can derive the
+    source counts from its single per-doc pass instead of re-tokenizing
+    the corpus (r16 review)."""
     totals = (
         tc.agg(F.sum("ct").cast("double").alias("__nt"))
         .crossJoin(sc.agg(F.sum("cs").cast("double").alias("__ns")))
@@ -146,14 +156,15 @@ def dsir_weights(
     """Per-document DSIR log importance weight: all of ``df``'s columns
     plus ``n_feats`` (long) and ``dsir_logw`` (double — the exact
     DECIMAL(18,6) sum of ``ROUND(cnt * lr, 6)`` over the doc's hashed
-    feature occurrences; 0.0 for feature-less docs). The <= m-row ratio
-    table broadcasts; the corpus never shuffles except the per-doc
-    partial aggregation of its own skinny (id, bucket, cnt) rows."""
+    feature occurrences; 0.0 for feature-less docs). The corpus is
+    tokenized ONCE into a persisted skinny (id, bucket, cnt) table (r16
+    review — the source bucket counts, their Ns total, and the per-doc
+    weights all derive from it; unpersisted, the tokenize+explode pass
+    would run three times); the <= m-row ratio table broadcasts, so the
+    only corpus-wide shuffles are the per-doc partial aggregation and
+    the skinny weight attach. Release ``_persisted_deps`` when done."""
     mt = int(m)
-    ratios = F.broadcast(
-        dsir_log_ratios(df, target, text_col, id_col, mt)
-    )
-    per_doc = (
+    doc_buckets = (
         _feature_rows(df, text_col, id_col)
         .select(
             id_col,
@@ -161,7 +172,15 @@ def dsir_weights(
         )
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(ratios, "bucket")
+        .persist()
+    )
+    tc = _bucket_counts(target, text_col, id_col, mt).withColumnRenamed(
+        "cnt", "ct"
+    )
+    sc = doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cs"))
+    ratios = F.broadcast(_ratios_from_counts(tc, sc, mt))
+    per_doc = (
+        doc_buckets.join(ratios, "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("cnt").cast("long").alias("n_feats"),
@@ -172,11 +191,13 @@ def dsir_weights(
             .alias("dsir_logw"),
         )
     )
-    return df.join(per_doc, id_col, "left").select(
+    out = df.join(per_doc, id_col, "left").select(
         *df.columns,
         F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
         F.coalesce(F.col("dsir_logw"), F.lit(0.0)).alias("dsir_logw"),
     )
+    out._persisted_deps = [doc_buckets]
+    return out
 
 
 def dsir_select(
@@ -204,13 +225,18 @@ def dsir_select(
         _grouped_rank,
         hash_key60,
     )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        carry_deps,
+    )
 
-    # skinny the input first: the rank only needs (id, weight), so the
-    # weight attach join carries two ints + a double per row instead of
-    # the corpus text (the n_tokens_col skinny-persist rule)
     w = dsir_weights(
         df.select(id_col, text_col), target, text_col, id_col, m
     )
+    # rank only the SKINNY columns: _grouped_rank's sharded path
+    # range-partitions and PERSISTS its input — carrying the corpus
+    # text there would cache the whole corpus per rank (r16 review;
+    # the curation_v2 skinny-persist rule)
+    w = carry_deps(w.select(id_col, "n_feats", "dsir_logw"), w)
     if gumbel:
         # md5-uniform in (0, 1): (h + 0.5) / 2^60 — h is the shared
         # 60-bit key, so u is exactly representable and never 0/1

@@ -118,9 +118,15 @@ def write_corpus_shards(
     """Materialize the corpus: table ``corpus`` partitioned by ``shard``
     (ONE file per shard, rows in the deterministic (cum_before, id)
     stream order — byte-stable content across reruns) and table
-    ``manifest`` in the same :class:`VersionedParquetStore` root, both
-    version-swapped atomically. Returns the manifest DataFrame as
-    written (read back from the store — no persisted deps to release).
+    ``manifest`` in the same :class:`VersionedParquetStore` root. Each
+    table's version swap is individually atomic; the MANIFEST is
+    written LAST and is the commit marker — a crash between the two
+    writes leaves a new corpus version with no matching manifest, so a
+    loader that resolves shards through the manifest (the intended
+    read path) never observes the half-written export, and rerunning
+    the writer repairs it (both tables re-version). Returns the
+    manifest DataFrame as written (read back from the store — no
+    persisted deps to release).
 
     Scale: ``repartition(shard)`` is one shuffle whose partitions are
     shard_tokens-bounded by construction; distinct shards write in

@@ -932,7 +932,11 @@ def remove_duplicate_spans(
     """
     from metadata_ingestion_framework_spark.functions.text import WS_RUN
 
-    spans = _span_rows(df, text_col, id_col, span_w)
+    # persist: the first-owner rule consumes the span rows twice (r16
+    # review, self-join rule) — unpersisted, the Arrow span-hash kernel
+    # (the dominant cost here) would run twice over the corpus.
+    # Released via _persisted_deps.
+    spans = _span_rows(df, text_col, id_col, span_w).persist()
     dups = _first_owner_dups(spans, id_col)
     removed = dups.select(
         id_col,
@@ -950,7 +954,7 @@ def remove_duplicate_spans(
         lambda x, i: ~F.array_contains(F.col("__rm"), i),
     )
     normalized = F.trim(F.regexp_replace(F.col(text_col), WS_RUN, " "))
-    return df.join(rm, id_col, "left").select(
+    out = df.join(rm, id_col, "left").select(
         id_col,
         *(keep_cols or []),  # passthrough (e.g. lang/source) — keeps
         # composites join-free after the rewrite
@@ -959,6 +963,8 @@ def remove_duplicate_spans(
         .alias("clean_text"),
         F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_removed"),
     )
+    out._persisted_deps = [spans]
+    return out
 
 
 def paragraph_dedup(
@@ -999,12 +1005,18 @@ def paragraph_dedup(
     posexplode + md5 — no Python stage at all (unlike the token-window
     variant, whose O(tokens x span_w) gram build needs an Arrow kernel).
     """
-    paras = _paragraph_rows(df, text_col, id_col)
+    # persist: the first-owner rule feeds the paragraph rows into BOTH
+    # the owners aggregation and the join-back probe (r16 review — the
+    # CLAUDE.md self-join rule); unpersisted, the split+md5 pass over
+    # the corpus text runs twice. Released via _persisted_deps.
+    paras = _paragraph_rows(df, text_col, id_col).persist()
     dups = _first_owner_dups(paras, id_col)
     rm = dups.groupBy(id_col).agg(F.collect_set("pos").alias("__rm"))
     if broadcast_removals:
         rm = F.broadcast(rm)
-    return _apply_paragraph_removals(df, rm, text_col, id_col, keep_cols)
+    out = _apply_paragraph_removals(df, rm, text_col, id_col, keep_cols)
+    out._persisted_deps = [paras]
+    return out
 
 
 #: paragraph boundary — CR-tolerant newline split, the CCNet convention.

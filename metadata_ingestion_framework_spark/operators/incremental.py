@@ -449,12 +449,43 @@ class MinhashSignatureStore:
             self._with_sig_bucket(sigs), self.SIGS, partition_by=["sig_bucket"]
         )
 
+    def _store_sides(
+        self, sigs_new: DataFrame, new_bands: DataFrame
+    ) -> tuple[DataFrame | None, DataFrame | None, list]:
+        """The pruned store-side frames the ingest drop join consumes
+        (r16, factored out so :class:`CrossModalPairStore` runs the
+        IDENTICAL pruning): ``(store_sigs, store_bands, batch_buckets)``
+        — stored signatures minus the batch's own ids (replay safety),
+        the band table pruned to the batch's own band-hash buckets (the
+        list is also the band write's partition-delta touched set), and
+        ``store_bands`` None when the table is absent (the heal path
+        derives bands in-plan)."""
+        if not self.store.exists(self.SIGS):
+            return None, None, []
+        batch_ids = sigs_new.select(self.id_col)
+        store_sigs = self.store.read(self.SIGS).join(
+            batch_ids, self.id_col, "left_anti"
+        )
+        batch_buckets = [
+            r.bucket
+            for r in new_bands.select("bucket").distinct().collect()
+        ]
+        store_bands = None
+        if self.store.exists(self.BANDS):
+            store_bands = (
+                self.store.read(self.BANDS)
+                .filter(F.col("bucket").isin(batch_buckets))
+                .join(batch_ids, self.id_col, "left_anti")
+            )
+        return store_sigs, store_bands, batch_buckets
+
     # -- the operation -----------------------------------------------------
     def ingest(
         self,
         batch: DataFrame,
         run_id: str,
         signatures: DataFrame | None = None,
+        drops: DataFrame | None = None,
     ) -> DataFrame | None:
         """Dedup ``batch`` against the store and itself; merge its
         signatures in; return the surviving batch rows (original columns).
@@ -479,52 +510,35 @@ class MinhashSignatureStore:
             signatures if signatures is not None else self._signatures(batch)
         ).persist()
         new_bands = self._band_rows(sigs_new)
-        store_sigs = store_bands = None
-        batch_buckets: list = []
-        had_sigs = self.store.exists(self.SIGS)
-        if had_sigs:
-            batch_ids = sigs_new.select(self.id_col)
-            # exclude ids of THIS batch from the store side: for disjoint
-            # runs a no-op, but it makes a replay (ledger lost / crash
-            # between write and record) idempotent instead of dropping
-            # every batch doc against its own stored band-mates
-            store_sigs = self.store.read(self.SIGS).join(
-                batch_ids, self.id_col, "left_anti"
-            )
-            # bucket pruning: the batch can only collide inside its own
-            # band-hash buckets — collect them (bounded by n_buckets) and
-            # let the IN-list prune the partitioned store scan (manual-DPP
-            # shape, operators/joins.py:66). The same list IS the
-            # partition-delta touched set for the band write below.
-            batch_buckets = [
-                r.bucket
-                for r in new_bands.select("bucket").distinct().collect()
-            ]
-            # BANDS can be absent with SIGS present (a first-ingest crash
-            # between the two writes, r11 review): heal by deriving the
-            # store side's bands in-plan (minhash_batch_drops does so when
-            # store_bands_df is None) and rebuilding the table below
-            if self.store.exists(self.BANDS):
-                store_bands = (
-                    self.store.read(self.BANDS)
-                    .filter(F.col("bucket").isin(batch_buckets))
-                    .join(batch_ids, self.id_col, "left_anti")
-                )
-        # materialize the (tiny) drop set now: the survivor plan must stay
-        # valid after sigs_new unpersists at the end of this call.
-        # persist(), NOT localCheckpoint: checkpoint blocks free only via
-        # JVM GC — the caller releases via unpersist_deps(survivors)
-        # (CLAUDE.md releasable-state rule, r11 review)
-        drops = minhash_batch_drops(
-            store_sigs,
-            sigs_new,
-            self.id_col,
-            self.num_hashes,
-            self.bands,
-            self.jaccard_threshold,
-            store_bands_df=store_bands,
-        ).persist()
-        drops.count()  # materialize while sigs_new is still cached
+        # pruning factored into _store_sides (r16): store side excludes
+        # THIS batch's ids (replay safety) and the band scan directory-
+        # prunes to the batch's own buckets (manual-DPP shape,
+        # operators/joins.py:66); the heal path (BANDS absent with SIGS
+        # present, r11 review) rides store_bands=None.
+        store_sigs, store_bands, batch_buckets = self._store_sides(
+            sigs_new, new_bands
+        )
+        had_sigs = store_sigs is not None
+        if drops is None:
+            # materialize the (tiny) drop set now: the survivor plan must
+            # stay valid after sigs_new unpersists at the end of this
+            # call. persist(), NOT localCheckpoint: checkpoint blocks
+            # free only via JVM GC — the caller releases via
+            # unpersist_deps(survivors) (CLAUDE.md releasable-state rule).
+            # ``drops=`` (r16): a caller-provided PERSISTED set (the
+            # loser column of minhash_batch_pairs over _store_sides —
+            # the identical join) skips this pass instead of running it
+            # twice (the CrossModalPairStore composition).
+            drops = minhash_batch_drops(
+                store_sigs,
+                sigs_new,
+                self.id_col,
+                self.num_hashes,
+                self.bands,
+                self.jaccard_threshold,
+                store_bands_df=store_bands,
+            ).persist()
+            drops.count()  # materialize while sigs_new is still cached
         survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
         survivors._persisted_deps = [drops]
 
@@ -1473,11 +1487,42 @@ class ImageHashStore:
             extra_cols=extras + ("fp_bucket",),
         )
 
+    def _store_sides(
+        self, fps: DataFrame, new_bands: DataFrame
+    ) -> tuple[DataFrame | None, DataFrame | None, list]:
+        """The pruned store-side frames the ingest drop join consumes
+        (r16, factored out so :class:`CrossModalPairStore` runs the
+        IDENTICAL pruning): ``(store_fps, store_bands, batch_buckets)``
+        — store fingerprints minus the batch's own ids (replay safety),
+        the band table directory-pruned to the batch's own band buckets
+        (the list is also the band write's partition-delta touched set),
+        and ``store_bands`` None when the table is absent (the
+        first-ingest-crash heal path derives bands in-plan)."""
+        if not self.store.exists(self.FPS):
+            return None, None, []
+        batch_ids = fps.select(self.id_col)
+        store_fps = self.store.read(self.FPS).join(
+            batch_ids, self.id_col, "left_anti"
+        )
+        batch_buckets = [
+            r.bucket
+            for r in new_bands.select("bucket").distinct().collect()
+        ]
+        store_bands = None
+        if self.store.exists(self.BANDS):
+            store_bands = (
+                self.store.read(self.BANDS)
+                .filter(F.col("bucket").isin(batch_buckets))
+                .join(batch_ids, self.id_col, "left_anti")
+            )
+        return store_fps, store_bands, batch_buckets
+
     def ingest(
         self,
         batch: DataFrame,
         run_id: str,
         fingerprints: DataFrame | None = None,
+        drops: DataFrame | None = None,
     ) -> DataFrame | None:
         """Perceptually dedup ``batch`` against the store and itself;
         merge its fingerprints and band rows in; return surviving batch
@@ -1486,66 +1531,53 @@ class ImageHashStore:
         ``_persisted_deps`` — release with ``dedup.unpersist_deps``.
         ``fingerprints`` (r16): precomputed, UNPERSISTED
         :meth:`_fingerprints` output for ``batch`` (the
-        :class:`CrossModalPairStore` single-kernel-run composition)."""
+        :class:`CrossModalPairStore` single-kernel-run composition).
+        ``drops`` (r16): a precomputed, PERSISTED+materialized drop set
+        (e.g. the loser column of :func:`image_hash_batch_pairs` over
+        :meth:`_store_sides` — the identical join) — the candidate +
+        verify pass is then skipped instead of run twice; the image
+        face only (the frames drop rule differs)."""
         if run_id in self.ingested_runs():
             return None
+        if drops is not None and self.frames:
+            raise ValueError("drops= is image-face only (frames differ)")
         fps = (
             fingerprints
             if fingerprints is not None
             else self._fingerprints(batch)
         ).persist()
-        drops = None
+        owned_drops = drops is None
         # persist hygiene (r14 ADVICE): any failure between persist()
         # and the trailing unpersist (e.g. a failed store write) must
         # not leak cached blocks in a long-lived session — the
         # Bm25Index.append try/finally convention. ``drops`` unpersists
-        # only on the exception path: on success it is handed out live
-        # via the survivors' ``_persisted_deps``.
+        # only on the exception path (and only if owned here): on
+        # success it is handed out live via ``_persisted_deps``.
         try:
             new_bands = self._band_rows(fps)
-            store_fps = store_all = store_bands = None
-            batch_buckets: list = []
-            if self.store.exists(self.FPS):
-                batch_ids = fps.select(self.id_col)
-                store_all = self.store.read(self.FPS)
-                # replay safety: a re-delivered batch must not collide
-                # with its own stored copy
-                store_fps = store_all.join(
-                    batch_ids, self.id_col, "left_anti"
-                )
-                # bucket pruning: collisions only happen inside the
-                # batch's own band buckets (bounded by n_band_buckets) —
-                # the IN-list prunes the partitioned band scan, and the
-                # same list IS the partition-delta touched set for the
-                # band write below
-                batch_buckets = [
-                    r.bucket
-                    for r in new_bands.select("bucket").distinct().collect()
-                ]
-                # BANDS can be absent with FPS present (first-ingest
-                # crash between the two writes — the minhash-store heal
-                # path): derive the store side in-plan and rebuild the
-                # table below
-                if self.store.exists(self.BANDS):
-                    store_bands = (
-                        self.store.read(self.BANDS)
-                        .filter(F.col("bucket").isin(batch_buckets))
-                        .join(batch_ids, self.id_col, "left_anti")
-                    )
-            if self.frames:
-                drops = media_frame_batch_drops(
-                    store_fps, fps, self.id_col, self.hash_col,
-                    self.max_hamming, self.blocks,
-                    store_bands_df=store_bands,
-                    min_matching_frames=self.min_matching_frames,
-                ).persist()
-            else:
-                drops = image_hash_batch_drops(
-                    store_fps, fps, self.id_col, self.hash_col,
-                    self.max_hamming, self.blocks,
-                    store_bands_df=store_bands,
-                ).persist()
-            drops.count()  # materialize while fps is still cached
+            store_fps, store_bands, batch_buckets = self._store_sides(
+                fps, new_bands
+            )
+            store_all = (
+                self.store.read(self.FPS)
+                if self.store.exists(self.FPS)
+                else None
+            )
+            if drops is None:
+                if self.frames:
+                    drops = media_frame_batch_drops(
+                        store_fps, fps, self.id_col, self.hash_col,
+                        self.max_hamming, self.blocks,
+                        store_bands_df=store_bands,
+                        min_matching_frames=self.min_matching_frames,
+                    ).persist()
+                else:
+                    drops = image_hash_batch_drops(
+                        store_fps, fps, self.id_col, self.hash_col,
+                        self.max_hamming, self.blocks,
+                        store_bands_df=store_bands,
+                    ).persist()
+                drops.count()  # materialize while fps is still cached
             survivors = batch.join(
                 F.broadcast(drops), self.id_col, "left_anti"
             )
@@ -1627,7 +1659,7 @@ class ImageHashStore:
             self._record_run(run_id)
             return survivors
         except BaseException:
-            if drops is not None:
+            if drops is not None and owned_drops:
                 drops.unpersist()
             raise
         finally:
@@ -1811,20 +1843,46 @@ class ParagraphHashStore:
         self.bloom_bits = int(bloom_bits)
         self.bloom_hashes = int(bloom_hashes)
         self._ledger_path = os.path.join(root, "_runs.json")
-        _check_store_config(
-            root,
-            {
-                "kind": "paragraph_hashes",
-                "id_col": id_col,
-                "n_buckets": n_buckets,
-                "par_bucket_width": par_bucket_width,
-                # bloom geometry is config-pinned: an untouched bucket's
-                # stored bloom must be probed with the SAME positions it
-                # was built with, or membership grows false negatives
-                "bloom_bits": self.bloom_bits,
-                "bloom_hashes": self.bloom_hashes,
-            },
-        )
+        cfg = {
+            "kind": "paragraph_hashes",
+            "id_col": id_col,
+            "n_buckets": n_buckets,
+            "par_bucket_width": par_bucket_width,
+            # bloom geometry is config-pinned: an untouched bucket's
+            # stored bloom must be probed with the SAME positions it
+            # was built with, or membership grows false negatives
+            "bloom_bits": self.bloom_bits,
+            "bloom_hashes": self.bloom_hashes,
+        }
+        self._migrate_bloom_config(root, cfg)
+        _check_store_config(root, cfg)
+
+    def _migrate_bloom_config(self, root: str, cfg: dict) -> None:
+        """In-place pre-r16 config migration (the ImageHashStore
+        ``_migrate_band_layout`` precedent — r16 review): a stored
+        config identical to ``cfg`` except for the MISSING bloom keys is
+        a pre-sidecar store — same row layout, no ``parbloom`` table
+        yet, so ANY bloom geometry is adoptable (the sidecar builds
+        lazily on the next ingest). Stamp the keys instead of bricking
+        every pre-r16 store on the exact-equality guard. Any other
+        mismatch still fails loudly in ``_check_store_config``."""
+        path = os.path.join(root, "_config.json")
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            stored = json.load(f)
+        if stored == cfg or "bloom_bits" in stored:
+            return
+        if {
+            **stored,
+            "bloom_bits": cfg["bloom_bits"],
+            "bloom_hashes": cfg["bloom_hashes"],
+        } != cfg:
+            return  # a real mismatch — let the guard name the keys
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cfg, f)
+        os.replace(tmp, path)
 
     # -- bloom sidecar -----------------------------------------------------
     def _bloom_positions(self, gh_rows: DataFrame) -> DataFrame:
@@ -2232,65 +2290,56 @@ class CrossModalPairStore:
         fps = self.img._fingerprints(batch).persist()
         sigs = self.txt._signatures(batch).persist()
         try:
-            # image side, pruned exactly like ImageHashStore.ingest
-            store_fps = store_ibands = None
-            if self.img.store.exists(self.img.FPS):
-                batch_ids = fps.select(self.id_col)
-                store_fps = self.img.store.read(self.img.FPS).join(
-                    batch_ids, self.id_col, "left_anti"
-                )
-                if self.img.store.exists(self.img.BANDS):
-                    ibuckets = [
-                        r.bucket
-                        for r in self.img._band_rows(fps)
-                        .select("bucket")
-                        .distinct()
-                        .collect()
-                    ]
-                    store_ibands = (
-                        self.img.store.read(self.img.BANDS)
-                        .filter(F.col("bucket").isin(ibuckets))
-                        .join(batch_ids, self.id_col, "left_anti")
-                    )
+            # store sides via each face's OWN pruning helper (r16 review
+            # — one code path, no drift), pairs via the pair primitives,
+            # and the per-modality drop sets derived as the pairs' loser
+            # columns so the sub-store merges consume them instead of
+            # re-running the candidate+verify joins a second time.
+            store_fps, store_ibands, _ = self.img._store_sides(
+                fps, self.img._band_rows(fps)
+            )
             ip = image_hash_batch_pairs(
                 store_fps, fps, self.id_col, self.img.hash_col,
                 self.img.max_hamming, self.img.blocks,
                 store_bands_df=store_ibands,
+            ).persist()
+            store_sigs, store_tbands, _ = self.txt._store_sides(
+                sigs, self.txt._band_rows(sigs)
             )
-            # caption side, pruned exactly like MinhashSignatureStore
-            store_sigs = store_tbands = None
-            if self.txt.store.exists(self.txt.SIGS):
-                sbatch_ids = sigs.select(self.id_col)
-                store_sigs = self.txt.store.read(self.txt.SIGS).join(
-                    sbatch_ids, self.id_col, "left_anti"
-                )
-                if self.txt.store.exists(self.txt.BANDS):
-                    tbuckets = [
-                        r.bucket
-                        for r in self.txt._band_rows(sigs)
-                        .select("bucket")
-                        .distinct()
-                        .collect()
-                    ]
-                    store_tbands = (
-                        self.txt.store.read(self.txt.BANDS)
-                        .filter(F.col("bucket").isin(tbuckets))
-                        .join(sbatch_ids, self.id_col, "left_anti")
-                    )
             tp = minhash_batch_pairs(
                 store_sigs, sigs, self.id_col, self.txt.num_hashes,
                 self.txt.bands, self.txt.jaccard_threshold,
                 store_bands_df=store_tbands,
+            ).persist()
+            img_drops = (
+                ip.select(F.col("__loser").alias(self.id_col))
+                .distinct()
+                .persist()
+            )
+            txt_drops = (
+                tp.select(F.col("__loser").alias(self.id_col))
+                .distinct()
+                .persist()
             )
             decisions = crossmodal_pair_decisions(tp, ip).persist()
             decisions.count()  # materialize while fps/sigs are cached
+            img_drops.count()
+            txt_drops.count()
+            ip.unpersist()
+            tp.unpersist()
 
-            # state merges through the proven sub-store paths, each
-            # kernel's output handed in so it runs once per batch
-            s_img = self.img.ingest(batch, run_id, fingerprints=fps)
+            # state merges through the proven sub-store paths: each
+            # kernel's output AND each modality's verified drop set are
+            # handed in, so fingerprinting and candidate verification
+            # both run once per batch
+            s_img = self.img.ingest(
+                batch, run_id, fingerprints=fps, drops=img_drops
+            )
             if s_img is not None:
                 unpersist_deps(s_img)
-            s_txt = self.txt.ingest(batch, run_id, signatures=sigs)
+            s_txt = self.txt.ingest(
+                batch, run_id, signatures=sigs, drops=txt_drops
+            )
             if s_txt is not None:
                 unpersist_deps(s_txt)
             self._record_run(run_id)

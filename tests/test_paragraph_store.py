@@ -272,3 +272,33 @@ def _paragraph_rows_for_test(spark, text):
     )
 
     return _paragraph_rows(_docs(spark, [(99, text)]), "text", "doc_id")
+
+
+def test_pre_r16_config_migrates_bloom_keys(spark, tmp_path):
+    """A pre-r16 _config.json (no bloom keys) must open cleanly — the
+    keys are stamped in place (the ImageHashStore band-layout migration
+    precedent; r16 review caught the exact-equality guard bricking
+    every older store) — while any OTHER mismatch still raises."""
+    import json
+    import os
+
+    root = str(tmp_path / "oldcfg")
+    st = ParagraphHashStore(spark, root, par_bucket_width=16)
+    _collect(st.ingest(_docs(spark, [(1, P1)]), "r1"))
+    cfg_path = os.path.join(root, "_config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    old = {k: v for k, v in cfg.items() if not k.startswith("bloom_")}
+    with open(cfg_path, "w") as f:
+        json.dump(old, f)
+    # reopens cleanly, stamps the bloom keys, state intact
+    st2 = ParagraphHashStore(spark, root, par_bucket_width=16)
+    with open(cfg_path) as f:
+        assert "bloom_bits" in json.load(f)
+    got = _collect(st2.ingest(_docs(spark, [(9, f"{P1}\n{P2}")]), "r2"))
+    assert got[9] == (P2, 1)
+    # a real mismatch still fails loudly
+    with open(cfg_path, "w") as f:
+        json.dump(old, f)
+    with pytest.raises(ValueError, match="par_bucket_width"):
+        ParagraphHashStore(spark, root, par_bucket_width=8)

@@ -37,6 +37,15 @@ TWO_STAGE_QUERIES = [
     "curation_incremental",
     "incremental_dedup",
     "incremental_semantic",
+    # r16: the first-owner de-skew persists the (id, pos, gh) rows in
+    # both rewrite-dedup operators; composites must carry them out
+    "span_dedup",
+    "paragraph_dedup",
+    "web_curation",
+    # r16 new operators with persisted intermediates
+    "dsir_select",
+    "corpus_shards",
+    "crossmodal_dedup_inc",
 ]
 
 

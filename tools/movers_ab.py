@@ -8,7 +8,7 @@ queries from two checkouts in alternating fresh JVM subprocesses
 
 Usage:
     python tools/movers_ab.py <repoA> <repoB> <sf_dir> q1 q2 ... \
-        [--rounds 2]
+        [--rounds=2]
 
 Appends one JSON line to PROGRESS.jsonl (cwd) and prints it. Check
 `uptime` is idle before trusting any numbers (CLAUDE.md).
@@ -70,6 +70,8 @@ def main() -> None:
     rounds = 2
     for a in sys.argv[1:]:
         if a.startswith("--rounds"):
+            if "=" not in a:
+                raise SystemExit("use --rounds=N (no space)")
             rounds = int(a.split("=", 1)[1])
     repo_a, repo_b, sf_dir, *queries = args
     mins: dict[str, dict[str, float]] = {"a": {}, "b": {}}
