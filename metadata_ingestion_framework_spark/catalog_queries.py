@@ -2825,6 +2825,109 @@ FROM cum GROUP BY 1
 """
 
 
+def q_corpus_shards_inc(spark, sf_dir):
+    """Epoch-incremental corpus sharding theorem (operators/corpus.py::
+    CorpusShardStore / corpus_epoch_assignments, r17 — VERDICT r16 item
+    2): docs with doc_id % 3 != 0 arrive as epoch 1; epoch 2 brings the
+    rest PLUS a re-ingest of doc_id % 7 == 1 (ids that straddle both
+    epochs). Emulates the store's two sequential appends in-plan (the
+    paragraph_dedup_inc convention — catalog queries re-run, so no
+    filesystem side effects): epoch 1 cuts from shard 0; epoch 2 cuts
+    from base = epoch 1's shard count (the EPOCHS-table rule — bases
+    never renumber); re-ingested ids VACATE their epoch-1 rows. The
+    contract under value-check is the store's headline theorem:
+    sequential epoch appends == one-shot assignment over the (epoch,
+    doc) union under epoch-major order with latest-epoch-wins — exactly
+    what the oracle computes. Token counts precompute up front (the
+    skinny-persist rule: the epoch-1 assignment feeds two consumers)."""
+    from metadata_ingestion_framework_spark.functions.text import token_count
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        corpus_shard_assignments,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import carry_deps
+
+    docs = wide_t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    d = F.col("doc_id")
+    e1 = docs.filter(d % 3 != 0).withColumn("epoch", F.lit(1))
+    e2 = docs.filter((d % 3 == 0) | (d % 7 == 1)).withColumn(
+        "epoch", F.lit(2)
+    )
+    a1 = corpus_shard_assignments(
+        e1, None, "doc_id", shard_tokens=5_000, n_tokens_col="n_toks"
+    )
+    # two consumers (base agg + final union) over a nondeterministic-
+    # bucket two-stage cumsum — persist the skinny assignment
+    a1 = a1.select("doc_id", "epoch", "n_tokens", "cum_before", "shard")
+    a1p = a1.persist()
+    base2 = a1p.agg(
+        F.coalesce(F.max("shard") + F.lit(1), F.lit(0)).alias("__base")
+    )
+    a2 = corpus_shard_assignments(
+        e2, None, "doc_id", shard_tokens=5_000, n_tokens_col="n_toks"
+    )
+    a2s = a2.crossJoin(F.broadcast(base2)).select(
+        "doc_id",
+        "epoch",
+        "n_tokens",
+        "cum_before",
+        (F.col("shard") + F.col("__base")).cast("int").alias("shard"),
+    )
+    final = a1p.join(
+        e2.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(a2s)
+    out = carry_deps(carry_deps(final, a1), a2)
+    out._persisted_deps = list(getattr(out, "_persisted_deps", ())) + [a1p]
+    return out
+
+
+# the ONE-SHOT epoch-major replay with latest-epoch-wins: per-epoch
+# md5-rank cumsum, per-epoch shard count, base offsets from PRIOR epochs
+# only — sequential-appends == this is the store's headline theorem
+ORACLE_CORPUS_SHARDS_INC = r"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT)
+      AS n_tokens,
+    ('0x' || substr(md5(concat_ws(chr(31), 'corpus0',
+      CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT AS hk
+  FROM documents
+),
+eps AS (
+  SELECT doc_id, n_tokens, hk, 1 AS epoch FROM base WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id, n_tokens, hk, 2 AS epoch FROM base
+  WHERE doc_id % 3 = 0 OR doc_id % 7 = 1
+),
+cum AS (
+  -- CAST: DuckDB window SUM(BIGINT) is HUGEINT, which pandas reads as
+  -- float64 and fails the dtype-sensitive value hash (CLAUDE.md rule)
+  SELECT doc_id, epoch, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY epoch
+      ORDER BY hk ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM eps
+),
+sw AS (
+  SELECT *, CAST(cum_before // 5000 AS INT) AS shard_within FROM cum
+),
+sizes AS (
+  SELECT epoch, MAX(shard_within) + 1 AS n_shards FROM sw GROUP BY epoch
+),
+bases AS (
+  SELECT epoch, COALESCE(SUM(n_shards) OVER (ORDER BY epoch ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM sizes
+)
+SELECT s.doc_id, CAST(s.epoch AS INT) AS epoch, s.n_tokens, s.cum_before,
+  CAST(b.base + s.shard_within AS INT) AS shard
+FROM sw s JOIN bases b USING (epoch)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY s.epoch DESC) = 1
+"""
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance-resampled data selection (functions/dsir.py::
     dsir_select, r16; Xie et al. 2023, public methodology): documents
@@ -6877,9 +6980,11 @@ QUERIES = {
     "quota_sample": q_quota_sample,  # r8: per-source cap via two-stage rank
     "bpe_encode_ids": q_bpe_encode_ids,  # r11 NEW: integer token-id
     # encoding (vocab replayed in SQL; exact-integer id aggregates)
-    "corpus_shards": q_corpus_shards,  # r16 NEW: deterministic sharded-
-    # corpus manifest — md5-rank order + running-token-budget shard cut
-    # (token_budget_select's cumsum verbatim) + per-shard md5 checksum
+    "corpus_shards_inc": q_corpus_shards_inc,  # r17 NEW: epoch-
+    # incremental corpus sharding — sequential epoch appends (fresh
+    # shards per epoch, EPOCHS-table bases, vacate-on-re-ingest)
+    # value-checked against the one-shot epoch-major oracle with
+    # latest-epoch-wins (the CorpusShardStore headline theorem)
     "bpe_tokenize_fast": q_bpe_tokenize_fast,  # r11 NEW: linear-time Arrow
     # encoder (VERDICT r10 item 1), same replay oracle as bpe_tokenize
     "bpe_merges": q_bpe_merges,  # r10: BPE vocab training (NEW), full
@@ -6924,7 +7029,20 @@ QUERIES = {
     # skew mitigation (r6 oracles; first driver-window pass this round —
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
-    # --- position 51+ (driver-verified green in earlier rounds). r16
+    # --- position 51+ (driver-verified green in earlier rounds). r17
+    # rotation (1): NEW corpus_shards_inc displaced corpus_shards —
+    # named, family-redundant (corpus_shards_inc runs
+    # corpus_shard_assignments VERBATIM per epoch — the identical
+    # md5-rank order, two-stage cumsum and div-cut — so the snapshot
+    # sharding machinery stays value-checked in-window through the
+    # strictly-larger sequential dataflow; the ranked two-stage window
+    # family also keeps quota_sample in-window; corpus_shards
+    # driver-green r16, unchanged this round, stays sweep-checked in
+    # the tail).
+    "corpus_shards": q_corpus_shards,  # r16: snapshot sharded-corpus
+    # manifest (displaced r17 by corpus_shards_inc, which runs its
+    # assignment verbatim per epoch)
+    # r16
     # rotation (3): NEW dsir_select displaced repetition_stats — named,
     # family-redundant (the text-quality/statistics family keeps
     # heuristic_filters, lang_id_model, curation_v4's dual gates and
@@ -7422,6 +7540,7 @@ ORACLES = {
     "range_join": ORACLE_RANGE_JOIN,
     "token_budget": ORACLE_TOKEN_BUDGET,
     "corpus_shards": ORACLE_CORPUS_SHARDS,
+    "corpus_shards_inc": ORACLE_CORPUS_SHARDS_INC,
     "dsir_select": ORACLE_DSIR_SELECT,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "calibrate_scores": ORACLE_CALIBRATE_SCORES,

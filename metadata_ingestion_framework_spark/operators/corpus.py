@@ -158,3 +158,388 @@ def write_corpus_shards(
     unpersist_deps(assigned)
     assigned.unpersist()
     return store.read("manifest")
+
+
+def corpus_epoch_assignments(
+    df: DataFrame,
+    text_col: str | None,
+    id_col: str,
+    epoch_col: str,
+    shard_tokens: int = 100_000_000,
+    salt: str = DEFAULT_SALT,
+    n_tokens_col: str | None = None,
+    shards: int | None = None,
+) -> DataFrame:
+    """ONE-SHOT replay of the epoch-append rule (r17, VERDICT r16 item
+    2): assign every ``(epoch, doc)`` ingest record to the shard the
+    SEQUENTIAL :class:`CorpusShardStore` appends would have produced,
+    then keep each id's LATEST epoch row (the vacate-on-re-ingest rule).
+    This is the store's headline theorem as a plain DataFrame operator —
+    sequential epoch appends over a growing corpus == this one-shot over
+    the union under epoch-major order — and what the `corpus_shards_inc`
+    oracle and the store pytests value-check against.
+
+    Rule per epoch (identical to the snapshot writer within an epoch):
+    md5-rank order (one salt for ALL epochs — relative order within an
+    epoch never depends on when it arrived), running pre-sum, ``shard =
+    base(epoch) + cum_before div shard_tokens`` where ``base`` is the
+    total shard count of all PRIOR epochs (every epoch starts a fresh
+    shard — prior shards are immutable modulo vacates). Ids must be
+    unique within an epoch; re-ingested ids take their newest epoch's
+    assignment and vacate the old one.
+
+    Scale: per-epoch cumsums ride :func:`token_budget_select`'s
+    two-stage de-skewed machinery with ``by=[epoch_col]``; the
+    base-offset table is one tiny window over #epochs rows, broadcast
+    back. Release ``_persisted_deps`` when done."""
+    from pyspark.sql import Window
+
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        _const_group,
+        hash_key60,
+        token_budget_select,
+    )
+
+    base = df.withColumn("__nhk", -hash_key60([id_col], salt))
+    out = token_budget_select(
+        base,
+        text_col,
+        id_col,
+        "__nhk",
+        budget_tokens=1 << 62,
+        by=[epoch_col],
+        shards=shards,
+        n_tokens_col=n_tokens_col,
+    ).withColumn(
+        "__sw",
+        F.expr(f"cum_before div {int(shard_tokens)}").cast("int"),
+    )
+    sizes = out.groupBy(epoch_col).agg(
+        (F.max("__sw") + F.lit(1)).cast("int").alias("__ns")
+    )
+    # #epochs rows — the constant non-foldable group key keeps the
+    # unpartitioned-window warning out of every bench run (r10 nit)
+    wb = (
+        Window.partitionBy(_const_group(F.col(epoch_col)))
+        .orderBy(F.col(epoch_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = sizes.select(
+        F.col(epoch_col).alias("__be"),
+        F.coalesce(F.sum("__ns").over(wb), F.lit(0)).cast("int").alias("__base"),
+    )
+    joined = out.join(
+        F.broadcast(bases), F.col(epoch_col) == F.col("__be")
+    ).withColumn("shard", (F.col("__base") + F.col("__sw")).cast("int"))
+    # latest-epoch-wins per id: the sequential store vacates a
+    # re-ingested id's old row when its new epoch merges in
+    wl = Window.partitionBy(id_col).orderBy(F.col(epoch_col).desc())
+    final = (
+        joined.withColumn("__rn", F.row_number().over(wl))
+        .filter(F.col("__rn") == 1)
+        .drop("__nhk", "__sw", "__be", "__base", "__rn")
+    )
+    return carry_deps(final, out)
+
+
+class CorpusShardStore:
+    """Epoch-incremental sharded corpus writer (r17, VERDICT r16 item
+    2): the store-family lifecycle (build / append / vacate / heal)
+    applied to the pipeline's LAST MILE, so a growing corpus appends
+    NEW shards instead of rewriting the world (``corpus_shards`` /
+    :func:`write_corpus_shards` is the snapshot face: any insertion
+    shifts every later shard). No reference analogue (the reference
+    ends at table writes — Utility.scala's writers; BASELINE.json).
+
+    Layout (every invariant borrowed from the proven stores in
+    operators/incremental.py):
+
+    - ``corpus``: full rows + (n_tokens, cum_before, shard), partitioned
+      by ``shard``, ONE file per shard in deterministic (cum_before, id)
+      order. An append physically writes only the epoch's NEW shards
+      plus the old shards a re-ingested id vacates; every other shard
+      directory hard-links forward (``write_partition_delta``,
+      ``cluster=False`` to keep the byte-stable in-file order).
+    - ``members``: the skinny (member_bucket, id, shard) sidecar,
+      id-range bucketed (``range_bucket_expr`` — the CLAUDE.md rule:
+      id-range buckets on every store table) so the vacate probe reads
+      ONLY the batch ids' buckets, never the corpus. Vectors-not-bands
+      class state: a re-ingested id MUST vacate (shard rows are served
+      directly), so the touched set always includes the old shards.
+    - ``manifest``: (shard, n_docs, n_tokens, checksum) — recomputed
+      for touched shards, carried for the rest; a shard fully vacated
+      loses its manifest row AND its directory (retired by vacate).
+    - ``epochs``: (epoch, base_shard, n_shards) — the durable base
+      offsets. base comes from THIS table, never from surviving corpus
+      rows (a fully-vacated trailing shard must not shift later epochs).
+
+    Heal/replay: one run ledger at the root, recorded LAST; every delta
+    is a deterministic function of (batch, prior version), so a crash
+    between table writes replays idempotently on retry — the
+    write-ordering argument of ``write_corpus_shards`` extended to four
+    tables. Sequential appends in ascending epoch order reproduce
+    :func:`corpus_epoch_assignments` exactly (the pytest theorem).
+    """
+
+    CORPUS = "corpus"
+    MEMBERS = "members"
+    MANIFEST = "manifest"
+    EPOCHS = "epochs"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str | None = "text",
+        shard_tokens: int = 100_000_000,
+        salt: str = DEFAULT_SALT,
+        member_bucket_width: int = 8192,
+        n_buckets: int = 64,
+    ):
+        import os
+
+        from metadata_ingestion_framework_spark.operators.incremental import (
+            _check_store_config,
+        )
+        from metadata_ingestion_framework_spark.plans.tablestore import (
+            VersionedParquetStore,
+        )
+
+        self.spark = spark
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shard_tokens = shard_tokens
+        self.salt = salt
+        self.member_bucket_width = member_bucket_width
+        self.n_buckets = n_buckets
+        self.store = VersionedParquetStore(spark, root)
+        self._ledger_path = os.path.join(root, "_runs.json")
+        _check_store_config(
+            root,
+            {
+                "kind": "corpus_shards",
+                "id_col": id_col,
+                # shard boundaries and member buckets are layout — a
+                # reopen under different rules would mis-base new epochs
+                # and ghost the vacate probe
+                "shard_tokens": shard_tokens,
+                "salt": salt,
+                "member_bucket_width": member_bucket_width,
+                "n_buckets": n_buckets,
+            },
+        )
+
+    # run ledger — the shared store convention (incremental.py)
+    def ingested_runs(self) -> list[str]:
+        import json
+
+        try:
+            with open(self._ledger_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return []
+
+    def _record_run(self, run_id: str) -> None:
+        import json
+        import os
+
+        runs = self.ingested_runs() + [run_id]
+        tmp = self._ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(runs, f)
+        os.replace(tmp, self._ledger_path)
+
+    def _member_bucket(self, df: DataFrame):
+        from metadata_ingestion_framework_spark.operators.incremental import (
+            range_bucket_expr,
+        )
+
+        return range_bucket_expr(
+            df, self.id_col, self.member_bucket_width, self.n_buckets
+        )
+
+    def _next_base(self, epoch: int) -> int:
+        """Base shard for ``epoch`` from the EPOCHS table — never from
+        surviving corpus rows (a fully-vacated trailing shard must not
+        renumber later epochs). PRIOR epochs only: a crash between the
+        epochs write and the ledger record would otherwise shift the
+        retry's base by its own half-recorded row. Tiny read (#epochs
+        rows)."""
+        if not self.store.exists(self.EPOCHS):
+            return 0
+        row = self.store.read(self.EPOCHS).filter(
+            F.col("epoch") < int(epoch)
+        ).agg(
+            F.max(F.col("base_shard") + F.col("n_shards")).alias("b")
+        ).collect()[0]
+        return int(row.b or 0)
+
+    def append_epoch(
+        self,
+        batch: DataFrame,
+        epoch: int,
+        run_id: str,
+        n_tokens_col: str | None = None,
+        shards: int | None = None,
+    ) -> DataFrame | None:
+        """Cut ``batch`` (one epoch; ids unique within it, newer than or
+        re-ingesting prior epochs') into NEW shards starting after the
+        last recorded epoch, vacate re-ingested ids' old rows, update
+        members/manifest/epochs, and return the new manifest. None when
+        ``run_id`` already ran. Epochs must arrive in ascending order
+        (the sequential==one-shot theorem is stated under epoch-major
+        order)."""
+        from metadata_ingestion_framework_spark.operators.dedup import (
+            unpersist_deps,
+        )
+
+        if run_id in self.ingested_runs():
+            return None
+        base = self._next_base(epoch)
+        assigned = corpus_shard_assignments(
+            batch, self.text_col, self.id_col,
+            shard_tokens=self.shard_tokens, salt=self.salt,
+            n_tokens_col=n_tokens_col, shards=shards,
+        )
+        if base:
+            assigned = assigned.withColumn(
+                "shard", (F.col("shard") + F.lit(base)).cast("int")
+            )
+        # feeds the corpus delta, members delta, manifest recompute and
+        # the n_shards agg — persist once (epoch-bounded, the snapshot
+        # writer's own persist class), release before returning
+        assigned = assigned.persist()
+        try:
+            n_shards_row = assigned.agg(
+                (F.coalesce(F.max("shard") - F.lit(base) + F.lit(1), F.lit(0)))
+                .cast("int").alias("n")
+            ).collect()[0]
+            n_shards = int(n_shards_row.n)
+            new_shards = list(range(base, base + n_shards))
+
+            # vacate probe: ONLY the batch ids' member buckets are read
+            # (bounded by the batch), never the corpus scan
+            old_pairs = None
+            if self.store.exists(self.MEMBERS):
+                batch_ids = assigned.select(self.id_col)
+                bucket_vals = [
+                    r.b
+                    for r in assigned.select(
+                        self._member_bucket(assigned).alias("b")
+                    ).distinct().collect()
+                ]
+                old_pairs = (
+                    self.store.read_partitions(
+                        self.MEMBERS, "member_bucket", bucket_vals
+                    )
+                    .join(F.broadcast(batch_ids), self.id_col, "left_semi")
+                    .select(self.id_col, "shard")
+                )
+            old_shards = (
+                sorted(
+                    r.shard
+                    for r in old_pairs.select("shard").distinct().collect()
+                )
+                if old_pairs is not None
+                else []
+            )
+            touched = new_shards + old_shards
+
+            # corpus delta: the epoch's rows + the vacated shards'
+            # SURVIVORS, in the deterministic (shard, cum_before, id)
+            # in-file order (cluster=False — the snapshot writer's rule)
+            delta = assigned
+            if old_shards:
+                survivors = self.store.read_partitions(
+                    self.CORPUS, "shard", old_shards
+                ).join(
+                    F.broadcast(assigned.select(self.id_col)),
+                    self.id_col,
+                    "left_anti",
+                )
+                delta = assigned.unionByName(survivors)
+            ordered = delta.repartition(F.col("shard")).sortWithinPartitions(
+                "shard", "cum_before", self.id_col
+            )
+            if self.store.exists(self.CORPUS):
+                self.store.write_partition_delta(
+                    ordered, self.CORPUS, ["shard"], touched, cluster=False
+                )
+            else:
+                self.store.write(
+                    ordered, self.CORPUS, partition_by=["shard"], cluster=False
+                )
+
+            # manifest BEFORE members (heal ordering): the vacate probe
+            # drives the touched set from MEMBERS, so members must be
+            # the last state that moves — a crash after a members write
+            # that preceded the manifest would leave the retry unable to
+            # see which old shards it had vacated, carrying their stale
+            # manifest rows forever. With corpus -> manifest -> members,
+            # every retry recomputes the same touched set until members
+            # finally flips. Recompute touched shards from the delta
+            # (their exact new contents), carry the rest; a fully-
+            # vacated shard contributes no row — retired together with
+            # its directory.
+            recomputed = corpus_shard_manifest(delta, self.id_col)
+            if self.store.exists(self.MANIFEST):
+                carried = self.store.read(self.MANIFEST).filter(
+                    ~F.col("shard").isin(touched)
+                )
+                manifest = carried.unionByName(recomputed)
+            else:
+                manifest = recomputed
+            self.store.write(manifest, self.MANIFEST)
+
+            # members delta: batch ids' buckets only — old rows of
+            # re-ingested ids vacate, the batch's fresh rows land
+            new_members = assigned.select(
+                self._member_bucket(assigned).alias("member_bucket"),
+                self.id_col,
+                "shard",
+            )
+            if self.store.exists(self.MEMBERS):
+                member_buckets = [
+                    r.member_bucket
+                    for r in new_members.select("member_bucket")
+                    .distinct().collect()
+                ]
+                old_members = self.store.read_partitions(
+                    self.MEMBERS, "member_bucket", member_buckets
+                ).join(
+                    F.broadcast(assigned.select(self.id_col)),
+                    self.id_col,
+                    "left_anti",
+                )
+                self.store.write_partition_delta(
+                    old_members.unionByName(new_members),
+                    self.MEMBERS,
+                    ["member_bucket"],
+                    member_buckets,
+                )
+            else:
+                self.store.write(
+                    new_members, self.MEMBERS, partition_by=["member_bucket"]
+                )
+
+            # epochs row LAST among the tables (base derivation), ledger
+            # after everything — a crash anywhere replays idempotently
+            # (every delta above is a pure function of batch + the PRIOR
+            # version it reads, and rewrites land on the same dirs)
+            new_epoch = self.spark.createDataFrame(
+                [(int(epoch), int(base), int(n_shards), str(run_id))],
+                "epoch int, base_shard int, n_shards int, run_id string",
+            )
+            if self.store.exists(self.EPOCHS):
+                prior = self.store.read(self.EPOCHS).filter(
+                    F.col("epoch") != int(epoch)
+                )
+                self.store.write(prior.unionByName(new_epoch), self.EPOCHS)
+            else:
+                self.store.write(new_epoch, self.EPOCHS)
+            self._record_run(run_id)
+            return self.store.read(self.MANIFEST)
+        finally:
+            unpersist_deps(assigned)
+            assigned.unpersist()

@@ -509,129 +509,143 @@ class MinhashSignatureStore:
         sigs_new = (
             signatures if signatures is not None else self._signatures(batch)
         ).persist()
-        new_bands = self._band_rows(sigs_new)
-        # pruning factored into _store_sides (r16): store side excludes
-        # THIS batch's ids (replay safety) and the band scan directory-
-        # prunes to the batch's own buckets (manual-DPP shape,
-        # operators/joins.py:66); the heal path (BANDS absent with SIGS
-        # present, r11 review) rides store_bands=None.
-        store_sigs, store_bands, batch_buckets = self._store_sides(
-            sigs_new, new_bands
-        )
-        had_sigs = store_sigs is not None
-        if drops is None:
-            # materialize the (tiny) drop set now: the survivor plan must
-            # stay valid after sigs_new unpersists at the end of this
-            # call. persist(), NOT localCheckpoint: checkpoint blocks
-            # free only via JVM GC — the caller releases via
-            # unpersist_deps(survivors) (CLAUDE.md releasable-state rule).
-            # ``drops=`` (r16): a caller-provided PERSISTED set (the
-            # loser column of minhash_batch_pairs over _store_sides —
-            # the identical join) skips this pass instead of running it
-            # twice (the CrossModalPairStore composition).
-            drops = minhash_batch_drops(
-                store_sigs,
-                sigs_new,
-                self.id_col,
-                self.num_hashes,
-                self.bands,
-                self.jaccard_threshold,
-                store_bands_df=store_bands,
-            ).persist()
-            drops.count()  # materialize while sigs_new is still cached
-        survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
-        survivors._persisted_deps = [drops]
+        owned_drops = drops is None
+        # persist hygiene (r17, closing the gap the image twin fixed in
+        # r14): a failure between persist() and the trailing unpersist
+        # (e.g. a failed store write) must not leak cached blocks in a
+        # long-lived session — the Bm25Index.append try/finally
+        # convention. ``drops`` unpersists only on the exception path
+        # (and only if owned here): on success it is handed out live via
+        # ``_persisted_deps``.
+        try:
+            new_bands = self._band_rows(sigs_new)
+            # pruning factored into _store_sides (r16): store side excludes
+            # THIS batch's ids (replay safety) and the band scan directory-
+            # prunes to the batch's own buckets (manual-DPP shape,
+            # operators/joins.py:66); the heal path (BANDS absent with SIGS
+            # present, r11 review) rides store_bands=None.
+            store_sigs, store_bands, batch_buckets = self._store_sides(
+                sigs_new, new_bands
+            )
+            had_sigs = store_sigs is not None
+            if drops is None:
+                # materialize the (tiny) drop set now: the survivor plan must
+                # stay valid after sigs_new unpersists at the end of this
+                # call. persist(), NOT localCheckpoint: checkpoint blocks
+                # free only via JVM GC — the caller releases via
+                # unpersist_deps(survivors) (CLAUDE.md releasable-state rule).
+                # ``drops=`` (r16): a caller-provided PERSISTED set (the
+                # loser column of minhash_batch_pairs over _store_sides —
+                # the identical join) skips this pass instead of running it
+                # twice (the CrossModalPairStore composition).
+                drops = minhash_batch_drops(
+                    store_sigs,
+                    sigs_new,
+                    self.id_col,
+                    self.num_hashes,
+                    self.bands,
+                    self.jaccard_threshold,
+                    store_bands_df=store_bands,
+                ).persist()
+                drops.count()  # materialize while sigs_new is still cached
+            survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
+            survivors._persisted_deps = [drops]
 
-        # durable state: SCD1-merge ALL batch signatures (dropped docs
-        # included — see module docstring) and their band rows. The sigs
-        # table is partitioned by sig_bucket = f(id) (r9, VERDICT r8 item
-        # 1): only the batch ids' own buckets are merged and physically
-        # rewritten; the other ~n_buckets-k directories carry by hard link,
-        # so the per-ingest write cost tracks the BATCH, not the store.
-        # Unlike the band table there is no ghost caveat: the bucket is a
-        # pure function of the id, so a re-ingested row lands exactly on
-        # top of its old partition.
-        sigs_new_b = self._with_sig_bucket(sigs_new)
-        if not self.store.exists(self.SIGS):
-            self.write_sigs_snapshot(scd1_merge(None, sigs_new, [self.id_col]))
-        else:
-            # NULL-safe bucket match (r11 review, mirroring the embedding
-            # twin): a plain isin never matches a stored NULL-bucket row,
-            # but the touched list maps None to the hive default dir —
-            # that directory would be rewritten WITHOUT its old rows
-            sig_bucket_set = {
-                r.sig_bucket
-                for r in sigs_new_b.select("sig_bucket").distinct().collect()
-            }
-            sig_buckets = sorted(
-                (v for v in sig_bucket_set if v is not None), key=str
-            ) + ([None] if None in sig_bucket_set else [])
-            bucket_match = F.col("sig_bucket").isin(
-                [v for v in sig_buckets if v is not None]
-            )
-            if None in sig_bucket_set:
-                bucket_match = bucket_match | F.col("sig_bucket").isNull()
-            # anti-join the batch ids out (their rows are replaced wholesale
-            # — pure-insert merge, and replay-safe like the band path)
-            old_touched_sigs = (
-                self.store.read(self.SIGS)
-                .filter(bucket_match)
-                .join(sigs_new.select(self.id_col), self.id_col, "left_anti")
-            )
-            merged_sigs = scd1_merge(old_touched_sigs, sigs_new_b, [self.id_col])
-            self.store.write_partition_delta(
-                merged_sigs, self.SIGS, "sig_bucket", sig_buckets
-            )
-        if not self.store.exists(self.BANDS):
-            if had_sigs:
-                # heal path (r11 review): SIGS pre-existed but BANDS was
-                # missing (first-ingest crash between the two writes) —
-                # writing only the BATCH's bands would leave every stored
-                # sig bandless forever; rebuild from the (now merged)
-                # sigs table instead.
-                self.rebuild_bands()
+            # durable state: SCD1-merge ALL batch signatures (dropped docs
+            # included — see module docstring) and their band rows. The sigs
+            # table is partitioned by sig_bucket = f(id) (r9, VERDICT r8 item
+            # 1): only the batch ids' own buckets are merged and physically
+            # rewritten; the other ~n_buckets-k directories carry by hard link,
+            # so the per-ingest write cost tracks the BATCH, not the store.
+            # Unlike the band table there is no ghost caveat: the bucket is a
+            # pure function of the id, so a re-ingested row lands exactly on
+            # top of its old partition.
+            sigs_new_b = self._with_sig_bucket(sigs_new)
+            if not self.store.exists(self.SIGS):
+                self.write_sigs_snapshot(scd1_merge(None, sigs_new, [self.id_col]))
             else:
-                self.store.write(
-                    new_bands, self.BANDS, partition_by=["bucket"]
+                # NULL-safe bucket match (r11 review, mirroring the embedding
+                # twin): a plain isin never matches a stored NULL-bucket row,
+                # but the touched list maps None to the hive default dir —
+                # that directory would be rewritten WITHOUT its old rows
+                sig_bucket_set = {
+                    r.sig_bucket
+                    for r in sigs_new_b.select("sig_bucket").distinct().collect()
+                }
+                sig_buckets = sorted(
+                    (v for v in sig_bucket_set if v is not None), key=str
+                ) + ([None] if None in sig_bucket_set else [])
+                bucket_match = F.col("sig_bucket").isin(
+                    [v for v in sig_buckets if v is not None]
                 )
-        else:
-            # PARTITION-DELTA band update (r8): only the batch's own buckets
-            # can change, so merge and physically rewrite just those
-            # partitions; the other ~n_buckets-2 directories carry over by
-            # hard link (write_partition_delta) — the Delta-MERGE
-            # touched-files-only rewrite, without Delta. Caveat, exactly
-            # like Delta tombstones: if a RE-INGESTED doc's new text moves
-            # a band to a different bucket, its old band row survives in
-            # the untouched bucket as a GHOST. Ghost rows are harmless to
-            # results — band rows only GENERATE candidates and the old
-            # hash can only pair with docs matching the old band value;
-            # verification always scores against the (globally SCD1-fresh)
-            # sigs table — and ``rebuild_bands`` reaps them (the band
-            # table is a pure function of sigs).
-            touched = batch_buckets
-            # Anti-join the batch's ids OUT of the old touched rows instead
-            # of relying on the (id, band) merge keys alone: a re-ingested
-            # id can present TWO old rows per (id, band) — its current row
-            # plus a ghost from an earlier partition-delta write — and a
-            # full-outer merge would update both, persisting duplicate
-            # identical band rows until rebuild_bands (ADVICE r8). Dropping
-            # every old row of a batch id makes the merge pure-insert for
-            # those keys: exactly the fresh band rows survive, and a
-            # re-ingest REAPS its own prior ghosts in the touched buckets.
-            old_touched = (
-                self.store.read(self.BANDS)
-                .filter(F.col("bucket").isin(touched))
-                .join(sigs_new.select(self.id_col), self.id_col, "left_anti")
-            )
-            merged_touched = scd1_merge(
-                old_touched, new_bands, [self.id_col, "band"]
-            )
-            self.store.write_partition_delta(
-                merged_touched, self.BANDS, "bucket", touched
-            )
-        self._record_run(run_id)
-        sigs_new.unpersist()
-        return survivors
+                if None in sig_bucket_set:
+                    bucket_match = bucket_match | F.col("sig_bucket").isNull()
+                # anti-join the batch ids out (their rows are replaced wholesale
+                # — pure-insert merge, and replay-safe like the band path)
+                old_touched_sigs = (
+                    self.store.read(self.SIGS)
+                    .filter(bucket_match)
+                    .join(sigs_new.select(self.id_col), self.id_col, "left_anti")
+                )
+                merged_sigs = scd1_merge(old_touched_sigs, sigs_new_b, [self.id_col])
+                self.store.write_partition_delta(
+                    merged_sigs, self.SIGS, "sig_bucket", sig_buckets
+                )
+            if not self.store.exists(self.BANDS):
+                if had_sigs:
+                    # heal path (r11 review): SIGS pre-existed but BANDS was
+                    # missing (first-ingest crash between the two writes) —
+                    # writing only the BATCH's bands would leave every stored
+                    # sig bandless forever; rebuild from the (now merged)
+                    # sigs table instead.
+                    self.rebuild_bands()
+                else:
+                    self.store.write(
+                        new_bands, self.BANDS, partition_by=["bucket"]
+                    )
+            else:
+                # PARTITION-DELTA band update (r8): only the batch's own buckets
+                # can change, so merge and physically rewrite just those
+                # partitions; the other ~n_buckets-2 directories carry over by
+                # hard link (write_partition_delta) — the Delta-MERGE
+                # touched-files-only rewrite, without Delta. Caveat, exactly
+                # like Delta tombstones: if a RE-INGESTED doc's new text moves
+                # a band to a different bucket, its old band row survives in
+                # the untouched bucket as a GHOST. Ghost rows are harmless to
+                # results — band rows only GENERATE candidates and the old
+                # hash can only pair with docs matching the old band value;
+                # verification always scores against the (globally SCD1-fresh)
+                # sigs table — and ``rebuild_bands`` reaps them (the band
+                # table is a pure function of sigs).
+                touched = batch_buckets
+                # Anti-join the batch's ids OUT of the old touched rows instead
+                # of relying on the (id, band) merge keys alone: a re-ingested
+                # id can present TWO old rows per (id, band) — its current row
+                # plus a ghost from an earlier partition-delta write — and a
+                # full-outer merge would update both, persisting duplicate
+                # identical band rows until rebuild_bands (ADVICE r8). Dropping
+                # every old row of a batch id makes the merge pure-insert for
+                # those keys: exactly the fresh band rows survive, and a
+                # re-ingest REAPS its own prior ghosts in the touched buckets.
+                old_touched = (
+                    self.store.read(self.BANDS)
+                    .filter(F.col("bucket").isin(touched))
+                    .join(sigs_new.select(self.id_col), self.id_col, "left_anti")
+                )
+                merged_touched = scd1_merge(
+                    old_touched, new_bands, [self.id_col, "band"]
+                )
+                self.store.write_partition_delta(
+                    merged_touched, self.BANDS, "bucket", touched
+                )
+            self._record_run(run_id)
+            return survivors
+        except BaseException:
+            if drops is not None and owned_drops:
+                drops.unpersist()
+            raise
+        finally:
+            sigs_new.unpersist()
 
     def retire_ids_below(self, cutoff_id: int) -> None:
         """Retention/lifecycle delete: drop every doc with ``id <
@@ -1489,19 +1503,23 @@ class ImageHashStore:
 
     def _store_sides(
         self, fps: DataFrame, new_bands: DataFrame
-    ) -> tuple[DataFrame | None, DataFrame | None, list]:
+    ) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None, list]:
         """The pruned store-side frames the ingest drop join consumes
         (r16, factored out so :class:`CrossModalPairStore` runs the
-        IDENTICAL pruning): ``(store_fps, store_bands, batch_buckets)``
-        — store fingerprints minus the batch's own ids (replay safety),
-        the band table directory-pruned to the batch's own band buckets
-        (the list is also the band write's partition-delta touched set),
-        and ``store_bands`` None when the table is absent (the
-        first-ingest-crash heal path derives bands in-plan)."""
+        IDENTICAL pruning): ``(store_all, store_fps, store_bands,
+        batch_buckets)`` — the unfiltered fingerprint table (r17 ADVICE:
+        the SCD1 merge reuses this frame instead of issuing a second
+        ``store.read``), store fingerprints minus the batch's own ids
+        (replay safety), the band table directory-pruned to the batch's
+        own band buckets (the list is also the band write's
+        partition-delta touched set), and ``store_bands`` None when the
+        table is absent (the first-ingest-crash heal path derives bands
+        in-plan)."""
         if not self.store.exists(self.FPS):
-            return None, None, []
+            return None, None, None, []
         batch_ids = fps.select(self.id_col)
-        store_fps = self.store.read(self.FPS).join(
+        store_all = self.store.read(self.FPS)
+        store_fps = store_all.join(
             batch_ids, self.id_col, "left_anti"
         )
         batch_buckets = [
@@ -1515,7 +1533,7 @@ class ImageHashStore:
                 .filter(F.col("bucket").isin(batch_buckets))
                 .join(batch_ids, self.id_col, "left_anti")
             )
-        return store_fps, store_bands, batch_buckets
+        return store_all, store_fps, store_bands, batch_buckets
 
     def ingest(
         self,
@@ -1555,13 +1573,11 @@ class ImageHashStore:
         # success it is handed out live via ``_persisted_deps``.
         try:
             new_bands = self._band_rows(fps)
-            store_fps, store_bands, batch_buckets = self._store_sides(
-                fps, new_bands
-            )
-            store_all = (
-                self.store.read(self.FPS)
-                if self.store.exists(self.FPS)
-                else None
+            # store_all rides out of _store_sides (r17 ADVICE): the SCD1
+            # merge below reuses the same resolved-version scan instead
+            # of a second store.read(self.FPS)
+            store_all, store_fps, store_bands, batch_buckets = (
+                self._store_sides(fps, new_bands)
             )
             if drops is None:
                 if self.frames:
@@ -2289,13 +2305,20 @@ class CrossModalPairStore:
             return None
         fps = self.img._fingerprints(batch).persist()
         sigs = self.txt._signatures(batch).persist()
+        # persist hygiene (r17 ADVICE): ip/tp/img_drops/txt_drops/
+        # decisions must unpersist on ANY failure path — an exception
+        # between their persists and the sub-store merges would
+        # otherwise pin up to five cached frames per failed micro-batch
+        # in a long-lived foreachBatch session. On success, decisions is
+        # the only survivor (handed out via _persisted_deps).
+        ip = tp = img_drops = txt_drops = decisions = None
         try:
             # store sides via each face's OWN pruning helper (r16 review
             # — one code path, no drift), pairs via the pair primitives,
             # and the per-modality drop sets derived as the pairs' loser
             # columns so the sub-store merges consume them instead of
             # re-running the candidate+verify joins a second time.
-            store_fps, store_ibands, _ = self.img._store_sides(
+            _, store_fps, store_ibands, _ = self.img._store_sides(
                 fps, self.img._band_rows(fps)
             )
             ip = image_hash_batch_pairs(
@@ -2331,20 +2354,33 @@ class CrossModalPairStore:
             # state merges through the proven sub-store paths: each
             # kernel's output AND each modality's verified drop set are
             # handed in, so fingerprinting and candidate verification
-            # both run once per batch
+            # both run once per batch. The drop sets are OWNED here: on
+            # the happy path the sub-store hands each back through its
+            # survivors' _persisted_deps; on the crash-heal replay (the
+            # sub-store ledger already has run_id, ingest returns None)
+            # nothing carries them, so release directly (r17 ADVICE).
             s_img = self.img.ingest(
                 batch, run_id, fingerprints=fps, drops=img_drops
             )
             if s_img is not None:
                 unpersist_deps(s_img)
+            else:
+                img_drops.unpersist()
             s_txt = self.txt.ingest(
                 batch, run_id, signatures=sigs, drops=txt_drops
             )
             if s_txt is not None:
                 unpersist_deps(s_txt)
+            else:
+                txt_drops.unpersist()
             self._record_run(run_id)
             decisions._persisted_deps = [decisions]
             return decisions
+        except BaseException:
+            for frame in (ip, tp, img_drops, txt_drops, decisions):
+                if frame is not None:
+                    frame.unpersist()
+            raise
         finally:
             fps.unpersist()
             sigs.unpersist()

@@ -229,6 +229,7 @@ class VersionedParquetStore:
         table: str,
         partition_col: str | list[str],
         touched_values: list,
+        cluster: bool = True,
     ) -> int:
         """New version that physically rewrites ONLY the given partitions —
         the Delta-MERGE touched-files-only rewrite at partition-directory
@@ -247,6 +248,12 @@ class VersionedParquetStore:
         are its values; untouched top-level dirs hard-link wholesale,
         sub-partition dirs included), the rest only shape the layout the
         writer produces inside rewritten dirs.
+
+        ``cluster=False`` (r17) opts out of the pre-write hash clustering
+        for callers that already repartitioned AND ordered the delta
+        (the corpus shard writer's deterministic in-file order — the
+        same escape hatch ``write`` grew in r16); the one-file-per-leaf
+        invariant is then the caller's responsibility.
         """
         part_cols = (
             [partition_col] if isinstance(partition_col, str) else list(partition_col)
@@ -254,7 +261,7 @@ class VersionedParquetStore:
         partition_col = part_cols[0]
         cur = self.current_version(table)
         if cur is None:
-            return self.write(df, table, partition_by=part_cols)
+            return self.write(df, table, partition_by=part_cols, cluster=cluster)
         # Validate the PREVIOUS version's layout before paying for the new
         # write: if it is not laid out as '{partition_col}=...' dirs
         # (unpartitioned, or partitioned by a different column), nothing
@@ -342,7 +349,9 @@ class VersionedParquetStore:
         # per leaf is the intended unit of work.
         from pyspark.sql import functions as _F
 
-        clustered = df.repartition(*[_F.col(c) for c in part_cols])
+        clustered = (
+            df.repartition(*[_F.col(c) for c in part_cols]) if cluster else df
+        )
         clustered.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
         for name in carry:
             if name in touched:

@@ -121,3 +121,170 @@ def test_precomputed_token_counts_and_string_ids(spark):
     unpersist_deps(a)
     unpersist_deps(b)
     assert ra == rb and len(ra) == 500
+
+
+# ---------------------------------------------------------------------------
+# Epoch-incremental store (r17, VERDICT r16 item 2)
+# ---------------------------------------------------------------------------
+
+def _epochs(spark):
+    """Epoch 1 = doc_id % 3 != 0; epoch 2 = the rest PLUS a re-ingest of
+    doc_id % 7 == 1 (the catalog fixture)."""
+    docs = _docs(spark)
+    d = F.col("doc_id")
+    e1 = docs.filter(d % 3 != 0)
+    e2 = docs.filter((d % 3 == 0) | (d % 7 == 1))
+    return e1, e2
+
+
+def test_epoch_store_sequential_equals_oneshot(spark, tmp_path):
+    """The headline theorem: two sequential append_epoch calls land every
+    doc on the shard corpus_epoch_assignments computes one-shot over the
+    (epoch, doc) union with latest-epoch-wins; the manifest and members
+    sidecar agree with it row for row."""
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        CorpusShardStore,
+        corpus_epoch_assignments,
+    )
+
+    e1, e2 = _epochs(spark)
+    st = CorpusShardStore(
+        spark, str(tmp_path / "c"), shard_tokens=5000,
+        member_bucket_width=64,
+    )
+    assert st.append_epoch(e1, 1, "r1") is not None
+    man = st.append_epoch(e2, 2, "r2")
+    assert man is not None
+
+    union = e1.withColumn("epoch", F.lit(1)).unionByName(
+        e2.withColumn("epoch", F.lit(2))
+    )
+    oneshot = corpus_epoch_assignments(
+        union, "text", "doc_id", "epoch", shard_tokens=5000
+    )
+    want = {(r.doc_id, r.shard) for r in oneshot.collect()}
+    unpersist_deps(oneshot)
+
+    corpus = st.store.read(st.CORPUS)
+    got = {(r.doc_id, r.shard) for r in corpus.collect()}
+    assert got == want
+    members = {
+        (r.doc_id, r.shard) for r in st.store.read(st.MEMBERS).collect()
+    }
+    assert members == want
+    # manifest matches an independent recompute from the final corpus
+    want_man = {
+        tuple(r) for r in corpus_shard_manifest(corpus, "doc_id").collect()
+    }
+    assert {tuple(r) for r in man.collect()} == want_man
+    # epoch 2 cut into NEW shards only: its docs' shards all >= epoch 1's
+    # shard count, and every re-ingested id vacated its old shard
+    bases = {r.epoch: (r.base_shard, r.n_shards)
+             for r in st.store.read(st.EPOCHS).collect()}
+    assert bases[2][0] == bases[1][0] + bases[1][1] and bases[1][0] == 0
+    reingested = {r.doc_id for r in e1.join(e2, "doc_id", "left_semi").collect()}
+    assert reingested  # the fixture must actually overlap
+    for r in corpus.collect():
+        if r.doc_id in reingested:
+            assert r.shard >= bases[2][0]
+
+
+def test_epoch_store_ledger_idempotent_and_rerun_stable(spark, tmp_path):
+    """Same run_id replays to None with no new versions; the same append
+    SEQUENCE into a fresh root reproduces identical assignments, in-file
+    order and manifests (byte-stability of the sequential face)."""
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        CorpusShardStore,
+    )
+
+    e1, e2 = _epochs(spark)
+
+    def run(root):
+        st = CorpusShardStore(
+            spark, root, shard_tokens=5000, member_bucket_width=64
+        )
+        st.append_epoch(e1, 1, "r1")
+        st.append_epoch(e2, 2, "r2")
+        return st
+
+    st = run(str(tmp_path / "a"))
+    versions = {
+        t: st.store.current_version(t)
+        for t in (st.CORPUS, st.MEMBERS, st.MANIFEST, st.EPOCHS)
+    }
+    assert st.append_epoch(e2, 2, "r2") is None
+    assert versions == {
+        t: st.store.current_version(t)
+        for t in (st.CORPUS, st.MEMBERS, st.MANIFEST, st.EPOCHS)
+    }
+
+    def snapshot(st):
+        corpus = st.store.read(st.CORPUS)
+        order = [
+            (r.shard, r.doc_id)
+            for r in corpus.select(
+                "shard", "doc_id", F.monotonically_increasing_id().alias("i")
+            ).orderBy("shard", "i").collect()
+        ]
+        man = sorted(map(tuple, st.store.read(st.MANIFEST).collect()))
+        return order, man
+
+    assert snapshot(st) == snapshot(run(str(tmp_path / "b")))
+
+
+def test_epoch_store_vacate_and_hardlink_carry(spark, tmp_path):
+    """A re-ingested id's old shard is rewritten WITHOUT it (vacate);
+    every untouched shard directory carries by hard link (same inode as
+    the prior version — zero bytes rewritten)."""
+    import os
+
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        CorpusShardStore,
+    )
+
+    docs = _docs(spark)
+    d = F.col("doc_id")
+    # a SINGLE re-ingested id, so most epoch-1 shards stay untouched
+    # (the shared %7 fixture scatters re-ingests across every shard)
+    e1 = docs.filter(d % 3 != 0)
+    e2 = docs.filter((d % 3 == 0) | (d == 1))
+    st = CorpusShardStore(
+        spark, str(tmp_path / "c"), shard_tokens=5000, member_bucket_width=64
+    )
+    st.append_epoch(e1, 1, "r1")
+    v1 = st.store.current_version(st.CORPUS)
+    old_shard_of = {
+        r.doc_id: r.shard for r in st.store.read(st.MEMBERS).collect()
+    }
+    st.append_epoch(e2, 2, "r2")
+    v2 = st.store.current_version(st.CORPUS)
+
+    reingested = {r.doc_id for r in e1.join(e2, "doc_id", "left_semi").collect()}
+    vacated = {old_shard_of[d] for d in reingested}
+    corpus2 = st.store.read(st.CORPUS)
+    for r in corpus2.filter(F.col("shard").isin(list(vacated))).collect():
+        assert r.doc_id not in reingested
+
+    def inode_map(version):
+        vdir = st.store._version_path(st.CORPUS, version)
+        out = {}
+        for d in os.listdir(vdir):
+            if not d.startswith("shard="):
+                continue
+            for f in os.listdir(os.path.join(vdir, d)):
+                if f.endswith(".parquet"):
+                    out[d] = os.stat(os.path.join(vdir, d, f)).st_ino
+        return out
+
+    i1, i2 = inode_map(v1), inode_map(v2)
+    untouched = [
+        d for d in i1
+        if int(d.split("=")[1]) not in vacated
+    ]
+    assert untouched  # some epoch-1 shard must hold no re-ingested id
+    for d in untouched:
+        assert i2[d] == i1[d]  # hard-link carry, zero bytes rewritten
+    for s in vacated:
+        d = f"shard={s}"
+        # a vacated shard either emptied out entirely or was rewritten
+        assert d not in i2 or i2[d] != i1[d]
