@@ -435,6 +435,97 @@ def pack_manifest(
     )
 
 
+def pack_bfd(
+    df: "DataFrame",
+    text_col: str | None,
+    id_col: str,
+    budget_tokens: int = 2048,
+    shards: int = 32,
+    n_tokens_col: str | None = None,
+) -> "DataFrame":
+    """Best-fit-decreasing sequence packing (r17, VERDICT r16 item 3;
+    Krell et al. 2021's packed-sequence methodology, public): pack WHOLE
+    documents into fixed-capacity training sequences with bounded
+    padding, instead of :func:`pack_manifest`'s concat-then-chunk (which
+    splits documents across sequence boundaries — attention-damaging
+    truncation the packed formulation avoids).
+
+    Rule, deterministic and engine-exact: documents shard by the 60-bit
+    md5 of the id (``pack_manifest``'s assignment verbatim); within a
+    shard they are taken in (n_tokens DESC, id ASC) order and each goes
+    to the open bin with the SMALLEST remaining capacity that still fits
+    (ties -> lowest bin index) or opens a new bin — classic BFD. A doc
+    longer than the budget occupies one whole bin truncated to capacity
+    (``least(n_tokens, budget)`` on both engines). Empty docs drop. The
+    greedy loop is sequential BY DESIGN (bin state), so the DuckDB
+    oracle replays it step-for-step as a WITH-RECURSIVE over the ranked
+    docs — every (first-min == list_position-of-min) tiebreak identical.
+
+    Scale shape: ``shards`` bounds the per-task state exactly like
+    ``pack_manifest`` — one groupBy shuffle, then an Arrow-batched numpy
+    kernel per shard (state = one int64 array of open-bin remainders;
+    the O(n_bins) first-min scan per doc is a vectorized masked argmin).
+    At 100 TB you raise ``shards`` so each group stays loader-sized;
+    cross-shard packing quality is unaffected because BFD quality
+    depends only on the in-shard length mix. Output manifest: (id,
+    shard, n_tokens, bin) — the pack step consumes it; ``bin`` ids are
+    dense per shard.
+    """
+    import pandas as pd
+
+    n_toks = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else token_count(F.col(text_col)).cast("long")
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(shards),
+    )
+    base = df.select(
+        id_col,
+        shard.cast("int").alias("shard"),
+        n_toks.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    id_field = base.schema[id_col]
+    out_schema = (
+        f"`{id_field.name}` {id_field.dataType.simpleString()}, "
+        "shard int, n_tokens bigint, bin int"
+    )
+    cap = int(budget_tokens)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        lens = np.minimum(pdf["n_tokens"].to_numpy(np.int64), cap)
+        rems = np.empty(len(lens), dtype=np.int64)  # preallocated bins
+        n_bins = 0
+        bins = np.empty(len(lens), dtype=np.int32)
+        big = np.int64(1 << 62)
+        for i, length in enumerate(lens):
+            open_rems = rems[:n_bins]
+            # first-min among bins that fit == the oracle's
+            # list_position(rems, list_min(filter(rems, >= L)))
+            masked = np.where(open_rems >= length, open_rems, big)
+            j = int(masked.argmin()) if n_bins else 0
+            if n_bins == 0 or masked[j] == big:
+                bins[i] = n_bins
+                rems[n_bins] = cap - length
+                n_bins += 1
+            else:
+                bins[i] = j
+                open_rems[j] -= length
+        pdf["bin"] = bins
+        return pdf[[id_col, "shard", "n_tokens", "bin"]]
+
+    return base.groupBy("shard").applyInPandas(_pack, out_schema)
+
+
 def tfidf_top_terms(
     df: "DataFrame",
     text_col: str,

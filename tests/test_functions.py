@@ -289,3 +289,78 @@ def test_pack_manifest_epoch_order(spark):
         for r in shard_rows:
             assert r.seq_first == offset // 7
             offset += r.n_tokens
+
+
+def test_pack_bfd_small(spark):
+    """Pure-Python BFD replica on a hand fixture that exercises every
+    rule: new-bin open, best-fit choice over two candidates, lowest-
+    index tie-break between equal remainders, and an oversized doc
+    truncating into its own bin."""
+    import hashlib
+
+    from metadata_ingestion_framework_spark.functions.text import pack_bfd
+
+    rows = [
+        (0, " ".join(["w"] * 7)),   # 7 tokens
+        (1, " ".join(["w"] * 7)),   # 7 tokens (equal-remainder tie later)
+        (2, " ".join(["w"] * 3)),   # 3 -> best-fits the fuller bin
+        (3, " ".join(["w"] * 12)),  # oversize: truncates to cap=10, own bin
+        (4, ""),                    # empty: dropped
+        (5, " ".join(["w"] * 2)),
+        (6, " ".join(["w"] * 2)),
+    ]
+    budget, shards = 10, 1
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r["bin"]
+        for r in pack_bfd(df, "text", "doc_id", budget, shards).collect()
+    }
+
+    def shard_of(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % shards
+
+    lens = sorted(
+        ((min(len(t.split()), budget), i) for i, t in rows if t),
+        key=lambda p: (-p[0], p[1]),
+    )
+    rems, expect = [], {}
+    for L, i in lens:
+        fits = [(r, j) for j, r in enumerate(rems) if r >= L]
+        if fits:
+            _, j = min(fits)
+            expect[i] = j
+            rems[j] -= L
+        else:
+            expect[i] = len(rems)
+            rems.append(budget - L)
+    assert out == expect and 4 not in out
+    # the oversize doc got its own bin, whole docs never split
+    assert len([i for i, b in out.items() if b == out[3]]) >= 1
+
+
+def test_pack_bfd_beats_concat_chunk_waste(spark):
+    """Krell et al.'s selling point, asserted on real documents: BFD
+    packs WHOLE docs (one manifest row each, per-bin fill <= capacity)
+    and its padding fraction is below the token fraction that
+    concat-then-chunk damages by splitting docs across boundaries."""
+    from metadata_ingestion_framework_spark.functions.text import (
+        pack_bfd,
+        pack_manifest,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cap = 512
+    bfd = pack_bfd(docs, "text", "doc_id", cap, shards=8).collect()
+    assert len(bfd) == len({r.doc_id for r in bfd})  # one bin per doc
+    fill = {}
+    for r in bfd:
+        k = (r.shard, r.bin)
+        fill[k] = fill.get(k, 0) + min(r.n_tokens, cap)
+    assert all(v <= cap for v in fill.values())
+    pad_frac = sum(cap - v for v in fill.values()) / (cap * len(fill))
+
+    cm = pack_manifest(docs, "text", "doc_id", cap, shards=8).collect()
+    total = sum(r.n_tokens for r in cm)
+    split_tokens = sum(r.n_tokens for r in cm if r.seq_first != r.seq_last)
+    assert split_tokens > 0  # concat-chunk really does break docs here
+    assert pad_frac < split_tokens / total

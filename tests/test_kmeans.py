@@ -199,3 +199,102 @@ def test_centroid_count_mismatch_raises(spark):
     m = kmeans_fit(emb, dim=64, n_cells=4, n_iters=1)
     with pytest.raises(ValueError, match="expected n_cells"):
         ivf_recall(emb, q, dim=64, n_cells=8, centroids=m.unit_centroids)
+
+
+def test_cluster_balanced_mix_downweights_dominant(spark):
+    """The temperature rule over TRAINED cells, verified exactly: the
+    member set equals a pure-Python replay of counts -> sqrt thresholds
+    -> md5 buckets, and bigger topics get strictly smaller keep
+    thresholds (the down-weighting claim itself)."""
+    import hashlib
+
+    from metadata_ingestion_framework_spark.operators.kmeans import (
+        cluster_balanced_mix,
+        kmeans_assignments,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id")
+    model = kmeans_fit(emb, dim=64, n_cells=8, n_iters=3)
+    cells = {
+        r.vec_id: r.cell for r in kmeans_assignments(emb, model).collect()
+    }
+    counts = {}
+    for c in cells.values():
+        counts[c] = counts.get(c, 0) + 1
+    c_min = min(counts.values())
+    thr = {
+        c: int((c_min / n) ** 0.5 * 1_000_000 + 0.5)
+        for c, n in counts.items()
+    }
+    # strictly monotone: a bigger topic keeps a smaller fraction
+    for a, na in counts.items():
+        for b, nb in counts.items():
+            if na > nb:
+                assert thr[a] < thr[b]
+    assert max(counts.values()) > min(counts.values())  # test must bite
+
+    def bucket(i):
+        key = "\x1f".join(["cmix", str(i)])
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 1_000_000
+
+    expect = {
+        i for i, c in cells.items() if bucket(i) < thr[c]
+    }
+    got = {
+        r.doc_id
+        for r in cluster_balanced_mix(
+            docs, emb, model, salt="cmix"
+        ).collect()
+    }
+    assert got == expect and 0 < len(got) < len(cells)
+
+
+def test_cluster_mix_stacks_with_cluster_safe_split(spark):
+    """Leakage guard composition: split by near-dup cluster FIRST, mix
+    only the train side — no mixed doc is in val, and no near-dup pair
+    straddles mix/val (the component rule carries through the mix)."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.cluster import (
+        cluster_safe_split,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.kmeans import (
+        cluster_balanced_mix,
+        kmeans_fit,
+    )
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id")
+    pairs = embedding_near_duplicates(emb, "label", threshold=0.35)
+    split = cluster_safe_split(
+        docs, pairs.select(F.col("id_a"), F.col("id_b")),
+        "doc_id", val_rate=0.3, salt="s17",
+    )
+    val = {r.doc_id for r in split.filter(F.col("split") == "val").collect()}
+    train = split.filter(F.col("split") == "train").select("doc_id")
+    model = kmeans_fit(emb, dim=64, n_cells=8, n_iters=3)
+    mixed = {
+        r.doc_id
+        for r in cluster_balanced_mix(
+            train, emb, model, salt="cmix"
+        ).collect()
+    }
+    unpersist_deps(split)
+    assert mixed and not (mixed & val)
+    for p in pairs.collect():
+        if p.id_a in mixed:
+            assert p.id_b not in val
+        if p.id_b in mixed:
+            assert p.id_a not in val
