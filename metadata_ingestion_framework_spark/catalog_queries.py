@@ -6506,20 +6506,13 @@ FROM per_doc WHERE rn = 1 QUALIFY rank <= 10
 """
 
 
-def q_url_dedup(spark, sf_dir):
-    """URL-level curation (functions/urls.py::normalize_url + url_dedup,
-    r13, VERDICT r12 item 4): the stage C4/CCNet/RefinedWeb run BEFORE
-    content dedup. A deterministic url column is synthesized from doc_id
-    (the dirty-fixture precedent) with every normalization hazard on
-    display — mixed-case schemes/hosts, default and non-default ports,
-    trailing slashes, tracking params, unsorted query params, fragments,
-    scheme-less and NULL dirty rows — then the operator dedups on the
-    canonical form (first-occurrence min-id rule; dirty rows all kept).
-    The oracle rebuilds the SAME urls and replays the normalization
-    regex-for-regex, so every surviving (doc_id, url_norm) string is
-    value-checked cross-engine."""
-    from metadata_ingestion_framework_spark.functions.urls import url_dedup
-
+def _synth_dirty_urls():
+    """The shared dirty-URL fixture (r13): a deterministic url column
+    synthesized from doc_id with every normalization hazard on display —
+    mixed-case schemes/hosts, default and non-default ports, trailing
+    slashes, tracking params, unsorted query params, fragments,
+    scheme-less and NULL dirty rows. url_dedup and url_gate both build
+    on it (and their oracles rebuild it expression-for-expression)."""
     d = F.col("doc_id")
     key = F.pmod(d, F.lit(40)).cast("string")
     qvariant = F.element_at(
@@ -6547,18 +6540,67 @@ def q_url_dedup(spark, sf_dir):
         F.when(qvariant != "", F.concat(F.lit("?"), qvariant)).otherwise(F.lit("")),
         F.when(F.pmod(d, F.lit(6)) == 0, F.lit("#Section-2")).otherwise(F.lit("")),
     )
-    url = (
+    return (
         F.when(F.pmod(d, F.lit(25)) == 19, F.lit(None).cast("string"))
         .when(F.pmod(d, F.lit(25)) == 7, F.lit("example.com/no-scheme"))
         .otherwise(built)
     )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level curation (functions/urls.py::normalize_url + url_dedup,
+    r13, VERDICT r12 item 4): the stage C4/CCNet/RefinedWeb run BEFORE
+    content dedup, over the shared dirty-URL fixture — the operator
+    dedups on the canonical form (first-occurrence min-id rule; dirty
+    rows all kept). The oracle rebuilds the SAME urls and replays the
+    normalization regex-for-regex, so every surviving (doc_id, url_norm)
+    string is value-checked cross-engine."""
+    from metadata_ingestion_framework_spark.functions.urls import url_dedup
+
     # wide_t (r13 review): the ~12-regex canonicalization is a CPU-heavy
     # map on a narrow scan — round-robin to defaultParallelism first
     docs = wide_t(spark, sf_dir, "documents").select(
-        "doc_id", url.alias("url")
+        "doc_id", _synth_dirty_urls().alias("url")
     )
     return url_dedup(docs, "url", "doc_id", keep_norm=True).select(
         "doc_id", F.col("__url_norm").alias("url_norm")
+    )
+
+
+def q_url_gate(spark, sf_dir):
+    """Domain/URL blocklist gate (functions/urls.py::url_blocklist_gate,
+    r17 — VERDICT r16 item 5): the C4 blocklist stage ahead of url_dedup,
+    over the shared dirty-URL fixture. The blocklist exercises every
+    match class: whole-domain blocks (example3.com / example5.com — the
+    fixture's hosts are www.exampleK.com, so the leading-www strip is
+    load-bearing), a SUBDOMAIN suffix that must NOT match its parent
+    domain (sub.example4.com never blocks example4.com), and a
+    (domain, path-prefix) rule (example1.com + /Articles/1 blocks
+    /Articles/1, /Articles/1x... but not /Articles/2). NULL urls gate
+    to NULL (the never-groups contract); the scheme-less row resolves
+    through url_host's lenient host-first parse and gates normally.
+    The oracle rebuilds the urls and replays host chain + suffix +
+    prefix matching expression-for-expression."""
+    from metadata_ingestion_framework_spark.functions.urls import (
+        url_blocklist_gate,
+        url_host,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select(
+        "doc_id", _synth_dirty_urls().alias("url")
+    )
+    gated = url_blocklist_gate(
+        docs,
+        "url",
+        [
+            ("example3.com", None),
+            ("example5.com", None),
+            ("sub.example4.com", None),
+            ("example1.com", "/Articles/1"),
+        ],
+    )
+    return gated.select(
+        "doc_id", url_host(F.col("url")).alias("host"), "blocked"
     )
 
 
@@ -6618,6 +6660,62 @@ SELECT doc_id, url_norm FROM (
          ELSE doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) END AS kept
   FROM norm
 ) WHERE kept
+"""
+
+
+# same url fixture as ORACLE_URL_DEDUP; host/chain/path replay
+# url_blocklist_gate expression-for-expression
+ORACLE_URL_GATE = r"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 = 19 THEN NULL
+         WHEN doc_id % 25 = 7 THEN 'example.com/no-scheme'
+         ELSE
+      ['http','https','HTTPS'][(doc_id % 3) + 1] || '://' ||
+      'WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+      [':80', ':443', ':8080', '', ''][(doc_id % 5) + 1] ||
+      '/Articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      CASE WHEN q = '' THEN '' ELSE '?' || q END ||
+      CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END
+    END AS url
+  FROM (
+    SELECT doc_id,
+      ['utm_source=feed&id=' || CAST(doc_id % 40 AS VARCHAR),
+       'id=' || CAST(doc_id % 40 AS VARCHAR) || '&b=2',
+       'b=2&id=' || CAST(doc_id % 40 AS VARCHAR),
+       ''][(doc_id % 4) + 1] AS q
+    FROM documents)
+),
+hosts AS (
+  SELECT doc_id, url,
+    NULLIF(regexp_replace(
+      lower(regexp_extract(
+        regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+        '^([^/:?#]*)', 1)),
+      '^www\.', ''), '') AS host,
+    regexp_extract(
+      regexp_replace(
+        regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+        '^[^/?]*', ''),
+      '^([^?#]*)', 1) AS path
+  FROM urls
+),
+chained AS (
+  SELECT doc_id, host, path,
+    [array_to_string(list_slice(string_split(host, '.'), i + 1,
+                                len(string_split(host, '.'))), '.')
+     FOR i IN range(0, len(string_split(host, '.')))] AS chain
+  FROM hosts
+)
+SELECT doc_id, host,
+  CASE WHEN host IS NULL THEN NULL ELSE
+    list_has_any(chain,
+      ['example3.com', 'example5.com', 'sub.example4.com'])
+    OR (list_contains(chain, 'example1.com')
+        AND starts_with(path, '/Articles/1'))
+  END AS blocked
+FROM chained
 """
 
 
@@ -7098,7 +7196,9 @@ QUERIES = {
     # selection (hashed n-gram bag models, exact decimal weight sums,
     # md5-uniform Gumbel top-k) — the distribution-matching member of
     # the selection family, fully value-replayed in SQL
-    "cms_heavy_hitters": q_cms_heavy_hitters,  # r11: in-window (ADVICE r10)
+    "url_gate": q_url_gate,  # r17 NEW: C4 domain/path blocklist gate
+    # over the shared dirty-URL fixture — map-only suffix-chain match,
+    # every match class + NULL contract replayed in SQL
     "grouping_key": q_grouping_key,
     "profile_table": q_profile_table,  # r11 NEW: one-pass per-column
     # data-quality profile (exact, cross-engine value-checked)
@@ -7171,6 +7271,14 @@ QUERIES = {
     # round 1, stays sweep-checked in the tail).
     "large_orders": q_large_orders,  # r1: TPC-H Q18 shape (displaced
     # r17 by cluster_mix)
+    # r17 rotation (4): NEW url_gate displaced cms_heavy_hitters —
+    # named, family-redundant (the engine-specific-value CONTRACT-oracle
+    # family keeps ann_recall's recall/monotonicity bounds and
+    # grouping_key's bucket contract in-window; cms_heavy_hitters
+    # driver-green r11-r16, unchanged this round, stays sweep-checked
+    # in the tail).
+    "cms_heavy_hitters": q_cms_heavy_hitters,  # r11: CMS sketch contract
+    # (displaced r17 by url_gate)
     # r17 rotation (1): NEW corpus_shards_inc displaced corpus_shards —
     # named, family-redundant (corpus_shards_inc runs
     # corpus_shard_assignments VERBATIM per epoch — the identical
@@ -7684,6 +7792,7 @@ ORACLES = {
     "corpus_shards_inc": ORACLE_CORPUS_SHARDS_INC,
     "pack_bfd": ORACLE_PACK_BFD,
     "cluster_mix": ORACLE_CLUSTER_MIX,
+    "url_gate": ORACLE_URL_GATE,
     "dsir_select": ORACLE_DSIR_SELECT,
     "cluster_split": ORACLE_CLUSTER_SPLIT,
     "calibrate_scores": ORACLE_CALIBRATE_SCORES,

@@ -113,3 +113,63 @@ def url_dedup(
         .drop("__rn")
     )
     return out if keep_norm else out.drop("__url_norm")
+
+
+def url_blocklist_gate(
+    df: DataFrame,
+    url_col: str,
+    blocklist: list[tuple[str, str | None]],
+    out_col: str = "blocked",
+) -> DataFrame:
+    """Domain/path blocklist gate (r17, VERDICT r16 item 5) — the C4
+    badwords/blocklist stage that runs AHEAD of :func:`url_dedup` in a
+    web-curation pipeline (public methodology). ``blocklist`` rows are
+    ``(host_suffix, path_prefix)``: a row with ``path_prefix=None``
+    blocks the registrable domain and every subdomain (suffix match on
+    dot boundaries — ``example.com`` blocks ``a.b.example.com`` but
+    NEVER ``notexample.com``); a row with a path blocks only URLs whose
+    path starts with that prefix under that domain. Hosts compare after
+    :func:`url_host` normalization (lowercase, port and leading ``www.``
+    stripped).
+
+    ``out_col``: true/false for clean URLs, NULL for dirty rows (no
+    scheme/host — the family's NULL-propagation contract: the gate
+    never invents a verdict for a URL it cannot parse; downstream
+    stages own the dirty-row policy).
+
+    Scale shape: entirely MAP-SIDE codegen — the host's dot-suffix
+    chain (bounded by label count, ~4-6 elements, so the HOF outer-
+    reference re-evaluation rule does not bite) checks domain-only
+    entries via ONE ``arrays_overlap`` against a literal array, and the
+    (domain, path) rules OR-chain (blocklists with path rules are
+    config-sized). A million-entry blocklist would swap the literal
+    array for a broadcast equi-join on the exploded suffix chain — same
+    dataflow, still no corpus shuffle.
+    """
+    url = F.col(url_col)
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    chain = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.array_join(
+            F.slice(parts, i + F.lit(1), F.size(parts)), "."
+        ),
+    )
+    rest = F.regexp_replace(F.trim(url), _SCHEME_RE, "")
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?#]*)", 1)
+
+    domains = sorted({h for h, p in blocklist if p is None})
+    rules = sorted((h, p) for h, p in blocklist if p is not None)
+    blocked = F.lit(False)
+    if domains:
+        blocked = F.arrays_overlap(
+            chain, F.array(*[F.lit(d) for d in domains])
+        )
+    for h, p in rules:
+        blocked = blocked | (
+            F.array_contains(chain, h) & path.startswith(p)
+        )
+    return df.withColumn(
+        out_col, F.when(host.isNotNull(), blocked)
+    )

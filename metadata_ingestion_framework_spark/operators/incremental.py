@@ -173,6 +173,44 @@ def _retire_range_ids_below(
     return bool(below or boundary_retired)
 
 
+def _emit_ingest_facts(
+    store,
+    run_id: str,
+    n_batch: int,
+    dropped: dict[str, int],
+    buckets: dict[str, int],
+) -> None:
+    """Land one ingest's decision summary as K7 fact rows (r17, VERDICT
+    r16 item 6 — the reference's status/fact pattern, Task.scala:76-99,
+    applied to the extension stores): ``n_batch``, per-modality
+    ``n_dropped`` + integer ``drop_rate_ppm``, and per-table
+    ``buckets_touched``. At 100 TB the drop-rate time series IS the
+    dedup health monitor (a rate collapsing to ~0 means dead state; a
+    spike means a feedback loop is re-crawling its own corpus), and
+    bucket-touch counts watch for the hash-bucket degeneration mode the
+    store layouts are designed against. No-op when the store was built
+    without an :class:`~..observability.ObservabilityStore`; every
+    count lands on frames the ingest already materialized (persisted
+    drop sets, the batch's cached feature frame), so the facts cost no
+    extra pass over the corpus."""
+    obs = getattr(store, "observability", None)
+    if obs is None:
+        return
+    task = f"{type(store).__name__}:{run_id}"
+    pid = store.pipeline_id
+    obs.write_fact(pid, task, "ingest.n_batch", int(n_batch))
+    for modality, n in sorted(dropped.items()):
+        obs.write_fact(pid, task, f"ingest.n_dropped.{modality}", int(n))
+        rate = (int(n) * 1_000_000) // int(n_batch) if n_batch else 0
+        obs.write_fact(
+            pid, task, f"ingest.drop_rate_ppm.{modality}", int(rate)
+        )
+    for table, n in sorted(buckets.items()):
+        obs.write_fact(
+            pid, task, f"ingest.buckets_touched.{table}", int(n)
+        )
+
+
 def minhash_batch_drops(
     store_sigs: DataFrame | None,
     batch_sigs: DataFrame,
@@ -355,6 +393,8 @@ class MinhashSignatureStore:
         jaccard_threshold: float = 0.8,
         n_buckets: int = 64,
         sig_bucket_width: int = 8192,
+        observability=None,
+        pipeline_id: str = "ingest",
     ):
         self.spark = spark
         self.store = VersionedParquetStore(spark, root)
@@ -367,6 +407,10 @@ class MinhashSignatureStore:
         self.jaccard_threshold = jaccard_threshold
         self.n_buckets = n_buckets
         self.sig_bucket_width = sig_bucket_width
+        # K7 decision-fact sink (r17) — observability is NOT layout, so
+        # it stays out of the _check_store_config dict
+        self.observability = observability
+        self.pipeline_id = pipeline_id
         self._ledger_path = os.path.join(root, "_runs.json")
         _check_store_config(
             root,
@@ -638,6 +682,18 @@ class MinhashSignatureStore:
                 self.store.write_partition_delta(
                     merged_touched, self.BANDS, "bucket", touched
                 )
+            if self.observability is not None:
+                _emit_ingest_facts(
+                    self,
+                    run_id,
+                    n_batch=sigs_new.count(),
+                    dropped={"text": drops.count()},
+                    buckets={
+                        "sigs": sigs_new_b.select("sig_bucket")
+                        .distinct().count(),
+                        "bands": len(batch_buckets),
+                    },
+                )
             self._record_run(run_id)
             return survivors
         except BaseException:
@@ -811,6 +867,8 @@ class EmbeddingDedupStore:
         centroids: list[list[float]] | None = None,
         n_buckets: int = 64,
         vec_bucket_width: int = 8192,
+        observability=None,
+        pipeline_id: str = "ingest",
     ):
         from metadata_ingestion_framework_spark.operators.similarity import (
             _resolve_centroids,
@@ -821,6 +879,8 @@ class EmbeddingDedupStore:
         self.id_col = id_col
         self.vec_col = vec_col
         self.threshold = threshold
+        self.observability = observability
+        self.pipeline_id = pipeline_id
         # Trained coarse quantizer (kmeans_fit(...).unit_centroids) or the
         # data-blind random fallback — resolved by the shared similarity.py
         # helper (r11 review: the inline copy drifted from it). Must stay
@@ -881,73 +941,94 @@ class EmbeddingDedupStore:
         if run_id in self.ingested_runs():
             return None
         assigned = self._assign(batch).persist()
-        store_pruned = store_all = None
-        if self.store.exists(self.VECS):
-            batch_ids = assigned.select(self.id_col)
-            batch_cell_set = {
-                r.cell for r in assigned.select("cell").distinct().collect()
-            }
-            store_all = self.store.read(self.VECS)
-            # cell prune (directory-level on the partitioned layout) +
-            # replay safety (a re-delivered batch must not collide with
-            # its own stored copy). NULL-safe (r11 review): an
-            # unassignable vector's NULL cell never matches a plain isin,
-            # so a stored NULL-cell near-dup would silently survive —
-            # diverging from the full-rerun equivalence (intra-batch
-            # groupBy("cell") DOES group NULLs together)
-            cell_match = F.col("cell").isin(
-                [c for c in batch_cell_set if c is not None]
-            )
-            if None in batch_cell_set:
-                cell_match = cell_match | F.col("cell").isNull()
-            store_pruned = store_all.filter(cell_match).join(
-                batch_ids, self.id_col, "left_anti"
-            )
-        # persist(), NOT localCheckpoint (CLAUDE.md releasable-state rule,
-        # r11 review): the caller releases via unpersist_deps(survivors)
-        drops = embedding_batch_drops(
-            store_pruned, assigned, self.id_col, self.vec_col, self.threshold
-        ).persist()
-        drops.count()  # materialize while assigned is still cached
-        survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
-        survivors._persisted_deps = [drops]
-        if store_all is None:
-            self.store.write(
-                scd1_merge(None, assigned, [self.id_col]),
-                self.VECS,
-                partition_by=["vec_bucket", "cell"],
-            )
-        else:
-            # PARTITION-DELTA vector upsert (r8; r10 layout): unlike band
-            # rows, stale VECTORS are not candidates-only — drops score
-            # directly against stored embeddings, so a ghost would be a
-            # correctness bug. With the id-range top level the touched set
-            # is simply the BATCH IDS' buckets: a re-ingested id's old row
-            # lives in the SAME bucket (bucket is a pure function of the
-            # id), so rewriting those buckets from the merged rows both
-            # upserts the new embedding and vacates the old cell subdir —
-            # no moved-cell lookup, no ghost, and monotone ingest ids keep
-            # the write O(batch) at any store size.
-            touched_set = {
-                r.vec_bucket
-                for r in assigned.select("vec_bucket").distinct().collect()
-            }
-            touched = sorted(
-                (v for v in touched_set if v is not None), key=str
-            ) + ([None] if None in touched_set else [])
-            bucket_match = F.col("vec_bucket").isin(
-                [v for v in touched if v is not None]
-            )
-            if None in touched_set:
-                bucket_match = bucket_match | F.col("vec_bucket").isNull()
-            old_touched = store_all.filter(bucket_match)
-            merged_touched = scd1_merge(old_touched, assigned, [self.id_col])
-            self.store.write_partition_delta(
-                merged_touched, self.VECS, ["vec_bucket", "cell"], touched
-            )
-        self._record_run(run_id)
-        assigned.unpersist()
-        return survivors
+        # persist hygiene (r17 — the minhash/image twins' try/finally
+        # convention): a failed store write must not pin assigned/drops
+        # in a long-lived foreachBatch session
+        drops = None
+        try:
+            store_pruned = store_all = None
+            if self.store.exists(self.VECS):
+                batch_ids = assigned.select(self.id_col)
+                batch_cell_set = {
+                    r.cell for r in assigned.select("cell").distinct().collect()
+                }
+                store_all = self.store.read(self.VECS)
+                # cell prune (directory-level on the partitioned layout) +
+                # replay safety (a re-delivered batch must not collide with
+                # its own stored copy). NULL-safe (r11 review): an
+                # unassignable vector's NULL cell never matches a plain isin,
+                # so a stored NULL-cell near-dup would silently survive —
+                # diverging from the full-rerun equivalence (intra-batch
+                # groupBy("cell") DOES group NULLs together)
+                cell_match = F.col("cell").isin(
+                    [c for c in batch_cell_set if c is not None]
+                )
+                if None in batch_cell_set:
+                    cell_match = cell_match | F.col("cell").isNull()
+                store_pruned = store_all.filter(cell_match).join(
+                    batch_ids, self.id_col, "left_anti"
+                )
+            # persist(), NOT localCheckpoint (CLAUDE.md releasable-state rule,
+            # r11 review): the caller releases via unpersist_deps(survivors)
+            drops = embedding_batch_drops(
+                store_pruned, assigned, self.id_col, self.vec_col, self.threshold
+            ).persist()
+            drops.count()  # materialize while assigned is still cached
+            survivors = batch.join(F.broadcast(drops), self.id_col, "left_anti")
+            survivors._persisted_deps = [drops]
+            if store_all is None:
+                self.store.write(
+                    scd1_merge(None, assigned, [self.id_col]),
+                    self.VECS,
+                    partition_by=["vec_bucket", "cell"],
+                )
+            else:
+                # PARTITION-DELTA vector upsert (r8; r10 layout): unlike band
+                # rows, stale VECTORS are not candidates-only — drops score
+                # directly against stored embeddings, so a ghost would be a
+                # correctness bug. With the id-range top level the touched set
+                # is simply the BATCH IDS' buckets: a re-ingested id's old row
+                # lives in the SAME bucket (bucket is a pure function of the
+                # id), so rewriting those buckets from the merged rows both
+                # upserts the new embedding and vacates the old cell subdir —
+                # no moved-cell lookup, no ghost, and monotone ingest ids keep
+                # the write O(batch) at any store size.
+                touched_set = {
+                    r.vec_bucket
+                    for r in assigned.select("vec_bucket").distinct().collect()
+                }
+                touched = sorted(
+                    (v for v in touched_set if v is not None), key=str
+                ) + ([None] if None in touched_set else [])
+                bucket_match = F.col("vec_bucket").isin(
+                    [v for v in touched if v is not None]
+                )
+                if None in touched_set:
+                    bucket_match = bucket_match | F.col("vec_bucket").isNull()
+                old_touched = store_all.filter(bucket_match)
+                merged_touched = scd1_merge(old_touched, assigned, [self.id_col])
+                self.store.write_partition_delta(
+                    merged_touched, self.VECS, ["vec_bucket", "cell"], touched
+                )
+            if self.observability is not None:
+                _emit_ingest_facts(
+                    self,
+                    run_id,
+                    n_batch=assigned.count(),
+                    dropped={"embedding": drops.count()},
+                    buckets={
+                        "vecs": assigned.select("vec_bucket")
+                        .distinct().count(),
+                    },
+                )
+            self._record_run(run_id)
+            return survivors
+        except BaseException:
+            if drops is not None:
+                drops.unpersist()
+            raise
+        finally:
+            assigned.unpersist()
 
     def retire_ids_below(self, cutoff_id: int) -> None:
         """Retention/lifecycle delete: drop every vector with ``id <
@@ -1352,12 +1433,16 @@ class ImageHashStore:
         frames: bool = False,
         every_ms: int = 1000,
         min_matching_frames: int = 1,
+        observability=None,
+        pipeline_id: str = "ingest",
     ):
         self.spark = spark
         self.store = VersionedParquetStore(spark, root)
         self.id_col = id_col
         self.payload_col = payload_col
         self.hash_col = hash_col
+        self.observability = observability
+        self.pipeline_id = pipeline_id
         self.max_hamming = max_hamming
         self.blocks = blocks
         self.n_buckets = n_buckets
@@ -1672,6 +1757,25 @@ class ImageHashStore:
                         self.BANDS,
                         partition_by=["fp_bucket", "bucket"],
                     )
+            if self.observability is not None:
+                _emit_ingest_facts(
+                    self,
+                    run_id,
+                    # frames face: media-level batch size (drops are
+                    # media ids), not frame-row count
+                    n_batch=(
+                        fps.select(self.id_col).distinct().count()
+                        if self.frames
+                        else fps.count()
+                    ),
+                    dropped={
+                        ("frames" if self.frames else "media"): drops.count()
+                    },
+                    buckets={
+                        "fps": fps.select("fp_bucket").distinct().count(),
+                        "bands": len(batch_buckets),
+                    },
+                )
             self._record_run(run_id)
             return survivors
         except BaseException:
@@ -1849,6 +1953,8 @@ class ParagraphHashStore:
         par_bucket_width: int = 8192,
         bloom_bits: int = 0,
         bloom_hashes: int = 3,
+        observability=None,
+        pipeline_id: str = "ingest",
     ):
         self.spark = spark
         self.store = VersionedParquetStore(spark, root)
@@ -1856,6 +1962,8 @@ class ParagraphHashStore:
         self.text_col = text_col
         self.n_buckets = n_buckets
         self.par_bucket_width = par_bucket_width
+        self.observability = observability
+        self.pipeline_id = pipeline_id
         self.bloom_bits = int(bloom_bits)
         self.bloom_hashes = int(bloom_hashes)
         self._ledger_path = os.path.join(root, "_runs.json")
@@ -1995,133 +2103,154 @@ class ParagraphHashStore:
         paras_new = _paragraph_rows(
             batch, self.text_col, self.id_col
         ).persist()
-        batch_ids = batch.select(self.id_col).distinct()
-        store_paras = None
-        if self.store.exists(self.PARAS):
-            # bloom-first membership (r16): scan only buckets whose
-            # sidecar bloom a batch hash hits; [] = provably no overlap,
-            # skip the store probe entirely. None = pre-sidecar store.
-            hit = self._bloom_hit_buckets(paras_new)
-            if hit is None:
-                scan = self.store.read(self.PARAS)
-            elif not hit:
-                scan = None
-            else:
-                match = F.col("par_bucket").isin(
-                    [v for v in hit if v is not None]
+        # persist hygiene (r17 — the minhash/image twins' try/finally
+        # convention): a failed store write must not pin paras_new/dups
+        # in a long-lived foreachBatch session
+        dups = None
+        try:
+            batch_ids = batch.select(self.id_col).distinct()
+            store_paras = None
+            if self.store.exists(self.PARAS):
+                # bloom-first membership (r16): scan only buckets whose
+                # sidecar bloom a batch hash hits; [] = provably no overlap,
+                # skip the store probe entirely. None = pre-sidecar store.
+                hit = self._bloom_hit_buckets(paras_new)
+                if hit is None:
+                    scan = self.store.read(self.PARAS)
+                elif not hit:
+                    scan = None
+                else:
+                    match = F.col("par_bucket").isin(
+                        [v for v in hit if v is not None]
+                    )
+                    if None in hit:
+                        match = match | F.col("par_bucket").isNull()
+                    scan = self.store.read(self.PARAS).filter(match)
+                if scan is not None:
+                    store_paras = scan.join(
+                        batch_ids, self.id_col, "left_anti"
+                    )
+            # materialize the (batch-bounded) removal set while paras_new is
+            # cached; persist(), not localCheckpoint (releasable-state rule)
+            dups = paragraph_batch_removals(
+                store_paras, paras_new, self.id_col
+            ).persist()
+            dups.count()
+            rm = F.broadcast(
+                dups.groupBy(self.id_col).agg(
+                    F.collect_set("pos").alias("__rm")
                 )
-                if None in hit:
-                    match = match | F.col("par_bucket").isNull()
-                scan = self.store.read(self.PARAS).filter(match)
-            if scan is not None:
-                store_paras = scan.join(
-                    batch_ids, self.id_col, "left_anti"
-                )
-        # materialize the (batch-bounded) removal set while paras_new is
-        # cached; persist(), not localCheckpoint (releasable-state rule)
-        dups = paragraph_batch_removals(
-            store_paras, paras_new, self.id_col
-        ).persist()
-        dups.count()
-        rm = F.broadcast(
-            dups.groupBy(self.id_col).agg(
-                F.collect_set("pos").alias("__rm")
             )
-        )
-        out = _apply_paragraph_removals(
-            batch, rm, self.text_col, self.id_col
-        )
+            out = _apply_paragraph_removals(
+                batch, rm, self.text_col, self.id_col
+            )
 
-        # durable state: the surviving rows only — each batch hash keeps
-        # exactly one owner row (the removed copies are reproducible from
-        # nothing: their hashes already have owners), so the store stays
-        # exactly one skinny row per live paragraph.
-        surviving = paras_new.join(
-            dups, [self.id_col, "pos"], "left_anti"
-        ).withColumn(
-            "par_bucket",
-            range_bucket_expr(
-                paras_new, self.id_col, self.par_bucket_width,
-                self.n_buckets,
-            ),
-        )
-        if not self.store.exists(self.PARAS):
-            self.store.write(
-                surviving, self.PARAS, partition_by=["par_bucket"]
-            )
-            if self.bloom_bits:
-                # build the sidecar from the WRITTEN version — a columnar
-                # read-back beats persisting the anti-join lineage, and
-                # the sidecar is self-healingly derived from exactly
-                # what a reader will scan
-                self.store.write(
-                    self._bloom_words(self.store.read(self.PARAS)),
-                    self.BLOOM,
-                    partition_by=["par_bucket"],
-                )
-        else:
-            # touched set from the BATCH ids (not the surviving rows): a
-            # re-ingested doc whose new text dedups away entirely must
-            # still vacate its OLD rows. NULL-safe bucket match (the
-            # minhash twin's rule): isin never matches a stored
-            # NULL-bucket row, but the touched list maps None to the
-            # hive default dir — rewritten WITHOUT its old rows otherwise.
-            bucketed = batch_ids.withColumn(
+            # durable state: the surviving rows only — each batch hash keeps
+            # exactly one owner row (the removed copies are reproducible from
+            # nothing: their hashes already have owners), so the store stays
+            # exactly one skinny row per live paragraph.
+            surviving = paras_new.join(
+                dups, [self.id_col, "pos"], "left_anti"
+            ).withColumn(
                 "par_bucket",
                 range_bucket_expr(
-                    batch_ids, self.id_col, self.par_bucket_width,
+                    paras_new, self.id_col, self.par_bucket_width,
                     self.n_buckets,
                 ),
             )
-            bucket_set = {
-                r.par_bucket
-                for r in bucketed.select("par_bucket").distinct().collect()
-            }
-            buckets = sorted(
-                (v for v in bucket_set if v is not None), key=str
-            ) + ([None] if None in bucket_set else [])
-            match = F.col("par_bucket").isin(
-                [v for v in buckets if v is not None]
-            )
-            if None in bucket_set:
-                match = match | F.col("par_bucket").isNull()
-            old_touched = (
-                self.store.read(self.PARAS)
-                .filter(match)
-                .join(batch_ids, self.id_col, "left_anti")
-            )
-            self.store.write_partition_delta(
-                old_touched.unionByName(surviving),
-                self.PARAS,
-                "par_bucket",
-                buckets,
-            )
-            if not self.bloom_bits:
-                pass
-            elif self.store.exists(self.BLOOM):
-                # rebuild touched blooms from the WRITTEN version's
-                # touched partitions (columnar read-back, partition-
-                # pruned): derived exactly from what a reader scans, so
-                # vacated rows' bits vanish with them — no stale bits
-                written = self.store.read(self.PARAS).filter(match)
+            if not self.store.exists(self.PARAS):
+                self.store.write(
+                    surviving, self.PARAS, partition_by=["par_bucket"]
+                )
+                if self.bloom_bits:
+                    # build the sidecar from the WRITTEN version — a columnar
+                    # read-back beats persisting the anti-join lineage, and
+                    # the sidecar is self-healingly derived from exactly
+                    # what a reader will scan
+                    self.store.write(
+                        self._bloom_words(self.store.read(self.PARAS)),
+                        self.BLOOM,
+                        partition_by=["par_bucket"],
+                    )
+            else:
+                # touched set from the BATCH ids (not the surviving rows): a
+                # re-ingested doc whose new text dedups away entirely must
+                # still vacate its OLD rows. NULL-safe bucket match (the
+                # minhash twin's rule): isin never matches a stored
+                # NULL-bucket row, but the touched list maps None to the
+                # hive default dir — rewritten WITHOUT its old rows otherwise.
+                bucketed = batch_ids.withColumn(
+                    "par_bucket",
+                    range_bucket_expr(
+                        batch_ids, self.id_col, self.par_bucket_width,
+                        self.n_buckets,
+                    ),
+                )
+                bucket_set = {
+                    r.par_bucket
+                    for r in bucketed.select("par_bucket").distinct().collect()
+                }
+                buckets = sorted(
+                    (v for v in bucket_set if v is not None), key=str
+                ) + ([None] if None in bucket_set else [])
+                match = F.col("par_bucket").isin(
+                    [v for v in buckets if v is not None]
+                )
+                if None in bucket_set:
+                    match = match | F.col("par_bucket").isNull()
+                old_touched = (
+                    self.store.read(self.PARAS)
+                    .filter(match)
+                    .join(batch_ids, self.id_col, "left_anti")
+                )
                 self.store.write_partition_delta(
-                    self._bloom_words(written),
-                    self.BLOOM,
+                    old_touched.unionByName(surviving),
+                    self.PARAS,
                     "par_bucket",
                     buckets,
                 )
-            else:
-                # pre-sidecar store: one-time O(store) migration build
-                # from the freshly written version; delta thereafter
-                self.store.write(
-                    self._bloom_words(self.store.read(self.PARAS)),
-                    self.BLOOM,
-                    partition_by=["par_bucket"],
+                if not self.bloom_bits:
+                    pass
+                elif self.store.exists(self.BLOOM):
+                    # rebuild touched blooms from the WRITTEN version's
+                    # touched partitions (columnar read-back, partition-
+                    # pruned): derived exactly from what a reader scans, so
+                    # vacated rows' bits vanish with them — no stale bits
+                    written = self.store.read(self.PARAS).filter(match)
+                    self.store.write_partition_delta(
+                        self._bloom_words(written),
+                        self.BLOOM,
+                        "par_bucket",
+                        buckets,
+                    )
+                else:
+                    # pre-sidecar store: one-time O(store) migration build
+                    # from the freshly written version; delta thereafter
+                    self.store.write(
+                        self._bloom_words(self.store.read(self.PARAS)),
+                        self.BLOOM,
+                        partition_by=["par_bucket"],
+                    )
+            if self.observability is not None:
+                _emit_ingest_facts(
+                    self,
+                    run_id,
+                    n_batch=paras_new.count(),
+                    dropped={"paragraph": dups.count()},
+                    buckets={
+                        "paras": surviving.select("par_bucket")
+                        .distinct().count(),
+                    },
                 )
-        self._record_run(run_id)
-        paras_new.unpersist()
-        out._persisted_deps = [dups]
-        return out
+            self._record_run(run_id)
+            out._persisted_deps = [dups]
+            return out
+        except BaseException:
+            if dups is not None:
+                dups.unpersist()
+            raise
+        finally:
+            paras_new.unpersist()
 
     def retire_ids_below(self, cutoff_id: int) -> None:
         """Retention: drop every doc's paragraph rows below the id cutoff
@@ -2248,9 +2377,13 @@ class CrossModalPairStore:
         jaccard_threshold: float = 0.5,
         n_buckets: int = 64,
         bucket_width: int = 8192,
+        observability=None,
+        pipeline_id: str = "ingest",
     ):
         self.spark = spark
         self.id_col = id_col
+        self.observability = observability
+        self.pipeline_id = pipeline_id
         self.img = ImageHashStore(
             spark,
             os.path.join(root, "image"),
@@ -2260,6 +2393,11 @@ class CrossModalPairStore:
             blocks=blocks,
             n_buckets=n_buckets,
             fp_bucket_width=bucket_width,
+            # K7 facts propagate: each face records its own ingest
+            # facts under its class name, the composite records the
+            # pair-decision summary under its own
+            observability=observability,
+            pipeline_id=pipeline_id,
         )
         self.txt = MinhashSignatureStore(
             spark,
@@ -2273,6 +2411,8 @@ class CrossModalPairStore:
             jaccard_threshold=jaccard_threshold,
             n_buckets=n_buckets,
             sig_bucket_width=bucket_width,
+            observability=observability,
+            pipeline_id=pipeline_id,
         )
         self._ledger_path = os.path.join(root, "_runs.json")
         _check_store_config(
@@ -2345,9 +2485,11 @@ class CrossModalPairStore:
                 .persist()
             )
             decisions = crossmodal_pair_decisions(tp, ip).persist()
-            decisions.count()  # materialize while fps/sigs are cached
-            img_drops.count()
-            txt_drops.count()
+            # materialize while fps/sigs are cached; keep the counts —
+            # the K7 facts need them AFTER the drop frames are released
+            n_pairs = decisions.count()
+            n_img_drops = img_drops.count()
+            n_txt_drops = txt_drops.count()
             ip.unpersist()
             tp.unpersist()
 
@@ -2373,6 +2515,23 @@ class CrossModalPairStore:
                 unpersist_deps(s_txt)
             else:
                 txt_drops.unpersist()
+            if self.observability is not None:
+                _emit_ingest_facts(
+                    self,
+                    run_id,
+                    n_batch=fps.count(),
+                    dropped={
+                        "image": n_img_drops,
+                        "caption": n_txt_drops,
+                    },
+                    buckets={},
+                )
+                self.observability.write_fact(
+                    self.pipeline_id,
+                    f"{type(self).__name__}:{run_id}",
+                    "ingest.n_pairs",
+                    int(n_pairs),
+                )
             self._record_run(run_id)
             decisions._persisted_deps = [decisions]
             return decisions

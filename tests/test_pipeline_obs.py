@@ -253,3 +253,133 @@ def test_streaming_listener_lands_status_and_facts(spark, tmp_path):
         assert tot["numInputRows"] == tot["stage0.rows"] > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_store_ingest_facts_reconcile_with_decisions(spark, tmp_path):
+    """K7 decision-fact wiring (r17, VERDICT r16 item 6): a
+    MinhashSignatureStore built with an ObservabilityStore lands
+    n_batch / n_dropped / drop_rate_ppm / bucket-touch facts per ingest
+    that reconcile EXACTLY with its decision output (survivors), and
+    the time series accumulates one task row per run."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.observability import (
+        ObservabilityStore,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        MinhashSignatureStore,
+    )
+
+    obs = ObservabilityStore(spark, str(tmp_path / "obs"))
+    st = MinhashSignatureStore(
+        spark, str(tmp_path / "sigs"),
+        jaccard_threshold=0.5,
+        observability=obs, pipeline_id="p17",
+    )
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    )
+    for run, b in (("r1", b1), ("r2", b2)):
+        s = st.ingest(b, run)
+        facts = {
+            r.metric: r.value
+            for r in obs.read_facts()
+            .filter(F.col("task_name") == f"MinhashSignatureStore:{run}")
+            .collect()
+        }
+        n_batch, n_surv = b.count(), s.count()
+        unpersist_deps(s)
+        assert facts["ingest.n_batch"] == n_batch
+        # the drop fact IS the decision output: batch minus survivors
+        assert facts["ingest.n_dropped.text"] == n_batch - n_surv
+        assert facts["ingest.drop_rate_ppm.text"] == (
+            (n_batch - n_surv) * 1_000_000
+        ) // n_batch
+        assert facts["ingest.buckets_touched.sigs"] >= 1
+        assert facts["ingest.buckets_touched.bands"] >= (
+            1 if run == "r2" else 0
+        )
+    # r2 really dropped something (re-ingested overlap) — the health
+    # signal is non-trivial
+    r2 = {
+        r.metric: r.value
+        for r in obs.read_facts()
+        .filter(F.col("task_name") == "MinhashSignatureStore:r2")
+        .collect()
+    }
+    assert r2["ingest.n_dropped.text"] > 0
+
+
+def test_crossmodal_store_facts_propagate_to_faces(spark, tmp_path):
+    """The composite store records its pair-decision summary AND both
+    faces' per-modality facts under the same pipeline_id; n_pairs
+    reconciles with the returned decision table."""
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    from metadata_ingestion_framework_spark.observability import (
+        ObservabilityStore,
+    )
+    from metadata_ingestion_framework_spark.operators.codecs import encode_bmp
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        CrossModalPairStore,
+    )
+
+    def px(seed, h=16, w=16):
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        return ((seed * 7 + y * 13 + x * 17 + c * 29) % 256).astype(
+            np.uint8
+        )
+
+    cap = "a photo of a red fox jumping over the lazy dog"
+    rows = [
+        (0, cap, px(100)),                       # caption dup with 1
+        (1, cap, px(200)),
+        (2, "unique words about mars", px(300)),  # image dup with 3
+        (3, "other unique caption here", px(300)),
+        (4, "totally clean pair of things", px(400)),
+    ]
+    batch = spark.createDataFrame(
+        [(i, c, encode_bmp(im)) for i, c, im in rows],
+        "doc_id long, text string, payload binary",
+    )
+    obs = ObservabilityStore(spark, str(tmp_path / "obs"))
+    st = CrossModalPairStore(
+        spark, str(tmp_path / "xm"), bucket_width=8, n_buckets=8,
+        observability=obs, pipeline_id="p17",
+    )
+    decisions = st.ingest(batch, "r1")
+    n_pairs = decisions.count()
+    unpersist_deps(decisions)
+    facts = {
+        (r.task_name, r.metric): r.value for r in obs.read_facts().collect()
+    }
+    assert facts[("CrossModalPairStore:r1", "ingest.n_pairs")] == n_pairs
+    assert facts[("CrossModalPairStore:r1", "ingest.n_batch")] == len(rows)
+    # both faces recorded their own ingest under the shared pipeline
+    assert ("ImageHashStore:r1", "ingest.n_batch") in {
+        (t, m) for (t, m) in facts
+    }
+    assert ("MinhashSignatureStore:r1", "ingest.n_batch") in {
+        (t, m) for (t, m) in facts
+    }
+    # the composite's per-modality drop facts match the faces' own
+    assert (
+        facts[("CrossModalPairStore:r1", "ingest.n_dropped.image")]
+        == facts[("ImageHashStore:r1", "ingest.n_dropped.media")]
+    )
+    assert (
+        facts[("CrossModalPairStore:r1", "ingest.n_dropped.caption")]
+        == facts[("MinhashSignatureStore:r1", "ingest.n_dropped.text")]
+    )

@@ -88,3 +88,44 @@ def test_dedup_composes_before_content_stages(spark):
     out = url_dedup(df, "url", "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
     assert out.columns == ["doc_id", "url"]  # helper column dropped
+
+
+def test_url_blocklist_gate_edges(spark):
+    """Suffix matching is on DOT boundaries (no substring false
+    positives), subdomains inherit their parent's block but never the
+    reverse, path prefixes scope to their domain, www/port/case
+    normalize away, and NULL urls gate to NULL."""
+    from metadata_ingestion_framework_spark.functions.urls import (
+        url_blocklist_gate,
+    )
+
+    rows = [
+        (0, "https://bad.com/x"),                 # exact domain
+        (1, "https://deep.sub.bad.com/x"),        # subdomain inherits
+        (2, "https://notbad.com/x"),              # substring must NOT match
+        (3, "https://WWW.Bad.COM:443/x"),         # case/port/www normalize
+        (4, "https://sub.ok.com/x"),              # blocked subdomain...
+        (5, "https://ok.com/x"),                  # ...never blocks parent
+        (6, "https://paths.com/ads/banner"),      # path-prefix hit
+        (7, "https://paths.com/adsense"),         # prefix match ('/ads' hits)
+        (8, "https://paths.com/article"),         # path-prefix miss
+        (9, "https://other.com/ads/banner"),      # path rule scoped to domain
+        (10, None),                               # NULL -> NULL verdict
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    got = {
+        r.id: r.blocked
+        for r in url_blocklist_gate(
+            df,
+            "url",
+            [
+                ("bad.com", None),
+                ("sub.ok.com", None),
+                ("paths.com", "/ads"),
+            ],
+        ).collect()
+    }
+    assert got == {
+        0: True, 1: True, 2: False, 3: True, 4: True, 5: False,
+        6: True, 7: True, 8: False, 9: False, 10: None,
+    }
