@@ -114,6 +114,14 @@ EXTENDED = [
     "web_curation",         # r15: web-ordered curation composite
     "bm25_maxp",            # r15: passage-level BM25 + MaxP aggregation
     "crossmodal_dedup",     # r15: LAION-rule (caption, image) pair dedup
+    "corpus_shards",        # r16: snapshot sharded-corpus manifest
+    "dsir_select",          # r16: DSIR importance-resampled selection
+    "crossmodal_dedup_inc",  # r16: CrossModalPairStore two-ingest replay
+    "corpus_shards_inc",    # r17: epoch-incremental corpus sharding
+    "pack_bfd",             # r17: best-fit-decreasing sequence packing
+    "cluster_mix",          # r17: topic-balanced training mix (k-means
+    # training included — the kmeans_ivf cost class)
+    "url_gate",             # r17: domain/path blocklist gate (map-only)
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

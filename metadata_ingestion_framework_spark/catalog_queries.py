@@ -2919,8 +2919,12 @@ def q_corpus_shards_inc(spark, sf_dir):
         e1, None, "doc_id", shard_tokens=5_000, n_tokens_col="n_toks"
     )
     # two consumers (base agg + final union) over a nondeterministic-
-    # bucket two-stage cumsum — persist the skinny assignment
-    a1 = a1.select("doc_id", "epoch", "n_tokens", "cum_before", "shard")
+    # bucket two-stage cumsum — persist the skinny assignment;
+    # carry_deps through the select (CLAUDE.md rule) so epoch 1's own
+    # sharded persist still reaches the harness's release
+    a1 = carry_deps(
+        a1.select("doc_id", "epoch", "n_tokens", "cum_before", "shard"), a1
+    )
     a1p = a1.persist()
     base2 = a1p.agg(
         F.coalesce(F.max("shard") + F.lit(1), F.lit(0)).alias("__base")
@@ -6688,18 +6692,23 @@ WITH urls AS (
     FROM documents)
 ),
 hosts AS (
+  -- NULL test on the PRE-www-strip host, exactly like url_host's
+  -- when(host != ''): a host of just 'www.' strips to '' (non-NULL)
+  -- and gates normally on BOTH engines (r17 review)
   SELECT doc_id, url,
-    NULLIF(regexp_replace(
-      lower(regexp_extract(
-        regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
-        '^([^/:?#]*)', 1)),
-      '^www\.', ''), '') AS host,
+    CASE WHEN h0 IS NULL OR h0 = '' THEN NULL
+         ELSE regexp_replace(h0, '^www\.', '') END AS host,
     regexp_extract(
       regexp_replace(
         regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
         '^[^/?]*', ''),
       '^([^?#]*)', 1) AS path
-  FROM urls
+  FROM (
+    SELECT doc_id, url,
+      lower(regexp_extract(
+        regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.\-]*://', ''),
+        '^([^/:?#]*)', 1)) AS h0
+    FROM urls)
 ),
 chained AS (
   SELECT doc_id, host, path,

@@ -201,7 +201,7 @@ def corpus_epoch_assignments(
     )
 
     base = df.withColumn("__nhk", -hash_key60([id_col], salt))
-    out = token_budget_select(
+    tbs = token_budget_select(
         base,
         text_col,
         id_col,
@@ -210,9 +210,15 @@ def corpus_epoch_assignments(
         by=[epoch_col],
         shards=shards,
         n_tokens_col=n_tokens_col,
-    ).withColumn(
-        "__sw",
-        F.expr(f"cum_before div {int(shard_tokens)}").cast("int"),
+    )
+    # carry_deps through the withColumn (CLAUDE.md rule) — dropping the
+    # attribute here would strand the two-stage cumsum's persist
+    out = carry_deps(
+        tbs.withColumn(
+            "__sw",
+            F.expr(f"cum_before div {int(shard_tokens)}").cast("int"),
+        ),
+        tbs,
     )
     sizes = out.groupBy(epoch_col).agg(
         (F.max("__sw") + F.lit(1)).cast("int").alias("__ns")
@@ -403,8 +409,13 @@ class CorpusShardStore:
             n_tokens_col=n_tokens_col, shards=shards,
         )
         if base:
-            assigned = assigned.withColumn(
-                "shard", (F.col("shard") + F.lit(base)).cast("int")
+            # carry_deps through the withColumn (CLAUDE.md rule) or the
+            # two-stage cumsum's persisted intermediate leaks per epoch
+            assigned = carry_deps(
+                assigned.withColumn(
+                    "shard", (F.col("shard") + F.lit(base)).cast("int")
+                ),
+                assigned,
             )
         # feeds the corpus delta, members delta, manifest recompute and
         # the n_shards agg — persist once (epoch-bounded, the snapshot

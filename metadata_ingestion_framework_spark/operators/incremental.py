@@ -682,11 +682,18 @@ class MinhashSignatureStore:
                 self.store.write_partition_delta(
                     merged_touched, self.BANDS, "bucket", touched
                 )
+            self._record_run(run_id)
+            # facts AFTER the ledger record (best-effort telemetry —
+            # the crash-replay never double-counts a run). n_batch is
+            # the BATCH's doc count, not the signature-row count: docs
+            # shorter than shingle_n produce no signature but are still
+            # batch members (and survive), so the sig count would skew
+            # the drop-rate denominator.
             if self.observability is not None:
                 _emit_ingest_facts(
                     self,
                     run_id,
-                    n_batch=sigs_new.count(),
+                    n_batch=batch.count(),
                     dropped={"text": drops.count()},
                     buckets={
                         "sigs": sigs_new_b.select("sig_bucket")
@@ -694,7 +701,6 @@ class MinhashSignatureStore:
                         "bands": len(batch_buckets),
                     },
                 )
-            self._record_run(run_id)
             return survivors
         except BaseException:
             if drops is not None and owned_drops:
@@ -1010,18 +1016,21 @@ class EmbeddingDedupStore:
                 self.store.write_partition_delta(
                     merged_touched, self.VECS, ["vec_bucket", "cell"], touched
                 )
+            self._record_run(run_id)
+            # facts AFTER the ledger record (best-effort telemetry —
+            # the crash-replay never double-counts a run); n_batch is
+            # the batch's own row count, not the assigned-vector count
             if self.observability is not None:
                 _emit_ingest_facts(
                     self,
                     run_id,
-                    n_batch=assigned.count(),
+                    n_batch=batch.count(),
                     dropped={"embedding": drops.count()},
                     buckets={
                         "vecs": assigned.select("vec_bucket")
                         .distinct().count(),
                     },
                 )
-            self._record_run(run_id)
             return survivors
         except BaseException:
             if drops is not None:
@@ -1757,17 +1766,18 @@ class ImageHashStore:
                         self.BANDS,
                         partition_by=["fp_bucket", "bucket"],
                     )
+            self._record_run(run_id)
+            # facts AFTER the ledger record (best-effort telemetry —
+            # the crash-replay never double-counts a run). n_batch is
+            # the BATCH's media count, not the fingerprint-row count:
+            # undecodable payloads produce no fingerprint but are still
+            # batch members, and the frames face fingerprints per
+            # (id, frame_ts) while drops are media ids.
             if self.observability is not None:
                 _emit_ingest_facts(
                     self,
                     run_id,
-                    # frames face: media-level batch size (drops are
-                    # media ids), not frame-row count
-                    n_batch=(
-                        fps.select(self.id_col).distinct().count()
-                        if self.frames
-                        else fps.count()
-                    ),
+                    n_batch=batch.count(),
                     dropped={
                         ("frames" if self.frames else "media"): drops.count()
                     },
@@ -1776,7 +1786,6 @@ class ImageHashStore:
                         "bands": len(batch_buckets),
                     },
                 )
-            self._record_run(run_id)
             return survivors
         except BaseException:
             if drops is not None and owned_drops:
@@ -2107,6 +2116,7 @@ class ParagraphHashStore:
         # convention): a failed store write must not pin paras_new/dups
         # in a long-lived foreachBatch session
         dups = None
+        n_touched = None
         try:
             batch_ids = batch.select(self.id_col).distinct()
             store_paras = None
@@ -2193,6 +2203,7 @@ class ParagraphHashStore:
                 buckets = sorted(
                     (v for v in bucket_set if v is not None), key=str
                 ) + ([None] if None in bucket_set else [])
+                n_touched = len(buckets)
                 match = F.col("par_bucket").isin(
                     [v for v in buckets if v is not None]
                 )
@@ -2231,18 +2242,32 @@ class ParagraphHashStore:
                         self.BLOOM,
                         partition_by=["par_bucket"],
                     )
+            self._record_run(run_id)
+            # facts AFTER the ledger record (best-effort telemetry —
+            # the crash-replay never double-counts a run). The counts
+            # are paragraph-grain (this store's decision unit); the
+            # touched-bucket fact is the BATCH IDS' bucket set — the
+            # buckets the delta physically rewrote — not the surviving
+            # rows' (a fully-deduped re-ingest still rewrites its
+            # bucket, which is exactly the write amplification the
+            # metric watches).
             if self.observability is not None:
+                if n_touched is None:  # first write: whole-table build
+                    n_touched = (
+                        batch_ids.select(
+                            range_bucket_expr(
+                                batch_ids, self.id_col,
+                                self.par_bucket_width, self.n_buckets,
+                            ).alias("__b")
+                        ).distinct().count()
+                    )
                 _emit_ingest_facts(
                     self,
                     run_id,
                     n_batch=paras_new.count(),
                     dropped={"paragraph": dups.count()},
-                    buckets={
-                        "paras": surviving.select("par_bucket")
-                        .distinct().count(),
-                    },
+                    buckets={"paras": n_touched},
                 )
-            self._record_run(run_id)
             out._persisted_deps = [dups]
             return out
         except BaseException:
@@ -2486,8 +2511,14 @@ class CrossModalPairStore:
             )
             decisions = crossmodal_pair_decisions(tp, ip).persist()
             # materialize while fps/sigs are cached; keep the counts —
-            # the K7 facts need them AFTER the drop frames are released
+            # the K7 facts need them AFTER the sub-store ingests (whose
+            # finally blocks unpersist fps/sigs — a later fps.count()
+            # would re-run the image-decode kernel) and after the drop
+            # frames are released
             n_pairs = decisions.count()
+            # batch doc count, not fps row count (undecodable payloads
+            # produce no fingerprint but are still batch members)
+            n_batch = batch.count()
             n_img_drops = img_drops.count()
             n_txt_drops = txt_drops.count()
             ip.unpersist()
@@ -2515,11 +2546,16 @@ class CrossModalPairStore:
                 unpersist_deps(s_txt)
             else:
                 txt_drops.unpersist()
+            self._record_run(run_id)
+            # facts AFTER the ledger record (best-effort telemetry): a
+            # crash between record and facts loses one run's rows, but
+            # a crash the other way around would double-count the run
+            # on replay — the ledger stays the source of truth
             if self.observability is not None:
                 _emit_ingest_facts(
                     self,
                     run_id,
-                    n_batch=fps.count(),
+                    n_batch=n_batch,
                     dropped={
                         "image": n_img_drops,
                         "caption": n_txt_drops,
@@ -2532,7 +2568,6 @@ class CrossModalPairStore:
                     "ingest.n_pairs",
                     int(n_pairs),
                 )
-            self._record_run(run_id)
             decisions._persisted_deps = [decisions]
             return decisions
         except BaseException:
