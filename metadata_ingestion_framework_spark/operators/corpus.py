@@ -554,3 +554,66 @@ class CorpusShardStore:
         finally:
             unpersist_deps(assigned)
             assigned.unpersist()
+
+
+def corpus_stream_sink(
+    store: "CorpusShardStore",
+    n_tokens_col: str | None = None,
+    shards: int | None = None,
+):
+    """foreachBatch streaming face for :class:`CorpusShardStore` (r17)
+    — the family convention (every incremental store ships one;
+    tests/test_streaming_incremental.py): each micro-batch appends as
+    ``epoch = batch_id`` with ``run_id = f"stream-{batch_id}"``.
+    Spark's batch ids are strictly ascending (the append_epoch
+    contract) and stable across restarts, so a replayed micro-batch
+    hits the run ledger and no-ops — exactly-once corpus growth on an
+    at-least-once stream. Wire it with
+    ``df.writeStream.foreachBatch(corpus_stream_sink(store))``."""
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        store.append_epoch(
+            bdf,
+            int(batch_id),
+            f"stream-{batch_id}",
+            n_tokens_col=n_tokens_col,
+            shards=shards,
+        )
+
+    return sink
+
+
+def verify_corpus(store: "CorpusShardStore") -> DataFrame:
+    """Loader-side manifest verification (r17) — the reason the
+    manifest exists: recompute every shard's (n_docs, n_tokens,
+    checksum) from the corpus table in ONE scan and compare against
+    the stored manifest. Returns one row per shard on either side:
+    ``(shard, ok, n_docs, n_tokens, manifest_n_docs,
+    manifest_n_tokens)`` with ``ok`` false on any count/checksum
+    mismatch, a shard missing its manifest row, or a manifest row
+    whose shard directory is gone. A loader runs this before trusting
+    a corpus version; rerunning the writer repairs any mismatch (both
+    tables re-version)."""
+    recomputed = corpus_shard_manifest(
+        store.store.read(store.CORPUS), store.id_col
+    )
+    manifest = store.store.read(store.MANIFEST).select(
+        "shard",
+        F.col("n_docs").alias("manifest_n_docs"),
+        F.col("n_tokens").alias("manifest_n_tokens"),
+        F.col("checksum").alias("manifest_checksum"),
+    )
+    joined = recomputed.join(manifest, "shard", "full_outer")
+    ok = (
+        F.col("n_docs").eqNullSafe(F.col("manifest_n_docs"))
+        & F.col("n_tokens").eqNullSafe(F.col("manifest_n_tokens"))
+        & F.col("checksum").eqNullSafe(F.col("manifest_checksum"))
+    )
+    return joined.select(
+        "shard",
+        ok.alias("ok"),
+        "n_docs",
+        "n_tokens",
+        "manifest_n_docs",
+        "manifest_n_tokens",
+    )

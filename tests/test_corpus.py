@@ -288,3 +288,104 @@ def test_epoch_store_vacate_and_hardlink_carry(spark, tmp_path):
         d = f"shard={s}"
         # a vacated shard either emptied out entirely or was rewritten
         assert d not in i2 or i2[d] != i1[d]
+
+
+def test_corpus_stream_sink_matches_batch_sequential(spark, tmp_path):
+    """Streaming face (the family convention): a file-source stream of
+    two micro-batches through corpus_stream_sink produces byte-for-byte
+    the state of two sequential append_epoch calls, and a restart
+    replay no-ops via the run ledger."""
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        CorpusShardStore,
+        corpus_stream_sink,
+    )
+
+    e1, e2 = _epochs(spark)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    e1.coalesce(1).write.parquet(str(src / "b0"))
+    e2.coalesce(1).write.parquet(str(src / "b1"))
+
+    st_s = CorpusShardStore(
+        spark, str(tmp_path / "stream"), shard_tokens=5000,
+        member_bucket_width=64,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(corpus_stream_sink(st_s))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert st_s.ingested_runs() == ["stream-0", "stream-1"]
+
+    st_b = CorpusShardStore(
+        spark, str(tmp_path / "batch"), shard_tokens=5000,
+        member_bucket_width=64,
+    )
+    st_b.append_epoch(e1, 0, "r0")
+    st_b.append_epoch(e2, 1, "r1")
+
+    def state(st):
+        corpus = {
+            (r.doc_id, r.shard) for r in st.store.read(st.CORPUS).collect()
+        }
+        man = sorted(map(tuple, st.store.read(st.MANIFEST).collect()))
+        eps = sorted(
+            (r.epoch, r.base_shard, r.n_shards)
+            for r in st.store.read(st.EPOCHS).collect()
+        )
+        return corpus, man, eps
+
+    assert state(st_s) == state(st_b)
+    # restart replay: same batch id -> ledger no-op, state unchanged
+    versions = {
+        t: st_s.store.current_version(t)
+        for t in (st_s.CORPUS, st_s.MANIFEST)
+    }
+    corpus_stream_sink(st_s)(e2, 1)
+    assert versions == {
+        t: st_s.store.current_version(t)
+        for t in (st_s.CORPUS, st_s.MANIFEST)
+    }
+
+
+def test_verify_corpus_flags_manifest_mismatch(spark, tmp_path):
+    """Loader verification: all shards ok on a healthy store; a
+    tampered manifest row (or a vanished shard) flips exactly its
+    shard's ok to false."""
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        CorpusShardStore,
+        verify_corpus,
+    )
+
+    e1, e2 = _epochs(spark)
+    st = CorpusShardStore(
+        spark, str(tmp_path / "c"), shard_tokens=5000,
+        member_bucket_width=64,
+    )
+    st.append_epoch(e1, 1, "r1")
+    st.append_epoch(e2, 2, "r2")
+    v = {r.shard: r.ok for r in verify_corpus(st).collect()}
+    assert v and all(v.values())
+
+    man = st.store.read(st.MANIFEST)
+    st.store.write(
+        man.withColumn(
+            "n_tokens",
+            F.when(F.col("shard") == 0, F.col("n_tokens") + 1).otherwise(
+                F.col("n_tokens")
+            ),
+        ),
+        st.MANIFEST,
+    )
+    v2 = {r.shard: r.ok for r in verify_corpus(st).collect()}
+    assert v2[0] is False
+    assert all(ok for s, ok in v2.items() if s != 0)
