@@ -617,3 +617,58 @@ def verify_corpus(store: "CorpusShardStore") -> DataFrame:
         "manifest_n_docs",
         "manifest_n_tokens",
     )
+
+
+def retire_epochs_below(store: "CorpusShardStore", epoch: int) -> bool:
+    """Retention for the corpus store (r17) — completes the family
+    lifecycle (build / append / vacate / verify / stream / retire):
+    drop every shard belonging to epochs BELOW ``epoch``. Epoch shard
+    ranges come from the EPOCHS table, so the corpus drop is pure
+    ``delete_partitions`` — whole shard directories are simply not
+    carried, ZERO corpus bytes rewritten (the id-range-retention
+    property, achieved here by epoch-contiguous shard numbering instead
+    of id buckets, so it works for ANY id type). The manifest filters
+    its retired rows (tiny table); the members sidecar rewrites
+    filtered (skinny — ids + 2 ints; at 100 TB this is the ~0.1%
+    column, and monotone ingest ids can use the sharper
+    ``retire_ids_below``-style bucket drop instead). EPOCHS rows are
+    KEPT — bases must never renumber, or every later epoch's shards
+    would be misattributed. Returns True when anything dropped.
+
+    Semantics caveat shared with every retention: a retired doc's
+    shard is gone from the current version (time travel until vacuum),
+    and re-ingesting its id later assigns it to a NEW epoch's shard —
+    the members vacate probe no longer sees it, which is correct
+    (there is nothing left to vacate)."""
+    if not store.store.exists(store.EPOCHS):
+        return False
+    cutoff_row = (
+        store.store.read(store.EPOCHS)
+        .filter(F.col("epoch") < int(epoch))
+        .agg(F.max(F.col("base_shard") + F.col("n_shards")).alias("b"))
+        .collect()[0]
+    )
+    cutoff_shard = int(cutoff_row.b or 0)
+    if cutoff_shard == 0:
+        return False
+    live = [
+        int(v)
+        for v in store.store.partition_values(store.CORPUS, "shard")
+        if v is not None and int(v) < cutoff_shard
+    ]
+    if live:
+        store.store.delete_partitions(store.CORPUS, ["shard"], live)
+    store.store.write(
+        store.store.read(store.MANIFEST).filter(
+            F.col("shard") >= cutoff_shard
+        ),
+        store.MANIFEST,
+    )
+    store.store.write(
+        store.store.read(store.MEMBERS).filter(
+            F.col("shard") >= cutoff_shard
+        ),
+        store.MEMBERS,
+        partition_by=["member_bucket"],
+    )
+    return bool(live)

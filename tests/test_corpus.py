@@ -389,3 +389,76 @@ def test_verify_corpus_flags_manifest_mismatch(spark, tmp_path):
     v2 = {r.shard: r.ok for r in verify_corpus(st).collect()}
     assert v2[0] is False
     assert all(ok for s, ok in v2.items() if s != 0)
+
+
+def test_retire_epochs_below_zero_rewrite_and_base_stability(spark, tmp_path):
+    """Retention drops retired epochs' shard DIRS (surviving shards
+    hard-link — zero corpus bytes rewritten), manifest/members follow,
+    EPOCHS rows stay so later appends keep their bases, and
+    verify_corpus stays all-ok on the survivors."""
+    import os
+
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        CorpusShardStore,
+        retire_epochs_below,
+        verify_corpus,
+    )
+
+    docs = _docs(spark)
+    d = F.col("doc_id")
+    st = CorpusShardStore(
+        spark, str(tmp_path / "c"), shard_tokens=5000,
+        member_bucket_width=64,
+    )
+    st.append_epoch(docs.filter(d % 3 == 0), 1, "r1")
+    st.append_epoch(docs.filter(d % 3 == 1), 2, "r2")
+    st.append_epoch(docs.filter(d % 3 == 2), 3, "r3")
+    bases = {
+        r.epoch: r.base_shard for r in st.store.read(st.EPOCHS).collect()
+    }
+    pre = st.store._version_path(
+        st.CORPUS, st.store.current_version(st.CORPUS)
+    )
+    survivors_inode = {
+        dname: os.stat(
+            os.path.join(pre, dname, f)
+        ).st_ino
+        for dname in os.listdir(pre)
+        if dname.startswith("shard=")
+        and int(dname.split("=")[1]) >= bases[2]
+        for f in os.listdir(os.path.join(pre, dname))
+        if f.endswith(".parquet")
+    }
+
+    assert retire_epochs_below(st, 2) is True
+    post = st.store._version_path(
+        st.CORPUS, st.store.current_version(st.CORPUS)
+    )
+    live = sorted(
+        int(x.split("=")[1])
+        for x in os.listdir(post)
+        if x.startswith("shard=")
+    )
+    assert min(live) >= bases[2]  # epoch 1's shards are gone
+    for dname, ino in survivors_inode.items():
+        files = [
+            f for f in os.listdir(os.path.join(post, dname))
+            if f.endswith(".parquet")
+        ]
+        assert os.stat(
+            os.path.join(post, dname, files[0])
+        ).st_ino == ino  # hard-linked: zero bytes rewritten
+    # epoch-1 ids vanished from members; verify stays all-ok
+    left = {r.doc_id for r in st.store.read(st.MEMBERS).collect()}
+    assert left and all(i % 3 != 0 for i in left)
+    v = {r.shard: r.ok for r in verify_corpus(st).collect()}
+    assert v and all(v.values())
+    # EPOCHS rows survive -> a later append bases correctly
+    st.append_epoch(
+        docs.filter(d % 3 == 0).withColumn("doc_id", d + F.lit(10_000)),
+        4, "r4",
+    )
+    b4 = {
+        r.epoch: r.base_shard for r in st.store.read(st.EPOCHS).collect()
+    }[4]
+    assert b4 >= bases[3]  # bases never renumber after retention
