@@ -23,6 +23,13 @@ Design:
   (``repartition(shard)`` + ``sortWithinPartitions`` — the tablestore
   clustering precedent), into a :class:`VersionedParquetStore` so the
   corpus version swap is atomic and the manifest rides the same root.
+
+r17 adds the full store lifecycle around the snapshot writer:
+:class:`CorpusShardStore` (epoch appends with vacate + hard-link
+carry), :func:`corpus_epoch_assignments` (the sequential==one-shot
+theorem), :func:`corpus_stream_sink` (foreachBatch face),
+:func:`verify_corpus` (loader integrity gate) and
+:func:`retire_epochs_below` (zero-rewrite retention).
 """
 
 from __future__ import annotations
@@ -640,7 +647,14 @@ def retire_epochs_below(store: "CorpusShardStore", epoch: int) -> bool:
     and re-ingesting its id later assigns it to a NEW epoch's shard —
     the members vacate probe no longer sees it, which is correct
     (there is nothing left to vacate)."""
-    if not store.store.exists(store.EPOCHS):
+    if not (
+        store.store.exists(store.EPOCHS)
+        and store.store.exists(store.CORPUS)
+        and store.store.exists(store.MANIFEST)
+        and store.store.exists(store.MEMBERS)
+    ):
+        # partially-built store (crash mid-first-append): nothing to
+        # retire — the next append's replay heals the tables first
         return False
     cutoff_row = (
         store.store.read(store.EPOCHS)
