@@ -1494,8 +1494,13 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
-def _minhash_oracle_sql(num_hashes=64, bands=16, threshold=0.5, shingle_n=3) -> str:
-    """DuckDB reimplementation of q_dedup_minhash (same constants/banding)."""
+def _minhash_oracle_sql(
+    num_hashes=64, bands=16, threshold=0.5, shingle_n=3,
+    source="documents", text_expr="text",
+) -> str:
+    """DuckDB reimplementation of q_dedup_minhash (same constants/banding).
+    ``source``/``text_expr`` retarget the corpus (r18 — the e2e composite
+    runs the identical replay over its extracted/gated CTE)."""
     from metadata_ingestion_framework_spark.operators.dedup import minhash_constants
 
     mult, add = minhash_constants(num_hashes, "md5")
@@ -1509,8 +1514,8 @@ toks AS (
   SELECT doc_id, list_distinct([array_to_string(ws[i:i+{k}], ' ')
     FOR i IN range(1, greatest(len(ws) - {k}, 0) + 1)]) AS grams
   FROM (SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
-        FROM documents)
+          list_filter(string_split_regex(lower({text_expr}), '\s+'), w -> w <> '') AS ws
+        FROM {source})
 ),
 hashed AS (
   SELECT doc_id, [('0x' || substr(md5(g), 1, 16))::UBIGINT FOR g IN grams] AS hs
@@ -2026,6 +2031,62 @@ steps(shard, rnk, doc_id, n_tokens, bin, rems) AS (
 )
 SELECT doc_id, shard, n_tokens, CAST(bin AS INT) AS bin FROM steps
 """
+
+
+def q_pack_offsets(spark, sf_dir):
+    """Packed-sequence boundary materialization (operators/corpus.py::
+    packed_sequence_rows, r18 — VERDICT r17 item 4): consume pack_bfd's
+    manifest into per-sequence attention layouts and value-check the
+    OFFSET ARITHMETIC — each (shard, bin) row exploded back to (pos,
+    doc_id, off, bin_tokens), where off is the exclusive running start
+    of the doc's capped length in the packer's insertion order
+    (n_tokens DESC, id ASC) and bin_tokens the sequence total. Oracle =
+    the pack_bfd WITH-RECURSIVE replay verbatim + one window cumsum
+    over its bin assignments — same constants (512 budget, 8 shards)."""
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        packed_sequence_rows,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents")
+    packed = packed_sequence_rows(
+        docs, "text", "doc_id", budget_tokens=512, shards=8
+    )
+    z = packed.select(
+        "shard",
+        "bin",
+        F.col("n_tokens").alias("bin_tokens"),
+        F.posexplode(F.arrays_zip("doc_ids", "offsets")).alias("pos", "z"),
+    )
+    return z.select(
+        "shard",
+        "bin",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("z.doc_ids").alias("doc_id"),
+        F.col("z.offsets").alias("off"),
+        "bin_tokens",
+    )
+
+
+ORACLE_PACK_OFFSETS = (
+    ORACLE_PACK_BFD.replace(
+        "SELECT doc_id, shard, n_tokens, CAST(bin AS INT) AS bin FROM steps",
+        """, packed AS (
+  SELECT doc_id, shard, CAST(bin AS INT) AS bin,
+    LEAST(n_tokens, 512) AS L, n_tokens
+  FROM steps
+)
+SELECT shard, bin,
+  CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS pos,
+  doc_id,
+  CAST(COALESCE(SUM(L) OVER (
+    PARTITION BY shard, bin ORDER BY n_tokens DESC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT
+  ) AS off,
+  CAST(SUM(L) OVER (PARTITION BY shard, bin) AS BIGINT) AS bin_tokens
+FROM packed
+WINDOW w AS (PARTITION BY shard, bin ORDER BY n_tokens DESC, doc_id ASC)""",
+    )
+)
 
 
 def q_heuristic_filters(spark, sf_dir):
@@ -7126,6 +7187,649 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+def q_clip_gate(spark, sf_dir):
+    """CLIP-score alignment gate (operators/multimodal.py::
+    clip_score_gate, r18, VERDICT r17 item 3) — the DataComp/LAION
+    headline (caption, image) filter, value-checked class by class over
+    deterministically synthesized pairs from the embeddings table:
+
+    - vec_id % 7 in (0, 5): image vector == caption vector (cos 1.0,
+      aligned);
+    - % 7 in (1, 6): image = REVERSED caption vector (varied genuine
+      scores around the threshold — the gate must actually decide);
+    - % 7 == 2: image = negated caption vector (cos -1.0, rejected);
+    - % 7 == 3: image vector NULL — NULL score AND NULL verdict (the
+      cross-modal family's NULL-propagation contract);
+    - % 7 == 4: image sliced to 32 dims (dim mismatch) — NULL verdict.
+
+    Both engines compute the identical sequential-fold cosine (Spark
+    F.aggregate == DuckDB list_dot_product, bit-for-bit — the kmeans
+    theorem), so ROUND(6) is hash-safe. Map-only, no shuffle."""
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        clip_score_gate,
+    )
+
+    emb = wide_t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.col("vec_id")
+    m = F.pmod(v, F.lit(7))
+    cap = F.col("embedding")
+    img = (
+        F.when(m == 2, F.transform(cap, lambda x: -x))
+        .when(m == 3, F.lit(None).cast("array<float>"))
+        .when(m == 4, F.slice(cap, 1, 32))
+        .when(m.isin(1, 6), F.reverse(cap))
+        .otherwise(cap)
+    )
+    pairs = emb.select(
+        v.alias("pair_id"), cap.alias("cap_vec"), img.alias("img_vec")
+    )
+    return clip_score_gate(
+        pairs, "cap_vec", "img_vec", threshold=0.28
+    ).select("pair_id", "clip_score", "aligned")
+
+
+ORACLE_CLIP_GATE = f"""
+WITH pairs AS (
+  SELECT vec_id AS pair_id,
+    CAST(embedding AS DOUBLE[]) AS cap_vec,
+    CASE
+      WHEN vec_id % 7 = 2 THEN
+        list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      WHEN vec_id % 7 = 3 THEN NULL
+      WHEN vec_id % 7 = 4 THEN CAST(embedding[1:32] AS DOUBLE[])
+      WHEN vec_id % 7 IN (1, 6) THEN
+        list_reverse(CAST(embedding AS DOUBLE[]))
+      ELSE CAST(embedding AS DOUBLE[])
+    END AS img_vec
+  FROM embeddings
+),
+scored AS (
+  SELECT pair_id,
+    CASE
+      WHEN cap_vec IS NOT NULL AND img_vec IS NOT NULL
+           AND len(cap_vec) = len(img_vec) AND len(cap_vec) > 0
+      THEN ROUND({_cos_sql('cap_vec', 'img_vec')}, 6)
+    END AS clip_score
+  FROM pairs
+)
+SELECT pair_id, clip_score,
+  CASE WHEN clip_score IS NOT NULL
+       THEN clip_score >= CAST(0.28 AS DOUBLE) END AS aligned
+FROM scored
+"""
+
+
+def q_pretrain_corpus_e2e(spark, sf_dir):
+    """End-to-end pretraining LAST-MILE composite (r18, VERDICT r17
+    item 2) — the full public web-to-training-shards chain, every stage
+    an individually-proven operator, composed ONCE so the cross-stage
+    column/NULL/dirty-row contracts are what's under value-check (the
+    composition is where r15/r16 found their real bugs):
+
+    1. page synthesis + block-preserving extraction (html.py::
+       html_text_blocks — web_curation's fixture verbatim, NULL pages
+       for doc_id % 25 == 19);
+    2. URL blocklist gate (urls.py::url_blocklist_gate) on synthesized
+       per-doc URLs (host = source + '.com', WWW-prefixed for
+       doc_id % 5 == 0, NULL for doc_id % 23 == 11) with HUMAN-TYPED
+       config entries ('Src3.com', 'www.src7.com' — the r18 entry
+       normalization is load-bearing) + one (domain, path) rule;
+       keep blocked == False (NULL verdicts drop: unfetchable);
+    3. paragraph dedup over the gated corpus (dedup.py::paragraph_dedup
+       — global first-(id,pos) precedence NOW computed on the
+       post-gate corpus);
+    4. heuristic floor gate (word_token_count >= 5);
+    5. minhash near-dup removal (md5 token hash, threshold 0.5, the
+       single-corpus larger-id-drops rule);
+    6. decontamination vs an eval suite (the ORIGINAL text of
+       doc_id % 20 == 0; 5-grams, >= 3 shared) — eval ids themselves
+       leave the training set;
+    7. topic-balanced mix over TRAINED k-means cells (kmeans.py::
+       cluster_balanced_mix, salt 'e2e') — called with
+       vec_id_col == doc_id_col, the r18 same-name join-drop fix path;
+    8. epoch-sharded corpus assignment (corpus.py::
+       corpus_epoch_assignments, epoch = 1 + doc_id % 2, 2000-token
+       shards) on PRE-COMPUTED token counts (the skinny rule — text
+       drops before the cumsum);
+    9. BFD sequence packing (text.py::pack_bfd, 512 budget, 8 shards)
+       over the same counts.
+
+    One row per doc that survives to training: (doc_id, lang, cell,
+    epoch, n_tokens, cum_before, corpus_shard, pack_shard, bin). The
+    oracle replays EVERY stage — regex-for-regex extraction, the gate
+    membership, paragraph precedence, the full minhash pair set, gram
+    intersection, 3-iteration k-means training + mix arithmetic,
+    per-epoch cumsum bases, and the WITH-RECURSIVE BFD bin state."""
+    from metadata_ingestion_framework_spark.functions.html import (
+        html_text_blocks,
+    )
+    from metadata_ingestion_framework_spark.functions.text import (
+        pack_bfd,
+        token_count,
+        word_token_count,
+    )
+    from metadata_ingestion_framework_spark.functions.urls import (
+        url_blocklist_gate,
+    )
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        corpus_epoch_assignments,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        carry_deps,
+        minhash_signatures,
+        ngram_contamination,
+        paragraph_dedup,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        minhash_batch_drops,
+    )
+    from metadata_ingestion_framework_spark.operators.kmeans import (
+        cluster_balanced_mix,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    d = F.col("doc_id")
+    # stage 1: the web_curation page fixture verbatim
+    html = F.when(
+        F.pmod(d, F.lit(25)) == 19, F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            F.lit("<html><body><h1>Doc "), d.cast("string"),
+            F.lit("</h1><p>"), F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                '</p><p>Share this &amp; subscribe</p>'
+                '<div class="footer"><a href="/about">About us</a> | '
+                '<a href="/terms">Terms</a></div></body></html>'
+            ),
+        )
+    )
+    url = F.when(F.pmod(d, F.lit(23)) == 11, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.when(F.pmod(d, F.lit(5)) == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"), F.lit(".com/doc/"), d.cast("string"),
+        )
+    )
+    ext = (
+        docs.select("doc_id", "lang", html.alias("html"), url.alias("url"))
+        .filter(F.col("html").isNotNull())
+        .select(
+            "doc_id", "lang", "url",
+            html_text_blocks("html").alias("clean"),
+        )
+    )
+    # stage 2: human-typed blocklist entries (r18 normalization path)
+    gated_u = url_blocklist_gate(
+        ext, "url",
+        [("Src3.com", None), ("www.src7.com", None),
+         ("src13.com", "/doc/1")],
+    ).filter(F.col("blocked") == False).select(  # noqa: E712
+        "doc_id", "lang", "clean"
+    )
+    # stage 3+4: paragraph dedup then the word floor
+    dd = paragraph_dedup(gated_u, "clean", "doc_id", keep_cols=["lang"])
+    g = carry_deps(
+        dd.withColumn(
+            "n_words", word_token_count(F.col("clean_text")).cast("long")
+        ).filter(F.col("n_words") >= 5),
+        dd,
+    ).persist()  # feeds sigs, the two anti-joins, decontam and the mix
+    # stage 5: single-corpus minhash near-dup removal
+    sigs = minhash_signatures(
+        g, "clean_text", "doc_id", token_hash="md5"
+    ).persist()
+    nd_drops = minhash_batch_drops(
+        None, sigs, "doc_id", jaccard_threshold=0.5
+    )
+    s5 = carry_deps(g.join(nd_drops, "doc_id", "left_anti"), nd_drops)
+    # stage 6: decontaminate vs the ORIGINAL-text eval suite
+    evals = docs.filter(d % 20 == 0).select(
+        "doc_id", F.col("text").alias("clean_text")
+    )
+    flagged = ngram_contamination(
+        s5, evals, "clean_text", "doc_id", shingle_n=5, min_shared=3
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    s6 = carry_deps(
+        s5.filter(d % 20 != 0).join(flagged, "doc_id", "left_anti"),
+        s5, flagged,
+    )
+    # stage 7: trained-cell temperature mix (same-name id columns)
+    emb = t(spark, sf_dir, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    mixed = cluster_balanced_mix(
+        s6, emb, _kmeans_model(spark, sf_dir),
+        doc_id_col="doc_id", vec_id_col="doc_id", salt="e2e",
+    )
+    # stage 8: skinny (drop text before the cumsum), epoch shards —
+    # carry the mix's two-stage-window persists through the select
+    skinny = carry_deps(
+        mixed.select(
+            "doc_id", "lang", "cell",
+            token_count(F.col("clean_text")).cast("long").alias("n_toks"),
+            (F.lit(1) + F.pmod(d, F.lit(2))).cast("int").alias("epoch"),
+        ),
+        mixed,
+    )
+    a = corpus_epoch_assignments(
+        skinny, None, "doc_id", "epoch",
+        shard_tokens=2000, n_tokens_col="n_toks",
+    )
+    ap = carry_deps(
+        a.select(
+            "doc_id", "lang", "cell", "epoch",
+            "n_tokens", "cum_before",
+            F.col("shard").alias("corpus_shard"),
+        ),
+        a, skinny,
+    ).persist()  # feeds pack AND the final join
+    # stage 9: BFD packing on the same counts
+    p = pack_bfd(
+        ap, None, "doc_id", budget_tokens=512, shards=8,
+        n_tokens_col="n_tokens",
+    )
+    out = ap.join(
+        p.select(
+            "doc_id", F.col("shard").alias("pack_shard"), "bin"
+        ),
+        "doc_id",
+    ).select(
+        "doc_id", "lang", "cell", "epoch", "n_tokens", "cum_before",
+        "corpus_shard", "pack_shard", "bin",
+    )
+    # FLATTEN every stage's deps: the release harness unpersists list
+    # ENTRIES only (no recursion into a dep's own _persisted_deps), so
+    # the paragraph-dedup / mix / assignment persists must land here
+    # directly, not ride as attributes of g/ap (r18 — caught by
+    # check_oracle's leak warning on the first run)
+    deps = [g, sigs, ap]
+    for frame in (g, nd_drops, s5, s6, mixed, skinny, ap):
+        deps.extend(getattr(frame, "_persisted_deps", ()))
+    out._persisted_deps = deps
+    return out
+
+
+def q_store_health(spark, sf_dir):
+    """Dedup-store health monitor (observability.py::store_health_trends,
+    r18, VERDICT r17 item 5) — the reference's pipeline_fact rollup
+    (Task.scala:52-141) applied to the per-ingest decision facts the
+    stores land (incremental.py::_emit_ingest_facts, r17): a TWO-INGEST
+    MinhashSignatureStore lifecycle emulated in-plan (the
+    curation_incremental convention; the real filesystem+Observability
+    path is tests/test_pipeline_obs.py), its fact rows rolled into the
+    per-run drop-rate / bucket-touch trend — the series a 100 TB
+    operator watches for dead dedup state (rate -> 0) or a feedback
+    loop re-crawling its own corpus (rate spike).
+
+    Every trend column is exact cross-engine: drop counts replay the
+    md5-minhash pair rule (temporal-then-min-id precedence — the
+    incremental_dedup oracle verbatim), sig-bucket touches replay the
+    id-range rule (doc_id div width over docs that produce a signature
+    row), and the integer ppm/LAG arithmetic replays directly. Band
+    buckets ride xxhash64 (engine-internal), so that column carries the
+    CONTRACT instead: touched-count within [least(1, rows),
+    least(n_buckets, rows)] — TRUE on both sides.
+
+    Scale shape: the corpus work is the proven banded batch-drop join;
+    the facts are single-row aggregates over persisted frames and the
+    rollup window is telemetry-sized."""
+    from metadata_ingestion_framework_spark.observability import (
+        store_health_trends,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        minhash_batch_drops,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    sigs1 = minhash_signatures(
+        b1, "text", "doc_id", token_hash="md5"
+    ).persist()
+    sigs2 = minhash_signatures(
+        b2, "text", "doc_id", token_hash="md5"
+    ).persist()
+    drops1 = minhash_batch_drops(
+        None, sigs1, "doc_id", jaccard_threshold=0.5
+    )
+    drops2 = minhash_batch_drops(
+        sigs1, sigs2, "doc_id", jaccard_threshold=0.5
+    )
+    width = 64
+
+    def fact(frame, task, metric):
+        return frame.select(
+            F.lit("health").alias("pipeline_id"),
+            F.lit(task).alias("task_name"),
+            F.lit(metric).alias("metric"),
+            F.col("v").cast("long").alias("value"),
+        )
+
+    def run_facts(b, sigs, drops, run_id):
+        task = f"MinhashSignatureStore:{run_id}"
+        return (
+            fact(b.agg(F.count("*").alias("v")), task, "ingest.n_batch")
+            .unionByName(fact(
+                drops.agg(F.count("*").alias("v")),
+                task, "ingest.n_dropped.text",
+            ))
+            .unionByName(fact(
+                sigs.select(
+                    F.expr(f"CAST(doc_id AS BIGINT) div {width}").alias("bk")
+                ).agg(F.countDistinct("bk").alias("v")),
+                task, "ingest.buckets_touched.sigs",
+            ))
+        )
+
+    facts = run_facts(b1, sigs1, drops1, "r1").unionByName(
+        run_facts(b2, sigs2, drops2, "r2")
+    )
+    trends = store_health_trends(facts)
+
+    def band_ok(sigs, run_id):
+        bb = minhash_bands(sigs, "doc_id").select(
+            F.pmod(F.col("band_hash"), F.lit(64)).alias("bk")
+        )
+        return bb.agg(
+            F.countDistinct("bk").alias("tb"),
+            F.count("*").alias("rows"),
+        ).select(
+            F.lit(run_id).alias("run_id"),
+            (
+                (F.col("tb") >= F.least(F.lit(1), F.col("rows")))
+                & (F.col("tb") <= F.least(F.lit(64), F.col("rows")))
+            ).alias("band_buckets_ok"),
+        )
+
+    out = trends.join(
+        F.broadcast(band_ok(sigs1, "r1").unionByName(band_ok(sigs2, "r2"))),
+        "run_id",
+    ).select(
+        "pipeline_id", "store", "run_seq", "run_id", "n_batch",
+        "n_dropped", "drop_rate_ppm", "rate_delta_ppm",
+        "buckets_touched", "band_buckets_ok",
+    )
+    out._persisted_deps = [sigs1, sigs2]
+    return out
+
+
+def _store_health_oracle_sql() -> str:
+    """Full-union replay: drops from the corpus-wide md5-minhash pair
+    set under temporal-then-min-id precedence (incremental_dedup
+    verbatim), sig buckets from the id-range rule over docs that
+    produce a signature row, ppm/LAG arithmetic replayed in integers;
+    band buckets are an engine-internal xxhash64 contract -> TRUE."""
+    inner = _minhash_oracle_sql(threshold=0.5)
+    return f"""
+WITH pairs AS MATERIALIZED ({inner}),
+sigdocs AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ws
+    FROM documents
+  ) WHERE len(ws) >= 3
+),
+runs AS (
+  SELECT 1 AS run_seq, 'r1' AS run_id, 0 AS par
+  UNION ALL SELECT 2, 'r2', 1
+),
+drops AS (
+  SELECT 'r1' AS run_id, id_b AS doc_id
+  FROM pairs WHERE id_a % 2 = 0 AND id_b % 2 = 0
+  UNION
+  SELECT 'r2', id_b FROM pairs WHERE id_b % 2 = 1
+  UNION
+  SELECT 'r2', id_a FROM pairs WHERE id_a % 2 = 1 AND id_b % 2 = 0
+),
+per_run AS (
+  SELECT r.run_seq, r.run_id,
+    (SELECT COUNT(*) FROM documents d WHERE d.doc_id % 2 = r.par
+    ) AS n_batch,
+    (SELECT COUNT(*) FROM drops x WHERE x.run_id = r.run_id
+    ) AS n_dropped,
+    (SELECT COUNT(DISTINCT s.doc_id // 64) FROM sigdocs s
+      WHERE s.doc_id % 2 = r.par
+    ) AS buckets_touched
+  FROM runs r
+)
+SELECT 'health' AS pipeline_id,
+  'MinhashSignatureStore' AS store,
+  CAST(run_seq AS BIGINT) AS run_seq, run_id,
+  CAST(n_batch AS BIGINT) AS n_batch,
+  CAST(n_dropped AS BIGINT) AS n_dropped,
+  CAST((n_dropped * 1000000) // n_batch AS BIGINT) AS drop_rate_ppm,
+  CAST((n_dropped * 1000000) // n_batch
+    - LAG((n_dropped * 1000000) // n_batch)
+        OVER (ORDER BY run_id ASC NULLS LAST) AS BIGINT
+  ) AS rate_delta_ppm,
+  CAST(buckets_touched AS BIGINT) AS buckets_touched,
+  TRUE AS band_buckets_ok
+FROM per_run
+"""
+
+
+ORACLE_STORE_HEALTH = _store_health_oracle_sql()
+
+
+def _build_pretrain_e2e_oracle() -> str:
+    """Every q_pretrain_corpus_e2e stage replayed in one statement:
+    the web_curation extraction chain, the gate membership (hosts are
+    synthesized, so the suffix rule reduces exactly to the literal
+    set), paragraph precedence, the parameterized md5-minhash pair set
+    (nested WITH — the incremental_dedup convention), 5-gram
+    intersection, the shared k-means training CTEs + cluster_mix
+    arithmetic (salt 'e2e'), per-epoch cumsum bases
+    (corpus_shards_inc's shape), and the pack_bfd WITH-RECURSIVE
+    retargeted at the final corpus via string surgery (asserted)."""
+    pairs_inner = _minhash_oracle_sql(
+        threshold=0.5, source="gated", text_expr="clean_text"
+    )
+    kmeans = ",".join(_kmeans_train_ctes(64, 8, n_iters=3))
+    pack_inner = ORACLE_PACK_BFD.replace(
+        r"CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+')) AS BIGINT)"
+        + "\n      AS n_tokens\n  FROM documents",
+        "n_toks\n      AS n_tokens\n  FROM withshard",
+    )
+    assert "FROM withshard" in pack_inner, "pack surgery failed"
+    # MATERIALIZE the recursion's inputs: an inlined `ranked` would
+    # re-evaluate the ENTIRE upstream pipeline (minhash + kmeans + ...)
+    # at every recursive step — measured minutes vs seconds at sf0.001
+    pack_inner = pack_inner.replace(
+        "ranked AS (", "ranked AS MATERIALIZED (", 1
+    )
+    assert "ranked AS MATERIALIZED (" in pack_inner
+    return rf"""
+WITH pages AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN doc_id % 25 = 19 THEN NULL ELSE
+      '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+      coalesce(text, '') ||
+      '</p><p>Share this &amp; subscribe</p><div class="footer">' ||
+      '<a href="/about">About us</a> | <a href="/terms">Terms</a>' ||
+      '</div></body></html>'
+    END AS html
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, lang, source,
+    regexp_replace(regexp_replace(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(html,
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+            '(?is)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)\s*>|<br\s*/?>',
+            chr(10), 'g'),
+          '<[^>]+>', ' ', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      '[ \t\f\r]+', ' ', 'g'),
+      ' ?\n[ \n]*', chr(10), 'g'),
+      '^[ \n]+|[ \n]+$', '', 'g') AS clean
+  FROM pages WHERE html IS NOT NULL
+),
+gated_u AS (
+  -- the gate membership on synthesized urls: host normalizes to
+  -- source || '.com' (WWW strip + lowercase), NULL urls drop, the
+  -- suffix chain over single-label hosts == the literal domain set,
+  -- path '/doc/<id>' prefix-matches '/doc/1'
+  SELECT doc_id, lang, clean FROM cleaned
+  WHERE doc_id % 23 <> 11
+    AND NOT (source || '.com' IN ('src3.com', 'src7.com')
+             OR (source || '.com' = 'src13.com'
+                 AND starts_with('/doc/' || CAST(doc_id AS VARCHAR),
+                                 '/doc/1')))
+),
+segs AS (
+  SELECT doc_id, lang,
+    string_split_regex(coalesce(clean, ''), '\r?\n') AS arr
+  FROM gated_u
+),
+paras AS (
+  SELECT doc_id, lang, pos, trim(arr[pos + 1]) AS p
+  FROM (SELECT doc_id, lang, unnest(range(0, len(arr))) AS pos, arr
+        FROM segs)
+),
+content AS (SELECT * FROM paras WHERE p <> ''),
+dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      ROW_NUMBER() OVER (
+        PARTITION BY ('0x' || substr(md5(p), 1, 15))::BIGINT
+        ORDER BY doc_id, pos) AS rn
+    FROM content
+  ) WHERE rn > 1
+),
+kept AS (
+  SELECT c.doc_id, c.pos, c.p FROM content c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dups x WHERE x.doc_id = c.doc_id AND x.pos = c.pos
+  )
+),
+agg AS (
+  SELECT doc_id, array_to_string(list(p ORDER BY pos), chr(10)) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+ddg AS (
+  SELECT c.doc_id, c.lang, COALESCE(a.clean_text, '') AS clean_text
+  FROM gated_u c LEFT JOIN agg a USING (doc_id)
+),
+gated AS MATERIALIZED (
+  SELECT doc_id, lang, clean_text FROM ddg
+  WHERE len(regexp_extract_all(clean_text,
+    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) >= 5
+),
+pairs AS MATERIALIZED ({pairs_inner}),
+s5 AS MATERIALIZED (
+  SELECT g.* FROM gated g
+  WHERE g.doc_id NOT IN (SELECT id_b FROM pairs)
+),
+tg AS (
+  SELECT doc_id, list_distinct([
+      array_to_string(toks[i:i+4], ' ')
+      FOR i IN range(1, greatest(len(toks) - 4, 0) + 1)
+    ]) AS grams
+  FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(lower(trim(clean_text)), '\s+'),
+                  w -> w <> '') AS toks
+    FROM s5
+  )
+),
+eg AS (
+  SELECT list_distinct([
+      array_to_string(toks[i:i+4], ' ')
+      FOR i IN range(1, greatest(len(toks) - 4, 0) + 1)
+    ]) AS grams
+  FROM (
+    SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       w -> w <> '') AS toks
+    FROM documents WHERE doc_id % 20 = 0
+  )
+),
+flagged AS (
+  SELECT DISTINCT t.doc_id FROM tg t JOIN eg e
+    ON len(list_intersect(t.grams, e.grams)) >= 3
+),
+s6 AS (
+  SELECT * FROM s5
+  WHERE doc_id % 20 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+{kmeans},
+aF AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, u.cell,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.vq, u.u) DESC, u.cell ASC) AS rnk
+    FROM base b CROSS JOIN uF u
+  ) WHERE rnk = 1
+),
+labeled AS MATERIALIZED (
+  SELECT s.doc_id, s.lang, s.clean_text, a.cell
+  FROM s6 s JOIN aF a ON s.doc_id = a.vec_id
+),
+counts AS (SELECT cell, COUNT(*) AS c FROM labeled GROUP BY cell),
+rates AS (
+  SELECT cell,
+    CAST(FLOOR(sqrt(CAST((SELECT MIN(c) FROM counts) AS DOUBLE) / c)
+               * 1000000 + 0.5) AS BIGINT) AS threshold
+  FROM counts
+),
+mixed AS (
+  SELECT l.doc_id, l.lang, CAST(l.cell AS INT) AS cell,
+    CAST(len(regexp_extract_all(l.clean_text, '[^ \t\n\r\f]+'))
+      AS BIGINT) AS n_toks,
+    CAST(1 + l.doc_id % 2 AS INT) AS epoch,
+    ('0x' || substr(md5(concat_ws(chr(31), 'corpus0',
+      CAST(l.doc_id AS VARCHAR))), 1, 15))::BIGINT AS hk
+  FROM labeled l JOIN rates r ON l.cell = r.cell
+  WHERE ('0x' || substr(md5(concat_ws(chr(31), 'e2e',
+          CAST(l.doc_id AS VARCHAR))), 1, 15))::BIGINT
+        % 1000000 < r.threshold
+),
+cum AS (
+  SELECT *, CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY epoch
+    ORDER BY hk ASC, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS cum_before
+  FROM mixed
+),
+sw AS MATERIALIZED (
+  SELECT *, CAST(cum_before // 2000 AS INT) AS shard_within FROM cum
+),
+sizes AS (
+  SELECT epoch, MAX(shard_within) + 1 AS n_shards FROM sw GROUP BY epoch
+),
+bases AS (
+  SELECT epoch, COALESCE(SUM(n_shards) OVER (ORDER BY epoch ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bs
+  FROM sizes
+),
+withshard AS MATERIALIZED (
+  SELECT s.doc_id, s.lang, s.cell, s.epoch, s.n_toks, s.cum_before,
+    CAST(b.bs + s.shard_within AS INT) AS corpus_shard
+  FROM sw s JOIN bases b USING (epoch)
+),
+packres AS ({pack_inner})
+SELECT w.doc_id, w.lang, w.cell, w.epoch,
+  w.n_toks AS n_tokens, w.cum_before, w.corpus_shard,
+  p.shard AS pack_shard, p.bin
+FROM withshard w JOIN packres p USING (doc_id)
+"""
+
+
+ORACLE_PRETRAIN_E2E = _build_pretrain_e2e_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7142,6 +7846,11 @@ QUERIES = {
     "pack_bfd": q_pack_bfd,  # r17 NEW: best-fit-decreasing whole-doc
     # sequence packing — deterministic greedy bin state replayed
     # step-for-step by a WITH-RECURSIVE oracle (the MMR frontier shape)
+    "pack_offsets": q_pack_offsets,  # r18 NEW: packed-sequence
+    # materialization boundaries (VERDICT r17 item 4) — pack_bfd's bins
+    # exploded to per-doc attention-boundary offsets; the recursive BFD
+    # replay + one window cumsum value-checks the exclusive running
+    # starts and sequence totals
     "cluster_mix": q_cluster_mix,  # r17 NEW: topic-balanced training
     # mix — trained k-means labels composed with the temperature-mix
     # md5 rule; full training replay + mix arithmetic in one oracle
@@ -7151,9 +7860,12 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,  # r7: backward as-of join vs native DuckDB ASOF
-    "bm25_maxp": q_bm25_maxp,  # r15 NEW: passage-level BM25 + MaxP doc
-    # aggregation (chunk -> score passages via the bm25_topk dataflow
-    # verbatim -> per-doc best passage), full slice+arithmetic replay
+    "pretrain_corpus_e2e": q_pretrain_corpus_e2e,  # r18 NEW: the full
+    # web-to-training-shards LAST-MILE composite (VERDICT r17 item 2) —
+    # extraction -> url gate -> paragraph dedup -> floor gate -> minhash
+    # near-dup -> decontaminate -> trained cluster mix -> epoch shards
+    # -> BFD packing, every stage replayed in ONE recursive oracle; the
+    # cross-stage column/NULL/dirty-row contracts are what's new here
     "bm25_index_serve": q_bm25_index_serve,  # r13 NEW: persistent BM25
     # index merge+serve math (vacate semantics, term-bucket pruning,
     # per-bucket stats composition) == fresh bm25 over the merged corpus
@@ -7175,9 +7887,6 @@ QUERIES = {
     # contamination triage through the PERSISTENT-INDEX serve dataflow
     # (merge vacate + bucket-stat composition + serve scoring + gram
     # verify), same per-call oracle verbatim (serve==rebuild row-equal)
-    "paragraph_dedup": q_paragraph_dedup,  # r15 NEW: paragraph-level exact
-    # dedup (the CCNet/RefinedWeb first stage) — global first-(id,pos)
-    # precedence, corpus rewrite, pure-codegen pipeline, full replay oracle
     "paragraph_dedup_inc": q_paragraph_dedup_inc,  # r15 NEW: the
     # ParagraphHashStore lifecycle replayed in-plan — two sequential
     # ingests (surviving-owner store rows, broadcast-hash store join)
@@ -7186,6 +7895,11 @@ QUERIES = {
     # CrossModalPairStore ingest pair joins (image_hash_batch_pairs +
     # minhash_batch_pairs + the LAION flag fusion) — full-union rerun
     # oracle restricted to pairs touching the batch
+    "store_health": q_store_health,  # r18 NEW: dedup-store health
+    # monitor (VERDICT r17 item 5) — per-ingest decision facts rolled
+    # into the drop-rate/bucket-touch trend over a two-ingest lifecycle;
+    # drop counts + range buckets + ppm/LAG arithmetic exact, band
+    # buckets as the engine-internal contract
     "curation_incremental": q_curation_incremental,  # r12 NEW (VERDICT r11
     # item 4): repeated-ingestion curation composite — both incremental
     # batch-drop joins + model gates + mix, full-union rerun oracle
@@ -7219,8 +7933,6 @@ QUERIES = {
     # shards per epoch, EPOCHS-table bases, vacate-on-re-ingest)
     # value-checked against the one-shot epoch-major oracle with
     # latest-epoch-wins (the CorpusShardStore headline theorem)
-    "bpe_tokenize_fast": q_bpe_tokenize_fast,  # r11 NEW: linear-time Arrow
-    # encoder (VERDICT r10 item 1), same replay oracle as bpe_tokenize
     "bpe_merges": q_bpe_merges,  # r10: BPE vocab training (NEW), full
     # DuckDB greedy-merge replay
     "curation_v4": q_curation_v4,  # r11 NEW: model-gated curation
@@ -7234,11 +7946,11 @@ QUERIES = {
     "media_dedup": q_media_dedup,  # r13 NEW: perceptual image dedup —
     # integer dHash/aHash over real decoded pixels + Hamming banding,
     # every hash and neighbor count replayed from the generation formulas
-    "audio_dedup": q_audio_dedup,  # r14 NEW: perceptual audio dedup —
-    # integer energy-delta/above-mean fingerprints over real decoded
-    # PCM16 samples (time-domain Haitsma-Kalker shape) + the SHARED
-    # Hamming banding, every fingerprint bit and neighbor count
-    # replayed from the WAV generation formulas
+    "clip_gate": q_clip_gate,  # r18 NEW: CLIP-score (caption, image)
+    # alignment gate (VERDICT r17 item 3) — the DataComp/LAION filter
+    # run AHEAD of cross-modal pair dedup; per-class cosine + verdict
+    # + NULL/dim-mismatch contract fully value-checked (sequential-fold
+    # cosine == list_dot_product bit-for-bit)
     "crossmodal_dedup": q_crossmodal_dedup,  # r15 NEW: LAION-rule
     # (caption, image) pair dedup — image hamming pairs OR md5-minhash
     # caption pairs over the same restricted set, fused by one groupBy;
@@ -7263,7 +7975,49 @@ QUERIES = {
     # skew mitigation (r6 oracles; first driver-window pass this round —
     # VERDICT r6 "What's wrong" item 3)
     "salted_join_agg": q_salted_join_agg,
-    # --- position 51+ (driver-verified green in earlier rounds). r17
+    # --- position 51+ (driver-verified green in earlier rounds). r18
+    # rotation (1): NEW clip_gate displaced audio_dedup — named,
+    # family-redundant (the media decode-contract family keeps
+    # media_dedup, video_dedup, crossmodal_dedup and crossmodal_dedup_inc
+    # in-window, which value-check the SHARED Hamming banding join
+    # (hamming_banded_pairs) and the decode/fingerprint dataflow shape;
+    # audio_dedup's energy-delta fingerprint bits stay sweep-checked in
+    # the tail; audio_dedup driver-green r14-r17, unchanged this round).
+    "audio_dedup": q_audio_dedup,  # r14: perceptual audio dedup
+    # (displaced r18 by clip_gate; energy-delta/above-mean fingerprints
+    # over real decoded PCM16 + the shared Hamming banding)
+    # r18 rotation (2): NEW store_health displaced paragraph_dedup —
+    # named, family-redundant (web_curation runs paragraph_dedup
+    # VERBATIM in-window — the identical md5 paragraph hash, global
+    # first-(id,pos) precedence and corpus rewrite — over the strictly
+    # larger synthesized-page dataflow, and paragraph_dedup_inc keeps
+    # the store-lifecycle face in-window; paragraph_dedup driver-green
+    # r15-r17, unchanged this round, stays sweep-checked in the tail).
+    "paragraph_dedup": q_paragraph_dedup,  # r15: paragraph-level exact
+    # dedup (displaced r18 by store_health; contained verbatim in
+    # web_curation)
+    # r18 rotation (3): NEW pack_offsets displaced bpe_tokenize_fast —
+    # named, family-redundant (bpe_encode_ids COMPOSES the identical
+    # linear-time Arrow greedy-merge kernel with the broadcast vocab and
+    # stays in-window with the full training+inference replay oracle;
+    # bpe_merges keeps the trainer in-window; bpe_tokenize_fast
+    # driver-green r11-r17, unchanged this round, stays sweep-checked
+    # in the tail).
+    "bpe_tokenize_fast": q_bpe_tokenize_fast,  # r11: linear-time Arrow
+    # encoder (displaced r18 by pack_offsets; its kernel runs verbatim
+    # inside bpe_encode_ids)
+    # r18 rotation (4): NEW pretrain_corpus_e2e displaced bm25_maxp —
+    # named, family-redundant (the retrieval family keeps
+    # bm25_index_serve — whose oracle IS a fresh bm25_topk replay over
+    # the merged corpus, the scoring dataflow bm25_maxp runs verbatim —
+    # plus hybrid_served, mmr_rerank and decontam_triage_indexed
+    # in-window; bm25_maxp's chunk-slice + per-doc MaxP window stays
+    # sweep-checked in the tail; bm25_maxp driver-green r15-r17,
+    # unchanged this round).
+    "bm25_maxp": q_bm25_maxp,  # r15: passage BM25 + MaxP (displaced
+    # r18 by pretrain_corpus_e2e; its scoring dataflow is
+    # bm25_index_serve's oracle verbatim)
+    # r17
     # rotation (2): NEW pack_bfd displaced shipping_priority — named,
     # family-redundant (the TPC-H relational agg/join family keeps
     # pricing_summary, revenue_by_nation and theta_join in-window;
@@ -7717,6 +8471,10 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": ORACLE_PRICING,
+    "clip_gate": ORACLE_CLIP_GATE,
+    "store_health": ORACLE_STORE_HEALTH,
+    "pack_offsets": ORACLE_PACK_OFFSETS,
+    "pretrain_corpus_e2e": ORACLE_PRETRAIN_E2E,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "large_orders": ORACLE_LARGE_ORDERS,
     "promo_revenue": ORACLE_PROMO_REVENUE,

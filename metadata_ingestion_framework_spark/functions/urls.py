@@ -159,8 +159,15 @@ def url_blocklist_gate(
     pathq = F.regexp_replace(rest, r"^[^/?]*", "")
     path = F.regexp_extract(pathq, r"^([^?#]*)", 1)
 
-    domains = sorted({h for h, p in blocklist if p is None})
-    rules = sorted((h, p) for h, p in blocklist if p is not None)
+    # normalize entries to the same form url_host emits (ADVICE r17):
+    # a config row like 'Example.com' or 'www.example.com' would
+    # otherwise silently never match anything
+    def _norm_host(h: str) -> str:
+        h = h.strip().lower()
+        return h[4:] if h.startswith("www.") else h
+
+    domains = sorted({_norm_host(h) for h, p in blocklist if p is None})
+    rules = sorted({(_norm_host(h), p) for h, p in blocklist if p is not None})
     blocked = F.lit(False)
     if domains:
         blocked = F.arrays_overlap(

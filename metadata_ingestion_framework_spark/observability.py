@@ -158,3 +158,84 @@ def write_observed_facts(
             store.write_fact(
                 pipeline_id, task_name, f"{stage}.{metric}", int(value), batch_id
             )
+
+
+def store_health_trends(facts: DataFrame) -> DataFrame:
+    """Per-(pipeline, store, run) dedup-store health rollup (r18,
+    VERDICT r17 item 5) — the reference's pipeline_fact pattern
+    (Task.scala:52-141) applied to the 100 TB dedup-health story: roll
+    the per-ingest decision facts ``_emit_ingest_facts`` lands
+    (incremental.py) into a drop-rate / bucket-touch TIME SERIES. A
+    drop rate collapsing to ~0 means dead dedup state; a spike means a
+    feedback loop is re-crawling its own corpus; a bucket-touch count
+    growing toward n_buckets is the hash-bucket degeneration mode the
+    id-range layouts are designed against (CLAUDE.md).
+
+    One output row per ingest: ``n_batch``, total ``n_dropped`` (summed
+    over modalities), integer ``drop_rate_ppm`` recomputed from the
+    totals, ``rate_delta_ppm`` vs the SAME store's previous run (NULL
+    on its first), and total ``buckets_touched``. Runs order by
+    ``run_id`` within each store — real pipelines mint sortable
+    (monotone) run ids; the ledger replay convention already assumes
+    ids are unique per store.
+
+    Scale shape: the fact table is telemetry-sized (a handful of rows
+    per ingest), so the groupBy and the per-store LAG window are
+    trivially bounded; no corpus data flows here."""
+    f = facts.filter(F.col("metric").startswith("ingest."))
+    parsed = f.select(
+        "pipeline_id",
+        F.substring_index("task_name", ":", 1).alias("store"),
+        F.expr(
+            "substring(task_name, instr(task_name, ':') + 1)"
+        ).alias("run_id"),
+        "metric",
+        "value",
+    )
+    g = parsed.groupBy("pipeline_id", "store", "run_id").agg(
+        F.max(
+            F.when(F.col("metric") == "ingest.n_batch", F.col("value"))
+        ).alias("n_batch"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("metric").startswith("ingest.n_dropped."),
+                    F.col("value"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_dropped"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("metric").startswith("ingest.buckets_touched."),
+                    F.col("value"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("buckets_touched"),
+    )
+    rate = F.when(
+        F.col("n_batch") > 0,
+        F.expr("(n_dropped * 1000000) div n_batch"),
+    ).otherwise(F.lit(0)).cast("long")
+    g = g.withColumn("drop_rate_ppm", rate)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pipeline_id", "store").orderBy(
+        F.col("run_id").asc_nulls_last()
+    )
+    return g.select(
+        "pipeline_id",
+        "store",
+        F.row_number().over(w).cast("long").alias("run_seq"),
+        "run_id",
+        "n_batch",
+        "n_dropped",
+        "drop_rate_ppm",
+        (
+            F.col("drop_rate_ppm")
+            - F.lag("drop_rate_ppm").over(w)
+        ).cast("long").alias("rate_delta_ppm"),
+        "buckets_touched",
+    )

@@ -402,13 +402,43 @@ class CorpusShardStore:
         members/manifest/epochs, and return the new manifest. None when
         ``run_id`` already ran. Epochs must arrive in ascending order
         (the sequential==one-shot theorem is stated under epoch-major
-        order)."""
+        order) — ENFORCED here (r18, ADVICE r17): a repeat or
+        out-of-order epoch under a NEW run_id would pass the ledger
+        check, reuse the old base from ``_next_base``'s ``epoch <``
+        filter, and ``write_partition_delta`` would rewrite those shard
+        dirs with only the new batch — silently vanishing the prior
+        epoch's non-re-ingested docs while members/manifest still
+        reference them. The only legal repeat is the crash replay: the
+        same (epoch, run_id) pair re-presenting after a crash between
+        the EPOCHS write and the ledger record."""
         from metadata_ingestion_framework_spark.operators.dedup import (
             unpersist_deps,
         )
 
         if run_id in self.ingested_runs():
             return None
+        if self.store.exists(self.EPOCHS):
+            # tiny read (#epochs rows — the same table _next_base scans)
+            recorded = {
+                int(r.epoch): r.run_id
+                for r in self.store.read(self.EPOCHS)
+                .select("epoch", "run_id").collect()
+            }
+            if int(epoch) in recorded:
+                if recorded[int(epoch)] != str(run_id):
+                    raise ValueError(
+                        f"epoch {epoch} already recorded by run "
+                        f"{recorded[int(epoch)]!r}; re-appending it under "
+                        f"{run_id!r} would vacate its docs (epochs are "
+                        "append-once — use a new epoch number)"
+                    )
+                # else: crash replay of this exact run — fall through
+            elif recorded and int(epoch) <= max(recorded):
+                raise ValueError(
+                    f"epoch {epoch} arrives after recorded epoch "
+                    f"{max(recorded)}; epochs must ascend (the "
+                    "sequential==one-shot theorem is epoch-major)"
+                )
         base = self._next_base(epoch)
         assigned = corpus_shard_assignments(
             batch, self.text_col, self.id_col,
@@ -686,3 +716,251 @@ def retire_epochs_below(store: "CorpusShardStore", epoch: int) -> bool:
         partition_by=["member_bucket"],
     )
     return bool(live)
+
+
+def packed_sequence_rows(
+    df: DataFrame,
+    text_col: str | None,
+    id_col: str,
+    budget_tokens: int = 2048,
+    shards: int = 32,
+    n_tokens_col: str | None = None,
+    token_ids_col: str | None = None,
+) -> DataFrame:
+    """One row per PACKED TRAINING SEQUENCE (r18, VERDICT r17 item 4):
+    consume :func:`functions.text.pack_bfd`'s manifest — which nothing
+    materialized until now — by concatenating each (shard, bin)'s
+    documents in the packer's own insertion order (n_tokens DESC, id
+    ASC) and emitting the attention-boundary layout a loader needs:
+
+    - ``doc_ids``: the bin's docs in packed order;
+    - ``offsets``: EXCLUSIVE running starts (offsets[0] = 0,
+      offsets[i] = sum of the first i capped lengths) — the attention
+      mask boundaries of Krell et al.'s packed formulation;
+    - ``n_tokens``: the sequence's total (== the would-be next offset),
+      <= ``budget_tokens`` by the packer's invariant;
+    - ``token_ids`` (when ``token_ids_col`` is given, e.g. the BPE
+      encoder's output): the docs' ids flattened in the same order,
+      each doc TRUNCATED to its capped length (the packer's
+      least(n_tokens, budget) rule), so size(token_ids) == n_tokens.
+
+    Scale shape: pack_bfd's one groupBy + Arrow kernel, an id join to
+    re-attach payloads (skinny manifest side), then ONE further
+    (shard, bin) groupBy whose state is budget-bounded by construction
+    (a bin holds at most ``budget_tokens`` tokens) — the per-bin
+    sort_array/fold HOFs run over loader-sized arrays, never the
+    corpus. No driver collects."""
+    from metadata_ingestion_framework_spark.functions.text import pack_bfd
+
+    cap = int(budget_tokens)
+    manifest = pack_bfd(
+        df, text_col, id_col, cap, shards, n_tokens_col
+    )
+    if token_ids_col is not None:
+        manifest = manifest.join(
+            df.select(id_col, token_ids_col), id_col
+        )
+    length = F.least(F.col("n_tokens"), F.lit(cap)).cast("long")
+    fields = [
+        (-F.col("n_tokens")).alias("nt"),
+        F.col(id_col).alias("i"),
+        length.alias("c"),
+    ]
+    if token_ids_col is not None:
+        fields.append(F.slice(F.col(token_ids_col), 1, length).alias("ids"))
+    grouped = manifest.groupBy("shard", "bin").agg(
+        F.sort_array(F.collect_list(F.struct(*fields))).alias("docs")
+    )
+    lens = F.transform(F.col("docs"), lambda x: x["c"])
+    cols = [
+        "shard",
+        "bin",
+        F.size("docs").cast("long").alias("n_docs"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("n_tokens"),
+        F.transform(F.col("docs"), lambda x: x["i"]).alias("doc_ids"),
+        F.aggregate(
+            lens,
+            F.struct(
+                F.array().cast("array<long>").alias("offs"),
+                F.lit(0).cast("long").alias("total"),
+            ),
+            lambda acc, v: F.struct(
+                F.concat(acc["offs"], F.array(acc["total"])).alias("offs"),
+                (acc["total"] + v).alias("total"),
+            ),
+            lambda acc: acc["offs"],
+        ).alias("offsets"),
+    ]
+    if token_ids_col is not None:
+        cols.append(
+            F.flatten(
+                F.transform(F.col("docs"), lambda x: x["ids"])
+            ).alias("token_ids")
+        )
+    return grouped.select(*cols)
+
+
+def packed_shard_manifest(packed: DataFrame) -> DataFrame:
+    """``(shard, n_bins, n_docs, n_tokens, checksum)`` for the packed
+    face — :func:`corpus_shard_manifest`'s loader contract applied to
+    sequences: checksum = md5 over the shard's lexicographically sorted
+    ``bin:doc|doc|...`` strings (bin-bounded state, engine-exact)."""
+    bin_key = F.concat_ws(
+        ":",
+        F.col("bin").cast("string"),
+        F.array_join(
+            F.transform(F.col("doc_ids"), lambda x: x.cast("string")), "|"
+        ),
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list(bin_key)))
+        ).alias("checksum"),
+    )
+
+
+def write_packed_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    text_col: str | None,
+    id_col: str,
+    budget_tokens: int = 2048,
+    shards: int = 32,
+    n_tokens_col: str | None = None,
+    token_ids_col: str | None = None,
+) -> DataFrame:
+    """Materialize packed training sequences: table ``packed``
+    partitioned by shard (one file per shard, rows in (shard, bin)
+    order — byte-stable across reruns) + table ``manifest`` in the same
+    :class:`VersionedParquetStore` root, manifest LAST as the commit
+    marker (:func:`write_corpus_shards`'s crash rule: a loader that
+    resolves through the manifest never observes a half-written
+    export, and rerunning repairs). Returns the manifest as written."""
+    from metadata_ingestion_framework_spark.plans.tablestore import (
+        VersionedParquetStore,
+    )
+
+    packed = packed_sequence_rows(
+        df, text_col, id_col, budget_tokens, shards,
+        n_tokens_col, token_ids_col,
+    ).persist()  # feeds the packed write AND the manifest agg
+    store = VersionedParquetStore(spark, root)
+    ordered = packed.repartition(F.col("shard")).sortWithinPartitions(
+        "shard", "bin"
+    )
+    store.write(ordered, "packed", partition_by=["shard"], cluster=False)
+    store.write(packed_shard_manifest(packed), "manifest")
+    packed.unpersist()
+    return store.read("manifest")
+
+
+def verify_packed_corpus(
+    spark: SparkSession, root: str, budget_tokens: int
+) -> DataFrame:
+    """Loader-side verification of a packed export (r18 — extends the
+    :func:`verify_corpus` contract to the packed form): recompute every
+    shard's manifest row from the packed table in one scan AND check
+    each sequence's internal boundary arithmetic —
+
+    - size(offsets) == n_docs == size(doc_ids), offsets[0] == 0;
+    - offsets strictly increasing (every doc contributes >= 1 token);
+    - n_tokens > last offset (the last doc is non-empty) and
+      n_tokens <= budget (the packer's capacity invariant);
+    - when token ids were materialized, size(token_ids) == n_tokens.
+
+    One row per shard: ``(shard, ok, n_bins, n_docs, n_tokens,
+    manifest_n_bins, manifest_n_docs, manifest_n_tokens)`` — ``ok``
+    false on any manifest mismatch, missing side, or a bin whose
+    boundary arithmetic is broken."""
+    from metadata_ingestion_framework_spark.plans.tablestore import (
+        VersionedParquetStore,
+    )
+
+    store = VersionedParquetStore(spark, root)
+    packed = store.read("packed")
+    offs = F.col("offsets")
+    n = F.size(offs)
+    increasing = F.forall(
+        F.zip_with(
+            F.slice(offs, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(offs, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: b > a,
+        ),
+        lambda x: x,
+    )
+    bin_ok = (
+        (n.cast("long") == F.col("n_docs"))
+        & (F.size("doc_ids").cast("long") == F.col("n_docs"))
+        & ((F.col("n_docs") == 0) | (F.element_at(offs, 1) == 0))
+        & increasing
+        & (
+            (F.col("n_docs") == 0)
+            | (F.col("n_tokens") > F.element_at(offs, -1))
+        )
+        & (F.col("n_tokens") <= F.lit(int(budget_tokens)))
+    )
+    if "token_ids" in packed.columns:
+        bin_ok = bin_ok & (
+            F.size("token_ids").cast("long") == F.col("n_tokens")
+        )
+    recomputed = (
+        packed.withColumn("__bin_ok", bin_ok)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.bool_and("__bin_ok").alias("bins_ok"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":",
+                                F.col("bin").cast("string"),
+                                F.array_join(
+                                    F.transform(
+                                        F.col("doc_ids"),
+                                        lambda x: x.cast("string"),
+                                    ),
+                                    "|",
+                                ),
+                            )
+                        )
+                    ),
+                )
+            ).alias("checksum"),
+        )
+    )
+    manifest = store.read("manifest").select(
+        "shard",
+        F.col("n_bins").alias("manifest_n_bins"),
+        F.col("n_docs").alias("manifest_n_docs"),
+        F.col("n_tokens").alias("manifest_n_tokens"),
+        F.col("checksum").alias("manifest_checksum"),
+    )
+    joined = recomputed.join(manifest, "shard", "full_outer")
+    ok = (
+        F.col("n_bins").eqNullSafe(F.col("manifest_n_bins"))
+        & F.col("n_docs").eqNullSafe(F.col("manifest_n_docs"))
+        & F.col("n_tokens").eqNullSafe(F.col("manifest_n_tokens"))
+        & F.col("checksum").eqNullSafe(F.col("manifest_checksum"))
+        & F.coalesce(F.col("bins_ok"), F.lit(False))
+    )
+    return joined.select(
+        "shard",
+        ok.alias("ok"),
+        "n_bins",
+        "n_docs",
+        "n_tokens",
+        "manifest_n_bins",
+        "manifest_n_docs",
+        "manifest_n_tokens",
+    )

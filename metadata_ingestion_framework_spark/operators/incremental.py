@@ -530,6 +530,7 @@ class MinhashSignatureStore:
         run_id: str,
         signatures: DataFrame | None = None,
         drops: DataFrame | None = None,
+        n_batch: int | None = None,
     ) -> DataFrame | None:
         """Dedup ``batch`` against the store and itself; merge its
         signatures in; return the surviving batch rows (original columns).
@@ -693,7 +694,11 @@ class MinhashSignatureStore:
                 _emit_ingest_facts(
                     self,
                     run_id,
-                    n_batch=batch.count(),
+                    # n_batch threads in from a composite that already
+                    # counted the batch (ADVICE r17: counting here would
+                    # re-run the unpersisted batch's upstream lineage)
+                    n_batch=n_batch if n_batch is not None
+                    else batch.count(),
                     dropped={"text": drops.count()},
                     buckets={
                         "sigs": sigs_new_b.select("sig_bucket")
@@ -938,7 +943,12 @@ class EmbeddingDedupStore:
             ).withColumnRenamed("__ivf_cell", "cell")
         )
 
-    def ingest(self, batch: DataFrame, run_id: str) -> DataFrame | None:
+    def ingest(
+        self,
+        batch: DataFrame,
+        run_id: str,
+        n_batch: int | None = None,
+    ) -> DataFrame | None:
         """Semantically dedup ``batch`` against the store and itself;
         merge its vectors in; return surviving batch rows (original
         columns). None (store untouched) when ``run_id`` already ran.
@@ -1024,7 +1034,9 @@ class EmbeddingDedupStore:
                 _emit_ingest_facts(
                     self,
                     run_id,
-                    n_batch=batch.count(),
+                    # caller-threaded count when available (ADVICE r17)
+                    n_batch=n_batch if n_batch is not None
+                    else batch.count(),
                     dropped={"embedding": drops.count()},
                     buckets={
                         "vecs": assigned.select("vec_bucket")
@@ -1635,6 +1647,7 @@ class ImageHashStore:
         run_id: str,
         fingerprints: DataFrame | None = None,
         drops: DataFrame | None = None,
+        n_batch: int | None = None,
     ) -> DataFrame | None:
         """Perceptually dedup ``batch`` against the store and itself;
         merge its fingerprints and band rows in; return surviving batch
@@ -1777,7 +1790,9 @@ class ImageHashStore:
                 _emit_ingest_facts(
                     self,
                     run_id,
-                    n_batch=batch.count(),
+                    # caller-threaded count when available (ADVICE r17)
+                    n_batch=n_batch if n_batch is not None
+                    else batch.count(),
                     dropped={
                         ("frames" if self.frames else "media"): drops.count()
                     },
@@ -2533,14 +2548,16 @@ class CrossModalPairStore:
             # sub-store ledger already has run_id, ingest returns None)
             # nothing carries them, so release directly (r17 ADVICE).
             s_img = self.img.ingest(
-                batch, run_id, fingerprints=fps, drops=img_drops
+                batch, run_id, fingerprints=fps, drops=img_drops,
+                n_batch=n_batch,
             )
             if s_img is not None:
                 unpersist_deps(s_img)
             else:
                 img_drops.unpersist()
             s_txt = self.txt.ingest(
-                batch, run_id, signatures=sigs, drops=txt_drops
+                batch, run_id, signatures=sigs, drops=txt_drops,
+                n_batch=n_batch,
             )
             if s_txt is not None:
                 unpersist_deps(s_txt)

@@ -291,9 +291,13 @@ def cluster_balanced_mix(
     cells = kmeans_assignments(emb, model, vec_id_col, vec_col).select(
         vec_id_col, "cell"
     )
+    # drop the COLUMN OBJECT, not the name (ADVICE r17): with
+    # vec_id_col == doc_id_col (both tables keyed 'doc_id', a natural
+    # call), a string-name drop removes BOTH columns and temperature_mix
+    # fails on the missing key
     labeled = docs.join(
         cells, docs[doc_id_col] == cells[vec_id_col]
-    ).drop(vec_id_col)
+    ).drop(cells[vec_id_col])
     return temperature_mix(
         labeled, "cell", [doc_id_col], alpha=alpha, salt=salt
     )

@@ -632,3 +632,56 @@ def image_near_duplicates(
     )
     out._persisted_deps = [fps]
     return out
+
+
+def clip_score_gate(
+    df: DataFrame,
+    cap_vec_col: str,
+    img_vec_col: str,
+    threshold: float = 0.28,
+    score_col: str = "clip_score",
+    out_col: str = "aligned",
+) -> DataFrame:
+    """CLIP-score alignment gate (r18, VERDICT r17 item 3) — the
+    DataComp/LAION headline filter: per-(caption, image) cosine between
+    the pair's two embedding columns, thresholded, run AHEAD of pair
+    dedup (:class:`~.incremental.CrossModalPairStore`) so dedup only
+    sees aligned pairs. No reference analogue (Task.scala's gates are
+    row-level SQL filters; this is the LLM-pipeline extension of that
+    stage to paired embeddings).
+
+    Adds ``score_col`` = ROUND(cosine, 6) and ``out_col`` =
+    score >= ``threshold``. Dirty pairs — either vector NULL, empty, or
+    the two dims mismatching — carry NULL in BOTH columns (the
+    cross-modal family's NULL-propagation contract: the gate never
+    invents a verdict for a pair it cannot score; downstream owns the
+    dirty-row policy). A zero-norm vector scores 0.0 (the engine-wide
+    zero-denominator rule, similarity.py::cosine) and gates False.
+
+    Scale shape: map-only, one cosine HOF fold per ROW (not per
+    candidate — unlike the top-k kernels there is no k multiplier), so
+    the interpreted-lambda cost is ~2*dim µs/row and stays embarrassingly
+    parallel; no shuffle, no Python. The ROUND(6) score is the
+    oracle-proven cross-engine form (sequential fold == DuckDB
+    list_dot_product, bit-for-bit)."""
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        cosine,
+    )
+
+    a, b = F.col(cap_vec_col), F.col(img_vec_col)
+    scorable = (
+        a.isNotNull()
+        & b.isNotNull()
+        & (F.size(a) == F.size(b))
+        & (F.size(a) > 0)
+    )
+    out = df.withColumn(
+        score_col, F.when(scorable, F.round(cosine(a, b), 6))
+    )
+    return out.withColumn(
+        out_col,
+        F.when(
+            F.col(score_col).isNotNull(),
+            F.col(score_col) >= F.lit(float(threshold)),
+        ),
+    )

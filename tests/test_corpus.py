@@ -462,3 +462,172 @@ def test_retire_epochs_below_zero_rewrite_and_base_stability(spark, tmp_path):
         r.epoch: r.base_shard for r in st.store.read(st.EPOCHS).collect()
     }[4]
     assert b4 >= bases[3]  # bases never renumber after retention
+
+
+def test_epoch_store_rejects_repeat_and_out_of_order_epochs(
+    spark, tmp_path
+):
+    """ADVICE r18 guard: an already-recorded epoch under a NEW run_id
+    (would silently vanish the prior epoch's non-re-ingested docs) and
+    an out-of-order epoch both raise BEFORE any store write; the crash
+    replay — same (epoch, run_id) re-presenting after a crash between
+    the EPOCHS write and the ledger record — still heals."""
+    import json
+
+    import pytest
+
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        CorpusShardStore,
+    )
+
+    e1, e2 = _epochs(spark)
+    st = CorpusShardStore(
+        spark, str(tmp_path / "g"), shard_tokens=5000,
+        member_bucket_width=64,
+    )
+    assert st.append_epoch(e1, 1, "r1") is not None
+    assert st.append_epoch(e2, 2, "r2") is not None
+    versions = {
+        t: st.store.current_version(t)
+        for t in (st.CORPUS, st.MEMBERS, st.MANIFEST, st.EPOCHS)
+    }
+    want = {(r.doc_id, r.shard) for r in st.store.read(st.CORPUS).collect()}
+
+    with pytest.raises(ValueError, match="already recorded"):
+        st.append_epoch(e1, 2, "r3")  # repeat epoch, new run_id
+    with pytest.raises(ValueError, match="ascend"):
+        st.append_epoch(e1, 0, "r4")  # below max recorded epoch
+    # nothing moved and neither refused run_id entered the ledger
+    assert versions == {
+        t: st.store.current_version(t)
+        for t in (st.CORPUS, st.MEMBERS, st.MANIFEST, st.EPOCHS)
+    }
+    assert st.ingested_runs() == ["r1", "r2"]
+
+    # crash replay: drop r2 from the ledger (simulating a crash after
+    # the EPOCHS write, before _record_run) — the same (2, "r2") pair
+    # replays through the guard and converges to the same corpus
+    with open(st._ledger_path, "w") as f:
+        json.dump(["r1"], f)
+    assert st.append_epoch(e2, 2, "r2") is not None
+    got = {(r.doc_id, r.shard) for r in st.store.read(st.CORPUS).collect()}
+    assert got == want
+    assert st.ingested_runs() == ["r1", "r2"]
+
+
+def _toy_docs(spark):
+    # deterministic fake token ids sized exactly n_tokens (whitespace
+    # count) so the packed materialization's truncation rule can bite
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    from metadata_ingestion_framework_spark.functions.text import (
+        token_count,
+    )
+
+    n = token_count(F.col("text")).cast("int")
+    ids = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.pmod(F.col("doc_id") * 31 + i.cast("long"), F.lit(97))
+            .cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.withColumn("tok_ids", ids)
+
+
+def test_packed_sequence_rows_boundary_arithmetic(spark):
+    """packed_sequence_rows (r18, VERDICT r17 item 4): per-bin doc
+    order is the packer's insertion order (n_tokens DESC, id ASC),
+    offsets are the exclusive cumsum of CAPPED lengths starting at 0,
+    n_tokens is their total (<= budget), and the flattened token ids
+    are each doc's ids truncated to its capped length."""
+    from metadata_ingestion_framework_spark.functions.text import pack_bfd
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        packed_sequence_rows,
+    )
+
+    docs = _toy_docs(spark)
+    budget = 256
+    packed = packed_sequence_rows(
+        docs, "text", "doc_id", budget_tokens=budget, shards=4,
+        token_ids_col="tok_ids",
+    ).collect()
+    man = {
+        (r.doc_id): (r.shard, r.n_tokens, r.bin)
+        for r in pack_bfd(
+            docs, "text", "doc_id", budget_tokens=budget, shards=4
+        ).collect()
+    }
+    toks = {
+        r.doc_id: list(r.tok_ids) for r in docs.select(
+            "doc_id", "tok_ids"
+        ).collect()
+    }
+    seen_docs = set()
+    for row in packed:
+        members = [
+            (d, man[d][1]) for d in row.doc_ids
+        ]
+        # insertion order: n_tokens DESC, id ASC — and membership agrees
+        # with the manifest
+        assert all(man[d][0] == row.shard and man[d][2] == row.bin
+                   for d in row.doc_ids)
+        assert members == sorted(members, key=lambda x: (-x[1], x[0]))
+        capped = [min(n, budget) for _, n in members]
+        offs = [sum(capped[:i]) for i in range(len(capped))]
+        assert list(row.offsets) == offs
+        assert row.n_tokens == sum(capped) <= budget
+        assert row.n_docs == len(members)
+        flat = []
+        for (d, _n), c in zip(members, capped):
+            flat.extend(toks[d][:c])
+        assert list(row.token_ids) == flat
+        seen_docs.update(row.doc_ids)
+    assert seen_docs == set(man)  # every packed doc materialized once
+
+
+def test_write_packed_shards_and_loader_verify(spark, tmp_path):
+    """The packed store face: write + manifest commit marker, loader
+    verify all-ok on a clean export, and verify flags a tampered
+    packed table (re-written corpus with a doc dropped from one bin)."""
+    import os
+
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        verify_packed_corpus,
+        write_packed_shards,
+    )
+    from metadata_ingestion_framework_spark.plans.tablestore import (
+        VersionedParquetStore,
+    )
+
+    docs = _toy_docs(spark)
+    root = str(tmp_path / "packed")
+    man = write_packed_shards(
+        spark, docs, root, "text", "doc_id", budget_tokens=256,
+        shards=4, token_ids_col="tok_ids",
+    )
+    assert man.count() == 4
+    v = {r.shard: r.ok for r in verify_packed_corpus(
+        spark, root, 256
+    ).collect()}
+    assert v and all(v.values())
+    # tamper: drop the first doc of one bin WITHOUT updating offsets'
+    # arithmetic consistently -> that shard flags, others stay ok
+    store = VersionedParquetStore(spark, root)
+    packed = store.read("packed")
+    bad = packed.withColumn(
+        "n_docs",
+        F.when(
+            (F.col("shard") == 0) & (F.col("bin") == 0),
+            F.col("n_docs") + 1,
+        ).otherwise(F.col("n_docs")),
+    )
+    store.write(bad, "packed", partition_by=["shard"], cluster=False)
+    v2 = {r.shard: r.ok for r in verify_packed_corpus(
+        spark, root, 256
+    ).collect()}
+    assert v2[0] is False
+    assert all(ok for s, ok in v2.items() if s != 0)
+    assert os.path.isdir(root)

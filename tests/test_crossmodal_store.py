@@ -157,3 +157,79 @@ def test_retention_delegates_to_both_faces(spark, tmp_path):
     # expired state no longer suppresses
     d = _decisions(st.ingest(_pairs(spark, [(50, CAP1, _px(100))]), "r2"))
     assert d == {}
+
+
+def test_clip_gate_dirty_pair_contract(spark):
+    """clip_score_gate (r18, VERDICT r17 item 3) NULL contract: either
+    vector NULL, an empty vector, or a dim mismatch carries NULL score
+    AND NULL verdict; a zero-norm vector scores 0.0 and gates False;
+    identical vectors score 1.0 and gate True; negated vectors -1.0."""
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        clip_score_gate,
+    )
+
+    v = [1.0, 2.0, 2.0]
+    rows = [
+        (0, v, v),                      # aligned, cos 1.0
+        (1, v, [-1.0, -2.0, -2.0]),     # cos -1.0, rejected
+        (2, None, v),                   # caption NULL -> NULL verdict
+        (3, v, None),                   # image NULL -> NULL verdict
+        (4, v, [1.0, 2.0]),             # dim mismatch -> NULL verdict
+        (5, [], []),                    # empty -> NULL verdict
+        (6, v, [0.0, 0.0, 0.0]),        # zero norm -> 0.0, False
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id int, cap array<float>, img array<float>"
+    )
+    got = {
+        r.pair_id: (r.clip_score, r.aligned)
+        for r in clip_score_gate(df, "cap", "img", threshold=0.28).collect()
+    }
+    assert got == {
+        0: (1.0, True),
+        1: (-1.0, False),
+        2: (None, None),
+        3: (None, None),
+        4: (None, None),
+        5: (None, None),
+        6: (0.0, False),
+    }
+
+
+def test_clip_gate_composes_ahead_of_pair_store(spark, tmp_path):
+    """The DataComp composition: the gate filters MISALIGNED pairs out
+    of the batch BEFORE CrossModalPairStore.ingest, so pair dedup only
+    ever sees aligned pairs — a duplicate caption on a rejected pair
+    must not drop the aligned twin."""
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        clip_score_gate,
+    )
+
+    # doc 0/1 share a caption; doc 1 is misaligned (negated vector) so
+    # the gate removes it and doc 0 survives ingest undropped
+    v = [0.5, 1.0, 0.25, 2.0]
+    neg = [-x for x in v]
+    rows = [
+        (0, CAP1, _px(100), v, v),
+        (1, CAP1, _px(200), v, neg),
+        (2, CAP2, _px(300), v, v),
+    ]
+    batch = spark.createDataFrame(
+        [(i, c, encode_bmp(im), cv, iv) for i, c, im, cv, iv in rows],
+        "doc_id long, text string, payload binary, "
+        "cap_vec array<float>, img_vec array<float>",
+    )
+    gated = clip_score_gate(batch, "cap_vec", "img_vec", threshold=0.28)
+    aligned = gated.filter(F.col("aligned")).select(
+        "doc_id", "text", "payload"
+    )
+    st = _store(spark, tmp_path, "xm_gated")
+    decisions = st.ingest(aligned, "r1")
+    pairs = {(r.id_a, r.id_b) for r in decisions.collect()}
+    unpersist_deps(decisions)
+    assert pairs == set()  # the caption dup left with the gated doc 1
+    survivors = {
+        r.doc_id for r in st.txt.store.read(st.txt.SIGS)
+        .select("doc_id").collect()
+    }
+    assert survivors == {0, 2}

@@ -298,3 +298,32 @@ def test_cluster_mix_stacks_with_cluster_safe_split(spark):
             assert p.id_b not in val
         if p.id_b in mixed:
             assert p.id_a not in val
+
+
+def test_cluster_balanced_mix_same_id_column_name(spark):
+    """ADVICE r18: with vec_id_col == doc_id_col (both tables keyed
+    'doc_id' — the natural call when docs carry the embedding table's
+    ids) the join-key drop must remove only the CELLS side's column;
+    the member set equals the distinct-name call's."""
+    from metadata_ingestion_framework_spark.operators.kmeans import (
+        cluster_balanced_mix,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id")
+    model = kmeans_fit(emb, dim=64, n_cells=8, n_iters=3)
+    want = {
+        r.doc_id
+        for r in cluster_balanced_mix(docs, emb, model, salt="cmix").collect()
+    }
+    emb_same = emb.withColumnRenamed("vec_id", "doc_id")
+    got = {
+        r.doc_id
+        for r in cluster_balanced_mix(
+            docs, emb_same, model, vec_id_col="doc_id", salt="cmix"
+        ).collect()
+    }
+    assert got == want and got

@@ -383,3 +383,101 @@ def test_crossmodal_store_facts_propagate_to_faces(spark, tmp_path):
         facts[("CrossModalPairStore:r1", "ingest.n_dropped.caption")]
         == facts[("MinhashSignatureStore:r1", "ingest.n_dropped.text")]
     )
+
+
+def test_face_ingest_threads_caller_n_batch(spark, tmp_path):
+    """ADVICE r18: a composite that already counted the batch threads
+    n_batch into the faces' fact emission instead of each face paying
+    another full recomputation of the unpersisted batch lineage. The
+    sentinel value proves the threaded count is the one that lands."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.observability import (
+        ObservabilityStore,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        MinhashSignatureStore,
+    )
+
+    obs = ObservabilityStore(spark, str(tmp_path / "obs"))
+    st = MinhashSignatureStore(
+        spark, str(tmp_path / "sigs"),
+        jaccard_threshold=0.5,
+        observability=obs, pipeline_id="p18",
+    )
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(40)
+    s = st.ingest(docs, "r1", n_batch=777)
+    unpersist_deps(s)
+    facts = {
+        r.metric: r.value
+        for r in obs.read_facts()
+        .filter(F.col("task_name") == "MinhashSignatureStore:r1")
+        .collect()
+    }
+    assert facts["ingest.n_batch"] == 777
+
+
+def test_store_health_trends_over_real_lifecycle(spark, tmp_path):
+    """store_health_trends (r18, VERDICT r17 item 5) over the REAL
+    two-ingest filesystem lifecycle: the rollup's totals reconcile with
+    the per-run fact rows, run_seq orders by run_id, the delta column
+    is NULL on the first run and exact on the second."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.observability import (
+        ObservabilityStore,
+        store_health_trends,
+    )
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.incremental import (
+        MinhashSignatureStore,
+    )
+
+    obs = ObservabilityStore(spark, str(tmp_path / "obs"))
+    st = MinhashSignatureStore(
+        spark, str(tmp_path / "sigs"),
+        jaccard_threshold=0.5,
+        observability=obs, pipeline_id="p18",
+    )
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    )
+    for run, b in (("r1", b1), ("r2", b2)):
+        unpersist_deps(st.ingest(b, run))
+    rows = {
+        r.run_id: r
+        for r in store_health_trends(obs.read_facts()).collect()
+    }
+    assert set(rows) == {"r1", "r2"}
+    facts = {
+        (r.task_name, r.metric): r.value for r in obs.read_facts().collect()
+    }
+    for run, seq in (("r1", 1), ("r2", 2)):
+        t = rows[run]
+        task = f"MinhashSignatureStore:{run}"
+        assert (t.pipeline_id, t.store) == ("p18", "MinhashSignatureStore")
+        assert t.run_seq == seq
+        assert t.n_batch == facts[(task, "ingest.n_batch")]
+        assert t.n_dropped == facts[(task, "ingest.n_dropped.text")]
+        assert t.drop_rate_ppm == (t.n_dropped * 1_000_000) // t.n_batch
+        assert t.buckets_touched == (
+            facts[(task, "ingest.buckets_touched.sigs")]
+            + facts[(task, "ingest.buckets_touched.bands")]
+        )
+    assert rows["r1"].rate_delta_ppm is None
+    assert rows["r2"].rate_delta_ppm == (
+        rows["r2"].drop_rate_ppm - rows["r1"].drop_rate_ppm
+    )
+    # r2's re-ingested overlap makes the trend non-trivial
+    assert rows["r2"].n_dropped > 0

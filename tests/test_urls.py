@@ -129,3 +129,33 @@ def test_url_blocklist_gate_edges(spark):
         0: True, 1: True, 2: False, 3: True, 4: True, 5: False,
         6: True, 7: True, 8: False, 9: False, 10: None,
     }
+
+
+def test_url_blocklist_gate_normalizes_entries(spark):
+    """ADVICE r18: config entries arrive human-typed — 'Example.com',
+    'www.example.com', stray whitespace — and must normalize to the
+    same form url_host emits instead of silently never matching."""
+    from metadata_ingestion_framework_spark.functions.urls import (
+        url_blocklist_gate,
+    )
+
+    rows = [
+        (0, "https://example.com/x"),
+        (1, "https://sub.example.com/x"),
+        (2, "https://paths.com/ads/banner"),
+        (3, "https://clean.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    got = {
+        r.id: r.blocked
+        for r in url_blocklist_gate(
+            df,
+            "url",
+            [
+                ("Example.com", None),       # case normalizes
+                ("www.example.com", None),   # leading www. strips
+                (" PATHS.com ", "/ads"),     # whitespace + case on rules
+            ],
+        ).collect()
+    }
+    assert got == {0: True, 1: True, 2: True, 3: False}
