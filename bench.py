@@ -122,6 +122,13 @@ EXTENDED = [
     "cluster_mix",          # r17: topic-balanced training mix (k-means
     # training included — the kmeans_ivf cost class)
     "url_gate",             # r17: domain/path blocklist gate (map-only)
+    "clip_gate",            # r18: CLIP-score (caption, image) cosine gate
+    "store_health",         # r18: two-ingest fact rollup (minhash drops
+    # recomputed in-plan — the incremental_dedup cost class)
+    "pack_offsets",         # r18: packed-sequence boundary explode
+    "pretrain_corpus_e2e",  # r18: full web-to-training-shards composite
+    # (extraction + gates + minhash + decontam + k-means mix + epoch
+    # shards + BFD packing in one DAG — the heaviest catalog entry)
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3
