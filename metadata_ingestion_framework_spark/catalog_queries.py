@@ -2067,9 +2067,13 @@ def q_pack_offsets(spark, sf_dir):
     )
 
 
+_PACK_BFD_FINAL_SELECT = (
+    "SELECT doc_id, shard, n_tokens, CAST(bin AS INT) AS bin FROM steps"
+)
+
 ORACLE_PACK_OFFSETS = (
     ORACLE_PACK_BFD.replace(
-        "SELECT doc_id, shard, n_tokens, CAST(bin AS INT) AS bin FROM steps",
+        _PACK_BFD_FINAL_SELECT,
         """, packed AS (
   SELECT doc_id, shard, CAST(bin AS INT) AS bin,
     LEAST(n_tokens, 512) AS L, n_tokens
@@ -2087,6 +2091,11 @@ FROM packed
 WINDOW w AS (PARTITION BY shard, bin ORDER BY n_tokens DESC, doc_id ASC)""",
     )
 )
+# surgery assert (r18 review — the sibling pretrain surgery has one): a
+# reformatted ORACLE_PACK_BFD would otherwise silently no-op the replace
+# and this oracle would ship pack_bfd-shaped columns
+assert _PACK_BFD_FINAL_SELECT in ORACLE_PACK_BFD, "pack_bfd final moved"
+assert "FROM packed" in ORACLE_PACK_OFFSETS, "pack_offsets surgery failed"
 
 
 def q_heuristic_filters(spark, sf_dir):
@@ -6987,21 +6996,19 @@ def q_web_curation(spark, sf_dir):
     )
 
 
-ORACLE_WEB_CURATION = r"""
-WITH pages AS (
-  SELECT doc_id, lang,
-    CASE WHEN doc_id % 25 = 19 THEN NULL ELSE
+# ONE definition of the shared web fixture SQL (r18 review): the page
+# synthesis and the 14-regex html_text_blocks replay are used by BOTH
+# ORACLE_WEB_CURATION and the pretrain_corpus_e2e builder - a drifted
+# copy would leave one oracle value-checking stale extraction.
+_PAGE_HTML_CASE_SQL = r"""CASE WHEN doc_id % 25 = 19 THEN NULL ELSE
       '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
       coalesce(text, '') ||
       '</p><p>Share this &amp; subscribe</p><div class="footer">' ||
       '<a href="/about">About us</a> | <a href="/terms">Terms</a>' ||
       '</div></body></html>'
-    END AS html
-  FROM documents
-),
-cleaned AS (
-  SELECT doc_id, lang,
-    regexp_replace(regexp_replace(regexp_replace(
+    END AS html"""
+
+_HTML_CLEAN_EXPR_SQL = r"""regexp_replace(regexp_replace(regexp_replace(
       replace(replace(replace(replace(replace(replace(
         regexp_replace(
           regexp_replace(
@@ -7016,7 +7023,18 @@ cleaned AS (
         '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
       '[ \t\f\r]+', ' ', 'g'),
       ' ?\n[ \n]*', chr(10), 'g'),
-      '^[ \n]+|[ \n]+$', '', 'g') AS clean
+      '^[ \n]+|[ \n]+$', '', 'g')"""
+
+
+ORACLE_WEB_CURATION = r"""
+WITH pages AS (
+  SELECT doc_id, lang,
+    """ + _PAGE_HTML_CASE_SQL + r"""
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, lang,
+    """ + _HTML_CLEAN_EXPR_SQL + r""" AS clean
   FROM pages WHERE html IS NOT NULL
 ),
 segs AS (
@@ -7647,33 +7665,12 @@ def _build_pretrain_e2e_oracle() -> str:
     return rf"""
 WITH pages AS (
   SELECT doc_id, lang, source,
-    CASE WHEN doc_id % 25 = 19 THEN NULL ELSE
-      '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
-      coalesce(text, '') ||
-      '</p><p>Share this &amp; subscribe</p><div class="footer">' ||
-      '<a href="/about">About us</a> | <a href="/terms">Terms</a>' ||
-      '</div></body></html>'
-    END AS html
+    """ + _PAGE_HTML_CASE_SQL + rf"""
   FROM documents
 ),
 cleaned AS (
   SELECT doc_id, lang, source,
-    regexp_replace(regexp_replace(regexp_replace(
-      replace(replace(replace(replace(replace(replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(regexp_replace(regexp_replace(html,
-              '(?s)<!--.*?-->', ' ', 'g'),
-              '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-              '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-            '(?is)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)\s*>|<br\s*/?>',
-            chr(10), 'g'),
-          '<[^>]+>', ' ', 'g'),
-        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-      '[ \t\f\r]+', ' ', 'g'),
-      ' ?\n[ \n]*', chr(10), 'g'),
-      '^[ \n]+|[ \n]+$', '', 'g') AS clean
+    """ + _HTML_CLEAN_EXPR_SQL + rf""" AS clean
   FROM pages WHERE html IS NOT NULL
 ),
 gated_u AS (

@@ -174,15 +174,19 @@ def store_health_trends(facts: DataFrame) -> DataFrame:
     One output row per ingest: ``n_batch``, total ``n_dropped`` (summed
     over modalities), integer ``drop_rate_ppm`` recomputed from the
     totals, ``rate_delta_ppm`` vs the SAME store's previous run (NULL
-    on its first), and total ``buckets_touched``. Runs order by
-    ``run_id`` within each store — real pipelines mint sortable
-    (monotone) run ids; the ledger replay convention already assumes
-    ids are unique per store.
+    on its first), and total ``buckets_touched``. Runs order by their
+    INGEST TIME (min ``last_update`` of the run's fact rows, run_id
+    tiebreak) — a lexicographic run_id order would mis-sequence the
+    repo's own 'rN' convention at N >= 10 ('r10' < 'r2') and compute
+    the delta against the wrong predecessor (r18 review). A fact frame
+    without ``last_update`` (in-plan emulations) falls back to run_id
+    order.
 
     Scale shape: the fact table is telemetry-sized (a handful of rows
     per ingest), so the groupBy and the per-store LAG window are
     trivially bounded; no corpus data flows here."""
     f = facts.filter(F.col("metric").startswith("ingest."))
+    has_ts = "last_update" in facts.columns
     parsed = f.select(
         "pipeline_id",
         F.substring_index("task_name", ":", 1).alias("store"),
@@ -191,8 +195,13 @@ def store_health_trends(facts: DataFrame) -> DataFrame:
         ).alias("run_id"),
         "metric",
         "value",
+        *(["last_update"] if has_ts else []),
     )
     g = parsed.groupBy("pipeline_id", "store", "run_id").agg(
+        *(
+            [F.min("last_update").alias("__ingested_at")]
+            if has_ts else []
+        ),
         F.max(
             F.when(F.col("metric") == "ingest.n_batch", F.col("value"))
         ).alias("n_batch"),
@@ -222,9 +231,15 @@ def store_health_trends(facts: DataFrame) -> DataFrame:
     g = g.withColumn("drop_rate_ppm", rate)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("pipeline_id", "store").orderBy(
-        F.col("run_id").asc_nulls_last()
+    order = (
+        [
+            F.col("__ingested_at").asc_nulls_last(),
+            F.col("run_id").asc_nulls_last(),
+        ]
+        if has_ts
+        else [F.col("run_id").asc_nulls_last()]
     )
+    w = Window.partitionBy("pipeline_id", "store").orderBy(*order)
     return g.select(
         "pipeline_id",
         "store",

@@ -743,6 +743,12 @@ def packed_sequence_rows(
       encoder's output): the docs' ids flattened in the same order,
       each doc TRUNCATED to its capped length (the packer's
       least(n_tokens, budget) rule), so size(token_ids) == n_tokens.
+      A member doc whose ``token_ids_col`` is NULL propagates a NULL
+      sequence ``token_ids`` (flatten over a NULL element) while
+      doc_ids/offsets stay populated — :func:`verify_packed_corpus`
+      FLAGS such a bin (NULL invariants coalesce to False), so feed the
+      writer only encoded docs or repair upstream; the writer does not
+      silently drop them (dropping would desync the pack manifest).
 
     Scale shape: pack_bfd's one groupBy + Arrow kernel, an id join to
     re-attach payloads (skinny manifest side), then ONE further
@@ -802,11 +808,12 @@ def packed_sequence_rows(
     return grouped.select(*cols)
 
 
-def packed_shard_manifest(packed: DataFrame) -> DataFrame:
-    """``(shard, n_bins, n_docs, n_tokens, checksum)`` for the packed
-    face — :func:`corpus_shard_manifest`'s loader contract applied to
-    sequences: checksum = md5 over the shard's lexicographically sorted
-    ``bin:doc|doc|...`` strings (bin-bounded state, engine-exact)."""
+def _packed_checksum() -> "F.Column":
+    """The packed face's shard checksum: md5 over the lexicographically
+    sorted ``bin:doc|doc|...`` strings. ONE definition shared by the
+    writer's manifest and the loader verify (r18 review: a drifted copy
+    would either flag every export or — worse — pass a compensating
+    bug)."""
     bin_key = F.concat_ws(
         ":",
         F.col("bin").cast("string"),
@@ -814,13 +821,19 @@ def packed_shard_manifest(packed: DataFrame) -> DataFrame:
             F.transform(F.col("doc_ids"), lambda x: x.cast("string")), "|"
         ),
     )
+    return F.md5(F.concat_ws(",", F.sort_array(F.collect_list(bin_key))))
+
+
+def packed_shard_manifest(packed: DataFrame) -> DataFrame:
+    """``(shard, n_bins, n_docs, n_tokens, checksum)`` for the packed
+    face — :func:`corpus_shard_manifest`'s loader contract applied to
+    sequences: checksum = md5 over the shard's lexicographically sorted
+    ``bin:doc|doc|...`` strings (bin-bounded state, engine-exact)."""
     return packed.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_bins"),
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(",", F.sort_array(F.collect_list(bin_key)))
-        ).alias("checksum"),
+        _packed_checksum().alias("checksum"),
     )
 
 
@@ -909,34 +922,19 @@ def verify_packed_corpus(
         bin_ok = bin_ok & (
             F.size("token_ids").cast("long") == F.col("n_tokens")
         )
+    # COALESCE to False before the AND-reduce (r18 review, live-verified
+    # semantics): a NULL offsets/token_ids column makes every comparison
+    # NULL, and bool_and SKIPS NULL rows — an unconsumable bin would
+    # otherwise report ok=true. NULL __bin_ok IS a broken bin.
     recomputed = (
-        packed.withColumn("__bin_ok", bin_ok)
+        packed.withColumn("__bin_ok", F.coalesce(bin_ok, F.lit(False)))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bins"),
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.bool_and("__bin_ok").alias("bins_ok"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.sort_array(
-                        F.collect_list(
-                            F.concat_ws(
-                                ":",
-                                F.col("bin").cast("string"),
-                                F.array_join(
-                                    F.transform(
-                                        F.col("doc_ids"),
-                                        lambda x: x.cast("string"),
-                                    ),
-                                    "|",
-                                ),
-                            )
-                        )
-                    ),
-                )
-            ).alias("checksum"),
+            _packed_checksum().alias("checksum"),
         )
     )
     manifest = store.read("manifest").select(

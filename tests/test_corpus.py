@@ -631,3 +631,33 @@ def test_write_packed_shards_and_loader_verify(spark, tmp_path):
     assert v2[0] is False
     assert all(ok for s, ok in v2.items() if s != 0)
     assert os.path.isdir(root)
+
+
+def test_verify_packed_flags_null_token_ids(spark, tmp_path):
+    """r18 review: a member doc with NULL token ids propagates a NULL
+    sequence token_ids (flatten over a NULL element); every invariant
+    comparison then evaluates NULL, and bool_and SKIPS NULLs — the
+    verify must coalesce to False so the bin FLAGS instead of passing
+    silently."""
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        verify_packed_corpus,
+        write_packed_shards,
+    )
+
+    docs = _toy_docs(spark).withColumn(
+        "tok_ids",
+        F.when(F.col("doc_id") == 7, F.lit(None)).otherwise(
+            F.col("tok_ids")
+        ),
+    )
+    root = str(tmp_path / "pnull")
+    write_packed_shards(
+        spark, docs, root, "text", "doc_id", budget_tokens=256,
+        shards=4, token_ids_col="tok_ids",
+    )
+    v = {r.shard: r.ok for r in verify_packed_corpus(
+        spark, root, 256
+    ).collect()}
+    # exactly doc 7's shard flags; every other shard stays ok
+    assert sum(1 for ok in v.values() if not ok) == 1
+    assert sum(1 for ok in v.values() if ok) == 3

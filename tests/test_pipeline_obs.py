@@ -481,3 +481,41 @@ def test_store_health_trends_over_real_lifecycle(spark, tmp_path):
     )
     # r2's re-ingested overlap makes the trend non-trivial
     assert rows["r2"].n_dropped > 0
+
+
+def test_store_health_trends_orders_by_ingest_time(spark):
+    """r18 review: 'rN' run ids sort lexicographically ('r10' < 'r2'),
+    so the trend must order by ingest TIME (min last_update per run),
+    not by run_id — otherwise run_seq and the delta chain mis-sequence
+    at N >= 10."""
+    import datetime
+
+    from metadata_ingestion_framework_spark.observability import (
+        FACT_SCHEMA,
+        store_health_trends,
+    )
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = []
+    # three runs in true time order r9 -> r10 -> r11; 10% / 20% / 40%
+    # drop rates so every delta is distinct and sign-carrying
+    for sec, run, n, d in ((1, "r9", 100, 10), (2, "r10", 100, 20),
+                           (3, "r11", 100, 40)):
+        task = f"MinhashSignatureStore:{run}"
+        rows += [
+            ("p", task, "ingest.n_batch", n, -1, ts(sec)),
+            ("p", task, "ingest.n_dropped.text", d, -1, ts(sec)),
+            ("p", task, "ingest.buckets_touched.sigs", 1, -1, ts(sec)),
+        ]
+    facts = spark.createDataFrame(rows, FACT_SCHEMA)
+    got = {
+        r.run_id: (r.run_seq, r.drop_rate_ppm, r.rate_delta_ppm)
+        for r in store_health_trends(facts).collect()
+    }
+    assert got == {
+        "r9": (1, 100000, None),
+        "r10": (2, 200000, 100000),
+        "r11": (3, 400000, 200000),
+    }

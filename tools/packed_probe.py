@@ -47,6 +47,17 @@ def main() -> None:
     ).select("doc_id", "text")
     out: dict = {"probe": "packed_write", "sf_dir": sf_dir,
                  "replicas": replicas}
+    # untimed warmup write (r18 review): the 1x arm runs first in a
+    # fresh JVM, and session warmup deflated write_growth below its
+    # true value (recorded 0.6x) — warm the whole path before timing,
+    # bench.py's warm-rep convention
+    warm_root = "/tmp/packed_probe_warm"
+    shutil.rmtree(warm_root, ignore_errors=True)
+    write_packed_shards(
+        spark, docs, warm_root, "text", "doc_id",
+        budget_tokens=2048, shards=32,
+    ).count()
+    shutil.rmtree(warm_root, ignore_errors=True)
     for tag, d in [("1x", docs), (f"{replicas}x",
                                   replicate_docs(docs, replicas))]:
         root = f"/tmp/packed_probe_{tag}"
