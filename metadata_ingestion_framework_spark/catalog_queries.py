@@ -7401,7 +7401,12 @@ def q_pretrain_corpus_e2e(spark, sf_dir):
     nd_drops = minhash_batch_drops(
         None, sigs, "doc_id", jaccard_threshold=0.5
     )
-    s5 = carry_deps(g.join(nd_drops, "doc_id", "left_anti"), nd_drops)
+    # persist: s5 feeds BOTH the decontam gram build and the s6
+    # anti-join — unpersisted, the minhash band-join lineage recomputes
+    # per consumer (CLAUDE.md self-join rule; ~1.5s at sf0.01)
+    s5 = carry_deps(
+        g.join(nd_drops, "doc_id", "left_anti"), nd_drops
+    ).persist()
     # stage 6: decontaminate vs the ORIGINAL-text eval suite
     evals = docs.filter(d % 20 == 0).select(
         "doc_id", F.col("text").alias("clean_text")
@@ -7462,7 +7467,7 @@ def q_pretrain_corpus_e2e(spark, sf_dir):
     # the paragraph-dedup / mix / assignment persists must land here
     # directly, not ride as attributes of g/ap (r18 — caught by
     # check_oracle's leak warning on the first run)
-    deps = [g, sigs, ap]
+    deps = [g, sigs, s5, ap]
     for frame in (g, nd_drops, s5, s6, mixed, skinny, ap):
         deps.extend(getattr(frame, "_persisted_deps", ()))
     out._persisted_deps = deps
