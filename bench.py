@@ -129,6 +129,9 @@ EXTENDED = [
     "pretrain_corpus_e2e",  # r18: full web-to-training-shards composite
     # (extraction + gates + minhash + decontam + k-means mix + epoch
     # shards + BFD packing in one DAG — the heaviest catalog entry)
+    "clip_frac_gate",       # r18 tail: DataComp top-fraction CLIP rule
+    "hard_negatives",       # r18 tail: DPR-style BM25 negative mining
+    "semantic_decontam",    # r18 tail: embedding-space decontamination
 ]
 
 # Headline queries are ALSO repeat-measured (min of N warm reps): the r3

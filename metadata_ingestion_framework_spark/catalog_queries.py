@@ -6485,6 +6485,52 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+# the bm25_topk replay retargeted at the hard-negatives fixture by
+# asserted string surgery: queries are docs 0-4, depth 6, the self
+# positive excluded, negatives densely renumbered 1..5
+ORACLE_HARD_NEGATIVES = ORACLE_BM25_TOPK.replace(
+    "FROM docs WHERE doc_id < 3", "FROM docs WHERE doc_id < 5"
+).replace(
+    """SELECT query_id, doc_id, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY score DESC NULLS LAST, doc_id ASC) AS rank
+FROM scored QUALIFY rank <= 10""",
+    """SELECT query_id, doc_id, score,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rank ASC) AS INT) AS neg_rank
+FROM (
+  SELECT query_id, doc_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC NULLS LAST, doc_id ASC) AS rank
+  FROM scored QUALIFY rank <= 6
+) WHERE doc_id <> query_id
+QUALIFY neg_rank <= 5""",
+)
+assert "doc_id < 5" in ORACLE_HARD_NEGATIVES, "hard-neg query surgery"
+assert "neg_rank <= 5" in ORACLE_HARD_NEGATIVES, "hard-neg rank surgery"
+
+
+def q_hard_negatives(spark, sf_dir):
+    """DPR-style BM25 hard-negative mining (operators/retrieval.py::
+    bm25_hard_negatives, r18; Karpukhin et al. 2020): docs 0-4 play the
+    training queries with THEMSELVES as the gold positive; the mined
+    negatives are the top-5 BM25 hits per query after the self-hit is
+    excluded (depth k+1 = exact for one positive), densely renumbered.
+    Oracle = the bm25_topk replay at depth 6 + the exclusion and
+    re-rank windows (string surgery, asserted)."""
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        bm25_hard_negatives,
+    )
+
+    docs = wide_t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        "text",
+        F.col("doc_id").alias("positive_id"),
+    )
+    return bm25_hard_negatives(docs, queries, k=5)
+
+
 def q_bm25_maxp(spark, sf_dir):
     """Passage-level BM25 with MaxP doc aggregation (operators/
     retrieval.py::bm25_maxp, r15; Dai & Callan 2019, public): docs
@@ -7246,8 +7292,89 @@ def q_clip_gate(spark, sf_dir):
     ).select("pair_id", "clip_score", "aligned")
 
 
-ORACLE_CLIP_GATE = f"""
-WITH pairs AS (
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination (operators/similarity.py::
+    semantic_contamination, r18): vec_id % 20 == 0 plays the eval
+    suite, the rest the training corpus; every train doc carries its
+    max ROUND(6) cosine to any eval vector, the nearest eval id
+    (first-max tiebreak) and the threshold verdict. The semantic
+    member of the decontamination family — n-gram faces miss
+    paraphrased leakage. Oracle = cross join + the shared cosine twin
+    + ROW_NUMBER first-max."""
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = wide_t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    evals = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    return semantic_contamination(train, evals, threshold=0.35)
+
+
+ORACLE_SEMANTIC_DECONTAM = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+tr AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv
+  FROM embeddings WHERE vec_id % 20 <> 0
+),
+scored AS (
+  SELECT t.vec_id, e.eval_id,
+    ROUND({_cos_sql('t.tv', 'e.evv')}, 6) AS score
+  FROM tr t CROSS JOIN ev e
+)
+SELECT vec_id, score AS max_cos, eval_id AS nearest_eval_id,
+  score >= CAST(0.35 AS DOUBLE) AS contaminated
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY vec_id ORDER BY score DESC, eval_id ASC) = 1
+"""
+
+
+def q_clip_frac_gate(spark, sf_dir):
+    """DataComp TOP-FRACTION CLIP rule (operators/multimodal.py::
+    clip_frac_gate, r18): q_clip_gate's pair fixture, but keep the best
+    40% of SCORABLE pairs by (score DESC, pair_id ASC) instead of a
+    fixed threshold — the published DataComp baseline form. The rank
+    rides the two-stage de-skewed machinery; dirty pairs keep the NULL
+    verdict and neither compete nor count. Oracle = the shared scored
+    CTEs + one NULLS-LAST window with COUNT(score) as n_scored."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        carry_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        clip_frac_gate,
+    )
+
+    emb = wide_t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.col("vec_id")
+    m = F.pmod(v, F.lit(7))
+    cap = F.col("embedding")
+    img = (
+        F.when(m == 2, F.transform(cap, lambda x: -x))
+        .when(m == 3, F.lit(None).cast("array<float>"))
+        .when(m == 4, F.slice(cap, 1, 32))
+        .when(m.isin(1, 6), F.reverse(cap))
+        .otherwise(cap)
+    )
+    pairs = emb.select(
+        v.alias("pair_id"), cap.alias("cap_vec"), img.alias("img_vec")
+    )
+    out = clip_frac_gate(
+        pairs, "cap_vec", "img_vec", ["pair_id"], keep_frac=0.4
+    )
+    return carry_deps(
+        out.select("pair_id", "clip_score", "aligned"), out
+    )
+
+
+# shared pair-synthesis + scoring CTEs for both CLIP oracles (one
+# definition — the r18 review's shared-SQL rule)
+_CLIP_SCORED_CTES = f"""pairs AS (
   SELECT vec_id AS pair_id,
     CAST(embedding AS DOUBLE[]) AS cap_vec,
     CASE
@@ -7269,11 +7396,32 @@ scored AS (
       THEN ROUND({_cos_sql('cap_vec', 'img_vec')}, 6)
     END AS clip_score
   FROM pairs
-)
+)"""
+
+ORACLE_CLIP_GATE = f"""
+WITH {_CLIP_SCORED_CTES}
 SELECT pair_id, clip_score,
   CASE WHEN clip_score IS NOT NULL
        THEN clip_score >= CAST(0.28 AS DOUBLE) END AS aligned
 FROM scored
+"""
+
+# the DataComp top-fraction rule: rank among SCORABLE pairs only
+# (NULLS LAST puts them first, COUNT(clip_score) ignores NULLs), keep
+# rank <= FLOOR(frac * n + 0.5); NULL scores keep the NULL verdict
+ORACLE_CLIP_FRAC_GATE = f"""
+WITH {_CLIP_SCORED_CTES},
+ranked AS (
+  SELECT pair_id, clip_score,
+    ROW_NUMBER() OVER (
+      ORDER BY clip_score DESC NULLS LAST, pair_id ASC) AS rnk,
+    COUNT(clip_score) OVER () AS n
+  FROM scored
+)
+SELECT pair_id, clip_score,
+  CASE WHEN clip_score IS NULL THEN NULL
+       ELSE rnk <= CAST(FLOOR(0.4 * n + 0.5) AS BIGINT) END AS aligned
+FROM ranked
 """
 
 
@@ -7988,6 +8136,19 @@ QUERIES = {
     "audio_dedup": q_audio_dedup,  # r14: perceptual audio dedup
     # (displaced r18 by clip_gate; energy-delta/above-mean fingerprints
     # over real decoded PCM16 + the shared Hamming banding)
+    "clip_frac_gate": q_clip_frac_gate,  # r18 tail NEW: DataComp
+    # top-fraction CLIP rule (two-stage global rank over scorable
+    # pairs; shared scored CTEs with clip_gate) — sweep-checked
+    # bonus coverage, enters the window on a future rotation if the
+    # family needs a second driver row
+    "hard_negatives": q_hard_negatives,  # r18 tail NEW: DPR-style BM25
+    # hard-negative mining (depth k+1, self-positive excluded, dense
+    # re-rank) — the contrastive-training-data face of the retrieval
+    # family; sweep-checked bonus coverage
+    "semantic_decontam": q_semantic_decontam,  # r18 tail NEW:
+    # embedding-space decontamination (broadcast eval suite, map-side
+    # partial max per train doc, first-max tiebreak) — the semantic
+    # member of the decontam family; sweep-checked bonus coverage
     # r18 rotation (2): NEW store_health displaced paragraph_dedup —
     # named, family-redundant (web_curation runs paragraph_dedup
     # VERBATIM in-window — the identical md5 paragraph hash, global
@@ -8477,6 +8638,9 @@ ORACLES = {
     "store_health": ORACLE_STORE_HEALTH,
     "pack_offsets": ORACLE_PACK_OFFSETS,
     "pretrain_corpus_e2e": ORACLE_PRETRAIN_E2E,
+    "clip_frac_gate": ORACLE_CLIP_FRAC_GATE,
+    "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "semantic_decontam": ORACLE_SEMANTIC_DECONTAM,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "large_orders": ORACLE_LARGE_ORDERS,
     "promo_revenue": ORACLE_PROMO_REVENUE,

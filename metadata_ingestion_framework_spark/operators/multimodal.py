@@ -634,6 +634,29 @@ def image_near_duplicates(
     return out
 
 
+def _clip_scores(
+    df: DataFrame, cap_vec_col: str, img_vec_col: str, score_col: str
+) -> DataFrame:
+    """Shared scoring step of the CLIP gates: ROUND(cosine, 6) when the
+    pair is scorable (both vectors present, same non-zero dim), NULL
+    otherwise — ONE definition so the threshold and top-fraction gates
+    cannot drift (the r18 review's shared-SQL rule, applied here)."""
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        cosine,
+    )
+
+    a, b = F.col(cap_vec_col), F.col(img_vec_col)
+    scorable = (
+        a.isNotNull()
+        & b.isNotNull()
+        & (F.size(a) == F.size(b))
+        & (F.size(a) > 0)
+    )
+    return df.withColumn(
+        score_col, F.when(scorable, F.round(cosine(a, b), 6))
+    )
+
+
 def clip_score_gate(
     df: DataFrame,
     cap_vec_col: str,
@@ -664,24 +687,69 @@ def clip_score_gate(
     parallel; no shuffle, no Python. The ROUND(6) score is the
     oracle-proven cross-engine form (sequential fold == DuckDB
     list_dot_product, bit-for-bit)."""
-    from metadata_ingestion_framework_spark.operators.similarity import (
-        cosine,
-    )
-
-    a, b = F.col(cap_vec_col), F.col(img_vec_col)
-    scorable = (
-        a.isNotNull()
-        & b.isNotNull()
-        & (F.size(a) == F.size(b))
-        & (F.size(a) > 0)
-    )
-    out = df.withColumn(
-        score_col, F.when(scorable, F.round(cosine(a, b), 6))
-    )
+    out = _clip_scores(df, cap_vec_col, img_vec_col, score_col)
     return out.withColumn(
         out_col,
         F.when(
             F.col(score_col).isNotNull(),
             F.col(score_col) >= F.lit(float(threshold)),
         ),
+    )
+
+
+def clip_frac_gate(
+    df: DataFrame,
+    cap_vec_col: str,
+    img_vec_col: str,
+    id_cols: list[str],
+    keep_frac: float = 0.3,
+    score_col: str = "clip_score",
+    out_col: str = "aligned",
+    shards: int | None = None,
+) -> DataFrame:
+    """DataComp's TOP-FRACTION CLIP rule (r18): instead of a fixed
+    threshold, keep the best ``keep_frac`` of SCORABLE pairs by
+    (score DESC, id ASC) — the form the DataComp baselines actually
+    publish ("keep top 30% by CLIP score"), robust to embedding-model
+    recalibration where a fixed 0.28 is not. Composes ahead of
+    :class:`~.incremental.CrossModalPairStore` exactly like
+    :func:`clip_score_gate`.
+
+    Keep rule, engine-exact: rank <= FLOOR(keep_frac * n_scored + 0.5)
+    with the unique ``id_cols`` tiebreak. Dirty pairs (NULL vector,
+    empty, dim mismatch) carry NULL score AND NULL verdict and are
+    EXCLUDED from both the rank and ``n_scored`` (the family's
+    NULL-propagation contract — an unscorable pair neither competes nor
+    counts).
+
+    Scale shape: scoring is map-only; the global rank rides
+    :func:`~..functions.sampling._grouped_rank`'s two-stage de-skewed
+    machinery (range-sharded local windows + broadcast offsets — never
+    one global window task; the adaptive small-input bypass keeps test
+    corpora cheap). Release ``_persisted_deps`` when done."""
+    from metadata_ingestion_framework_spark.functions.sampling import (
+        _attach_deps,
+        _grouped_rank,
+    )
+
+    scored = _clip_scores(df, cap_vec_col, img_vec_col, score_col)
+    null_side = scored.filter(F.col(score_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("boolean")
+    )
+    order = [F.col(score_col).desc_nulls_last()] + [
+        F.col(c).asc_nulls_last() for c in id_cols
+    ]
+    ranked, sharded = _grouped_rank(
+        scored.filter(F.col(score_col).isNotNull()), [], order, shards
+    )
+    cut = F.floor(
+        F.lit(float(keep_frac)) * F.col("__n") + F.lit(0.5)
+    ).cast("long")
+    kept = ranked.withColumn(out_col, F.col("__rank") <= cut).select(
+        *scored.columns, out_col
+    )
+    return _attach_deps(
+        kept.unionByName(null_side),
+        [sharded] if sharded is not None else [],
+        df,
     )

@@ -1180,3 +1180,60 @@ def triage_served(
     return _triage_overlap(
         train, evals, topk, text_col, id_col, shingle_n, min_shared
     )
+
+
+def bm25_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    positive_id_col: str = "positive_id",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """DPR-style hard-negative mining (r18; Karpukhin et al. 2020,
+    public methodology): for each (query, positive-doc) pair, the top-k
+    BM25 hits EXCLUDING the positive — the negatives a contrastive
+    retriever/embedding trainer pairs against the gold passage. The
+    training-data face of the retrieval family (no reference analogue;
+    north-star extension).
+
+    ``queries`` must carry ``query_id_col``, ``text_col`` and
+    ``positive_id_col`` (ONE positive per query — the DPR setup; mine
+    multi-positive sets by exploding upstream). Depth k+1 is EXACT for
+    one excluded positive: if the positive sits in the top-(k+1),
+    removing it leaves >= k hits; if not, the top-k of the rest IS the
+    original top-k. Output ``(query_id, doc_id, score, neg_rank)`` with
+    ``neg_rank`` densely renumbered 1..k in the family order.
+
+    Scale shape: :func:`bm25_topk`'s serve-shaped dataflow verbatim
+    (broadcast query terms, bounded term-key shuffles) plus one
+    BROADCAST positives join (query-batch-sized) and a per-query window
+    over <= k+1 rows (skew-free by construction). Release
+    ``_persisted_deps`` when done."""
+    from pyspark.sql import Window
+
+    hits = bm25_topk(
+        corpus,
+        queries.select(query_id_col, text_col),
+        text_col,
+        id_col,
+        query_id_col,
+        k=k + 1,
+        k1=k1,
+        b=b,
+    )
+    negs = hits.join(
+        F.broadcast(queries.select(query_id_col, positive_id_col)),
+        query_id_col,
+    ).filter(F.col(id_col) != F.col(positive_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("rank").asc())
+    out = (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(query_id_col, id_col, "score", "neg_rank")
+    )
+    out._persisted_deps = list(getattr(hits, "_persisted_deps", ()))
+    return out

@@ -1110,3 +1110,65 @@ def mmr_rerank(
     )
     out._persisted_deps = list(getattr(topk, "_persisted_deps", ())) + [cand]
     return out
+
+
+def semantic_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-space decontamination (r18): flag every TRAIN document
+    whose vector is within ``threshold`` cosine of ANY eval-suite
+    vector — the semantic face of the decontamination family (the
+    n-gram faces miss paraphrased leakage; public methodology: the
+    SemDeDup-style benchmark-similarity sweeps in the Llama/DCLM data
+    papers). Output one row per train doc: ``(id_col, max_cos,
+    nearest_eval_id, contaminated)`` with the family tiebreak (highest
+    ROUND(6) score, smallest eval id — first-max == ROW_NUMBER).
+
+    Scale shape: the eval suite is bounded (benchmarks, not corpora),
+    so it BROADCASTS; every train row scores map-side against it and
+    the per-doc max partial-aggregates BEFORE the one skinny exchange
+    (1 row per train doc — the same volume any per-doc verdict ships).
+    The train side never broadcasts and never all-pairs. For eval
+    suites too big to broadcast, compose :func:`ivf_topk` over a
+    trained index instead (the decontam_triage_indexed convention).
+    Exactness: per-pair sequential fold-dot + ROUND(6) — the
+    oracle-proven cross-engine form."""
+    ev = with_l2_norm(
+        evals.select(
+            F.col(eval_id_col).alias("__eid"),
+            F.col(vec_col).alias("__evec"),
+        ),
+        "__evec",
+        "__enorm",
+    )
+    tr = with_l2_norm(train.select(id_col, vec_col), vec_col, "__tnorm")
+    denom = F.col("__tnorm") * F.col("__enorm")
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        id_col,
+        F.col("__eid"),
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                dot(F.col(vec_col), F.col("__evec")) / denom
+            ),
+            6,
+        ).alias("__score"),
+    )
+    # first-max == ROW_NUMBER (score DESC, eval_id ASC): struct max on
+    # (score, -eval_id) — partial-aggregates map-side, no window
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__score"), (-F.col("__eid")).alias("__neg")))
+        .alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col("__b.__score").alias("max_cos"),
+        (-F.col("__b.__neg")).alias("nearest_eval_id"),
+        (F.col("__b.__score") >= F.lit(float(threshold))).alias(
+            "contaminated"
+        ),
+    )

@@ -661,3 +661,52 @@ def test_verify_packed_flags_null_token_ids(spark, tmp_path):
     # exactly doc 7's shard flags; every other shard stays ok
     assert sum(1 for ok in v.values() if not ok) == 1
     assert sum(1 for ok in v.values() if ok) == 3
+
+
+def test_packed_shards_with_real_bpe_encoder(spark, tmp_path):
+    """The item-4 loop closed with the REAL tokenizer (r18): bpe_train
+    -> bpe_encode_ids -> write_packed_shards on BPE-token counts — so
+    capped lengths, offsets and the flattened token_ids are all in
+    actual token units — then the loader verify passes and a spot
+    replay confirms each bin's token_ids is the in-order concat of its
+    members' (capped) encodings."""
+    from metadata_ingestion_framework_spark.functions.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+    )
+    from metadata_ingestion_framework_spark.operators.corpus import (
+        verify_packed_corpus,
+        write_packed_shards,
+    )
+    from metadata_ingestion_framework_spark.plans.tablestore import (
+        VersionedParquetStore,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    merges = bpe_train(docs, "text", k_merges=8)
+    enc = bpe_encode_ids(docs, merges, "text")
+    root = str(tmp_path / "bpe_packed")
+    budget = 128
+    write_packed_shards(
+        spark, enc, root, None, "doc_id", budget_tokens=budget,
+        shards=4, n_tokens_col="n_token_ids", token_ids_col="token_ids",
+    )
+    v = {r.shard: r.ok for r in verify_packed_corpus(
+        spark, root, budget
+    ).collect()}
+    assert v and all(v.values())
+    ids = {r.doc_id: list(r.token_ids) for r in enc.select(
+        "doc_id", "token_ids"
+    ).collect()}
+    packed = VersionedParquetStore(spark, root).read("packed").collect()
+    checked = 0
+    for row in packed:
+        flat = []
+        for doc in row.doc_ids:
+            flat.extend(ids[doc][:budget])
+        assert list(row.token_ids) == flat[:row.n_tokens]
+        assert len(row.token_ids) == row.n_tokens <= budget
+        checked += 1
+    assert checked > 4  # multiple real bins exercised

@@ -233,3 +233,45 @@ def test_clip_gate_composes_ahead_of_pair_store(spark, tmp_path):
         .select("doc_id").collect()
     }
     assert survivors == {0, 2}
+
+
+def test_clip_frac_gate_keep_rule_and_null_exclusion(spark):
+    """clip_frac_gate (r18): keep = rank <= floor(frac*n_scored+0.5)
+    over SCORABLE pairs only — NULL pairs neither compete nor count and
+    keep the NULL verdict; ties break on the id."""
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.multimodal import (
+        clip_frac_gate,
+    )
+
+    v = [1.0, 0.0]
+    rows = [
+        (0, v, [1.0, 0.0]),    # cos 1.0
+        (1, v, [1.0, 0.0]),    # cos 1.0 (tie with 0 -> id breaks)
+        (2, v, [1.0, 1.0]),    # cos ~0.707107
+        (3, v, [0.0, 1.0]),    # cos 0.0
+        (4, v, [-1.0, 0.0]),   # cos -1.0
+        (5, None, v),          # unscorable -> excluded from n
+        (6, v, [1.0]),         # dim mismatch -> excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id int, cap array<float>, img array<float>"
+    )
+    out = clip_frac_gate(
+        df, "cap", "img", ["pair_id"], keep_frac=0.5
+    )
+    got = {
+        r.pair_id: (r.clip_score, r.aligned) for r in out.collect()
+    }
+    unpersist_deps(out)
+    # n_scored = 5, floor(0.5*5+0.5) = 3 -> ranks 1..3 keep:
+    # pair 0 (1.0), pair 1 (1.0, id tiebreak), pair 2 (0.707107)
+    assert got[0] == (1.0, True)
+    assert got[1] == (1.0, True)
+    assert got[2] == (0.707107, True)
+    assert got[3] == (0.0, False)
+    assert got[4] == (-1.0, False)
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)

@@ -243,3 +243,53 @@ def test_bm25_maxp_dirty_docs(spark):
     assert qids == {100}                       # termless query: no rows
     assert (100, 1, 1) in rows                 # zebra doc ranks first
     assert all(d not in (2, 3) for _, d, _ in rows)
+
+
+def test_bm25_hard_negatives_excludes_positive_exactly(spark):
+    """bm25_hard_negatives (r18): the mined set is EXACTLY the plain
+    depth-(k+1) top-k after removing the query's positive — never the
+    positive itself, densely renumbered, k rows per query whenever the
+    corpus has enough candidates; a positive OUTSIDE the top-(k+1)
+    leaves the plain top-k untouched."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_framework_spark.operators.dedup import (
+        unpersist_deps,
+    )
+    from metadata_ingestion_framework_spark.operators.retrieval import (
+        bm25_hard_negatives,
+        bm25_topk,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"),
+        "text",
+        F.col("doc_id").alias("positive_id"),
+    )
+    k = 5
+    negs = bm25_hard_negatives(docs, queries, k=k)
+    got = {}
+    for r in negs.collect():
+        got.setdefault(r.query_id, []).append((r.neg_rank, r.doc_id, r.score))
+    unpersist_deps(negs)
+
+    deep = bm25_topk(
+        docs, queries.select("query_id", "text"), k=k + 1
+    )
+    ref = {}
+    for r in deep.collect():
+        ref.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    unpersist_deps(deep)
+
+    for q, rows in got.items():
+        rows.sort()
+        want = [
+            (d, s) for _, d, s in sorted(ref[q]) if d != q
+        ][:k]
+        assert [(d, s) for _, d, s in rows] == want
+        assert all(d != q for _, d, _ in rows)  # positive never mined
+        assert [nr for nr, _, _ in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) == k  # corpus is large enough at sf0.001

@@ -370,3 +370,35 @@ def test_mmr_rerank_dirty_vectors_deterministic(spark):
     # are all 0.0 so it beats the similar-to-1 doc 3 at step 2; the NULL
     # vector survives with all-0.0 sims and lands by rel order
     assert [v for _, v in rows] == [1, 2, 4, 3]
+
+
+def test_semantic_contamination_maxrule_and_zero_norm(spark):
+    """semantic_contamination (r18): per-train max over the broadcast
+    eval suite with the (score DESC, eval_id ASC) first-max tiebreak;
+    zero-norm vectors score 0.0 (the engine-wide rule) and a train doc
+    equal to an eval vector flags at threshold."""
+    from metadata_ingestion_framework_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0]), (102, [1.0, 0.0])],
+        "eval_id long, embedding array<float>",
+    )
+    tr = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),    # cos 1.0 vs evals 100 AND 102 -> 100 wins
+            (1, [1.0, 1.0]),    # cos ~0.707107 vs all three axes
+            (2, [0.0, 0.0]),    # zero norm -> 0.0 everywhere
+            (3, [-1.0, 0.0]),   # best is 0.0 (vs 101)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.max_cos, r.nearest_eval_id, r.contaminated)
+        for r in semantic_contamination(tr, ev, threshold=0.5).collect()
+    }
+    assert got[0] == (1.0, 100, True)          # smallest eval id on tie
+    assert got[1] == (0.707107, 100, True)
+    assert got[2] == (0.0, 100, False)
+    assert got[3] == (0.0, 101, False)
