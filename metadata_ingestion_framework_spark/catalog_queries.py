@@ -7477,6 +7477,9 @@ def q_pretrain_corpus_e2e(spark, sf_dir):
     from metadata_ingestion_framework_spark.functions.urls import (
         url_blocklist_gate,
     )
+    from metadata_ingestion_framework_spark.operators.barrier import (
+        spill_barrier,
+    )
     from metadata_ingestion_framework_spark.operators.corpus import (
         corpus_epoch_assignments,
     )
@@ -7534,14 +7537,22 @@ def q_pretrain_corpus_e2e(spark, sf_dir):
     ).filter(F.col("blocked") == False).select(  # noqa: E712
         "doc_id", "lang", "clean"
     )
-    # stage 3+4: paragraph dedup then the word floor
+    # stage 3+4: paragraph dedup then the word floor. Lineage BARRIER
+    # (operators/barrier.py, r18 OPT): each of the 9 stages embeds its
+    # input subtree at least twice (self-joins, two-stage windows), so
+    # the composed logical plan compounds to 677k lines and ~22 s of
+    # pure query construction/analysis at sf0.1 (guide §3.3/§7.3). Four
+    # parquet spill-barriers truncate the lineage between mega-stages;
+    # the barrier path is keyed on applicationId + a fresh uuid per
+    # call, so every invocation recomputes from the inputs (no
+    # cross-run reuse). Checksums verified identical at sf0.001/sf0.01.
     dd = paragraph_dedup(gated_u, "clean", "doc_id", keep_cols=["lang"])
-    g = carry_deps(
+    g = spill_barrier(
         dd.withColumn(
             "n_words", word_token_count(F.col("clean_text")).cast("long")
         ).filter(F.col("n_words") >= 5),
-        dd,
-    ).persist()  # feeds sigs, the two anti-joins, decontam and the mix
+        release=(dd,),
+    )  # feeds sigs and the near-dup anti-join as a bare parquet scan
     # stage 5: single-corpus minhash near-dup removal
     sigs = minhash_signatures(
         g, "clean_text", "doc_id", token_hash="md5"
@@ -7549,12 +7560,12 @@ def q_pretrain_corpus_e2e(spark, sf_dir):
     nd_drops = minhash_batch_drops(
         None, sigs, "doc_id", jaccard_threshold=0.5
     )
-    # persist: s5 feeds BOTH the decontam gram build and the s6
-    # anti-join — unpersisted, the minhash band-join lineage recomputes
-    # per consumer (CLAUDE.md self-join rule; ~1.5s at sf0.01)
-    s5 = carry_deps(
-        g.join(nd_drops, "doc_id", "left_anti"), nd_drops
-    ).persist()
+    # barrier: s5 feeds BOTH the decontam gram build and the s6
+    # anti-join — the parquet round-trip both de-duplicates that work
+    # (CLAUDE.md self-join rule) and truncates the banded-join lineage
+    s5 = spill_barrier(
+        g.join(nd_drops, "doc_id", "left_anti"), release=(nd_drops,)
+    )
     # stage 6: decontaminate vs the ORIGINAL-text eval suite
     evals = docs.filter(d % 20 == 0).select(
         "doc_id", F.col("text").alias("clean_text")
@@ -7562,9 +7573,11 @@ def q_pretrain_corpus_e2e(spark, sf_dir):
     flagged = ngram_contamination(
         s5, evals, "clean_text", "doc_id", shingle_n=5, min_shared=3
     ).select(F.col("train_id").alias("doc_id")).distinct()
+    # carry only flagged's persists: s5 is a parquet barrier whose
+    # handle is released with the final deps, not through s6
     s6 = carry_deps(
         s5.filter(d % 20 != 0).join(flagged, "doc_id", "left_anti"),
-        s5, flagged,
+        flagged,
     )
     # stage 7: trained-cell temperature mix (same-name id columns)
     emb = t(spark, sf_dir, "embeddings").withColumnRenamed(
@@ -7575,27 +7588,28 @@ def q_pretrain_corpus_e2e(spark, sf_dir):
         doc_id_col="doc_id", vec_id_col="doc_id", salt="e2e",
     )
     # stage 8: skinny (drop text before the cumsum), epoch shards —
-    # carry the mix's two-stage-window persists through the select
-    skinny = carry_deps(
+    # barrier releases the mix's two-stage-window persists eagerly so
+    # composite peak memory is one stage, not the whole chain
+    skinny = spill_barrier(
         mixed.select(
             "doc_id", "lang", "cell",
             token_count(F.col("clean_text")).cast("long").alias("n_toks"),
             (F.lit(1) + F.pmod(d, F.lit(2))).cast("int").alias("epoch"),
         ),
-        mixed,
+        release=(mixed, s6),
     )
     a = corpus_epoch_assignments(
         skinny, None, "doc_id", "epoch",
         shard_tokens=2000, n_tokens_col="n_toks",
     )
-    ap = carry_deps(
+    ap = spill_barrier(
         a.select(
             "doc_id", "lang", "cell", "epoch",
             "n_tokens", "cum_before",
             F.col("shard").alias("corpus_shard"),
         ),
-        a, skinny,
-    ).persist()  # feeds pack AND the final join
+        release=(a,),
+    )  # feeds pack AND the final join as a bare parquet scan
     # stage 9: BFD packing on the same counts
     p = pack_bfd(
         ap, None, "doc_id", budget_tokens=512, shards=8,
@@ -7612,11 +7626,12 @@ def q_pretrain_corpus_e2e(spark, sf_dir):
     )
     # FLATTEN every stage's deps: the release harness unpersists list
     # ENTRIES only (no recursion into a dep's own _persisted_deps), so
-    # the paragraph-dedup / mix / assignment persists must land here
-    # directly, not ride as attributes of g/ap (r18 — caught by
-    # check_oracle's leak warning on the first run)
-    deps = [g, sigs, s5, ap]
-    for frame in (g, nd_drops, s5, s6, mixed, skinny, ap):
+    # the barrier handles (whose unpersist() deletes the scratch dirs)
+    # and the remaining RDD persists must land here directly (r18 —
+    # caught by check_oracle's leak warning on the first run). Most
+    # stage persists were already released eagerly by their barrier.
+    deps = [sigs]
+    for frame in (g, s5, skinny, ap, p):
         deps.extend(getattr(frame, "_persisted_deps", ()))
     out._persisted_deps = deps
     return out

@@ -152,13 +152,31 @@ def kmeans_fit(
             raise ValueError(
                 f"kmeans_fit needs >= n_cells={n_cells} clean rows, got {len(seeds)}"
             )
+        # r18 OPT (guide §1.2/§4.1): pin training parallelism ONCE from the
+        # materialized sample's size instead of letting every Lloyd
+        # iteration re-widen to defaultParallelism inside ivf_assign. The
+        # per-iteration df.rdd conversion + round-robin shuffle + 32 tiny
+        # Python tasks (~62 rows each at sf0.1) were pure boundary
+        # overhead; the matmul-argmax itself is milliseconds. Partition
+        # count derives from row count (scale-adaptive, not tuned to the
+        # local core count): 1 task per 64k sample rows, capped at
+        # defaultParallelism. coalesce() reads the persisted blocks
+        # without a shuffle; assignment is per-row and the centroid
+        # update sums are exact BIGINT (order-free), so partitioning
+        # cannot perturb the trained model.
+        n_sample = vq.count()  # cheap: persisted by the seeds collect
+        target = max(1, min(
+            df.sparkSession.sparkContext.defaultParallelism,
+            -(-n_sample // 65536),
+        ))
+        train = vq.coalesce(target) if target < vq.rdd.getNumPartitions() else vq
         # seed centroids in original units (exact: vq / 2^20)
         cents = [[x / float(quant) for x in r.vq] for r in seeds]
         objectives: list[float] | None = [] if compute_objective else None
 
         for _ in range(n_iters):
             units = [unit_vector(c) for c in cents]
-            assigned = ivf_assign(vq, units, "vq")
+            assigned = ivf_assign(train, units, "vq", widen=False)
             if compute_objective:
                 u_df = df.sparkSession.createDataFrame(
                     [(j, u) for j, u in enumerate(units)],

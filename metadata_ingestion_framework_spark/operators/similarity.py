@@ -412,6 +412,7 @@ def ivf_assign(
     corpus: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    widen: bool = True,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
@@ -433,6 +434,14 @@ def ivf_assign(
 
     Null / off-dim vector rows emit a NULL cell instead of crashing the
     Arrow batch (r5 ADVICE item 3).
+
+    ``widen=False`` (r18 OPT) skips the ``_widen_narrow_input`` round-robin
+    for callers that already pinned the input's partitioning — the k-means
+    trainer calls this once per Lloyd iteration, and the per-iteration
+    ``df.rdd`` plan conversion + repartition shuffle + defaultParallelism
+    tiny Python tasks were pure overhead on an already-persisted sample
+    (guide §1.2/§4: per-task boundary cost dominates tiny batches).
+    Assignment is per-row, so partitioning cannot change the values.
     """
     import numpy as np
 
@@ -472,7 +481,8 @@ def ivf_assign(
             out["__ivf_cell"] = res
             yield out
 
-    return _widen_narrow_input(corpus).mapInPandas(run, schema=schema)
+    src = _widen_narrow_input(corpus) if widen else corpus
+    return src.mapInPandas(run, schema=schema)
 
 
 def random_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
