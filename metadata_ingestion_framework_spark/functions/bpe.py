@@ -180,19 +180,22 @@ def bpe_train(
                 break
             l, r = top[0].l, top[0].r
             merges.append((l, r, int(top[0].pair_count)))
-            nxt = current.select(
+            # r18 OPT (guide §1.2): chain the merge LAZILY on the persisted
+            # vocab instead of persist()+count() per round. Round i's
+            # collect then re-evaluates i nested codegen replace()s over
+            # the cached word table — trivial next to the two extra jobs
+            # (materialize + release bookkeeping) every round used to
+            # pay. The expression chain stays small because the
+            # per-round-distributed path is only used at oracle-scale K
+            # (<= ~8); real ~30k-merge vocabularies take the
+            # driver_vocab_limit path above. Halves the training job
+            # count (16 -> 8 at K=8) with bit-identical merges (same
+            # winner collect per round).
+            current = current.select(
                 "word", "count",
                 _apply_merge(F.col("repr"), l, r).alias("repr"),
-            ).persist()
-            nxt.count()  # materialize before releasing the previous round
-            if current is not vocab:
-                current.unpersist()
-            current = nxt
+            )
     finally:
-        # an exception mid-round must release BOTH live persists — the
-        # current round's intermediate and the base vocab (ADVICE r10)
-        if current is not vocab:
-            current.unpersist()
         vocab.unpersist()
     return merges
 

@@ -122,9 +122,28 @@ def bm25_topk(
         F.col(query_id_col),
         F.explode(F.array_distinct(_terms(text_col))).alias("term"),
     ).persist()  # consumed twice: the term restriction + the scoring join
-    posts_q = tf.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    ).persist()  # consumed twice: df derivation + scoring (self-join rule)
+    # r18 OPT (guide §2.3/§2.4): repartition the restricted postings by
+    # DOC id before persisting. The scoring join explodes to
+    # |postings| x |queries-per-term| rows, and with term-hash-partitioned
+    # postings the (query, doc) partial aggregation barely reduced them
+    # (measured at sf0.1: 21.0M joined rows -> 15.9M partial rows ->
+    # 162 MiB exchange). Doc-local postings make every (query, doc)
+    # group COMPLETE within its task, so the partial agg collapses to
+    # exactly Q x D skinny rows before the shuffle (1.19M rows / ~6 MiB
+    # at sf0.1). The repartition itself moves only the skinny restricted
+    # postings (110k rows / 2 MiB). Explicit partition count (cluster
+    # defaultParallelism — scale-derived, not a local constant) keeps
+    # AQE from coalescing the tiny table to 1 task ahead of the dense
+    # scoring join. Scores are sums of DECIMAL(18,6) — order-free, so
+    # partitioning cannot change any value.
+    posts_q = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            F.col(id_col),
+        )
+        .persist()
+    )  # consumed twice: df derivation + scoring (self-join rule)
     try:
         dfreq = posts_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         full = posts_q.join(F.broadcast(dfreq), "term").crossJoin(
@@ -573,21 +592,28 @@ def serve_topk(
         # distinct) query-term list first, then derive df from rows the
         # pass already reads. Persist: consumed by dfreq AND the scoring
         # join (self-join rule) — skinny (id, term, tf, __dl).
-        from metadata_ingestion_framework_spark.operators.dedup import (
-            _widen_narrow_input,
-        )
-
-        # widen before persisting (r15): the restricted rows inherit the
-        # pruned scan's split count — a well-sized store has FEW leaf
-        # files per term bucket (the sized_term_buckets rule), so a
-        # dense-vocabulary serve would run its (query, doc) scoring
-        # map-side on a handful of tasks. Real-cluster inputs already
-        # carry >= cores splits and pass through untouched.
-        posts_q = _widen_narrow_input(
+        # repartition by DOC id before persisting (r18 OPT, guide
+        # §2.3/§2.4 — supersedes the r15 round-robin widen): the store
+        # scan is term_bucket-partitioned, so a doc's postings spread
+        # across files and the (query, doc) scoring partial agg barely
+        # reduced the dense join explosion before its exchange (the
+        # bm25_topk measurement: 21M joined rows -> 162 MiB shuffle at
+        # sf0.1). Doc-local postings collapse each (query, doc) group
+        # within its task, and the explicit repartition also provides
+        # the parallelism the widen existed for. The shuffle moves only
+        # the skinny restricted postings. Scores are DECIMAL(18,6) sums
+        # — order-free, partitioning cannot change values.
+        posts_q = (
             pruned.join(
                 F.broadcast(qterms.select("term").distinct()), "term"
-            ).select(id_col, "term", "tf", "__dl")
-        ).persist()
+            )
+            .select(id_col, "term", "tf", "__dl")
+            .repartition(
+                postings.sparkSession.sparkContext.defaultParallelism,
+                F.col(id_col),
+            )
+            .persist()
+        )
         dfreq = posts_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         stats = bucket_stats.agg(
             F.sum("n_docs").cast("bigint").alias("__n_docs"),
