@@ -50,16 +50,18 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
 
 from metadata_ingestion_framework_spark.operators.similarity import (
     _fold_dot,
+    _fold_norm_array,
     _fold_vs_blas_err,
     _random_unit_rows,
     _resolve_centroids,
     _topk,
     _vec_matrix,
     cosine,
+    l2_norm,
     dot,
     probe_cell_order,
 )
@@ -170,6 +172,7 @@ def pq_encode(
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
     output_cols: list[str] | None = None,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = the m-entry code array (0-based argmax per
     subspace). One Arrow batch pays m BLAS matmuls; borderline rows
@@ -197,7 +200,13 @@ def pq_encode(
     ]  # (sub, k) each
     abs_mats = [np.abs(x) for x in mats]
     kept = _kept_fields(corpus, output_cols)
-    schema = StructType(kept + [StructField(out_col, ArrayType(IntegerType()))])
+    out_fields = kept + [StructField(out_col, ArrayType(IntegerType()))]
+    if norm_col is not None:
+        # raw fold L2 norm alongside the codes (one numpy pass — the
+        # vectors already cross the boundary here); hoists the norm out
+        # of per-pair scoring, see similarity.cosine (r18 OPT)
+        out_fields.append(StructField(norm_col, DoubleType()))
+    schema = StructType(out_fields)
     kept_names = [f.name for f in kept]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -224,6 +233,10 @@ def pq_encode(
                     it = iter(rows)
                     res = [next(it) if v else None for v in valid]
             out[out_col] = pd.Series(res, dtype=object)
+            if norm_col is not None:
+                out[norm_col] = pd.Series(
+                    _fold_norm_array(pdf[vec_col].to_numpy()), dtype=object
+                )
             yield out
 
     return _widen_narrow_input(corpus).mapInPandas(run, schema=schema)
@@ -527,8 +540,15 @@ def pq_recall(
     if codebooks is None:
         codebooks = pq_codebooks(dim, m, k_codes, seed)
     m, sub = _check_geometry(dim, codebooks)
-    coded = pq_encode(corpus.select(id_col, vec_col), codebooks, vec_col)
-    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    # norms hoisted out of the per-pair scoring (r18 OPT — see
+    # similarity.cosine): corpus norm rides the encode kernel, query norm
+    # is a build-side projection materialized at broadcast build
+    coded = pq_encode(
+        corpus.select(id_col, vec_col), codebooks, vec_col, norm_col="__vn"
+    )
+    q = queries.select(
+        query_id_col, F.col(vec_col).alias("__qvec")
+    ).withColumn("__qn", l2_norm(F.col("__qvec")))
     q, lut_names = _attach_luts(q, codebooks, sub)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__qscore").desc_nulls_last(), F.col(id_col).asc()
@@ -541,9 +561,15 @@ def pq_recall(
             _adc_score(
                 F.col("pq_codes"), [F.col(n) for n in lut_names]
             ).alias("__qscore"),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias(
-                "score"
-            ),
+            F.round(
+                cosine(
+                    F.col(vec_col),
+                    F.col("__qvec"),
+                    F.col("__vn"),
+                    F.col("__qn"),
+                ),
+                6,
+            ).alias("score"),
         )
         .withColumn("__pos", F.row_number().over(w))
         .drop("__qscore")

@@ -40,9 +40,52 @@ def l2_norm(a: Column) -> Column:
     ))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    denom = l2_norm(a) * l2_norm(b)
+def cosine(
+    a: Column,
+    b: Column,
+    norm_a: Column | None = None,
+    norm_b: Column | None = None,
+) -> Column:
+    """round-exact cosine; ``norm_a``/``norm_b`` optionally supply the
+    side's L2 norm PRECOMPUTED per row (r18 OPT, guide §2.3/§4.1): inside
+    a pair-scoring cross join the inline ``l2_norm`` folds re-run per
+    PAIR (~256 interpreted lambda calls), while a hoisted norm — the
+    kernels' ``norm_col`` output or a build-side projection — is one
+    column read. Values are bit-identical by construction: the hoisted
+    norm is the identical sequential fold, and the denom product / zero
+    guard / dot fold are unchanged (the kmeans_assignments precedent,
+    oracle-proven)."""
+    denom = (l2_norm(a) if norm_a is None else norm_a) * (
+        l2_norm(b) if norm_b is None else norm_b
+    )
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def _fold_norm_array(vals):
+    """Raw per-row L2 norm with the strict sequential fold (numpy
+    ``cumsum`` — bit-identical to the JVM ``l2_norm`` aggregate) as an
+    OBJECT array: None -> None, empty -> 0.0, NaN/Inf propagate AS
+    VALUES. Unlike :func:`with_l2_norm` this does NOT null non-finite
+    norms — it exists to hoist the untouched ``l2_norm`` expression out
+    of per-pair scoring, so a dirty row must keep the exact score (and
+    therefore rank) the inline expression gave it."""
+    import numpy as np
+
+    n = len(vals)
+    out = np.empty(n, dtype=object)
+    out[:] = None
+    lens = np.fromiter(
+        ((-1 if v is None else len(v)) for v in vals), dtype=np.int64, count=n
+    )
+    for dim in np.unique(lens[lens >= 0]):
+        mask = lens == dim
+        if dim == 0:
+            out[mask] = 0.0
+            continue
+        m = np.stack(list(vals[mask])).astype(np.float64)
+        sq = m * m
+        out[mask] = np.sqrt(sq.cumsum(axis=1)[:, -1])
+    return out
 
 
 def _topk(
@@ -294,6 +337,7 @@ def with_lsh_buckets(
     planes: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "__bucket",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Bulk SRP bucketing: ONE numpy matmul per Arrow batch instead of
     n_planes interpreted HOF dots per row (VERDICT r4 item 7 — each HOF
@@ -322,7 +366,12 @@ def with_lsh_buckets(
     plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
     abs_plane_mat = np.abs(plane_mat)
     weights = (np.uint64(1) << np.arange(len(planes), dtype=np.uint64)).astype(np.int64)
-    schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
+    out_fields = list(df.schema.fields) + [StructField(out_col, LongType())]
+    if norm_col is not None:
+        # raw fold norm alongside the bucket (one numpy pass — the
+        # vectors already cross the boundary here); see ivf_assign
+        out_fields.append(StructField(norm_col, DoubleType()))
+    schema = StructType(out_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -346,6 +395,8 @@ def with_lsh_buckets(
                     buckets[~np.isfinite(proj).all(axis=1)] = None
                     res[valid] = buckets
             out[out_col] = res
+            if norm_col is not None:
+                out[norm_col] = _fold_norm_array(pdf[vec_col].to_numpy())
             yield out
 
     return _widen_narrow_input(df).mapInPandas(run, schema=schema)
@@ -413,6 +464,7 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     widen: bool = True,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
@@ -449,7 +501,12 @@ def ivf_assign(
 
     cent_mat = np.asarray(centroids, dtype=np.float64).T  # (dim, n_cells)
     abs_cent_mat = np.abs(cent_mat)
-    schema = StructType(corpus.schema.fields + [StructField("__ivf_cell", IntegerType())])
+    out_fields = list(corpus.schema.fields) + [
+        StructField("__ivf_cell", IntegerType())
+    ]
+    if norm_col is not None:
+        out_fields.append(StructField(norm_col, DoubleType()))
+    schema = StructType(out_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -479,6 +536,8 @@ def ivf_assign(
                     out_cells[~np.isfinite(scores).all(axis=1)] = None
                     res[valid] = out_cells
             out["__ivf_cell"] = res
+            if norm_col is not None:
+                out[norm_col] = _fold_norm_array(pdf[vec_col].to_numpy())
             yield out
 
     src = _widen_narrow_input(corpus) if widen else corpus
@@ -816,47 +875,47 @@ def _nested_probe_recall(
     column label -> probe level; the exact baseline is the unrestricted
     window.
 
-    Physical shape (r10, surfaced by the ann_recall plan audit — VERDICT
-    r9 item 2): ``scored`` is repartitioned ON the window key before the
-    persist, so every per-setting window reads the cached hash-partitioned
-    blocks with NO further exchange (the unhinted form re-shuffled the
-    scored table once per setting); ``exact_topk`` is persisted (its build
-    is a full window pass and every setting joins against it); the top-k
-    sides are Q*k rows, so the recall joins are explicit broadcasts, not
-    the SortMergeJoins Catalyst falls back to on statistics-free cached
-    Python-stage output."""
-    scored = scored.repartition(F.col(query_id_col)).persist()
+    Physical shape (r18 OPT, guide §2.4/§3.3 — replaces the r10
+    persist + per-setting window/broadcast-join chain, which paid two
+    broadcast exchanges and a join PER SETTING plus two persists, and
+    grew the plan linearly in settings: the ann_recall profile showed 61
+    jobs with ~4 s of pure driver gap for 16k scored rows): ONE window
+    pass computes, for every scored row, the exact rank (``row_number``)
+    AND each setting's within-subset rank as a cumulative conditional
+    count over the IDENTICAL total order — for a row in the subset
+    ``__pos <= p``, the number of subset rows at-or-before it in the
+    (score desc nulls last, id asc) order IS its ``row_number`` within
+    the filtered subset, so membership in the setting's top-k is
+    ``in_p AND cum_count <= k`` with bit-identical tiebreaks. One
+    ``groupBy`` then emits every recall column at once: zero joins, zero
+    persists, a single Exchange (the window's own hash partitioning,
+    reused by the aggregation)."""
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc_nulls_last(), F.col(id_col).asc()
     )
-    exact_topk = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col)
-        .persist()
-    )
-    out = exact_topk.groupBy(query_id_col).agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = scored.withColumn("__rkf", F.row_number().over(w))
     for label, p in settings:
-        approx = (
-            scored.filter(F.col("__pos") <= p)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col)
+        ranked = ranked.withColumn(
+            f"__rk_{label}",
+            F.sum(F.when(F.col("__pos") <= p, 1).otherwise(0)).over(cum),
         )
-        hits = exact_topk.join(F.broadcast(approx), [query_id_col, id_col]).groupBy(
-            query_id_col
-        ).agg(F.count(F.lit(1)).alias("__h"))
-        out = out.join(F.broadcast(hits), query_id_col, "left").withColumn(
-            label,
+    exact = F.col("__rkf") <= k
+    aggs = [F.sum(F.when(exact, 1).otherwise(0)).alias("n_exact")]
+    for label, p in settings:
+        hit = exact & (F.col("__pos") <= p) & (F.col(f"__rk_{label}") <= k)
+        aggs.append(F.sum(F.when(hit, 1).otherwise(0)).alias(f"__h_{label}"))
+    out = ranked.groupBy(query_id_col).agg(*aggs).select(
+        query_id_col,
+        "n_exact",
+        *[
             F.round(
-                F.coalesce(F.col("__h"), F.lit(0)).cast("double")
-                / F.col("n_exact"),
-                6,
-            ),
-        ).drop("__h")
-    out._persisted_deps = [scored, exact_topk]
+                F.col(f"__h_{label}").cast("double") / F.col("n_exact"), 6
+            ).alias(label)
+            for label, _ in settings
+        ],
+    )
+    out._persisted_deps = []
     return out
 
 
@@ -907,13 +966,20 @@ def ivf_recall(
     ``ivf_topk``/``ivf_topk_int8`` at the chosen setting.
     """
     cents = _resolve_centroids(centroids, dim, n_cells, seed)
-    c = ivf_assign(corpus.select(id_col, vec_col), cents, vec_col)
+    # corpus norm hoisted into the assign kernel; query norm is a
+    # build-side projection, materialized once per row when the broadcast
+    # relation is built (r18 OPT — see cosine())
+    c = ivf_assign(
+        corpus.select(id_col, vec_col), cents, vec_col, norm_col="__vn"
+    )
 
     # full probe ORDER per query — same sort ivf_topk slices its probe
     # list from (score desc, cell index asc)
-    q = queries.select(
-        query_id_col, F.col(vec_col).alias("__qvec")
-    ).withColumn("__order", probe_cell_order(F.col("__qvec"), cents))
+    q = (
+        queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+        .withColumn("__order", probe_cell_order(F.col("__qvec"), cents))
+        .withColumn("__qn", l2_norm(F.col("__qvec")))
+    )
 
     # one scored pass; __pos = 1-based rank of the corpus row's cell in
     # the query's probe order, so "probed at n_probe=p" == (__pos <= p).
@@ -930,7 +996,12 @@ def ivf_recall(
             F.array_position(F.col("__order"), F.col("__ivf_cell")),
             F.lit(1 << 30),
         ).alias("__pos"),
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        F.round(
+            cosine(
+                F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+            ),
+            6,
+        ).alias("score"),
     )
     settings = [(f"recall_p{p}", p) for p in probes] + [
         ("recall_full", 1 << 30)
@@ -965,10 +1036,15 @@ def lsh_recall(
     realistic setting) is exactly 1.0.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
-    c = with_lsh_buckets(corpus.select(id_col, vec_col), planes, vec_col)
-    q = queries.select(
-        query_id_col, F.col(vec_col).alias("__qvec")
-    ).withColumn("__qb", lsh_bucket(F.col("__qvec"), planes))
+    # norms hoisted out of the per-pair scoring (r18 OPT — see cosine())
+    c = with_lsh_buckets(
+        corpus.select(id_col, vec_col), planes, vec_col, norm_col="__vn"
+    )
+    q = (
+        queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+        .withColumn("__qb", lsh_bucket(F.col("__qvec"), planes))
+        .withColumn("__qn", l2_norm(F.col("__qvec")))
+    )
     xor = F.col("__bucket").bitwiseXOR(F.col("__qb"))
     pos = (
         F.when(xor == 0, F.lit(0))
@@ -979,7 +1055,12 @@ def lsh_recall(
         query_id_col,
         id_col,
         pos.alias("__pos"),
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        F.round(
+            cosine(
+                F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+            ),
+            6,
+        ).alias("score"),
     )
     settings = [(f"recall_m{m}", m) for m in probes] + [
         ("recall_full", 1 << 30)
