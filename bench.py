@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -153,6 +154,39 @@ HEADLINE_REPEATS = 2
 ACTION = "checksum_xxhash64_min_of_2_flagship_first_interleaved_memo_cleared_per_rep"
 
 
+def _scratch_hygiene(initial: bool = False) -> None:
+    """Measurement hygiene (r19, VERDICT r18 item 3): the barrier/store
+    queries write scratch parquet under SCRATCH during their timed run.
+    The dirs themselves are deleted through each query's
+    ``_persisted_deps`` release, but (a) an interrupted PRIOR session can
+    leave whole app trees behind, and (b) the kernel writeback of the
+    just-written-then-deleted pages is asynchronous — CLAUDE.md documents
+    D-state I/O from store probes inflating timings for minutes. At
+    session start we remove any leftover scratch outright; between timed
+    reps we reap empty app dirs and ``os.sync()`` so dirty pages flush
+    OUTSIDE the timed region instead of during the next query's stages.
+    Timing methodology (action, reps, order) is unchanged."""
+    try:
+        from metadata_ingestion_framework_spark.session import SCRATCH
+    except Exception:  # pragma: no cover - import order safety
+        return
+    barrier_root = os.path.join(SCRATCH, "barrier")
+    if initial:
+        shutil.rmtree(barrier_root, ignore_errors=True)
+    elif os.path.isdir(barrier_root):
+        for app in os.listdir(barrier_root):
+            path = os.path.join(barrier_root, app)
+            try:
+                if not os.listdir(path):
+                    os.rmdir(path)
+            except OSError:
+                pass
+    try:
+        os.sync()
+    except (OSError, AttributeError):  # pragma: no cover
+        pass
+
+
 def run_query(spark, fn, sf_dir) -> tuple[float, int]:
     """Time one query with an engine-side checksum action (VERDICT r2 item 1).
 
@@ -188,6 +222,8 @@ def run_query(spark, fn, sf_dir) -> tuple[float, int]:
     elapsed = time.perf_counter() - t0
     for dep in getattr(df, "_persisted_deps", ()):  # release operator caches
         dep.unpersist()
+    # flush the rep's scratch writeback before the next timed rep starts
+    _scratch_hygiene()
     return elapsed, int(row["n"])
 
 
@@ -199,6 +235,9 @@ def main() -> None:
     # rule). Recording the 1-min load average at start lets any reader
     # adjudicate a noisy run without forensics — load_avg_at_start > ~2 on
     # this box means the numbers are environment-suspect, not regressions.
+    # clear any prior session's leftover scratch BEFORE the settle loop,
+    # so the rm's own I/O is absorbed by the settle (VERDICT r18 item 3)
+    _scratch_hygiene(initial=True)
     try:
         load_avg_at_start = round(os.getloadavg()[0], 2)
     except OSError:  # pragma: no cover - platform without getloadavg
@@ -209,25 +248,30 @@ def main() -> None:
     # 60s/threshold-2.0 wait was not enough for a winding-down Spark JVM,
     # so poll until the 1-min load is < 1.0, bounded at 5 min; both
     # samples and the wait are recorded so any reading is adjudicable.
+    # r19 (VERDICT r18 item 3): the r18 driver run crossed the old
+    # threshold at load 0.98 after 130 s and still timed flagships 3-6x
+    # off the idle envelope — a winding-down session's D-state I/O keeps
+    # polluting below load 1.0. Settle deeper (0.7) and longer (600 s);
+    # the wait is outside every timed region.
     settle_wait_sec = 0
     load_avg_at_timing = load_avg_at_start
-    if load_avg_at_start is not None and load_avg_at_start >= 1.0:
+    if load_avg_at_start is not None and load_avg_at_start >= 0.7:
         print(
-            f"# WARNING: load_avg_at_start={load_avg_at_start} >= 1.0 — "
-            "settling up to 300s before timing",
+            f"# WARNING: load_avg_at_start={load_avg_at_start} >= 0.7 — "
+            "settling up to 600s before timing",
             file=sys.stderr,
         )
-        while settle_wait_sec < 300:
+        while settle_wait_sec < 600:
             time.sleep(5)
             settle_wait_sec += 5
             load_avg_at_timing = round(os.getloadavg()[0], 2)
-            if load_avg_at_timing < 1.0:
+            if load_avg_at_timing < 0.7:
                 break
         print(
             f"# settled {settle_wait_sec}s: load {load_avg_at_start} -> "
             f"{load_avg_at_timing}"
             + (" (still hot — numbers are environment-suspect)"
-               if load_avg_at_timing >= 1.0 else ""),
+               if load_avg_at_timing >= 0.7 else ""),
             file=sys.stderr,
         )
     from metadata_ingestion_framework_spark import get_spark

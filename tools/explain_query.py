@@ -23,9 +23,9 @@ def main() -> None:
 
     spark = get_spark(f"explain_{name}")
     df = QUERIES[name](spark, sf_dir)
-    print(df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    ))
+    # public API (ADVICE r18): explain() prints to stdout directly and
+    # produces the same formatted text as the private JVM bridge did
+    df.explain("formatted")
     for dep in getattr(df, "_persisted_deps", ()):
         dep.unpersist()
 
